@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's DuckDB-oracle correctness gate.
+
+Dev tooling only (not part of the Scala library). Usage:
+    python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+Reads outDir/<name>/ parquet (written by graft.Verify) and outDir/
+oracle_sql.json, runs each SQL in DuckDB with the sf tables registered as
+views, and compares canonically: columns sorted by name, rows sorted, floats
+rounded to 9 significant-ish decimals.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6g}"
+        if isinstance(v, list):
+            return "[" + ",".join(str(norm(x)) for x in v) + "]"
+        return repr(v)
+
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got = canon(got_rel.fetchall(), got_rel.columns)
+            exp_rel = con.sql(sql)
+            exp = canon(exp_rel.fetchall(), exp_rel.columns)
+            if sorted(got_rel.columns) != sorted(exp_rel.columns):
+                print(f"FAIL {name}: columns {sorted(got_rel.columns)} "
+                      f"vs oracle {sorted(exp_rel.columns)}")
+                n_bad += 1
+            elif got == exp:
+                print(f"ok   {name} ({len(got)} rows)")
+                n_ok += 1
+            else:
+                n_bad += 1
+                print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+                diff_g = [r for r in got if r not in set(map(tuple, exp))][:3]
+                diff_e = [r for r in exp if r not in set(map(tuple, got))][:3]
+                print(f"     spark-only: {diff_g}")
+                print(f"     oracle-only: {diff_e}")
+        except Exception as e:  # noqa: BLE001
+            n_bad += 1
+            print(f"ERR  {name}: {e}")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
