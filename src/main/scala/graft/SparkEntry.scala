@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Q, Relational, TextQueries}
+import graft.queries.{ExtensionQueries, Q, Relational, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query registry modules live under graft.queries; each module pairs every
@@ -11,7 +11,8 @@ import graft.queries.{Q, Relational, TextQueries}
 object SparkEntry {
 
   /** Every registered query, in registration order. */
-  def all: Seq[Q] = Relational.queries ++ TextQueries.queries
+  def all: Seq[Q] =
+    Relational.queries ++ TextQueries.queries ++ ExtensionQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,175 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PolyHash, Rounding}
+
+/** Deduplication operators for a training-data pipeline (north-star ops):
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - exact dedup is one shuffle on a 16-byte fingerprint — the canonical
+  *    cheap pass run before anything fancy;
+  *  - MinHash+LSH is the near-dup *scale path*: per-doc signatures are a
+  *    single aggregation, and banding turns the O(n²) pair space into
+  *    equi-joins on (band, signature) keys so only genuine candidates meet;
+  *  - exact Jaccard via the shingle inverted index is the verify pass —
+  *    at scale you run it only on LSH candidates ([[nearDupPairs]]), never
+  *    on the full corpus;
+  *  - SimHash gives a 16-bit locality-sensitive sketch whose hamming
+  *    distance proxies similarity — one aggregation, join-free;
+  *  - embedding near-dup is a cosine-threshold self-join; brute-force here,
+  *    with the LSH-bucketed variant in [[SimilaritySearch]] as the scale
+  *    path.
+  *
+  * All hashing is [[PolyHash]]-based so every operator has an exact DuckDB
+  * replay (see ExtensionQueries oracles) — including the MinHash
+  * permutations, which are plain `(a·h + b) mod p` integer arithmetic.
+  */
+object Dedup {
+
+  final val Mod = PolyHash.Mod
+
+  /** MinHash permutation constants (16 perms), deterministic. */
+  val Perms: Seq[(Long, Long)] = {
+    val rnd = new Random(42)
+    Seq.fill(16)((rnd.nextInt(1000000000).toLong + 1, rnd.nextInt(1000000000).toLong))
+  }
+  final val Bands = 4
+  final val RowsPerBand = 4 // Bands * RowsPerBand == Perms.size
+
+  /** Exact dedup: md5-fingerprint groups; every row mapped to its group's
+    * canonical (minimum) id. `group_size > 1` rows are duplicates.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprintMd5(col(textCol)).as("fp")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    df.select(col(idCol), fp)
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
+  /** Distinct word n-gram shingles of a (space-tokenized) text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = graft.ops.Text.words(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** PolyHash of each shingle — the MinHash input set. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => PolyHash(s))
+
+  /** Per-doc MinHash signature: `m_i = min over shingle hashes h of
+    * (a_i·h + b_i) mod p`. One explode + one aggregation; columns
+    * m0..m15.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingleHashes(col(textCol))).as("h"))
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % Mod).as(s"m$i")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs agreeing on all rows of at least one band.
+    * Implemented as `Bands` equi-self-joins on the band signature —
+    * shuffle-partitioned by band key, no cross join anywhere.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol).cache()
+    val pairs = (0 until Bands).map { b =>
+      val keys = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
+      val l = sig.select(col(idCol).as("da"), concat_ws("|", keys.map(col): _*).as("bk"))
+      val r = sig.select(col(idCol).as("db"), concat_ws("|", keys.map(col): _*).as("bk"))
+      l.join(r, Seq("bk")).where(col("da") < col("db")).select("da", "db")
+    }
+    pairs.reduce(_ union _).distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs via the shingle inverted index: pairs
+    * sharing ≥1 shingle, scored |∩| / |∪|. O(docs-per-shingle²) — the
+    * verify pass; feed it LSH candidates at scale.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")) // shingles distinct already
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard",
+        Rounding.stableRound6(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
+      .where(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
+
+  /** LSH candidates verified by exact Jaccard — the full near-dup
+    * pipeline as you'd run it at scale.
+    */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol)
+    val withText = df.select(col(idCol), col(textCol))
+    val a = withText.toDF("da", "ta")
+    val b = withText.toDF("db", "tb")
+    val pairs = cand.join(a, "da").join(b, "db")
+    val sa = shingles(col("ta"))
+    val sb = shingles(col("tb"))
+    pairs
+      .withColumn("inter", size(array_intersect(sa, sb)))
+      .withColumn("jaccard",
+        Rounding.stableRound6(col("inter").cast("double")
+          / (size(sa) + size(sb) - col("inter"))))
+      .where(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
+
+  /** 16-bit SimHash over whitespace tokens (with multiplicity): bit b is
+    * set iff the signed sum of token-hash bit-b values is positive.
+    * Join-free: one explode + one aggregation.
+    */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.ops.Text.words(col(textCol))).as("w"))
+      .withColumn("h", PolyHash(col("w")))
+    val bitSums = (0 until 16).map { b =>
+      sum(when((col("h") / math.pow(2, b).toLong).cast("long") % 2 === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold (brute self-join;
+    * [[SimilaritySearch.lshBuckets]] is the candidate-pruned scale path).
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("da"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("db"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .where(col("da") < col("db"))
+      .withColumn("cos", Rounding.stableRound6(
+        graft.functions.VectorFunctions.cosineSim(col("va"), col("vb"))))
+      .where(col("cos") > threshold)
+      .select("da", "db", "cos")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Rounding, VectorFunctions}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — north-star op.
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: broadcast the (small) query set against the corpus and
+  *    keep per-query top-k via a window rank. Exact; the baseline. The
+  *    cosine is the codegen'd [[VectorFunctions.cosineSim]], so the scan is
+  *    memory-bound, and the broadcast means the corpus is read once with NO
+  *    shuffle of the big side — the only shuffle is the tiny top-k rank.
+  *  - [[lshTopK]]: random-hyperplane LSH. Each vector gets a `planes.size`-
+  *    bit bucket (sign of dot with each plane); queries only meet corpus
+  *    vectors in their own bucket — the candidate set shrinks ~2^bits-fold.
+  *    This is the 100 TB path: bucketing is a narrow map, the join is an
+  *    equi-join on the bucket id. Recall < 1 by construction (property
+  *    test pins candidates ⊆ brute-force ordering).
+  *
+  * Plane coordinates are quantized to exact multiples of 1/64 — exactly
+  * representable in both float and double — so Spark's float-typed plane
+  * arrays and DuckDB's DOUBLE[] replay compute bit-identical dot products
+  * (ExtensionQueries oracle).
+  */
+object SimilaritySearch {
+
+  /** Deterministic pseudo-random hyperplanes: value ∈ {k/64 − 1/2}. */
+  def planes(nPlanes: Int = 8, dim: Int = 64): Seq[Seq[Double]] = {
+    val rnd = new Random(7)
+    Seq.fill(nPlanes, dim)(rnd.nextInt(64) / 64.0 - 0.5)
+  }
+
+  private def planeCol(p: Seq[Double]): Column =
+    array(p.map(v => lit(v.toFloat)): _*)
+
+  /** LSH bucket id: Σ 2^i · [dot(vec, plane_i) > 0]. */
+  def bucket(vec: Column, ps: Seq[Seq[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dotProduct(vec, planeCol(p)) > 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Rounding.stableRound6(VectorFunctions.cosineSim(col("qv"), col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nPlanes: Int = 8): DataFrame = {
+    val dim = 64
+    val ps = planes(nPlanes, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      bucket(col(vecCol), ps).as("bkt"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bucket(col(vecCol), ps).as("bkt"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(q).join(c, "bkt")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Rounding.stableRound6(VectorFunctions.cosineSim(col("qv"), col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

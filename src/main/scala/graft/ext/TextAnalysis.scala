@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PolyHash, Rounding}
+
+/** Text-analysis operators for a training-data pipeline (north-star ops):
+  * token counting (whitespace + BPE-ish regex), quality scoring, language
+  * identification (marker-word heuristic), and document fingerprinting.
+  * All pure Catalyst column expressions — codegen-friendly, no UDFs, no
+  * shuffles; at 100 TB these are embarrassingly-parallel per-row scans
+  * whose cost is the parquet read itself.
+  *
+  * Every definition here has an exact DuckDB replay used by the oracle
+  * queries (graft.queries.ExtensionQueries), so the semantics are pinned
+  * end-to-end, not just eyeballed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (count basis). */
+  def wsTokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** BPE-ish pre-tokenizer: letter runs | single digits | single
+    * non-alnum marks — the shape GPT-2's pre-tokenizer produces, minus
+    * byte-level merges (a fair token-count proxy when no vocab is loaded).
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Language-marker word lists (tiny stopword sets). Deterministic
+    * heuristic: most marker hits wins; ties and zero-hit docs resolve in
+    * declared order / to "unknown".
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"))
+
+  def markerHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Predicted language label from marker hits over lowercased ws tokens. */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val scores = Markers.map { case (l, ms) => l -> markerHits(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, lit("unknown"))) {
+      case (acc, (l, s)) => acc.when(s === best, lit(l))
+    }.otherwise(lit("unknown"))
+  }
+
+  /** Punctuation ratio: non-alnum-non-space chars / total chars. */
+  def punctRatio(text: Column): Column =
+    Rounding.stableRound6(size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double") / greatest(length(text), lit(1)))
+
+  /** Stopword ratio over whitespace tokens (English marker set). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    Rounding.stableRound6(markerHits(toks, Markers.head._2).cast("double")
+      / greatest(size(toks), lit(1)))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + low punctuation
+    * + stopword presence (the classic cheap heuristics, e.g. Gopher rules).
+    */
+  def qualityScore(text: Column): Column =
+    Rounding.stableRound6(
+      lit(0.4) * least(size(wsTokens(text)).cast("double") / 50.0, lit(1.0))
+        + lit(0.3) * (lit(1.0) - punctRatio(text))
+        + lit(0.3) * least(stopwordRatio(text) * 5.0, lit(1.0)))
+
+  /** Whitespace-normalized, lowercased canonical form (fingerprint basis). */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Content-addressed fingerprint (md5 of the normalized text). */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Rolling-hash fingerprint (PolyHash of the normalized text) — the
+    * integer form used for MinHash/SimHash seeding.
+    */
+  def fingerprintPoly(text: Column): Column = PolyHash(normalize(text))
+}

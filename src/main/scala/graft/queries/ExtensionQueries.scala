@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.functions.{PolyHash, Rounding}
+import graft.io.Tables
+
+/** North-star extension operators as oracle-gated queries: text analysis
+  * (q40-q42), dedup in all five flavors (q43-q47), similarity search
+  * (q48-q49), multimodal metadata (q50). Every hash involved is the
+  * oracle-replayable PolyHash, so even MinHash banding and SimHash bits
+  * hash-match DuckDB exactly — no rows-only soft checks needed.
+  */
+object ExtensionQueries {
+
+  private val P = PolyHash.Mod
+
+  /** DuckDB replay of Text.words: space-split, drop empties. */
+  private val DuckToks =
+    "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** DuckDB replay of Dedup.shingles (distinct word 3-grams). */
+  private val ShingleCtes =
+    s"""toks AS (SELECT doc_id, $DuckToks AS arr FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(arr) - 2),
+       |      i -> arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3])) AS s
+       |    FROM toks WHERE len(arr) >= 3))""".stripMargin
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q40: token counting + quality scoring. Pure per-row scan math.
+    Q(
+      "q40_text_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("ws_tokens"),
+          size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("bpe_tokens"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_chars, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
+             |  floor((0.4 * least(ws_tokens::DOUBLE / 50.0, 1.0)
+             |      + 0.3 * (1.0 - punct_ratio)
+             |      + 0.3 * least(stopword_ratio * 5.0, 1.0)) * 1000000 + 0.5) / 1000000 AS quality
+             |FROM (
+             |  SELECT doc_id,
+             |    length(text)::BIGINT AS n_chars,
+             |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
+             |    len(regexp_extall_bpe)::BIGINT AS bpe_tokens,
+             |    floor(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+             |      / greatest(length(text), 1) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+             |    floor(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+             |        t -> t IN ${inList(TextAnalysis.Markers.head._2)}))::DOUBLE
+             |      / greatest(len(regexp_extract_all(lower(text), '\\S+')), 1) * 1000000 + 0.5) / 1000000
+             |      AS stopword_ratio
+             |  FROM (SELECT *, regexp_extract_all(text,
+             |          '${TextAnalysis.BpePattern}') AS regexp_extall_bpe
+             |        FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q41: language ID (marker-hit argmax, deterministic tie-break).
+    Q(
+      "q41_langid",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = TextAnalysis.wsTokens(lower(col("text")))
+        val scoreCols = TextAnalysis.Markers.map { case (l, ms) =>
+          TextAnalysis.markerHits(toks, ms).cast("long").as(s"s_$l")
+        }
+        d.select(col("doc_id") +: scoreCols :+
+            TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val scoreSelects = TextAnalysis.Markers.map { case (l, ms) =>
+          s"len(list_filter(toks, t -> t IN ${inList(ms)}))::BIGINT AS s_$l"
+        }.mkString(",\n             |    ")
+        val langs = TextAnalysis.Markers.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+        s"""SELECT doc_id, ${langs.map("s_" + _).mkString(", ")},
+           |  CASE WHEN $best = 0 THEN 'unknown' $cases ELSE 'unknown' END AS lang_pred
+           |FROM (
+           |  SELECT doc_id,
+           |    $scoreSelects
+           |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+           |        FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q42: document fingerprinting — md5 + rolling PolyHash of the
+    // normalized text, both replayed exactly by DuckDB.
+    Q(
+      "q42_fingerprint",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+            TextAnalysis.fingerprintPoly(col("text")).as("fp_poly"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5(norm) AS fp_md5,
+             |  ${PolyHash.duckSql("norm")} AS fp_poly
+             |FROM (SELECT doc_id,
+             |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q43: exact dedup — fingerprint groups, canonical = min id.
+    Q(
+      "q43_dedup_exact",
+      (s, dir) =>
+        Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+          .select("doc_id", "canonical_id", "group_size")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+             |  count(*) OVER (PARTITION BY fp) AS group_size
+             |FROM (SELECT doc_id,
+             |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // q44: exact n-gram Jaccard near-dup pairs (shingle inverted index).
+    Q(
+      "q44_jaccard_pairs",
+      (s, dir) =>
+        Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id", 0.5)
+          .orderBy("da", "db"),
+      Some(s"""WITH $ShingleCtes,
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT da, db,
+             |  floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = da
+             |JOIN sizes sb ON sb.doc_id = db
+             |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= 0.5
+             |ORDER BY da, db""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q45: MinHash+LSH candidate pairs — 16 oracle-replayable integer
+    // permutations, 4 bands × 4 rows, equi-join per band (the scale path:
+    // no O(n²) pair enumeration anywhere).
+    Q(
+      "q45_minhash_candidates",
+      (s, dir) =>
+        Dedup.minhashCandidates(Tables.load(s, dir, "documents"), "text", "doc_id")
+          .orderBy("da", "db"),
+      Some {
+        val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a * h + $b) % $P) AS m$i"
+        }.mkString(",\n             |    ")
+        val bandJoins = (0 until Dedup.Bands).map { bnd =>
+          val keys = (0 until Dedup.RowsPerBand).map(r => s"m${bnd * Dedup.RowsPerBand + r}")
+          s"""SELECT a.doc_id AS da, b.doc_id AS db
+             |  FROM sig a JOIN sig b
+             |  ON a.doc_id < b.doc_id AND ${keys.map(k => s"a.$k = b.$k").mkString(" AND ")}"""
+        }.mkString("\n             |  UNION\n             |  ")
+        s"""WITH $ShingleCtes,
+           |hashes AS (SELECT doc_id, ${PolyHash.duckSql("s")} AS h FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM hashes GROUP BY doc_id)
+           |SELECT DISTINCT da, db FROM (
+           |  $bandJoins)
+           |ORDER BY da, db""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q46: 16-bit SimHash sketch per document (token multiset).
+    Q(
+      "q46_simhash",
+      (s, dir) =>
+        Dedup.simhash16(Tables.load(s, dir, "documents"), "text", "doc_id")
+          .orderBy("doc_id"),
+      Some {
+        val sums = (0 until 16).map { b =>
+          s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+        }.mkString(",\n             |    ")
+        val assemble = (0 until 16)
+          .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($DuckToks) AS w FROM documents),
+           |hashes AS (SELECT doc_id, ${PolyHash.duckSql("w")} AS h FROM toks),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $sums
+           |  FROM hashes GROUP BY doc_id)
+           |SELECT doc_id, ($assemble)::BIGINT AS simhash
+           |FROM bits
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q47: embedding-cosine near-dup pairs (brute; LSH variant is q49).
+    Q(
+      "q47_embedding_near_dup",
+      (s, dir) =>
+        Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), "embedding",
+            "vec_id", 0.45)
+          .orderBy("da", "db"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS da, b.vec_id AS db,
+             |  floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 > 0.45
+             |ORDER BY da, db""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q48: brute-force top-10 cosine neighbors for query set vec_id < 5.
+    // Codegen'd CosineSimilarity + broadcast query side: corpus scanned
+    // once, no corpus shuffle.
+    Q(
+      "q48_knn_brute",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        SimilaritySearch.bruteTopK(e.filter(col("vec_id") < 5), e, 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    floor(list_cosine_similarity(q.v, e.v) * 1000000 + 0.5) / 1000000 AS cos
+             |  FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // q49: LSH-bucketed ANN top-5 — candidates only meet inside their
+    // 8-bit hyperplane bucket (~2^8-fold candidate reduction at scale).
+    Q(
+      "q49_knn_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        SimilaritySearch.lshTopK(e.filter(col("vec_id") < 5), e, 5)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val ps = SimilaritySearch.planes()
+        val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+          val lits = p.map(v => f"$v%.6f").mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("\n             |    + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (
+           |  SELECT vec_id, v,
+           |    $bucketExpr AS bkt
+           |  FROM e),
+           |q AS (SELECT * FROM b WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    floor(list_cosine_similarity(q.v, c.v) * 1000000 + 0.5) / 1000000 AS cos
+           |  FROM q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos
+           |FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q50: multimodal binary-column metadata (SQL-expressible projection;
+    // the mapPartitions decode-stub path is covered by MultimodalSpec).
+    Q(
+      "q50_multimodal_meta",
+      (s, dir) =>
+        Multimodal.imageMetaSql(
+            Multimodal.withBinaryContent(Tables.load(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text))::BIGINT AS n_bytes,
+             |  sha256(text) AS sha,
+             |  (1 + octet_length(encode(text)) % 640)::BIGINT AS width,
+             |  (1 + (octet_length(encode(text))::BIGINT * 31) % 480)::BIGINT AS height
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
+  )
+}
