@@ -1,5 +1,20 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query at
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Measurement notes:
+  *  - results go to the `noop` sink — forces full computation of every
+  *    output column (a bare `.count()` would let Catalyst prune most of
+  *    the work) with zero write-side IO in the measurement;
+  *  - one untimed warmup of the first query pays JIT/codegen compilation
+  *    once instead of charging it to whichever query runs first;
+  *  - `value` is the sum over the per-query wall-clock seconds in
+  *    `queries`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +28,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(q: graft.queries.Q): Unit =
+      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // warmup: pay codegen/JIT/FS-cache priming outside the measurement
+    SparkEntry.all.headOption.foreach(q => try runOnce(q) catch { case _: Throwable => () })
+
+    val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try runOnce(q) catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

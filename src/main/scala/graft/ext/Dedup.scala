@@ -69,8 +69,15 @@ object Dedup {
     transform(shingles(text, n), s => PolyHash(s))
 
   /** Per-doc MinHash signature: `m_i = min over shingle hashes h of
-    * (a_i·h + b_i) mod p`. One explode + one aggregation; columns
-    * m0..m15.
+    * (a_i·h + b_i) mod p` — explode + one partial-aggregated groupBy.
+    *
+    * Formulation note (measured, sf0.1): the tempting "zero-shuffle"
+    * per-row version (`array_min(transform(hs, ...))` × 16 over a
+    * projected hash array) is ~2× SLOWER because CollapseProject inlines
+    * the hash-array projection into all 16 permutation expressions —
+    * shingle hashing runs 16×. The explode keeps hashing single-pass;
+    * map-side partial min means the shuffle carries one row per
+    * (doc, perm), not per shingle.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val exploded = df
@@ -102,18 +109,42 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Exact all-pairs Jaccard ≥ t via PREFIX FILTERING (AllPairs/PPJoin):
+    // under any global total order on shingles, two docs with J ≥ t must
+    // share an element inside their first |d| − ⌈t·|d|⌉ + 1 shingles — so
+    // the candidate join runs on prefixes only, and ordering by ascending
+    // document frequency puts the hottest shingles LAST (outside
+    // prefixes), which is what kills the quadratic blowup on common
+    // shingles. Joining 8-byte shingle hashes (oracle replays the same
+    // hash, so results are identical to the brute formulation). Measured
+    // at sf0.1: ~4× fewer candidate pairs than the naive
+    // inverted-index join.
     val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")) // shingles distinct already
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("n", "nb"), "db")
+      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol))).as("h"))
+      .cache()
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("docfreq"))
+    val ordered = sh
+      .join(freq, "h")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("docfreq"), col("h"))))
+    val prefix = ordered
+      .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "h")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    val docArrs = sh.groupBy("id")
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n"))
+    cand
+      .join(docArrs.select(col("id").as("da"), col("hs").as("ha"), col("n").as("na")), "da")
+      .join(docArrs.select(col("id").as("db"), col("hs").as("hb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jaccard",
-        Rounding.stableRound6(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
+        Rounding.stableRound6(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter"))))
       .where(col("jaccard") >= threshold)
       .select("da", "db", "jaccard")
   }
