@@ -1,0 +1,42 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format source/sink surface (SURVEY.md §2b "File formats /
+  * connectors": the reference reads plain text + JSON config and writes
+  * one JSON file — everything else is new engine surface on Spark's
+  * built-in connectors).
+  *
+  * Conventions for scale:
+  *  - readers take an explicit schema where the format can't carry one
+  *    (csv/json) — schema inference is a full extra pass over the data,
+  *    never acceptable at 100 TB;
+  *  - csv/json writers exist for interchange; parquet is the engine's
+  *    native format (columnar, predicate pushdown, column pruning — the
+  *    things §4's plans rely on).
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.AsOfJoin
+
+/** Second relational wave: the §2b rows not yet covered by a query —
+  * exact count-distinct, EXCEPT, as-of join, and the typed Aggregator
+  * (UDAF) surface.
+  */
+object Advanced {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q23: count(DISTINCT) — two-phase distinct aggregation. (The sketch
+    // variant approx_count_distinct is engine-specific by construction —
+    // HLL values differ across engines — so it's pinned by a ±5% property
+    // test in AdvancedSpec instead of the hash gate.)
+    Q(
+      "q23_count_distinct",
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q24: as-of join — for each event, the user's latest order date at
+    // or before the event time (point-in-time lookup), plus how many
+    // prior orders existed. Equi-join on the key + range predicate +
+    // argmax aggregation; one key-partitioned shuffle.
+    Q(
+      "q24_asof_lookup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val o = Tables.load(s, dir, "orders")
+        AsOfJoin.lookupLatest(
+            e, o,
+            e("user_id"), o("o_custkey"),
+            e("ts"), o("o_orderdate"),
+            leftSelect = Seq(e("event_id"), e("user_id"), e("ts")))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts,
+             |  max(o_orderdate) AS asof_time, count(*) AS n_prior
+             |FROM events JOIN orders
+             |  ON user_id = o_custkey AND o_orderdate <= ts
+             |GROUP BY event_id, user_id, ts
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q25: EXCEPT — customers who never fired a purchase event.
+    Q(
+      "q25_except_purchasers",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer").select("c_custkey")
+        val p = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("c_custkey"))
+        c.except(p).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM (
+             |  SELECT c_custkey FROM customer
+             |  EXCEPT
+             |  SELECT user_id AS c_custkey FROM events WHERE event_type = 'purchase')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q51: the typed TopKAggregator (bounded min-heap UDAF) reproducing
+    // q07's window-top-k semantics — the heap's k-row state is what the
+    // shuffle carries per group instead of every row (SURVEY.md §2b
+    // "top-k" upgrade path), and the oracle is the window formulation,
+    // proving the two agree row-for-row.
+    Q(
+      "q51_topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_suppkey"),
+            (col("l_orderkey") * 100 + col("l_linenumber")).cast("long").as("item_id"),
+            col("l_extendedprice"))
+          .as[(Long, Long, Double)]
+        val topk = new graft.functions.TopKAggregator(3).toColumn
+        li.groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(topk)
+          .flatMap { case (sk, items) =>
+            items.zipWithIndex.map { case ((id, score), i) =>
+              (sk, (i + 1).toLong, id, score)
+            }
+          }
+          .toDF("l_suppkey", "rank", "item_id", "price")
+          .orderBy("l_suppkey", "rank")
+      },
+      Some("""SELECT l_suppkey, rank, item_id, price FROM (
+             |  SELECT l_suppkey,
+             |    l_orderkey * 100 + l_linenumber AS item_id,
+             |    l_extendedprice AS price,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_extendedprice DESC, l_orderkey * 100 + l_linenumber) AS rank
+             |  FROM lineitem)
+             |WHERE rank <= 3
+             |ORDER BY l_suppkey, rank""".stripMargin))
+  )
+}
