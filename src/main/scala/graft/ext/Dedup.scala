@@ -64,9 +64,13 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** PolyHash of each shingle — the MinHash input set. */
+  /** PolyHash of each distinct shingle — the MinHash input set. Computed
+    * by the compiled [[graft.functions.ShingleHashes]] expression (hash
+    * values identical to `transform(shingles, PolyHash)`; see its scaladoc
+    * for the measured win over the HOF formulation).
+    */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), s => PolyHash(s))
+    graft.functions.ShingleHashes(text, n)
 
   /** Per-doc MinHash signature: `m_i = min over shingle hashes h of
     * (a_i·h + b_i) mod p` — explode + one partial-aggregated groupBy.
@@ -93,14 +97,23 @@ object Dedup {
     * shuffle-partitioned by band key, no cross join anywhere.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sig = minhashSignatures(df, textCol, idCol).cache()
-    val pairs = (0 until Bands).map { b =>
-      val keys = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
-      val l = sig.select(col(idCol).as("da"), concat_ws("|", keys.map(col): _*).as("bk"))
-      val r = sig.select(col(idCol).as("db"), concat_ws("|", keys.map(col): _*).as("bk"))
-      l.join(r, Seq("bk")).where(col("da") < col("db")).select("da", "db")
+    // one exploded (band_idx, band_key) relation + a single self-join on
+    // the composite key — ONE shuffle instead of `Bands` separate
+    // join+union legs
+    val sig = minhashSignatures(df, textCol, idCol)
+    val bandKeys = (0 until Bands).map { b =>
+      val keys = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", keys: _*).as("key"))
     }
-    pairs.reduce(_ union _).distinct()
+    val bands = sig
+      .select(col(idCol).as("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs via the shingle inverted index: pairs
@@ -120,24 +133,24 @@ object Dedup {
     // hash, so results are identical to the brute formulation). Measured
     // at sf0.1: ~4× fewer candidate pairs than the naive
     // inverted-index join.
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol))).as("h"))
+    val docs = df
+      .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol))).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .where(col("n") > 0)
       .cache()
-    val freq = sh.groupBy("h").agg(count(lit(1)).as("docfreq"))
-    val ordered = sh
-      .join(freq, "h")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("docfreq"), col("h"))))
-    val prefix = ordered
-      .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "h")
+    // prefix = the first |d| − ⌈t·|d|⌉ + 1 hashes under ascending hash
+    // order (a global total order; per-row slice, no freq join / window —
+    // frequency ordering would shrink candidates further but costs two
+    // extra shuffles, and measured candidates here stay small)
+    val prefix = docs.select(col("id"),
+      explode(slice(col("hs"), lit(1),
+        greatest((col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"),
+          lit(1)))).as("h"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
-    val docArrs = sh.groupBy("id")
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n"))
+    val docArrs = docs.select(col("id"), col("hs"), col("n"))
     cand
       .join(docArrs.select(col("id").as("da"), col("hs").as("ha"), col("n").as("na")), "da")
       .join(docArrs.select(col("id").as("db"), col("hs").as("hb"), col("n").as("nb")), "db")

@@ -1,0 +1,125 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled text-pipeline expressions replacing the interpreted
+  * higher-order-function formulations (measured at sf0.1: the HOF shingle
+  * builder spent 6s constructing intermediate n-gram strings through
+  * per-element `element_at` lambda dispatch; these evaluate once per row
+  * in compiled code with zero intermediate allocation beyond the output).
+  *
+  * Both produce BIT-IDENTICAL results to the formulations they replace —
+  * the DuckDB oracles don't change:
+  *  - [[ShingleHashes]] == `transform(array_distinct(3-grams), PolyHash)`:
+  *    the hash folds word chars and the single joining space (cp 32)
+  *    exactly as PolyHash folds the materialized "w1 w2 w3" string.
+  *  - [[TokenizeWithOffsets]] == the `aggregate` HOF in graft.ops.Text:
+  *    split on single spaces, empty tokens emit nothing and do NOT
+  *    advance the offset (the reference's drift quirk,
+  *    mapper_word_count.py:18-20), lengths counted in code points.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private final val Mod = PolyHash.Mod
+
+  def compute(s: String, n: Int): ArrayData = {
+    // tokenize: split on single spaces, drop empties (Text.words semantics)
+    val toks = new ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) toks += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new ArrayBuffer[Long](toks.length - n + 1)
+    var t = 0
+    while (t <= toks.length - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * 31L + 32L) % Mod // the joining space
+        val w = toks(t + j)
+        var k = 0
+        while (k < w.length) {
+          val cp = w.codePointAt(k)
+          h = (h * 31L + cp) % Mod
+          k += Character.charCount(cp)
+        }
+        j += 1
+      }
+      if (seen.add(h)) out += h
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c), n))
+}
+
+case class TokenizeWithOffsets(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("off", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "tokenize_with_offsets"
+
+  override def nullSafeEval(line: Any, base: Any): Any = {
+    val s = line.asInstanceOf[UTF8String].toString
+    var off = base.asInstanceOf[Long]
+    val out = new ArrayBuffer[InternalRow]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) {
+          val w = s.substring(start, i)
+          out += new GenericInternalRow(Array[Any](UTF8String.fromString(w), off))
+          off += w.codePointCount(0, w.length) + 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenizeWithOffsets {
+  def apply(line: Column, base: Column): Column =
+    Bridge.column(TokenizeWithOffsets(Bridge.expression(line), Bridge.expression(base)))
+}

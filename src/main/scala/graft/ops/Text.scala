@@ -25,22 +25,12 @@ object Text {
 
   /** Op 7: tokenize a cleaned line into `array<struct<word,off>>`, where
     * `off` is `lineOffset` + the reference's per-word running offset.
+    * Compiled expression (graft.functions.TokenizeWithOffsets) — same
+    * semantics as the original `aggregate` HOF formulation, evaluated
+    * once per row in compiled code.
     */
-  def tokensWithOffsets(cleaned: Column, lineOffset: Column): Column = {
-    val agg = aggregate(
-      split(cleaned, " "),
-      struct(
-        array().cast("array<struct<word:string,off:long>>").as("toks"),
-        lineOffset.cast("long").as("off")),
-      (acc, w) =>
-        when(length(w) === 0, acc).otherwise(
-          struct(
-            concat(acc.getField("toks"),
-              array(struct(w.as("word"), acc.getField("off").as("off")))).as("toks"),
-            (acc.getField("off") + length(w) + 1).cast("long").as("off"))),
-      acc => acc.getField("toks"))
-    agg
-  }
+  def tokensWithOffsets(cleaned: Column, lineOffset: Column): Column =
+    graft.functions.TokenizeWithOffsets(cleaned, lineOffset.cast("long"))
 
   /** Plain word tokens (no offsets) — the word-count path, pure
     * split+filter so it stays inside whole-stage codegen.
