@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.SkewJoin
+
+/** Plan-quality regression gate: the physical-plan properties the 100 TB
+  * design depends on, asserted so a refactor can't silently lose them
+  * (SURVEY.md §4 / build-rule "push down and prune").
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    // formatted mode prints PushedFilters/ReadSchema untruncated
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(400))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("GreaterThan(l_discount,0.05)"), "discount filter not pushed")
+    // pruned read schema: no l_tax / l_returnflag in the scan
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q03: dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val p = planOf("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q09: global sort+limit plans as TakeOrderedAndProject") {
+    val p = planOf("q09_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q06: selective scalar agg has no shuffle exchange beyond the single-value agg") {
+    val p = planOf("q06_forecast_revenue")
+    // partial+final agg over a pushed-down scan; no rangepartitioning/sort
+    assert(!p.contains("rangepartitioning"), p.take(600))
+  }
+
+  test("salted join == plain join (skew utility preserves semantics)") {
+    val o = Tables.load(spark, sf0001, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables.load(spark, sf0001, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val plain = o.join(c, "custkey")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("t"))
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.salted(o, c, "custkey", buckets = 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("t"))
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val s2 = spark.newSession()
+    val o = Tables.load(s2, sf0001, "orders")
+    val c = Tables.load(s2, sf0001, "customer")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").mode("overwrite").saveAsTable("customer_b")
+    val joined = s2.table("orders_b")
+      .join(s2.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(800)}")
+    assert(joined.count() > 0)
+  }
+}
