@@ -34,6 +34,14 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style partitioned layout: `path/col=value/...`. At scale this
+    * is what turns a predicate on the partition column into directory
+    * pruning — the scan never opens non-matching files (PartitionFilters
+    * in the plan; asserted in AdvancedSpec).
+    */
+  def writePartitionedParquet(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 

@@ -34,6 +34,22 @@ class AdvancedSpec extends SparkSpec {
     assert(fromCsv.schema == orig.schema)
   }
 
+  test("partitioned write prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val orders = Tables.load(spark, sf0001, "orders")
+    Sources.writePartitionedParquet(orders, s"$dir/orders_p", "o_orderstatus")
+    val back = Sources.readParquet(spark, s"$dir/orders_p")
+      .filter(col("o_orderstatus") === "F")
+    val plan = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("o_orderstatus")),
+      "status predicate did not become a partition filter")
+    val want = orders.filter(col("o_orderstatus") === "F").count()
+    assert(back.count() == want)
+  }
+
   test("JobProgress listener observes task/stage completions (op 15 parity)") {
     val (n, progress) = JobProgress.observe(spark) {
       Tables.load(spark, sf0001, "lineitem")
