@@ -33,6 +33,33 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
   }
+
+  /** Expose the engine's custom Catalyst expressions to SQL:
+    * `SELECT cosine_sim(a.embedding, b.embedding) FROM ...` etc. — the
+    * same codegen'd expressions the Column API uses, so SQL users pay no
+    * UDF penalty.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions._
+    Bridge.registerFunction(spark, "poly_hash", es => PolyHash(es.head))
+    Bridge.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    Bridge.registerFunction(spark, "dot_product", es => DotProduct(es(0), es(1)))
+    Bridge.registerFunction(spark, "shingle_hashes",
+      es => ShingleHashes(es.head, 3))
+    Bridge.registerFunction(spark, "tokenize_with_offsets",
+      es => TokenizeWithOffsets(es(0), es(1)))
+  }
+
+  /** Register every fixture table as a temp view so plain
+    * `spark.sql("SELECT ... FROM lineitem")` works — the engine's SQL
+    * entry point over a scale-factor directory.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    graft.io.Tables.all.foreach { t =>
+      graft.io.Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
 }

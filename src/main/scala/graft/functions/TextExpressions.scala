@@ -4,6 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -32,6 +33,11 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects string, got ${child.dataType.simpleString}")
 
   override def nullSafeEval(input: Any): Any =
     ShingleHashes.compute(input.asInstanceOf[UTF8String].toString, n)
@@ -93,6 +99,13 @@ case class TokenizeWithOffsets(left: Expression, right: Expression)
     containsNull = false)
 
   override def prettyName: String = "tokenize_with_offsets"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokenize_with_offsets expects (string, bigint), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   override def nullSafeEval(line: Any, base: Any): Any = {
     val s = line.asInstanceOf[UTF8String].toString
