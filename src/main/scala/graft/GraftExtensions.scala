@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point — the standard way to install the
+  * engine into ANY session, including spark-submit jobs that never touch
+  * graft code directly:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * Installs the engine's custom Catalyst expressions as SQL functions via
+  * `injectFunction` (the public API; `Engine.registerFunctions` remains
+  * for already-built sessions). No resolution rules or planner strategies
+  * are injected: SURVEY.md §4/§8 — every operator composed from built-ins,
+  * so there is nothing for a custom Rule/Strategy to do yet.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(str) - oracle-replayable rolling hash"),
+      (es: Seq[Expression]) => PolyHash(es.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<float>, array<float>)"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(str) - distinct word-3gram hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
+    e.injectFunction((FunctionIdentifier("tokenize_with_offsets"),
+      info("tokenize_with_offsets", "tokenize_with_offsets(str, base) - reference tokenizer"),
+      (es: Seq[Expression]) => TokenizeWithOffsets(es(0), es(1))))
+  }
+}
