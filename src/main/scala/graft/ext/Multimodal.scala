@@ -82,6 +82,51 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic fake downsample — new dims + a checksum
+    * over the byte range a real resampler would read. The batch shape
+    * (mapPartitions streaming) is where libvips/Pillow would sit.
+    */
+  def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[ImageMeta] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        ImageMeta(rec.doc_id, rec.content.length.toLong, w, h, 3,
+          checksumOf(rec.content))
+      }
+    }
+  }
+
+  case class MediaFeatures(doc_id: Long, embedding: Array[Float])
+
+  /** STUB feature extraction: a deterministic fixed-length float vector
+    * from the bytes (byte histogram folded to `dim` buckets, L2
+    * normalized) — the plumbing that connects binary media columns to
+    * the similarity-search path (`ext.SimilaritySearch` accepts its
+    * output directly). A real pipeline swaps the histogram for a model
+    * forward pass; schema, batching and downstream ops are unchanged.
+    */
+  def featureExtractStub(ds: Dataset[MediaRecord], dim: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < rec.content.length) {
+          v((rec.content(i) & 0xff) % dim) += 1f
+          i += 1
+        }
+        var norm = 0.0
+        var j = 0
+        while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+        val n = math.sqrt(norm)
+        if (n > 0) { j = 0; while (j < dim) { v(j) = (v(j) / n).toFloat; j += 1 } }
+        MediaFeatures(rec.doc_id, v)
+      }
+    }
+  }
+
   /** SQL-expressible metadata projection (no stub involved) — binary
     * length, content hash, fake decode dims — used by the oracle query.
     */

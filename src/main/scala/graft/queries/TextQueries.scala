@@ -17,6 +17,11 @@ import graft.ops.Text
   */
 object TextQueries {
 
+  /** The reference's demo dataset (FIXTURES.md §A). Declared before
+    * `queries` — the oracle SQL strings interpolate it at object init.
+    */
+  val ReferenceCorpus = "/root/reference/input.txt"
+
   val queries: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -116,6 +121,65 @@ object TextQueries {
              |      FROM documents)
              |WHERE word <> ''
              |GROUP BY word
-             |ORDER BY word""".stripMargin))
+             |ORDER BY word""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q34: word count over the REFERENCE'S OWN CORPUS (input.txt, the
+    // exact workload the reference ships) — DuckDB replays the whole
+    // clean+tokenize pipeline from read_text. sfDir is ignored by design.
+    Q(
+      "q34_wordcount_reference_corpus",
+      (s, _) =>
+        WordCount(graft.io.TextRecords.read(s, TextQueries.ReferenceCorpus))
+          .orderBy("word"),
+      Some(s"""SELECT word, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split_regex(
+             |    regexp_replace(content, '[^a-zA-Z0-9 \\n]', '', 'g'), '[ \\n]')) AS word
+             |  FROM read_text('${TextQueries.ReferenceCorpus}'))
+             |WHERE word <> ''
+             |GROUP BY word
+             |ORDER BY word""".stripMargin),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // q35: inverted index WITH the reference's quirky character offsets
+    // over input.txt, flat (word, off) rows — the offset contract
+    // (cleaned-length cumsum, +1 per blank line, multi-space drift)
+    // replayed line-by-line in DuckDB SQL. The strongest parity evidence
+    // in the gate: both engines independently reproduce master.py:31-47 +
+    // mapper_word_count.py:11-22 and must agree on all ~31k offsets.
+    Q(
+      "q35_inverted_index_reference_corpus",
+      (s, _) =>
+        graft.jobs.InvertedIndex
+          .postings(graft.io.TextRecords.read(s, TextQueries.ReferenceCorpus))
+          .orderBy("word", "off"),
+      Some(s"""WITH raw AS (SELECT content FROM read_text('${TextQueries.ReferenceCorpus}')),
+             |arr AS (SELECT string_split(content, chr(10)) AS a FROM raw),
+             |lines AS (
+             |  SELECT unnest(a) AS line, unnest(range(len(a))) AS pos, len(a) AS n FROM arr),
+             |kept AS (SELECT line, pos FROM lines WHERE pos < n - 1 OR line <> ''),
+             |cleaned AS (
+             |  SELECT pos, regexp_replace(line, '[^a-zA-Z0-9 ]', '', 'g') AS clean,
+             |    CASE WHEN line = '' THEN 1
+             |         ELSE length(regexp_replace(line, '[^a-zA-Z0-9 ]', '', 'g')) END AS contrib
+             |  FROM kept),
+             |offs AS (
+             |  SELECT pos, clean,
+             |    coalesce(sum(contrib) OVER (ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_off
+             |  FROM cleaned),
+             |toks AS (
+             |  SELECT pos, line_off,
+             |    unnest(string_split(clean, ' ')) AS tok,
+             |    unnest(range(len(string_split(clean, ' ')))) AS tpos
+             |  FROM offs WHERE clean <> '')
+             |SELECT tok AS word,
+             |  line_off + coalesce(sum(CASE WHEN tok <> '' THEN length(tok) + 1 ELSE 0 END)
+             |    OVER (PARTITION BY pos ORDER BY tpos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |FROM toks
+             |WHERE tok <> ''
+             |ORDER BY word, off""".stripMargin))
   )
 }

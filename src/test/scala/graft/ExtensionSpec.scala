@@ -113,4 +113,25 @@ class ExtensionSpec extends SparkSpec {
     assert(frames.forall(f => f.frames.map(_.length).sum == meta1
       .find(_.doc_id == f.doc_id).get.n_bytes))
   }
+
+  test("multimodal: feature-extract stub feeds similarity search") {
+    implicit val s = spark
+    val docs = Tables.load(spark, sf0001, "documents").limit(100)
+    val media = Multimodal.withBinaryContent(docs)
+      .select(col("doc_id"), col("content"))
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.featureExtractStub(media).toDF()
+      .withColumnRenamed("doc_id", "vec_id")
+    // unit-normalized vectors
+    val norms = feats.select(
+      graft.functions.VectorFunctions.dotProduct(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // pipes straight into the ANN operator
+    val knn = SimilaritySearch.bruteTopK(
+      feats.filter(col("vec_id") < 3), feats, 5)
+    assert(knn.count() == 15)
+    val resized = Multimodal.resizeStub(media, 64, 64).collect()
+    assert(resized.forall(m => m.width == 64 && m.height == 64))
+  }
 }
