@@ -84,6 +84,45 @@ object Advanced2 {
              |ORDER BY o_orderstatus""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q29: batch sessionization — gap-based session assignment via
+    // lag + cumulative boundary counting (the batch twin of
+    // streaming.EventStreams.userSessions; a session starts when the gap
+    // since the user's previous event exceeds 1 hour). Pure integer
+    // window math — fully oracle-replayable.
+    Q(
+      "q29_sessionization",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val evts = Tables.load(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull
+              || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1)
+              .otherwise(0))
+          .withColumn("session_idx",
+            sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        evts
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("session_value"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""SELECT user_id, session_idx, count(*) AS n_events,
+             |  round(sum(value), 2) AS session_value
+             |FROM (
+             |  SELECT user_id, value,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             |  FROM (
+             |    SELECT user_id, ts, event_id, value,
+             |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+             |           THEN 1 ELSE 0 END AS new_session
+             |    FROM events))
+             |GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q52: the composed curation pipeline — quality + language filter +
     // exact-dedup canonical selection in one pass over documents. This is
     // the shape of a real training-data cleaning job: narrow per-row
