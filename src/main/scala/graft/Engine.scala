@@ -52,7 +52,9 @@ object Engine {
     Bridge.registerFunction(spark, "shingle_hashes",
       es => ShingleHashes(es.head, 3))
     Bridge.registerFunction(spark, "tokenize_with_offsets",
-      es => TokenizeWithOffsets(es(0), es(1)))
+      es => TokenizeWithOffsets(es(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+          org.apache.spark.sql.types.LongType)))
   }
 
   /** Register every fixture table as a temp view so plain

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.LongType
 
 import graft.functions._
 
@@ -41,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
     e.injectFunction((FunctionIdentifier("tokenize_with_offsets"),
       info("tokenize_with_offsets", "tokenize_with_offsets(str, base) - reference tokenizer"),
-      (es: Seq[Expression]) => TokenizeWithOffsets(es(0), es(1))))
+      // int literals welcome: cast the base offset to bigint for the user
+      (es: Seq[Expression]) => TokenizeWithOffsets(es(0), Cast(es(1), LongType))))
   }
 }

@@ -29,6 +29,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 
-  /** Headline subset timed by graft.Bench. */
+  /** Headline subset (`Q(bench = true)`) — used as tools.Explain's
+    * default plan-review list. graft.Bench times ALL registered queries,
+    * not just these.
+    */
   def benchQueries: Seq[Q] = all.filter(_.bench)
 }

@@ -133,11 +133,14 @@ object Dedup {
     // hash, so results are identical to the brute formulation). Measured
     // at sf0.1: ~4× fewer candidate pairs than the naive
     // inverted-index join.
+    // no cache: the compiled ShingleHashes pass is cheaper than pinning
+    // the whole hashed corpus in block storage for the session's lifetime
+    // (a .cache() here leaks — the returned DF stays lazy, so there is no
+    // safe point inside this function to unpersist)
     val docs = df
       .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol))).as("hs"))
       .withColumn("n", size(col("hs")))
       .where(col("n") > 0)
-      .cache()
     // prefix = the first |d| − ⌈t·|d|⌉ + 1 hashes under ascending hash
     // order (a global total order; per-row slice, no freq join / window —
     // frequency ordering would shrink candidates further but costs two

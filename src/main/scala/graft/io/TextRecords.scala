@@ -1,9 +1,6 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
-
-import graft.ops.Text
 
 /** Text ingestion with the reference's exact record semantics
   * (`/root/reference/master.py:31-47`, SURVEY.md §1):
@@ -41,9 +38,12 @@ object TextRecords {
     */
   def read(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
     val sc = spark.sparkContext
+    // deliberately NOT persisted: the two passes cost two file scans
+    // either way (pass 1 materializes on collect), and a persist here has
+    // no safe unpersist point — the returned DataFrame is lazy — so it
+    // would pin the corpus in block storage for the session's lifetime
     val raw =
       if (minPartitions > 0) sc.textFile(path, minPartitions) else sc.textFile(path)
-    raw.persist(StorageLevel.MEMORY_AND_DISK)
 
     // Pass 1: per-partition (lines, offset-contribution) totals.
     val partTotals: Array[(Long, Long)] = raw

@@ -95,9 +95,13 @@ object Advanced2 {
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
         val evts = Tables.load(s, dir, "events")
           .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          // fractional-second gap: ntz→timestamp→double (UTC session) ==
+          // DuckDB's epoch(); unix_timestamp would truncate to whole
+          // seconds and diverge from the oracle on gaps in (3600, 3601)
           .withColumn("new_session",
             when(col("prev_ts").isNull
-              || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1)
+              || col("ts").cast("timestamp").cast("double")
+                - col("prev_ts").cast("timestamp").cast("double") > 3600, 1)
               .otherwise(0))
           .withColumn("session_idx",
             sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

@@ -384,10 +384,14 @@ object Relational {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        // avgQ has one row per distinct partkey — it SCALES with the
+        // table, so no broadcast hint (the planner shuffles it; at 100 TB
+        // that's a sort-merge join on partkey). Only the brand-filtered
+        // part slice is hinted.
         val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
           .agg(avg("l_quantity").as("avg_qty"))
         li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-          .join(broadcast(avgQ), li("l_partkey") === avgQ("ap_partkey"))
+          .join(avgQ, li("l_partkey") === avgQ("ap_partkey"))
           .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
           .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
       },

@@ -65,27 +65,43 @@ object EventStreams {
   /** Custom stateful aggregation: running per-user session summary via
     * `flatMapGroupsWithState` (the reference's "bring your own reducer"
     * idea, streaming edition).
+    *
+    * State is BOUNDED: event-time timeout set to `gap` past each user's
+    * last event — once the watermark (applied here, 2 hours) passes it,
+    * the state store evicts the user and the final session summary is
+    * emitted. Idle users therefore cost nothing after gap+watermark;
+    * state tracks active users, not history.
     */
-  def userSessions(events: Dataset[UserEvent]): Dataset[UserSession] = {
+  def userSessions(events: Dataset[UserEvent],
+                   gap: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val gapMs = gap.toMillis
     events
+      .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserSession, UserSession](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserSession]) =>
-          val evs = batch.toSeq
-          if (evs.isEmpty) Iterator.empty
-          else {
-            val prev = state.getOption
-            val first = (prev.map(_.first_ts) ++ evs.map(_.ts)).minBy(_.getTime)
-            val last = (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime)
-            val next = UserSession(
-              uid,
-              prev.map(_.n_events).getOrElse(0L) + evs.size,
-              prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-              first, last)
-            state.update(next)
-            Iterator.single(next)
+          if (state.hasTimedOut) {
+            val finalSession = state.get
+            state.remove()
+            Iterator.single(finalSession)
+          } else {
+            val evs = batch.toSeq
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption
+              val first = (prev.map(_.first_ts) ++ evs.map(_.ts)).minBy(_.getTime)
+              val last = (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime)
+              val next = UserSession(
+                uid,
+                prev.map(_.n_events).getOrElse(0L) + evs.size,
+                prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+                first, last)
+              state.update(next)
+              state.setTimeoutTimestamp(last.getTime + gapMs)
+              Iterator.single(next)
+            }
           }
       }
   }

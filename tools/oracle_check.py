@@ -6,7 +6,9 @@ Dev tooling only (not part of the Scala library). Usage:
 Reads outDir/<name>/ parquet (written by graft.Verify) and outDir/
 oracle_sql.json, runs each SQL in DuckDB with the sf tables registered as
 views, and compares canonically: columns sorted by name, rows sorted, floats
-rounded to 9 significant-ish decimals.
+compared at 10 significant digits (tight enough that a value wrong by more
+than last-ulp accumulation fails; the engine's Rounding discipline makes
+matching outputs bit-identical anyway).
 """
 import json
 import math
@@ -25,7 +27,7 @@ def canon(rows, colnames):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return f"{v:.6g}"
+            return f"{v:.10g}"
         if isinstance(v, list):
             return "[" + ",".join(str(norm(x)) for x in v) + "]"
         return repr(v)
