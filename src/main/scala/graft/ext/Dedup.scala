@@ -171,17 +171,17 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double): DataFrame = {
     val cand = minhashCandidates(df, textCol, idCol)
-    val withText = df.select(col(idCol), col(textCol))
-    val a = withText.toDF("da", "ta")
-    val b = withText.toDF("db", "tb")
-    val pairs = cand.join(a, "da").join(b, "db")
-    val sa = shingles(col("ta"))
-    val sb = shingles(col("tb"))
-    pairs
-      .withColumn("inter", size(array_intersect(sa, sb)))
+    // verify on the compiled hash arrays (computed once per side via a
+    // projection, intersected as longs) — not on re-derived string
+    // shingles through interpreted HOFs
+    val hashed = df.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+    val a = hashed.select(col(idCol).as("da"), col("hs").as("ha"))
+    val b = hashed.select(col(idCol).as("db"), col("hs").as("hb"))
+    cand.join(a, "da").join(b, "db")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jaccard",
         Rounding.stableRound6(col("inter").cast("double")
-          / (size(sa) + size(sb) - col("inter"))))
+          / (size(col("ha")) + size(col("hb")) - col("inter"))))
       .where(col("jaccard") >= threshold)
       .select("da", "db", "jaccard")
   }
