@@ -66,6 +66,22 @@ class ExtensionSpec extends SparkSpec {
     assert(verified.toSeq == Seq((1L, 2L)))
   }
 
+  test("exact dedup is idempotent (SURVEY §5.3)") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same  TEXT"),
+      (4L, "other"), (5L, "OTHER ")).toDF("doc_id", "text")
+    val once = Dedup.exact(df, "text", "doc_id")
+    val survivors = df.join(
+      once.where(col("is_canonical")).select("doc_id"), "doc_id")
+    val twice = Dedup.exact(survivors, "text", "doc_id")
+      .select("doc_id", "canonical_id", "group_size", "is_canonical")
+      .collect()
+    // every survivor is its own canonical in a singleton group
+    assert(twice.forall(r => r.getLong(0) == r.getLong(1)
+      && r.getLong(2) == 1L && r.getBoolean(3)))
+    assert(twice.length == 2) // {1,2,3} -> 1; {4,5} -> 4
+  }
+
   test("simhash: near-dups land at small hamming distance") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
