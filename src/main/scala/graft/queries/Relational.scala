@@ -309,7 +309,7 @@ object Relational {
           .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  count(*) AS n
              |FROM events
              |GROUP BY event_type

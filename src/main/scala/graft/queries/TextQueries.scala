@@ -91,9 +91,9 @@ object TextQueries {
              |        FROM documents)),
              |offs AS (
              |  SELECT doc_id, tok AS word,
-             |    coalesce(sum(CASE WHEN tok <> '' THEN length(tok) + 1 ELSE 0 END)
+             |    CAST(coalesce(sum(CASE WHEN tok <> '' THEN length(tok) + 1 ELSE 0 END)
              |      OVER (PARTITION BY doc_id ORDER BY pos
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
              |  FROM toks)
              |SELECT word, doc_id, off
              |FROM offs
@@ -175,9 +175,9 @@ object TextQueries {
              |    unnest(range(len(string_split(clean, ' ')))) AS tpos
              |  FROM offs WHERE clean <> '')
              |SELECT tok AS word,
-             |  line_off + coalesce(sum(CASE WHEN tok <> '' THEN length(tok) + 1 ELSE 0 END)
+             |  CAST(line_off + coalesce(sum(CASE WHEN tok <> '' THEN length(tok) + 1 ELSE 0 END)
              |    OVER (PARTITION BY pos ORDER BY tpos
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
              |FROM toks
              |WHERE tok <> ''
              |ORDER BY word, off""".stripMargin))

@@ -9,6 +9,12 @@ views, and compares canonically: columns sorted by name, rows sorted, floats
 compared at 10 significant digits (tight enough that a value wrong by more
 than last-ulp accumulation fails; the engine's Rounding discipline makes
 matching outputs bit-identical anyway).
+
+Driver fidelity: the driver canonicalizes through pandas, where DuckDB
+HUGEINT (e.g. sum() over integers) becomes float64 and hashes `123.0`
+against Spark's int64 `123`. We mirror that by comparing each common
+column's pandas dtype *kind* (int vs float) via .df() — a mismatch is a
+FAIL even when the repr-normalized values agree.
 """
 import json
 import math
@@ -35,6 +41,20 @@ def canon(rows, colnames):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+def dtype_mismatches(got_df, exp_df):
+    """Columns whose pandas numeric kind differs (int-vs-float), as the
+    driver's hasher would see them. Kinds outside {i,u,f} are ignored —
+    strings/lists/timestamps already compare by value."""
+    bad = []
+    for c in got_df.columns:
+        if c not in exp_df.columns:
+            continue
+        gk, ek = got_df[c].dtype.kind, exp_df[c].dtype.kind
+        if gk in "iuf" and ek in "iuf" and (gk in "iu") != (ek in "iu"):
+            bad.append(f"{c}: spark {got_df[c].dtype} vs oracle {exp_df[c].dtype}")
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -48,9 +68,15 @@ def main(sf_dir, out_dir):
             got = canon(got_rel.fetchall(), got_rel.columns)
             exp_rel = con.sql(sql)
             exp = canon(exp_rel.fetchall(), exp_rel.columns)
+            bad_types = dtype_mismatches(
+                con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df(),
+                con.sql(sql).df())
             if sorted(got_rel.columns) != sorted(exp_rel.columns):
                 print(f"FAIL {name}: columns {sorted(got_rel.columns)} "
                       f"vs oracle {sorted(exp_rel.columns)}")
+                n_bad += 1
+            elif bad_types:
+                print(f"FAIL {name}: dtype mismatch {bad_types}")
                 n_bad += 1
             elif got == exp:
                 print(f"ok   {name} ({len(got)} rows)")
