@@ -205,11 +205,60 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Embedding-cosine near-dup pairs above a threshold (brute self-join;
-    * [[SimilaritySearch.lshBuckets]] is the candidate-pruned scale path).
+  /** Embedding-cosine near-dup pairs above a threshold — the scale path:
+    * OR-amplified random-hyperplane LSH candidates verified by exact
+    * cosine. Each vector gets one bucket id per hash table (`nTables`
+    * independent plane sets); a pair is a candidate iff it collides in ANY
+    * table. Candidate enumeration is a single equi-self-join on
+    * (table, bucket) — never O(n²) — and the exact cosine runs only on
+    * candidates. Recall < 1 by construction (hyperplane LSH misses a
+    * θ-apart pair in one 8-bit table with prob 1−(1−θ/π)^8; tables are
+    * OR-ed to push recall up); the brute form [[embeddingNearDupBrute]]
+    * is the exact reference, and the spec pins bucketed ⊆ brute.
+    *
+    * Tuning rule: pick `nPlanes` from the threshold. A pair at angle θ
+    * collides in one table with prob (1 − θ/π)^nPlanes, so tight
+    * thresholds (cos ≥ 0.9, θ ≤ 26°) support 8 planes/table (0.29/table,
+    * ~94% recall with 8 tables), while wide thresholds (cos ≈ 0.45,
+    * θ ≈ 63°) need short codes — 4 planes (0.18/table) — at the cost of
+    * coarser buckets. The q47 gate uses (nTables=8, nPlanes=4) for its
+    * 0.45 threshold; production near-dup at 0.9+ should keep the 8-plane
+    * default for 2^8 buckets of pruning.
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double, nTables: Int = 4,
+                       nPlanes: Int = 8): DataFrame = {
+    val dim = SimilaritySearch.deriveDim(df, vecCol)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // (id, table, bucket) — vectors NOT carried through the explode; the
+    // shuffle key is 3 small columns, vectors re-join only on candidates
+    val tableBuckets = (0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        SimilaritySearch.bucket(col("v"), SimilaritySearch.planes(nPlanes, dim, seed = 7 + t)).as("bkt"))
+    }
+    val bucketed = v
+      .select(col("id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("da"), col("v").as("va")), "da")
+      .join(v.select(col("id").as("db"), col("v").as("vb")), "db")
+      .withColumn("cos", Rounding.stableRound6(
+        graft.functions.VectorFunctions.cosineSim(col("va"), col("vb"))))
+      .where(col("cos") > threshold)
+      .select("da", "db", "cos")
+  }
+
+  /** Brute-force exact embedding near-dup (O(n²) self-join) — the oracle
+    * reference for [[embeddingNearDup]]; run it only at verify scale.
+    */
+  def embeddingNearDupBrute(df: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("da"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("db"), col(vecCol).as("vb"))
     a.crossJoin(b)

@@ -31,20 +31,28 @@ import graft.functions.{Rounding, VectorFunctions}
   */
 object SimilaritySearch {
 
-  /** Deterministic pseudo-random hyperplanes: value ∈ {k/64 − 1/2}. */
-  def planes(nPlanes: Int = 8, dim: Int = 64): Seq[Seq[Double]] = {
-    val rnd = new Random(7)
+  /** Deterministic pseudo-random hyperplanes: value ∈ {k/64 − 1/2}.
+    * `seed` picks an independent table (for OR-amplified multi-table LSH).
+    */
+  def planes(nPlanes: Int = 8, dim: Int = 64, seed: Int = 7): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
     Seq.fill(nPlanes, dim)(rnd.nextInt(64) / 64.0 - 0.5)
   }
 
-  private def planeCol(p: Seq[Double]): Column =
-    array(p.map(v => lit(v.toFloat)): _*)
+  /** Embedding dimensionality, derived from the first row (one tiny
+    * driver-side job at plan-build; the alternative — a hardcoded dim —
+    * silently buckets a wider corpus on a prefix of its coordinates).
+    */
+  def deriveDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
 
-  /** LSH bucket id: Σ 2^i · [dot(vec, plane_i) > 0]. */
+  /** LSH bucket id: Σ 2^i · [dot(vec, plane_i) > 0] — one compact
+    * [[VectorFunctions.hyperplaneBucket]] expression (a per-plane
+    * when/dot chain regresses to interpreted bytecode past ~2 tables;
+    * see HyperplaneBucket scaladoc).
+    */
   def bucket(vec: Column, ps: Seq[Seq[Double]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      when(VectorFunctions.dotProduct(vec, planeCol(p)) > 0, 1L << i).otherwise(0L)
-    }.reduce(_ + _)
+    VectorFunctions.hyperplaneBucket(vec, ps)
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -65,9 +73,9 @@ object SimilaritySearch {
   /** ANN top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nPlanes: Int = 8): DataFrame = {
-    val dim = 64
-    val ps = planes(nPlanes, dim)
+              nPlanes: Int = 8, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else deriveDim(corpus, vecCol)
+    val ps = planes(nPlanes, d)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       bucket(col(vecCol), ps).as("bkt"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -144,6 +144,81 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All-planes LSH bucket id in ONE expression: bit i of the result is
+  * `dot(vec, planes(i)) > 0`. Semantically identical to summing
+  * `when(DotProduct(vec, planeLit_i) > 0, 1L << i)` terms, but that
+  * formulation inlines one dot loop per plane into the generated method —
+  * at 4 tables × 16 planes the method passes HotSpot's 8 KB huge-method
+  * limit and the whole stage silently runs in the bytecode interpreter
+  * (measured 13.8× slowdown in BucketProbe). Here the plane matrix rides
+  * along as a codegen reference object and the generated code is one
+  * compact nested loop, independent of plane count.
+  *
+  * Dot accumulation is left-to-right in double over float values — the
+  * same arithmetic as [[DotProduct]], so bucket ids (and the DuckDB
+  * oracle replays built from the same quantized planes) are unchanged.
+  */
+case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val mat: Array[Array[Float]] =
+    planes.map(_.map(_.toFloat).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var b = 0L
+    var p = 0
+    while (p < mat.length) {
+      val row = mat(p)
+      val n = math.min(row.length, x.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += row(i).toDouble * x.getFloat(i).toDouble; i += 1 }
+      if (d > 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planes", mat, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.freshName("b")
+      val p = ctx.freshName("p")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |long $b = 0L;
+         |for (int $p = 0; $p < $m.length; $p++) {
+         |  float[] $row = $m[$p];
+         |  int $n = Math.min($row.length, $v.numElements());
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += (double) $row[$i] * (double) $v.getFloat($i);
+         |  }
+         |  if ($d > 0) $b |= 1L << $p;
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(
@@ -152,4 +227,7 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(
       DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(vec), planes))
 }

@@ -189,6 +189,54 @@ object ExtensionQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q53: the production near-dup pipeline end-to-end — MinHash+LSH
+    // candidates (q45's plan) verified by exact Jaccard (q44's math) on
+    // the candidate set ONLY. This is the composition that survives
+    // 100 TB: candidate enumeration is equi-joins on band keys (never
+    // O(n²)), and the quadratic verify runs on the tiny candidate set.
+    // Oracle = q45's candidate replay joined to the shingle inverted
+    // index, scored exactly like q44.
+    Q(
+      "q53_near_dup_pipeline",
+      (s, dir) =>
+        Dedup.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id", 0.5)
+          .orderBy("da", "db"),
+      Some {
+        val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a * h + $b) % $P) AS m$i"
+        }.mkString(",\n             |    ")
+        val bandJoins = (0 until Dedup.Bands).map { bnd =>
+          val keys = (0 until Dedup.RowsPerBand).map(r => s"m${bnd * Dedup.RowsPerBand + r}")
+          s"""SELECT a.doc_id AS da, b.doc_id AS db
+             |    FROM sig a JOIN sig b
+             |    ON a.doc_id < b.doc_id AND ${keys.map(k => s"a.$k = b.$k").mkString(" AND ")}"""
+        }.mkString("\n             |    UNION\n             |    ")
+        s"""WITH $ShingleCtes,
+           |hashes AS (SELECT doc_id, ${PolyHash.duckSql("s")} AS h FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM hashes GROUP BY doc_id),
+           |cand AS (SELECT DISTINCT da, db FROM (
+           |    $bandJoins)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.da, c.db, count(*) AS i
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.da
+           |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+           |  GROUP BY 1, 2)
+           |SELECT da, db,
+           |  floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = da
+           |JOIN sizes sb ON sb.doc_id = db
+           |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= 0.5
+           |ORDER BY da, db""".stripMargin
+      },
+      bench = true),
+
+    // ------------------------------------------------------------------
     // q46: 16-bit SimHash sketch per document (token multiset).
     Q(
       "q46_simhash",
@@ -215,19 +263,47 @@ object ExtensionQueries {
       }),
 
     // ------------------------------------------------------------------
-    // q47: embedding-cosine near-dup pairs (brute; LSH variant is q49).
+    // q47: embedding-cosine near-dup pairs — the production path:
+    // 4-table OR-amplified hyperplane-LSH candidates + exact-cosine
+    // verify (never O(n²); see Dedup.embeddingNearDup). The oracle
+    // replays the identical banding; the exact brute form
+    // (embeddingNearDupBrute) is pinned as a superset in ExtensionSpec.
     Q(
       "q47_embedding_near_dup",
       (s, dir) =>
+        // 4 planes/table for the wide 0.45 threshold (see Dedup scaladoc
+        // tuning rule); 8 OR-ed tables recover 9 of the 14 true pairs
+        // at sf0.01 (measured vs embeddingNearDupBrute)
         Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), "embedding",
-            "vec_id", 0.45)
+            "vec_id", 0.45, nTables = 8, nPlanes = 4)
           .orderBy("da", "db"),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-             |SELECT a.vec_id AS da, b.vec_id AS db,
-             |  floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cos
-             |FROM e a JOIN e b ON a.vec_id < b.vec_id
-             |WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 > 0.45
-             |ORDER BY da, db""".stripMargin)),
+      Some {
+        val nTables = 8
+        val tableSelects = (0 until nTables).map { t =>
+          val ps = SimilaritySearch.planes(4, 64, seed = 7 + t)
+          val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+            val lits = p.map(v => f"$v%.6f").mkString("[", ", ", "]")
+            s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+          }.mkString("\n             |      + ")
+          s"""SELECT vec_id, $t AS t,
+             |      $bucketExpr AS bkt
+             |    FROM e"""
+        }.mkString("\n             |    UNION ALL\n             |    ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (
+           |    $tableSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS da, y.vec_id AS db
+           |  FROM b x JOIN b y
+           |  ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+           |SELECT da, db,
+           |  floor(list_cosine_similarity(ea.v, eb.v) * 1000000 + 0.5) / 1000000 AS cos
+           |FROM cand
+           |JOIN e ea ON ea.vec_id = da
+           |JOIN e eb ON eb.vec_id = db
+           |WHERE floor(list_cosine_similarity(ea.v, eb.v) * 1000000 + 0.5) / 1000000 > 0.45
+           |ORDER BY da, db""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // q48: brute-force top-10 cosine neighbors for query set vec_id < 5.

@@ -34,6 +34,39 @@ object VectorScaleProbe {
       c.unpersist()
       ()
     }
+
+    // all-pairs near-dup: bucketed candidates + exact verify must scale
+    // sub-quadratically (4× the rows should cost ≈4×, not 16×); the brute
+    // crossJoin form is the quadratic reference at the small size only.
+    // NOTE the sin-hash corpus above is unusable here: its phase structure
+    // makes ~18% of ALL pairs cosine-similar, so any all-pairs run drowns
+    // in output materialization. This corpus is hash-random (near-
+    // orthogonal in 64-dim) with 1% planted exact duplicates — output
+    // stays small and candidate pruning is what gets measured.
+    // hash-random vectors (near-orthogonal in 64-dim); vec_id and
+    // vec_id + n/2 share an embedding → exactly n/2 planted dup pairs
+    def dedupCorpus(n: Int): DataFrame =
+      spark.range(n).toDF("vec_id")
+        .withColumn("embedding",
+          expr("transform(sequence(1, 64), " +
+            s"x -> cast((xxhash64(vec_id % ${n / 2}, x) % 1000) / 1000.0 as float))"))
+    // 16 planes/table → 2^16 buckets: bucket occupancy stays O(n/65536),
+    // so candidate volume grows ~linearly with n instead of n²; exact
+    // dups collide in EVERY table, so recall on true dups is 1 by
+    // construction (the wide-threshold tradeoff is documented in Dedup)
+    Seq(25000, 100000).foreach { n =>
+      val c = dedupCorpus(n).cache()
+      c.count()
+      println(s"--- near-dup pairs, n=$n vectors ---")
+      if (n <= 25000)
+        time(s"pairs_brute n=$n")(
+          graft.ext.Dedup.embeddingNearDupBrute(c, "embedding", "vec_id", 0.999).count())
+      time(s"pairs_lsh n=$n")(
+        graft.ext.Dedup.embeddingNearDup(c, "embedding", "vec_id", 0.999,
+          nTables = 4, nPlanes = 16).count())
+      c.unpersist()
+      ()
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,41 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh.count(brute.contains) > 0)
   }
 
+  test("bucketed embedding near-dup is a subset of brute, and finds planted dups") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val brute = Dedup.embeddingNearDupBrute(e, "embedding", "vec_id", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingNearDup(e, "embedding", "vec_id", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(brute),
+      s"LSH emitted pairs brute rejects: ${bucketed -- brute}")
+    // identical vectors collide in every table — recall 1 on true dups
+    val planted = e.limit(3).select(col("vec_id") + 10000, col("embedding"))
+      .toDF("vec_id", "embedding").union(e.select("vec_id", "embedding"))
+    val got = Dedup.embeddingNearDup(planted, "embedding", "vec_id", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 3).forall(i => got.contains((i.toLong, i + 10000L))), s"missing planted dup in $got")
+  }
+
+  test("lshTopK derives plane dimension from the corpus (non-64-dim)") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val res = SimilaritySearch.lshTopK(vecs.filter(col("vec_id") < 4), vecs, 5)
+      .collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    // a 16-dim corpus must not bucket on a 64-dim plane prefix: buckets
+    // computed at the native dim give identical results to explicit dim
+    val explicitDim = SimilaritySearch.lshTopK(
+      vecs.filter(col("vec_id") < 4), vecs, 5, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(res.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == explicitDim)
+  }
+
   test("multimodal: decode stub preserves batch semantics and determinism") {
     implicit val s = spark
     val docs = Tables.load(spark, sf0001, "documents").limit(50)
