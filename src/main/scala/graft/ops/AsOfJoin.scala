@@ -3,37 +3,66 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** As-of join: for each left row, the greatest right "time" value ≤ the
+/** As-of join: for each left row, the latest right row with time ≤ the
   * left row's time, within an equality-key group (the classic
   * point-in-time lookup; absent from both the reference and Spark's Scala
-  * API — SURVEY.md §2b "joins" row).
+  * API — SURVEY.md §2b "joins" row). Returns the matched row's value
+  * columns (`asof_<col>`), not just its timestamp — "price as of event
+  * time" works out of the box.
   *
-  * Spark-first formulation (preference order (a): compose built-ins): an
-  * equi-join on the key with a range predicate, then per-left-row argmax
-  * via `max_by` — Catalyst plans the equi-part as a hash/sort-merge join
-  * partitioned by the key, and the aggregation collapses the row
-  * multiplication with map-side partials. At 100 TB the join shuffles on
-  * the key exactly once; no window over a global sort, no custom operator
-  * needed (option (c) stays unnecessary).
+  * Spark-first formulation (preference order (a): compose built-ins), in
+  * two stages:
   *
-  * Row multiplication is bounded by matches-per-key; for high-fanout keys
-  * the bucketed refinement is to range-bucket the time dimension first —
-  * documented here, not needed at fixture scale.
+  *  1. '''Pre-aggregate the right side per (key, time)''' — one row per
+  *     distinct (key, time) carrying the group count and a
+  *     deterministically chosen payload (`max_by` over `tieBreak`, a
+  *     unique right column). Semantics-preserving for any granularity,
+  *     and the fanout-tamer at scale: the subsequent range join
+  *     multiplies left rows by ''distinct times per key'', not by raw
+  *     right rows — on a power-law key (one user with 1M same-day
+  *     orders) that's the difference between a hot partition and a
+  *     bounded one.
+  *  2. Equi-join on the key with the range predicate, then per-left-row
+  *     argmax via `max_by(…, time)` (time is unique per key group after
+  *     stage 1, so the argmax is deterministic). Catalyst plans the
+  *     equi-part as a hash/sort-merge join partitioned by the key and
+  *     collapses the multiplication with map-side partial aggregation.
+  *
+  * At 100 TB: two key shuffles (pre-agg, join), no window over a global
+  * sort, no custom operator needed (option (c) stays unnecessary).
   */
 object AsOfJoin {
 
-  /** @return left rows (selected cols) + `asof_<valueCol>` = greatest
-    *         right value column where rightTime <= leftTime, inner
+  /** @param payload  right columns returned from the matched (latest)
+    *                 row as `asof_<name>`.
+    * @param tieBreak unique right column ordering rows that share
+    *                 (key, time) — required when `payload` is non-empty
+    *                 so the lookup is deterministic.
+    * @return left rows (selected cols) + `asof_time` = greatest right
+    *         time ≤ left time + `n_prior` = count of right rows at or
+    *         before + one `asof_<col>` per payload column; inner
     *         semantics (lefts with no match drop, like DuckDB ASOF JOIN).
     */
   def lookupLatest(
       left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      leftSelect: Seq[Column]): DataFrame = {
-    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime)
+      leftSelect: Seq[Column],
+      payload: Seq[String] = Nil,
+      tieBreak: Option[Column] = None): DataFrame = {
+    require(payload.isEmpty || tieBreak.nonEmpty,
+      "payload columns need a tieBreak column for a deterministic pick")
+    val perTime = payload.map { c =>
+      max_by(right(c), tieBreak.get).as(s"__p_$c")
+    }
+    val pre = right
+      .groupBy(rightKey.as("__k"), rightTime.as("__t"))
+      .agg(count(lit(1)).as("__cnt"), perTime: _*)
+    val joined = left.join(pre, leftKey === col("__k") && col("__t") <= leftTime)
+    val tailAggs = sum("__cnt").cast("long").as("n_prior") +:
+      payload.map(c => max_by(col(s"__p_$c"), col("__t")).as(s"asof_$c"))
     joined
       .groupBy(leftSelect: _*)
-      .agg(max(rightTime).as("asof_time"), count(lit(1)).as("n_prior"))
+      .agg(max(col("__t")).as("asof_time"), tailAggs: _*)
   }
 }

@@ -32,10 +32,14 @@ object Advanced {
              |ORDER BY o_orderstatus""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q24: as-of join — for each event, the user's latest order date at
-    // or before the event time (point-in-time lookup), plus how many
-    // prior orders existed. Equi-join on the key + range predicate +
-    // argmax aggregation; one key-partitioned shuffle.
+    // q24: as-of join — for each event, the user's latest order AT or
+    // before the event time (point-in-time lookup): its date, key and
+    // total price, plus how many prior orders existed. The right side is
+    // pre-aggregated per (custkey, orderdate) before the range join, so
+    // the join fanout is bounded by distinct order DATES per user, not
+    // raw orders (the scale refinement from round 1). Payload pick is
+    // deterministic: max_by over o_orderkey within a date, max_by over
+    // date within an event; the oracle replays both with arg_max.
     Q(
       "q24_asof_lookup",
       (s, dir) => {
@@ -45,12 +49,22 @@ object Advanced {
             e, o,
             e("user_id"), o("o_custkey"),
             e("ts"), o("o_orderdate"),
-            leftSelect = Seq(e("event_id"), e("user_id"), e("ts")))
+            leftSelect = Seq(e("event_id"), e("user_id"), e("ts")),
+            payload = Seq("o_orderkey", "o_totalprice"),
+            tieBreak = Some(o("o_orderkey")))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, user_id, ts,
-             |  max(o_orderdate) AS asof_time, count(*) AS n_prior
-             |FROM events JOIN orders
+      Some("""WITH od AS (
+             |  SELECT o_custkey, o_orderdate, count(*) AS cnt,
+             |    arg_max(o_orderkey, o_orderkey) AS pk,
+             |    arg_max(o_totalprice, o_orderkey) AS pv
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT event_id, user_id, ts,
+             |  max(o_orderdate) AS asof_time,
+             |  CAST(sum(cnt) AS BIGINT) AS n_prior,
+             |  arg_max(pk, o_orderdate) AS asof_o_orderkey,
+             |  arg_max(pv, o_orderdate) AS asof_o_totalprice
+             |FROM events JOIN od
              |  ON user_id = o_custkey AND o_orderdate <= ts
              |GROUP BY event_id, user_id, ts
              |ORDER BY event_id""".stripMargin)),
