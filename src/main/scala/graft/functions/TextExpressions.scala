@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -27,9 +27,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    split on single spaces, empty tokens emit nothing and do NOT
   *    advance the offset (the reference's drift quirk,
   *    mapper_word_count.py:18-20), lengths counted in code points.
+  *
+  * Codegen: both generate a single static call into their `compute`
+  * helper — the stage stays inside whole-stage codegen (no
+  * CodegenFallback, which would force the surrounding scan+explode into
+  * interpreted row-at-a-time eval); the loop itself is branchy
+  * string-walking that gains nothing from inlining into the generated
+  * method body, and the static call keeps generated-code size under the
+  * JIT's inline caps.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c.toString(), $n);")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -90,7 +102,11 @@ object ShingleHashes {
 }
 
 case class TokenizeWithOffsets(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, b) =>
+      s"${ev.value} = graft.functions.TokenizeWithOffsets.compute($l, $b);")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -107,9 +123,18 @@ case class TokenizeWithOffsets(left: Expression, right: Expression)
       s"tokenize_with_offsets expects (string, bigint), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
-  override def nullSafeEval(line: Any, base: Any): Any = {
-    val s = line.asInstanceOf[UTF8String].toString
-    var off = base.asInstanceOf[Long]
+  override def nullSafeEval(line: Any, base: Any): Any =
+    TokenizeWithOffsets.compute(line.asInstanceOf[UTF8String], base.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenizeWithOffsets {
+  def compute(line: UTF8String, base: Long): ArrayData = {
+    val s = line.toString
+    var off = base
     val out = new ArrayBuffer[InternalRow]()
     var start = 0
     var i = 0
@@ -127,12 +152,6 @@ case class TokenizeWithOffsets(left: Expression, right: Expression)
     new GenericArrayData(out.toArray)
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-object TokenizeWithOffsets {
   def apply(line: Column, base: Column): Column =
     Bridge.column(TokenizeWithOffsets(Bridge.expression(line), Bridge.expression(base)))
 }

@@ -45,6 +45,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p.take(600))
   }
 
+  test("q32/q44: text pipeline stays inside whole-stage codegen (no fallback)") {
+    // ShingleHashes (q44) / TokenizeWithOffsets (q32) must not be
+    // CodegenFallback: CollapseCodegenStages kicks an operator out of
+    // WSCG when any of its expressions is CodegenFallback, forcing the
+    // scan+project+explode stage into interpreted row-at-a-time eval.
+    // AQE defers codegen collapse until stage execution, so snapshot the
+    // plan with AQE off; `*(n)` stars mark codegen stages.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q32_inverted_offsets", "q44_jaccard_pairs").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.executedPlan.toString()
+        assert(plan.contains("*("), s"$name has no codegen stage:\n${plan.take(600)}")
+        // FileScan leaves list pushed DataFilters in their metadata but
+        // never carry codegen stars; the evaluating Filter/Project/
+        // Generate operators above them are what must be starred
+        val exprLines = plan.linesIterator.filter(l =>
+          (l.contains("shingle_hashes") || l.contains("tokenize_with_offsets"))
+            && !l.contains("FileScan")).toSeq
+        assert(exprLines.nonEmpty, s"$name: expected the custom expression in:\n$plan")
+        exprLines.foreach(l =>
+          assert(l.contains("*("), s"$name: expression evaluated outside codegen:\n$l"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    Seq(graft.functions.ShingleHashes(
+        org.apache.spark.sql.catalyst.expressions.Literal("a b c d"), 3),
+      graft.functions.TokenizeWithOffsets(
+        org.apache.spark.sql.catalyst.expressions.Literal("a b"),
+        org.apache.spark.sql.catalyst.expressions.Literal(0L)))
+      .foreach { e =>
+        assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
+          s"${e.prettyName} regressed to CodegenFallback")
+      }
+  }
+
   test("salted join == plain join (skew utility preserves semantics)") {
     val o = Tables.load(spark, sf0001, "orders")
       .select(col("o_custkey").as("custkey"), col("o_totalprice"))
