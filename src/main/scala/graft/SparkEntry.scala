@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Advanced2, ExtensionQueries, Q, Relational, TextQueries}
+import graft.queries.{Advanced, Advanced2, ExtensionQueries, Q, Relational, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query registry modules live under graft.queries; each module pairs every
@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every registered query, in registration order. */
   def all: Seq[Q] =
     Relational.queries ++ Advanced.queries ++ Advanced2.queries ++
-      TextQueries.queries ++ ExtensionQueries.queries
+      TextQueries.queries ++ ExtensionQueries.queries ++
+      StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,55 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Oracle-gated streaming entries: the query fn drives a REAL
+  * Structured Streaming run (readStream → watermark+window agg → memory
+  * sink) to completion and returns the sink table, so streaming
+  * semantics pass through the exact same DuckDB gate as batch. Round 1
+  * pinned streaming only by stream==batch specs; this makes the
+  * streaming path's numbers themselves hash-match the oracle.
+  */
+object StreamingQueries {
+
+  private val runId = new AtomicInteger(0)
+
+  /** q54: EventStreams.hourlyCounts driven as a stream over the events
+    * fixture; oracle = batch q21's SQL. Complete output mode emits every
+    * window at the end, which on a finite input equals the batch
+    * grouping; `hour` is cast back to timestamp_ntz to match the batch
+    * reader's type (UTC session ⇒ identical wall-clock values).
+    */
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q54_streaming_hourly",
+      (s, dir) => {
+        val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_stream_ckpt").toString
+        val q = EventStreams.hourlyCounts(
+            EventStreams.readStream(s, dir, globFilter = Some("events.parquet")))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name)
+          .withColumn("hour", col("hour").cast("timestamp_ntz"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY hour, event_type""".stripMargin))
+  )
+}

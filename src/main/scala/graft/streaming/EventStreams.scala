@@ -40,12 +40,19 @@ object EventStreams {
     * TimestampType (not NTZ): watermarks require an event-time column of
     * TIMESTAMP type; with the UTC session timezone the wall-clock values
     * match the batch path's timestamp_ntz reads.
+    *
+    * `globFilter` selects files inside `path` (the streaming file source
+    * requires a directory — a bare file path fails with "basePath must
+    * be a directory").
     */
-  def readStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+  def readStream(spark: SparkSession, path: String,
+                 globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(rawSchema)
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader
       .parquet(path)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
     * streaming twin of batch q21.
