@@ -41,21 +41,47 @@ object Multimodal {
     acc
   }
 
+  private def stubMeta(rec: MediaRecord): ImageMeta = {
+    val n = rec.content.length.toLong
+    ImageMeta(
+      doc_id = rec.doc_id,
+      n_bytes = n,
+      width = (1 + n % 640).toInt,
+      height = (1 + (n * 31) % 480).toInt,
+      channels = 3,
+      checksum = checksumOf(rec.content))
+  }
+
   /** STUB decode: deterministic fake image metadata from the bytes.
     * Batch shape: one call per partition, streaming iterator in/out —
     * exactly where a real `ImageIO.read`/libvips call would sit.
     */
   def decodeImageStub(ds: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[ImageMeta] = {
     import spark.implicits._
+    ds.mapPartitions(it => it.map(stubMeta))
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` registry (PNG, BMP,
+    * GIF, JPEG — no external deps), in the same mapPartitions batch shape
+    * as the stub. Payloads ImageIO can't parse fall back to [[stubMeta]],
+    * so mixed/dirty corpora decode what they can instead of failing the
+    * job — at 100 TB a poison payload must cost one fallback row, not a
+    * stage retry loop.
+    */
+  def decodeImage(ds: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[ImageMeta] = {
+    import spark.implicits._
     ds.mapPartitions { it =>
       it.map { rec =>
-        val n = rec.content.length.toLong
-        ImageMeta(
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null) stubMeta(rec)
+        else ImageMeta(
           doc_id = rec.doc_id,
-          n_bytes = n,
-          width = (1 + n % 640).toInt,
-          height = (1 + (n * 31) % 480).toInt,
-          channels = 3,
+          n_bytes = rec.content.length.toLong,
+          width = img.getWidth,
+          height = img.getHeight,
+          channels = img.getColorModel.getNumComponents,
           checksum = checksumOf(rec.content))
       }
     }

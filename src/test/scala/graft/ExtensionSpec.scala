@@ -165,6 +165,28 @@ class ExtensionSpec extends SparkSpec {
       .find(_.doc_id == f.doc_id).get.n_bytes))
   }
 
+  test("multimodal: decodeImage reads real PNG/BMP bytes, falls back on junk") {
+    implicit val s = spark
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800) // non-trivial pixel so encoders emit data
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, imageBytes("png", 17, 9)),
+      Multimodal.MediaRecord(2L, imageBytes("bmp", 5, 23)),
+      Multimodal.MediaRecord(3L, "not an image".getBytes("UTF-8"))).toDS()
+    val meta = Multimodal.decodeImage(recs).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 17 && meta(1L).height == 9 && meta(1L).channels == 3)
+    assert(meta(2L).width == 5 && meta(2L).height == 23)
+    // undecodable payload → deterministic stub fallback, job survives
+    val junkLen = "not an image".getBytes("UTF-8").length
+    assert(meta(3L).width == 1 + junkLen % 640 && meta(3L).n_bytes == junkLen)
+  }
+
   test("multimodal: feature-extract stub feeds similarity search") {
     implicit val s = spark
     val docs = Tables.load(spark, sf0001, "documents").limit(100)
