@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join WITHOUT an equality key — e.g. "every
+  * event inside any attribution window". Spark's native plan for a pure
+  * range predicate is BroadcastNestedLoopJoin: every point × every
+  * interval. This operator bands time into fixed-width buckets so the
+  * pair space becomes an equi-join:
+  *
+  *  - each interval explodes into every band it covers
+  *    (⌈width/band⌉ rows — bounded fanout, chosen by the caller);
+  *  - each point computes its single band;
+  *  - equi-join on the band, then the exact range predicate.
+  *
+  * A point's band is unique, so a (point, interval) pair meets in exactly
+  * one band — no post-join dedup. At 100 TB this is one shuffle on the
+  * band key instead of a nested-loop over the full corpus; pick
+  * `bandSeconds` ≈ the typical interval width so interval fanout stays
+  * O(1) while bands stay selective.
+  */
+object RangeJoin {
+
+  private def epochSec(c: Column): Column =
+    c.cast("timestamp").cast("double")
+
+  /** @param pointTs  column name in `points` (timestamp)
+    * @param start    interval start column name in `intervals`, inclusive
+    * @param end      interval end column name in `intervals`, exclusive
+    * All three names must be distinct across the two inputs (rename
+    * before calling — the join output carries both sides' columns).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointTs: String, start: String, end: String,
+                      bandSeconds: Long): DataFrame = {
+    val bandedInts = intervals.withColumn("__band",
+      explode(sequence(
+        floor(epochSec(col(start)) / bandSeconds).cast("long"),
+        // end is exclusive: an interval ending exactly on a band boundary
+        // does not cover that band
+        floor((epochSec(col(end)) - lit(1e-6)) / bandSeconds).cast("long"))))
+    val bandedPts = points.withColumn("__band",
+      floor(epochSec(col(pointTs)) / bandSeconds).cast("long"))
+    bandedPts.join(bandedInts, "__band")
+      .where(col(pointTs) >= col(start) && col(pointTs) < col(end))
+      .drop("__band")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, SimilaritySearch, TextAnalysis}
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
 
@@ -367,6 +367,58 @@ object ExtensionQueries {
            |FROM ranked WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
       }),
+
+    // ------------------------------------------------------------------
+    // q55: deterministic train/val/test split — membership is a pure
+    // function of (doc_id, salt) via PolyHash basis-point buckets, so the
+    // split is stable under corpus growth and replayable on any engine
+    // (the whole point vs rand()-based sampling; see ext.Sampling).
+    // Shuffle-free: one codegen'd projection.
+    Q(
+      "q55_hash_split",
+      (s, dir) =>
+        Sampling.hashSplit(Tables.load(s, dir, "documents"), "doc_id", "split42",
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .select("doc_id", "bucket", "split")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 8000 THEN 'train'
+             |       WHEN bucket < 9000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (
+             |  SELECT doc_id, (h * h % 1000000007) % 10000 AS bucket
+             |  FROM (SELECT doc_id,
+             |          ${PolyHash.duckSql("'split42#' || doc_id::VARCHAR")} AS h
+             |        FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q56: keyless point-in-interval join (attribution: every event
+    // inside a high-value purchase's 30-minute window). Banded into
+    // 30-minute buckets → equi-join on the band + exact range predicate,
+    // instead of Spark's BroadcastNestedLoopJoin over the full corpus
+    // (see ops.RangeJoin).
+    Q(
+      "q56_interval_attribution",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val windows = e
+          .filter(col("event_type") === "purchase" && col("value") > 250)
+          .select(col("event_id").as("purchase_id"),
+            col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        graft.ops.RangeJoin.pointInInterval(
+            e.select("event_id", "ts", "event_type"), windows,
+            "ts", "w_start", "w_end", bandSeconds = 1800L)
+          .select("purchase_id", "event_id", "event_type")
+          .orderBy("purchase_id", "event_id")
+      },
+      Some("""SELECT w.purchase_id, ev.event_id, ev.event_type
+             |FROM events ev JOIN
+             |  (SELECT event_id AS purchase_id, ts AS s, ts + INTERVAL 30 MINUTE AS en
+             |   FROM events WHERE event_type = 'purchase' AND value > 250) w
+             |  ON ev.ts >= w.s AND ev.ts < w.en
+             |ORDER BY purchase_id, event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q50: multimodal binary-column metadata (SQL-expressible projection;

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, SimilaritySearch}
+import graft.ext.{Dedup, Multimodal, Sampling, SimilaritySearch}
 import graft.functions.{PolyHash, VectorFunctions}
 import graft.io.Tables
 
@@ -163,6 +163,58 @@ class ExtensionSpec extends SparkSpec {
     val frames = Multimodal.sampleFramesStub(media, 4).collect()
     assert(frames.forall(f => f.frames.map(_.length).sum == meta1
       .find(_.doc_id == f.doc_id).get.n_bytes))
+  }
+
+  test("hashSplit: stable under corpus growth, fractions hold, sampling deterministic") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val full = Sampling.hashSplit(docs, "doc_id", "split42", fr)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = full.size
+    val trainN = full.values.count(_ == "train")
+    assert(math.abs(trainN.toDouble / n - 0.8) < 0.06, s"train fraction ${trainN.toDouble / n}")
+    // growth stability: the assignment of a doc must not depend on what
+    // else is in the corpus
+    val subset = Sampling.hashSplit(docs.limit(100), "doc_id", "split42", fr)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved split") }
+    // independent salt → different draw; same salt → identical sample
+    val s1 = Sampling.hashSample(docs, "doc_id", "eval1", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, "doc_id", "eval1", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size.toDouble / n - 0.25) < 0.07, s"sample fraction ${s1.size.toDouble / n}")
+    val other = Sampling.hashSample(docs, "doc_id", "eval2", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != s1)
+  }
+
+  test("banded range join == naive range join, including band boundaries") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == w_start of A: included
+      (2L, ts("2024-01-01 00:29:59")),
+      (3L, ts("2024-01-01 00:30:00")), // == w_end of A: excluded
+      (4L, ts("2024-01-01 01:15:00")), // inside B (spans 3 bands)
+      (5L, ts("2024-01-01 02:29:59")), // last µs-ish of B
+      (6L, ts("2024-01-01 02:30:00")), // == w_end of B: excluded
+      (7L, ts("2023-12-31 23:59:59"))  // before everything
+    ).toDF("event_id", "ts")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")), // A: one band
+      (200L, ts("2024-01-01 01:00:00"), ts("2024-01-01 02:30:00"))  // B: three bands
+    ).toDF("w_id", "w_start", "w_end")
+    val banded = graft.ops.RangeJoin.pointInInterval(
+        points, intervals, "ts", "w_start", "w_end", bandSeconds = 1800L)
+      .select("w_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("w_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+    assert(banded == Set((100L, 1L), (100L, 2L), (200L, 4L), (200L, 5L)))
   }
 
   test("multimodal: decodeImage reads real PNG/BMP bytes, falls back on junk") {

@@ -80,6 +80,14 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q56: banded range join plans as an equi-join, not a nested loop") {
+    val df = SparkEntry.queries("q56_interval_attribution")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to all-pairs:\n${plan.take(800)}")
+    assert(plan.contains("Join") || plan.contains("join"), plan.take(400))
+  }
+
   test("salted join == plain join (skew utility preserves semantics)") {
     val o = Tables.load(spark, sf0001, "orders")
       .select(col("o_custkey").as("custkey"), col("o_totalprice"))
