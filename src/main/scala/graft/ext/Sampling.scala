@@ -67,4 +67,19 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, salt: String,
                  fraction: Double): DataFrame =
     df.where(bucket(col(idCol), salt) < math.round(fraction * Buckets).toInt)
+
+  /** Stratified deterministic sample: per-stratum keep fractions (the
+    * `sampleBy` shape, minus the nondeterminism — rebalancing a skewed
+    * training mix must be reproducible run-to-run). Strata missing from
+    * `fractions` are dropped. Still one shuffle-free projection+filter;
+    * the stratum column only selects which threshold applies.
+    */
+  def hashSampleBy(df: DataFrame, idCol: String, salt: String,
+                   strataCol: String, fractions: Map[String, Double]): DataFrame = {
+    val b = bucket(col(idCol), salt)
+    val thr = fractions.foldLeft(lit(0): Column) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, math.round(f * Buckets).toInt).otherwise(acc)
+    }
+    df.where(b < thr)
+  }
 }

@@ -393,6 +393,67 @@ object ExtensionQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q57: stratified deterministic sampling — rebalance a training mix
+    // (keep all purchases, 10% of clicks, 1% of views, drop the rest)
+    // with run-to-run reproducible membership. One projection+filter,
+    // shuffle-free.
+    Q(
+      "q57_stratified_sample",
+      (s, dir) =>
+        Sampling.hashSampleBy(Tables.load(s, dir, "events"), "event_id", "mix7",
+            "event_type",
+            Map("purchase" -> 1.0, "click" -> 0.1, "view" -> 0.01))
+          .select("event_id", "event_type")
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, event_type
+             |FROM (
+             |  SELECT event_id, event_type, (h * h % 1000000007) % 10000 AS bucket
+             |  FROM (SELECT event_id, event_type,
+             |          ${PolyHash.duckSql("'mix7#' || event_id::VARCHAR")} AS h
+             |        FROM events))
+             |WHERE bucket < CASE event_type WHEN 'purchase' THEN 10000
+             |                               WHEN 'click' THEN 1000
+             |                               WHEN 'view' THEN 100
+             |                               ELSE 0 END
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q58: TF-IDF over the inverted index — q31's postings joined to
+    // per-term document frequency with ln(N/df) weighting. Three
+    // aggregations/shuffles (tf, df, join on word) + a broadcast 1-row
+    // corpus count; the classic index-analytics composition.
+    Q(
+      "q58_tfidf",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(graft.ops.Text.words(graft.ops.Text.clean(col("text")))).as("word"))
+          .groupBy("word", "doc_id")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("word").agg(count(lit(1)).as("doc_freq"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(dfreq, "word")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", Rounding.stableRound6(
+            col("tf") * log(col("n_docs").cast("double") / col("doc_freq"))))
+          .select("word", "doc_id", "tf", "doc_freq", "tfidf")
+          .orderBy("word", "doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' ')) AS word
+             |  FROM documents),
+             |tf AS (SELECT word, doc_id, count(*) AS tf
+             |       FROM toks WHERE word <> '' GROUP BY 1, 2),
+             |dfreq AS (SELECT word, count(*) AS doc_freq FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT word, doc_id, tf, doc_freq,
+             |  floor(tf * ln(n_docs::DOUBLE / doc_freq) * 1000000 + 0.5) / 1000000 AS tfidf
+             |FROM tf JOIN dfreq USING (word) CROSS JOIN n
+             |ORDER BY word, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q56: keyless point-in-interval join (attribution: every event
     // inside a high-value purchase's 30-minute window). Banded into
     // 30-minute buckets → equi-join on the band + exact range predicate,

@@ -192,6 +192,20 @@ class ExtensionSpec extends SparkSpec {
     assert(other != s1)
   }
 
+  test("hashSampleBy keeps per-stratum fractions, drops unlisted strata") {
+    val events = Tables.load(spark, sf0001, "events")
+    val fr = Map("purchase" -> 1.0, "click" -> 0.5)
+    val kept = Sampling.hashSampleBy(events, "event_id", "mixT", "event_type", fr)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("purchase") == totals("purchase")) // fraction 1.0 keeps all
+    val clickFrac = kept("click").toDouble / totals("click")
+    assert(math.abs(clickFrac - 0.5) < 0.12, s"click fraction $clickFrac")
+    assert(!kept.contains("view") && !kept.contains("error")) // unlisted → dropped
+  }
+
   test("banded range join == naive range join, including band boundaries") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val points = Seq(
