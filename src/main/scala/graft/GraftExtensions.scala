@@ -44,5 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("tokenize_with_offsets", "tokenize_with_offsets(str, base) - reference tokenizer"),
       // int literals welcome: cast the base offset to bigint for the user
       (es: Seq[Expression]) => TokenizeWithOffsets(es(0), Cast(es(1), LongType))))
+    e.injectFunction((FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket",
+        "lsh_bucket(vec, nPlanes, dim, seed) - hyperplane LSH bucket id (literal int args)"),
+      (es: Seq[Expression]) => {
+        def intArg(i: Int): Int = es(i).eval(null) match {
+          case n: Number => n.intValue
+          case other => throw new IllegalArgumentException(
+            s"lsh_bucket arg $i must be an integer literal, got $other")
+        }
+        HyperplaneBucket(es.head,
+          graft.ext.SimilaritySearch.planes(intArg(1), intArg(2), intArg(3)))
+      }))
   }
 }

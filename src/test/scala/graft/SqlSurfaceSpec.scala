@@ -17,6 +17,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(2) - 23.0) < 1e-12)
     assert(r.getInt(3) == 2) // "a b c", "b c d"
+    // lsh_bucket from SQL == the Column-API bucket on the same vector
+    import spark.implicits._
+    val vecSql = "array(" + (1 to 8).map(i => s"${i % 3}.5F").mkString(", ") + ")"
+    val sqlBkt = spark.sql(s"SELECT lsh_bucket($vecSql, 4, 8, 7) AS b").first().getLong(0)
+    import org.apache.spark.sql.functions._
+    val apiBkt = Seq(Tuple1((1 to 8).map(i => (i % 3) + 0.5f).toArray)).toDF("v")
+      .select(graft.ext.SimilaritySearch.bucket(col("v"),
+        graft.ext.SimilaritySearch.planes(4, 8, 7)).as("b"))
+      .first().getLong(0)
+    assert(sqlBkt == apiBkt)
   }
 
   test("registered views answer plain SQL (wordcount in one statement)") {
