@@ -145,12 +145,16 @@ object Dedup {
     // order (a global total order; per-row slice, no freq join / window —
     // frequency ordering would shrink candidates further but costs two
     // extra shuffles, and measured candidates here stay small)
-    val prefix = docs.select(col("id"),
+    val prefix = docs.select(col("id"), col("n"),
       explode(slice(col("hs"), lit(1),
         greatest((col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"),
           lit(1)))).as("h"))
+    // PPJoin length filter: J(a,b) ≥ t forces t·|b| ≤ |a| ≤ |b|/t —
+    // size-mismatched pairs are pruned inside the join, before distinct
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id")
+        && col("a.n") >= lit(threshold) * col("b.n")
+        && col("b.n") >= lit(threshold) * col("a.n"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
     val docArrs = docs.select(col("id"), col("hs"), col("n"))

@@ -34,12 +34,18 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTs: String, start: String, end: String,
                       bandSeconds: Long): DataFrame = {
-    val bandedInts = intervals.withColumn("__band",
-      explode(sequence(
-        floor(epochSec(col(start)) / bandSeconds).cast("long"),
-        // end is exclusive: an interval ending exactly on a band boundary
-        // does not cover that band
-        floor((epochSec(col(end)) - lit(1e-6)) / bandSeconds).cast("long"))))
+    val bandedInts = intervals
+      // degenerate intervals (end <= start) match nothing — and must be
+      // dropped BEFORE banding: Spark's sequence(a, b) generates a
+      // DESCENDING range when b < a, which would explode a reversed
+      // interval into every band between its endpoints
+      .where(col(end) > col(start))
+      .withColumn("__band",
+        explode(sequence(
+          floor(epochSec(col(start)) / bandSeconds).cast("long"),
+          // end is exclusive: an interval ending exactly on a band
+          // boundary does not cover that band
+          floor((epochSec(col(end)) - lit(1e-6)) / bandSeconds).cast("long"))))
     val bandedPts = points.withColumn("__band",
       floor(epochSec(col(pointTs)) / bandSeconds).cast("long"))
     bandedPts.join(bandedInts, "__band")

@@ -229,6 +229,15 @@ class ExtensionSpec extends SparkSpec {
       .select("w_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == naive)
     assert(banded == Set((100L, 1L), (100L, 2L), (200L, 4L), (200L, 5L)))
+    // degenerate (end <= start) and reversed intervals match nothing —
+    // and must not band-explode into a descending sequence
+    val degenerate = Seq(
+      (300L, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00")),
+      (400L, ts("2024-01-01 02:00:00"), ts("2024-01-01 00:00:00"))
+    ).toDF("w_id", "w_start", "w_end")
+    val got = graft.ops.RangeJoin.pointInInterval(
+        points, degenerate, "ts", "w_start", "w_end", bandSeconds = 1800L)
+    assert(got.count() == 0)
   }
 
   test("multimodal: decodeImage reads real PNG/BMP bytes, falls back on junk") {
