@@ -190,6 +190,46 @@ object Dedup {
       .select("da", "db", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: every node gets its
+    * component's minimum id as `label` — the cluster-canonical assignment
+    * that turns pairwise near-dup evidence into "keep one per cluster".
+    *
+    * Min-label propagation, the Pregel/GraphX-CC recurrence expressed as
+    * DataFrame joins: each round every node takes the min of its own and
+    * its neighbors' labels; converged when nothing changes. Rounds needed
+    * = graph diameter, and LSH→verify near-dup graphs are clique-ish
+    * (diameter ≤ ~3), so this is a handful of (id)-keyed shuffles — NOT
+    * a driver-side union-find over collected edges. `localCheckpoint`
+    * truncates the growing lineage each round (swap for `checkpoint` on a
+    * cluster with a checkpoint dir). The convergence probe is
+    * `limit(1).count()` — an any-change existence check, not a full scan.
+    */
+  def canonicalize(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = und
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .select(col("src").as("id"), col("label"))
+      val next = neighborMin.union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit b is
     * set iff the signed sum of token-hash bit-b values is positive.
     * Join-free: one explode + one aggregation.

@@ -32,6 +32,43 @@ object ExtensionQueries {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** DuckDB replay of Dedup.nearDupPairs at threshold 0.5 — (da, db,
+    * jaccard), no ORDER BY. Shared by q53 (the pipeline gate) and q59
+    * (connected components over its pairs).
+    */
+  private lazy val NearDupPairsOracle: String = {
+    val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS m$i"
+    }.mkString(",\n             |    ")
+    val bandJoins = (0 until Dedup.Bands).map { bnd =>
+      val keys = (0 until Dedup.RowsPerBand).map(r => s"m${bnd * Dedup.RowsPerBand + r}")
+      s"""SELECT a.doc_id AS da, b.doc_id AS db
+         |    FROM sig a JOIN sig b
+         |    ON a.doc_id < b.doc_id AND ${keys.map(k => s"a.$k = b.$k").mkString(" AND ")}"""
+    }.mkString("\n             |    UNION\n             |    ")
+    s"""WITH $ShingleCtes,
+       |hashes AS (SELECT doc_id, ${PolyHash.duckSql("s")} AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hashes GROUP BY doc_id),
+       |cand AS (SELECT DISTINCT da, db FROM (
+       |    $bandJoins)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.da, c.db, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.da
+       |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT da, db,
+       |  floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= 0.5""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -201,40 +238,39 @@ object ExtensionQueries {
       (s, dir) =>
         Dedup.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id", 0.5)
           .orderBy("da", "db"),
-      Some {
-        val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
-          s"min(($a * h + $b) % $P) AS m$i"
-        }.mkString(",\n             |    ")
-        val bandJoins = (0 until Dedup.Bands).map { bnd =>
-          val keys = (0 until Dedup.RowsPerBand).map(r => s"m${bnd * Dedup.RowsPerBand + r}")
-          s"""SELECT a.doc_id AS da, b.doc_id AS db
-             |    FROM sig a JOIN sig b
-             |    ON a.doc_id < b.doc_id AND ${keys.map(k => s"a.$k = b.$k").mkString(" AND ")}"""
-        }.mkString("\n             |    UNION\n             |    ")
-        s"""WITH $ShingleCtes,
-           |hashes AS (SELECT doc_id, ${PolyHash.duckSql("s")} AS h FROM sh),
-           |sig AS (
-           |  SELECT doc_id,
-           |    $mins
-           |  FROM hashes GROUP BY doc_id),
-           |cand AS (SELECT DISTINCT da, db FROM (
-           |    $bandJoins)),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT c.da, c.db, count(*) AS i
-           |  FROM cand c
-           |  JOIN sh a ON a.doc_id = c.da
-           |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
-           |  GROUP BY 1, 2)
-           |SELECT da, db,
-           |  floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
-           |FROM inter
-           |JOIN sizes sa ON sa.doc_id = da
-           |JOIN sizes sb ON sb.doc_id = db
-           |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= 0.5
-           |ORDER BY da, db""".stripMargin
-      },
+      Some(NearDupPairsOracle + "\nORDER BY da, db"),
       bench = true),
+
+    // ------------------------------------------------------------------
+    // q59: near-dup pairs → cluster-canonical assignment via connected
+    // components (min-label propagation, O(diameter) shuffles — see
+    // Dedup.canonicalize). Docs outside any pair are their own canonical.
+    // Oracle: DuckDB WITH RECURSIVE reachability over the same pairs.
+    Q(
+      "q59_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", 0.5).select("da", "db")
+        val labels = Dedup.canonicalize(pairs)
+        docs.select("doc_id")
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+             |$NearDupPairsOracle
+             |),
+             |edges AS (SELECT da AS s, db AS d FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |walk(id, lab) AS (
+             |  SELECT s, s FROM edges
+             |  UNION
+             |  SELECT e.s, w.lab FROM edges e JOIN walk w ON w.id = e.d),
+             |labels AS (SELECT id, min(lab) AS label FROM walk GROUP BY id)
+             |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS canonical_id
+             |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+             |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q46: 16-bit SimHash sketch per document (token multiset).

@@ -165,6 +165,21 @@ class ExtensionSpec extends SparkSpec {
       .find(_.doc_id == f.doc_id).get.n_bytes))
   }
 
+  test("canonicalize: min-label connected components, multi-hop chains converge") {
+    // chain 1-2-3-4-5-6 (diameter 5, forces several propagation rounds)
+    // + separate pair {10,11} + triangle {20,21,22}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("da", "db")
+    val labels = Dedup.canonicalize(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 6L).foreach(i => assert(labels(i) == 1L, s"node $i → ${labels(i)}"))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    Seq(20L, 21L, 22L).foreach(i => assert(labels(i) == 20L))
+  }
+
   test("hashSplit: stable under corpus growth, fractions hold, sampling deterministic") {
     val docs = Tables.load(spark, sf0001, "documents")
     val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
