@@ -65,4 +65,33 @@ object AsOfJoin {
       .groupBy(leftSelect: _*)
       .agg(max(col("__t")).as("asof_time"), tailAggs: _*)
   }
+
+  /** Forward as-of: the EARLIEST right row with time ≥ the left row's
+    * time ("next purchase after this error" / time-to-conversion). Same
+    * two-stage shape as [[lookupLatest]] with the range and argmax
+    * mirrored: `n_after` counts right rows at or after, payload is
+    * min_by time.
+    */
+  def lookupEarliest(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      leftSelect: Seq[Column],
+      payload: Seq[String] = Nil,
+      tieBreak: Option[Column] = None): DataFrame = {
+    require(payload.isEmpty || tieBreak.nonEmpty,
+      "payload columns need a tieBreak column for a deterministic pick")
+    val perTime = payload.map { c =>
+      min_by(right(c), tieBreak.get).as(s"__p_$c")
+    }
+    val pre = right
+      .groupBy(rightKey.as("__k"), rightTime.as("__t"))
+      .agg(count(lit(1)).as("__cnt"), perTime: _*)
+    val joined = left.join(pre, leftKey === col("__k") && col("__t") >= leftTime)
+    val tailAggs = sum("__cnt").cast("long").as("n_after") +:
+      payload.map(c => min_by(col(s"__p_$c"), col("__t")).as(s"asof_$c"))
+    joined
+      .groupBy(leftSelect: _*)
+      .agg(min(col("__t")).as("asof_time"), tailAggs: _*)
+  }
 }

@@ -70,6 +70,41 @@ object Advanced {
              |ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q60: FORWARD as-of — for each error event, the same user's next
+    // purchase at/after it (time-to-conversion). Mirror of q24: right
+    // side pre-aggregated per (user, ts), argmin via min_by, DuckDB
+    // replays with arg_min.
+    Q(
+      "q60_asof_forward",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val errors = e.filter(col("event_type") === "error")
+        val purchases = e.filter(col("event_type") === "purchase")
+        AsOfJoin.lookupEarliest(
+            errors, purchases,
+            errors("user_id"), purchases("user_id"),
+            errors("ts"), purchases("ts"),
+            leftSelect = Seq(errors("event_id"), errors("user_id"), errors("ts")),
+            payload = Seq("event_id", "value"),
+            tieBreak = Some(purchases("event_id")))
+          .orderBy("event_id")
+      },
+      Some("""WITH pt AS (
+             |  SELECT user_id, ts, count(*) AS cnt,
+             |    arg_min(event_id, event_id) AS pk,
+             |    arg_min(value, event_id) AS pv
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts,
+             |  min(pt.ts) AS asof_time,
+             |  CAST(sum(cnt) AS BIGINT) AS n_after,
+             |  arg_min(pk, pt.ts) AS asof_event_id,
+             |  arg_min(pv, pt.ts) AS asof_value
+             |FROM events e JOIN pt ON e.user_id = pt.user_id AND pt.ts >= e.ts
+             |WHERE e.event_type = 'error'
+             |GROUP BY 1, 2, 3
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q25: EXCEPT — customers who never fired a purchase event.
     Q(
       "q25_except_purchasers",
