@@ -454,10 +454,13 @@ object ExtensionQueries {
              |ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q58: TF-IDF over the inverted index — q31's postings joined to
-    // per-term document frequency with ln(N/df) weighting. Three
-    // aggregations/shuffles (tf, df, join on word) + a broadcast 1-row
-    // corpus count; the classic index-analytics composition.
+    // q58: TF-IDF over the inverted index — q31's postings with per-term
+    // document frequency and ln(N/df) weighting. doc_freq is a window
+    // count over the tf result, NOT a second aggregation branch: a
+    // `tf.join(tf.groupBy(word).count)` formulation makes Catalyst scan
+    // and re-aggregate the corpus twice (no CTE reuse without caching,
+    // and caching inside a lazy query fn leaks). One scan, one (word,
+    // doc) shuffle, one word-partitioned window, broadcast 1-row count.
     Q(
       "q58_tfidf",
       (s, dir) => {
@@ -467,9 +470,9 @@ object ExtensionQueries {
             explode(graft.ops.Text.words(graft.ops.Text.clean(col("text")))).as("word"))
           .groupBy("word", "doc_id")
           .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("word").agg(count(lit(1)).as("doc_freq"))
+        val byWord = org.apache.spark.sql.expressions.Window.partitionBy("word")
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        tf.join(dfreq, "word")
+        tf.withColumn("doc_freq", count(lit(1)).over(byWord))
           .crossJoin(broadcast(n))
           .withColumn("tfidf", Rounding.stableRound6(
             col("tf") * log(col("n_docs").cast("double") / col("doc_freq"))))
