@@ -206,7 +206,11 @@ object Dedup {
     */
   def canonicalize(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
+    // materialize the edge list ONCE: `und` feeds every iteration's join,
+    // and without this the upstream pair pipeline (LSH + verify when fed
+    // from nearDupPairs) would be recomputed per round
     val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
