@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, SimilaritySearch, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis}
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
 
@@ -519,6 +519,53 @@ object ExtensionQueries {
              |   FROM events WHERE event_type = 'purchase' AND value > 250) w
              |  ON ev.ts >= w.s AND ev.ts < w.en
              |ORDER BY purchase_id, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q61: approximate quantiles via the deterministic histogram sketch —
+    // single-pass mergeable bin counts, quantile read off the cumulative
+    // histogram, error ≤ binWidth. Deterministic ⇒ exact DuckDB replay
+    // (t-digest-style sketches would only admit a tolerance check).
+    Q(
+      "q61_histogram_quantiles",
+      (s, dir) =>
+        Sketches.histogramQuantiles(s, Tables.load(s, dir, "lineitem"),
+          "l_extendedprice", binWidth = 100.0, qs = Seq(0.5, 0.9, 0.99)),
+      Some("""WITH bins AS (
+             |  SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin,
+             |         count(*) AS c
+             |  FROM lineitem GROUP BY 1),
+             |cum AS (
+             |  SELECT bin,
+             |    CAST(sum(c) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             |    CAST(sum(c) OVER () AS BIGINT) AS total
+             |  FROM bins),
+             |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+             |SELECT q, CAST(min(bin) AS BIGINT) AS bin,
+             |  round((min(bin)::DOUBLE + 0.5) * 100.0::DOUBLE, 2) AS est
+             |FROM qs JOIN cum ON cum.cum >= qs.q * cum.total
+             |GROUP BY q
+             |ORDER BY q""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q62: the REAL image decode path (javax.imageio with stub fallback)
+    // run at scale over binary content. No SQL oracle exists for ImageIO
+    // — registered without one, so the driver records the weaker
+    // rows-only check; the decode values themselves are pinned by
+    // ExtensionSpec against in-test-generated PNG/BMP bytes.
+    Q(
+      "q62_multimodal_decode",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val media = Multimodal.withBinaryContent(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("content"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeImage(media).toDF()
+          .select("doc_id", "n_bytes", "width", "height", "channels", "checksum")
+          .orderBy("doc_id")
+      },
+      None),
 
     // ------------------------------------------------------------------
     // q50: multimodal binary-column metadata (SQL-expressible projection;

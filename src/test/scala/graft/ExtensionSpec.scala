@@ -165,6 +165,20 @@ class ExtensionSpec extends SparkSpec {
       .find(_.doc_id == f.doc_id).get.n_bytes))
   }
 
+  test("histogram quantile sketch lands within one binWidth of the exact quantile") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val width = 100.0
+    val got = graft.ext.Sketches
+      .histogramQuantiles(spark, li, "l_extendedprice", width, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val exact = li.stat.approxQuantile("l_extendedprice",
+      Array(0.5, 0.9, 0.99), 0.0) // relativeError 0 → exact
+    Seq(0.5, 0.9, 0.99).zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(got(q) - ex) <= width,
+        s"q=$q sketch ${got(q)} vs exact $ex exceeds binWidth")
+    }
+  }
+
   test("canonicalize: min-label connected components, multi-hop chains converge") {
     // chain 1-2-3-4-5-6 (diameter 5, forces several propagation rounds)
     // + separate pair {10,11} + triangle {20,21,22}
