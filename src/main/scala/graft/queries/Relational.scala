@@ -461,6 +461,33 @@ object Relational {
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q63: unpivot/melt — the inverse of q26's pivot (wide measure
+    // columns → long (measure, value) rows) via the native
+    // Dataset.unpivot, which plans as a single Expand over the scan (no
+    // shuffle, no N-way self-union scan). Oracle replays as UNION ALL.
+    Q(
+      "q63_unpivot_measures",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 100)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "measure", "value")
+          .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+             |  FROM lineitem WHERE l_orderkey <= 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |  FROM lineitem WHERE l_orderkey <= 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             |  FROM lineitem WHERE l_orderkey <= 100)
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q21: tumbling time window over events (batch form; the streaming
     // form lives in graft.streaming with identical grouping semantics).
     Q(
