@@ -269,6 +269,33 @@ class ExtensionSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("banded range join == naive on random interval sets (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def tsOf(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val secGen = Gen.choose(0L, 86400L)
+    (1L to 5L).foreach { seed =>
+      val pts = sample(Gen.listOfN(120, secGen), seed).zipWithIndex
+        .map { case (s, i) => (i.toLong, tsOf(s)) }.toDF("event_id", "ts")
+      val ints = sample(Gen.listOfN(25, Gen.zip(secGen, Gen.choose(-600L, 7200L))), seed + 100)
+        .zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, tsOf(s), tsOf(s + len)) }
+        .toDF("w_id", "w_start", "w_end") // ~8% reversed/degenerate by construction
+      val banded = graft.ops.RangeJoin.pointInInterval(
+          pts, ints, "ts", "w_start", "w_end", bandSeconds = 900L)
+        .select("w_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = pts.crossJoin(ints)
+        .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .select("w_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == naive, s"seed $seed: banded ${banded.size} vs naive ${naive.size}")
+    }
+  }
+
   test("multimodal: decodeImage reads real PNG/BMP bytes, falls back on junk") {
     implicit val s = spark
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
