@@ -41,12 +41,16 @@ object Bench {
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.all.map { q =>
+      // a failed run must not become the reported minimum (a 0.1s crash
+      // would silently replace the query's real time) — prefer min over
+      // successful runs; only if every run failed, report the failure time
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try runOnce(q) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { runOnce(q); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      q.name -> times.min
+      val good = times.filter(_._2)
+      q.name -> (if (good.nonEmpty) good.map(_._1).min else times.map(_._1).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

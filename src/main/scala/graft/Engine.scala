@@ -55,18 +55,8 @@ object Engine {
       es => TokenizeWithOffsets(es(0),
         org.apache.spark.sql.catalyst.expressions.Cast(es(1),
           org.apache.spark.sql.types.LongType)))
-    // planes are generated at resolution time from LITERAL (nPlanes, dim,
-    // seed) args — the matrix rides into codegen as a reference object
     Bridge.registerFunction(spark, "lsh_bucket",
-      es => {
-        def intArg(i: Int): Int = es(i).eval(null) match {
-          case n: Number => n.intValue
-          case other => throw new IllegalArgumentException(
-            s"lsh_bucket arg $i must be an integer literal, got $other")
-        }
-        graft.functions.HyperplaneBucket(es.head,
-          graft.ext.SimilaritySearch.planes(intArg(1), intArg(2), intArg(3)))
-      })
+      graft.ext.SimilaritySearch.lshBucketBuilder)
   }
 
   /** Register every fixture table as a temp view so plain

@@ -47,14 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket",
         "lsh_bucket(vec, nPlanes, dim, seed) - hyperplane LSH bucket id (literal int args)"),
-      (es: Seq[Expression]) => {
-        def intArg(i: Int): Int = es(i).eval(null) match {
-          case n: Number => n.intValue
-          case other => throw new IllegalArgumentException(
-            s"lsh_bucket arg $i must be an integer literal, got $other")
-        }
-        HyperplaneBucket(es.head,
-          graft.ext.SimilaritySearch.planes(intArg(1), intArg(2), intArg(3)))
-      }))
+      (es: Seq[Expression]) => graft.ext.SimilaritySearch.lshBucketBuilder(es)))
   }
 }

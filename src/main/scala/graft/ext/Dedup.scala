@@ -204,7 +204,7 @@ object Dedup {
     * cluster with a checkpoint dir). The convergence probe is
     * `limit(1).count()` — an any-change existence check, not a full scan.
     */
-  def canonicalize(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def canonicalize(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
     val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
     // materialize the edge list ONCE: `und` feeds every iteration's join,
     // and without this the upstream pair pipeline (LSH + verify when fed
@@ -231,6 +231,11 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
+    // silent non-convergence would hand one component several "canonical"
+    // ids — dedup would keep duplicate clusters with no sign of trouble
+    if (!done) throw new IllegalStateException(
+      s"canonicalize did not converge in $maxIter rounds — graph diameter " +
+        s"exceeds maxIter; raise it (or switch to pointer-doubling for O(log d))")
     labels
   }
 

@@ -72,9 +72,12 @@ object Multimodal {
     import spark.implicits._
     ds.mapPartitions { it =>
       it.map { rec =>
+        // NonFatal, not just IOException: ImageIO plugin readers throw
+        // IllegalArgumentException / ArrayIndexOutOfBounds etc. on
+        // malformed payloads whose header passed format detection
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) stubMeta(rec)
         else ImageMeta(
           doc_id = rec.doc_id,

@@ -39,12 +39,16 @@ object SimilaritySearch {
     Seq.fill(nPlanes, dim)(rnd.nextInt(64) / 64.0 - 0.5)
   }
 
-  /** Embedding dimensionality, derived from the first row (one tiny
-    * driver-side job at plan-build; the alternative — a hardcoded dim —
-    * silently buckets a wider corpus on a prefix of its coordinates).
+  /** Embedding dimensionality, derived from the first non-null vector
+    * (one tiny driver-side job at plan-build; the alternative — a
+    * hardcoded dim — silently buckets a wider corpus on a prefix of its
+    * coordinates). Empty or all-null input falls back to dim 1: every
+    * downstream operator then produces the correct empty result instead
+    * of crashing on `head` of zero rows.
     */
   def deriveDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head.getInt(0)
+    df.select(size(col(vecCol)).as("d")).where(col("d") >= 0)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /** LSH bucket id: Σ 2^i · [dot(vec, plane_i) > 0] — one compact
     * [[VectorFunctions.hyperplaneBucket]] expression (a per-plane
@@ -53,6 +57,23 @@ object SimilaritySearch {
     */
   def bucket(vec: Column, ps: Seq[Seq[Double]]): Column =
     VectorFunctions.hyperplaneBucket(vec, ps)
+
+  /** Shared SQL-function builder for `lsh_bucket(vec, nPlanes, dim,
+    * seed)` — used by both registration paths (Engine.registerFunctions
+    * and GraftExtensions) so they cannot diverge. The three int args
+    * must be literals: the plane matrix is generated at resolution time.
+    */
+  def lshBucketBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    def intArg(i: Int): Int = es(i).eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"lsh_bucket arg $i must be an integer literal, got $other")
+    }
+    graft.functions.HyperplaneBucket(es.head,
+      planes(intArg(1), intArg(2), intArg(3)))
+  }
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,

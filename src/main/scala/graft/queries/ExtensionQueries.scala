@@ -318,7 +318,10 @@ object ExtensionQueries {
         val tableSelects = (0 until nTables).map { t =>
           val ps = SimilaritySearch.planes(4, 64, seed = 7 + t)
           val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
-            val lits = p.map(v => f"$v%.6f").mkString("[", ", ", "]")
+            // Locale.ROOT: the default-locale f"" interpolator renders comma
+          // decimals on e.g. de_DE, producing malformed SQL literals
+          val lits = p.map(v => String.format(java.util.Locale.ROOT, "%.6f",
+            Double.box(v))).mkString("[", ", ", "]")
             s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
           }.mkString("\n             |      + ")
           s"""SELECT vec_id, $t AS t,
@@ -381,7 +384,10 @@ object ExtensionQueries {
       Some {
         val ps = SimilaritySearch.planes()
         val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
-          val lits = p.map(v => f"$v%.6f").mkString("[", ", ", "]")
+          // Locale.ROOT: the default-locale f"" interpolator renders comma
+          // decimals on e.g. de_DE, producing malformed SQL literals
+          val lits = p.map(v => String.format(java.util.Locale.ROOT, "%.6f",
+            Double.box(v))).mkString("[", ", ", "]")
           s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
         }.mkString("\n             |    + ")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

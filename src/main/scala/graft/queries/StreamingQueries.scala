@@ -28,20 +28,30 @@ object StreamingQueries {
     Q(
       "q54_streaming_hourly",
       (s, dir) => {
-        val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_stream_ckpt").toString
+        // drop the previous invocation's memory-sink table (it pins the
+        // full result in driver memory; bench/verify call this fn
+        // repeatedly in one JVM)
+        val id = runId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_hourly_${id - 1}")
+        val name = s"graft_stream_hourly_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
         val q = EventStreams.hourlyCounts(
             EventStreams.readStream(s, dir, globFilter = Some("events.parquet")))
           .writeStream
           .format("memory")
           .queryName(name)
           .outputMode("complete")
-          .option("checkpointLocation", ckpt)
+          .option("checkpointLocation", ckptDir.toString)
           .start()
         try {
           q.processAllAvailable()
-        } finally q.stop()
+        } finally {
+          q.stop()
+          // the memory sink holds the data; the checkpoint is disposable
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
         s.table(name)
           .withColumn("hour", col("hour").cast("timestamp_ntz"))
           .orderBy("hour", "event_type")

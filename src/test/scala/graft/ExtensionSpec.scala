@@ -124,7 +124,8 @@ class ExtensionSpec extends SparkSpec {
     assert(bucketed.subsetOf(brute),
       s"LSH emitted pairs brute rejects: ${bucketed -- brute}")
     // identical vectors collide in every table — recall 1 on true dups
-    val planted = e.limit(3).select(col("vec_id") + 10000, col("embedding"))
+    val planted = e.filter(col("vec_id") < 3) // limit(3) has no order guarantee
+      .select(col("vec_id") + 10000, col("embedding"))
       .toDF("vec_id", "embedding").union(e.select("vec_id", "embedding"))
     val got = Dedup.embeddingNearDup(planted, "embedding", "vec_id", 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
