@@ -194,15 +194,17 @@ object Dedup {
     * component's minimum id as `label` — the cluster-canonical assignment
     * that turns pairwise near-dup evidence into "keep one per cluster".
     *
-    * Min-label propagation, the Pregel/GraphX-CC recurrence expressed as
-    * DataFrame joins: each round every node takes the min of its own and
-    * its neighbors' labels; converged when nothing changes. Rounds needed
-    * = graph diameter, and LSH→verify near-dup graphs are clique-ish
-    * (diameter ≤ ~3), so this is a handful of (id)-keyed shuffles — NOT
-    * a driver-side union-find over collected edges. `localCheckpoint`
-    * truncates the growing lineage each round (swap for `checkpoint` on a
-    * cluster with a checkpoint dir). The convergence probe is
-    * `limit(1).count()` — an any-change existence check, not a full scan.
+    * Min-label propagation with POINTER HALVING, the Pregel/GraphX-CC
+    * recurrence expressed as DataFrame joins: each round every node takes
+    * the min over its own, its neighbors', and its label's label (the
+    * path-compression step — label chains halve every round, so
+    * convergence is O(log diameter) rounds, not O(diameter); a 100-node
+    * near-dup chain converges in ~8 rounds where plain propagation needs
+    * 99). Each round is two (id)-keyed shuffles — NOT a driver-side
+    * union-find over collected edges. `localCheckpoint` truncates the
+    * growing lineage each round (swap for `checkpoint` on a cluster with
+    * a checkpoint dir). The convergence probe is `limit(1).count()` — an
+    * any-change existence check, not a full scan.
     */
   def canonicalize(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
     val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
@@ -220,8 +222,15 @@ object Dedup {
       val neighborMin = und
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .select(col("src").as("id"), col("label"))
-      val next = neighborMin.union(labels)
+      val merged = neighborMin.union(labels)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer halving: also adopt the label of my label (labels are
+      // node ids and every node has a row, so the self-join resolves)
+      val byLabel = merged
+        .select(col("id").as("lid"), col("label").as("llabel"))
+      val next = merged
+        .join(byLabel, col("label") === col("lid"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
         .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "id")

@@ -193,6 +193,12 @@ class ExtensionSpec extends SparkSpec {
     (1L to 6L).foreach(i => assert(labels(i) == 1L, s"node $i → ${labels(i)}"))
     assert(labels(10L) == 10L && labels(11L) == 10L)
     Seq(20L, 21L, 22L).foreach(i => assert(labels(i) == 20L))
+    // a 100-node chain needs 99 plain-propagation rounds — pointer
+    // halving must converge it within the default maxIter (O(log d))
+    val chain = (100L until 199L).map(i => (i, i + 1)).toDF("da", "db")
+    val chainLabels = Dedup.canonicalize(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 199L).foreach(i => assert(chainLabels(i) == 100L, s"chain $i → ${chainLabels(i)}"))
   }
 
   test("hashSplit: stable under corpus growth, fractions hold, sampling deterministic") {
