@@ -91,6 +91,58 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Deterministic coarse-quantizer codebook for [[ivfTopK]]: every
+    * `step`-th corpus vector by id, in id order (sampled-centroid
+    * IVF-Flat — no Lloyd iterations, so the codebook is a pure function
+    * of the corpus and the oracle can replay it). The collect is the
+    * codebook build: O(corpus/step) tiny rows on the driver, the same
+    * place a trained quantizer would live on a real cluster — the 100 TB
+    * corpus itself never moves.
+    */
+  def sampledCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                       step: Int): Seq[Seq[Double]] =
+    corpus.filter(col(idCol) % step === 0)
+      .orderBy(col(idCol))
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+      .toSeq
+
+  /** IVF-Flat ANN top-k: each corpus vector is assigned to its nearest
+    * centroid's cell ([[graft.functions.CentroidRanks]]`[0]` — one
+    * codegen'd projection, shuffle-free); each query probes its `nProbe`
+    * closest cells. Candidates meet through an equi-join on the cell id,
+    * so at scale the corpus is scanned once, partitioned by cell, and a
+    * query touches `nProbe/C` of it — the complementary trade to
+    * [[lshTopK]] (data-adaptive cells vs oblivious hyperplanes). A corpus
+    * vector lives in exactly one cell, so no candidate dedup is needed.
+    * `nProbe >= C` degrades gracefully to exact brute force (pinned in
+    * ExtensionSpec).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroidStep: Int = 32, nProbe: Int = 4): DataFrame = {
+    val cents = sampledCentroids(corpus, idCol, vecCol, centroidStep)
+    if (cents.isEmpty) {
+      return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cos")).limit(0)
+    }
+    val ranks = VectorFunctions.centroidRanks(col(vecCol), cents)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(ranks, 1).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(slice(ranks, 1, nProbe)).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(q).join(c, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Rounding.stableRound6(VectorFunctions.cosineSim(col("qv"), col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** ANN top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",

@@ -4,9 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for embedding vectors (`array<float>`
   * columns — FIXTURES.md `embeddings.embedding`).
@@ -219,6 +219,115 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** All centroid indices `0..C-1` ordered by affinity to the input vector:
+  * dot product descending, index ascending on ties. One expression serves
+  * both IVF uses — `ranks[0]` is the cell a corpus vector lives in,
+  * `slice(ranks, 1, nProbe)` is the query's probe list — so assignment
+  * and probing share identical arithmetic (same tie-break, same
+  * left-to-right double accumulation as [[DotProduct]], hence exactly
+  * replayable by a DuckDB window over `list_dot_product`).
+  *
+  * Same compact-codegen rationale as [[HyperplaneBucket]]: C inlined
+  * per-centroid dot chains would blow the huge-method limit; here the
+  * matrix rides along as a reference object and the generated code is one
+  * nested loop + an O(C²) selection sort (C is the coarse-quantizer size,
+  * tens, so the sort is noise next to the C·dim dot work).
+  */
+case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "centroid_ranks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val mat: Array[Array[Float]] =
+    centroids.map(_.map(_.toFloat).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val c = mat.length
+    val dots = new Array[Double](c)
+    var p = 0
+    while (p < c) {
+      val row = mat(p)
+      val n = math.min(row.length, x.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += row(i).toDouble * x.getFloat(i).toDouble; i += 1 }
+      dots(p) = d
+      p += 1
+    }
+    val idx = Array.tabulate(c)(identity)
+    var a = 0
+    while (a < c) {
+      var best = a
+      var b = a + 1
+      while (b < c) {
+        if (dots(idx(b)) > dots(idx(best)) ||
+            (dots(idx(b)) == dots(idx(best)) && idx(b) < idx(best))) best = b
+        b += 1
+      }
+      val t = idx(a); idx(a) = idx(best); idx(best) = t
+      a += 1
+    }
+    new GenericArrayData(idx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", mat, "float[][]")
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c")
+      val dots = ctx.freshName("dots")
+      val idx = ctx.freshName("idx")
+      val p = ctx.freshName("p")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val best = ctx.freshName("best")
+      val t = ctx.freshName("t")
+      s"""
+         |int $c = $m.length;
+         |double[] $dots = new double[$c];
+         |for (int $p = 0; $p < $c; $p++) {
+         |  float[] $row = $m[$p];
+         |  int $n = Math.min($row.length, $v.numElements());
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += (double) $row[$i] * (double) $v.getFloat($i);
+         |  }
+         |  $dots[$p] = $d;
+         |}
+         |int[] $idx = new int[$c];
+         |for (int $p = 0; $p < $c; $p++) $idx[$p] = $p;
+         |for (int $a = 0; $a < $c; $a++) {
+         |  int $best = $a;
+         |  for (int $b = $a + 1; $b < $c; $b++) {
+         |    if ($dots[$idx[$b]] > $dots[$idx[$best]]
+         |        || ($dots[$idx[$b]] == $dots[$idx[$best]] && $idx[$b] < $idx[$best])) {
+         |      $best = $b;
+         |    }
+         |  }
+         |  int $t = $idx[$a]; $idx[$a] = $idx[$best]; $idx[$best] = $t;
+         |}
+         |${ev.value} = new $gad($idx);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(
@@ -230,4 +339,7 @@ object VectorFunctions {
 
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(vec), planes))
+
+  def centroidRanks(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    Bridge.column(CentroidRanks(Bridge.expression(vec), centroids))
 }

@@ -411,6 +411,49 @@ object ExtensionQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q64: IVF-Flat ANN top-5 — the data-adaptive counterpart to q49's
+    // oblivious hyperplanes: sampled-centroid cells (every 32nd vector),
+    // shuffle-free nearest-cell assignment, queries probe their 4 closest
+    // cells. The oracle replays cell assignment and probing with a DuckDB
+    // window over list_dot_product (same dot arithmetic, same (dot DESC,
+    // cid ASC) tie-break as CentroidRanks).
+    Q(
+      "q64_knn_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 5), e, 5,
+            centroidStep = 32, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+             |  FROM e WHERE vec_id % 32 = 0),
+             |cell_ranks AS (
+             |  SELECT e.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rnk
+             |  FROM e CROSS JOIN cents),
+             |assign AS (SELECT vec_id, cid FROM cell_ranks WHERE rnk = 1),
+             |probes AS (SELECT vec_id, cid FROM cell_ranks
+             |           WHERE rnk <= 4 AND vec_id < 5),
+             |scored AS (
+             |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             |    floor(list_cosine_similarity(eq.v, en.v) * 1000000 + 0.5) / 1000000 AS cos
+             |  FROM probes p
+             |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+             |  JOIN e eq ON eq.vec_id = p.vec_id
+             |  JOIN e en ON en.vec_id = a.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q55: deterministic train/val/test split — membership is a pure
     // function of (doc_id, salt) via PolyHash basis-point buckets, so the
     // split is stable under corpus growth and replayable on any engine
