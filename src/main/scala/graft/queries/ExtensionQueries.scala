@@ -412,28 +412,36 @@ object ExtensionQueries {
 
     // ------------------------------------------------------------------
     // q64: IVF-Flat ANN top-5 — the data-adaptive counterpart to q49's
-    // oblivious hyperplanes: sampled-centroid cells (every 32nd vector),
+    // oblivious hyperplanes: a CONSTANT-size codebook (the 16 vectors
+    // with smallest PolyHash("ivf#"||id) — size independent of corpus),
     // shuffle-free nearest-cell assignment, queries probe their 4 closest
-    // cells. The oracle replays cell assignment and probing with a DuckDB
-    // window over list_dot_product (same dot arithmetic, same (dot DESC,
-    // cid ASC) tie-break as CentroidRanks).
+    // cells. The oracle replays codebook pick (same hash, top-16 window)
+    // and cell assignment with a DuckDB window over list_dot_product
+    // (same dot arithmetic, same (dot DESC, cid ASC) tie-break as
+    // CentroidRanks).
     Q(
       "q64_knn_ivf",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 5), e, 5,
-            centroidStep = 32, nProbe = 4)
+            nCentroids = 16, nProbe = 4)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |picked AS (
+             |  SELECT vec_id, v FROM (
+             |    SELECT vec_id, v,
+             |      ${PolyHash.duckSql("'ivf#' || vec_id::VARCHAR")} AS h
+             |    FROM e)
+             |  ORDER BY h, vec_id LIMIT 16),
              |cents AS (
              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-             |  FROM e WHERE vec_id % 32 = 0),
+             |  FROM picked),
              |cell_ranks AS (
              |  SELECT e.vec_id, c.cid,
              |    row_number() OVER (PARTITION BY e.vec_id
              |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rnk
-             |  FROM e CROSS JOIN cents),
+             |  FROM e CROSS JOIN cents c),
              |assign AS (SELECT vec_id, cid FROM cell_ranks WHERE rnk = 1),
              |probes AS (SELECT vec_id, cid FROM cell_ranks
              |           WHERE rnk <= 4 AND vec_id < 5),

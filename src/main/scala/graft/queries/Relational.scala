@@ -136,8 +136,11 @@ object Relational {
              |ORDER BY o_orderpriority""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q05: 6-table star join (TPC-H Q5 shape). region/nation/supplier are
-    // broadcast (dimension tables); only orders⋈lineitem shuffles.
+    // q05: 6-table star join (TPC-H Q5 shape). region/nation/supplier/
+    // customer are all broadcast (dimension tables — customer is ~15k rows
+    // at sf0.1 and left un-hinted it flapped to a shuffle join under AQE,
+    // r02 bench regression 1.33s→3.31s); only orders⋈lineitem shuffles.
+    // PlanSpec pins the single-exchange shape.
     Q(
       "q05_local_supplier_volume",
       (s, dir) => {
@@ -151,7 +154,7 @@ object Relational {
         val li = t(s, dir, "lineitem")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
-          .join(c, o("o_custkey") === c("c_custkey")
+          .join(broadcast(c), o("o_custkey") === c("c_custkey")
             && c("c_nationkey") === su("s_nationkey"))
           .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

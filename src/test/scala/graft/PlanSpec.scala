@@ -34,6 +34,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(400))
   }
 
+  test("q05: all four dimension joins broadcast — exactly one shuffle (orders⋈lineitem)") {
+    // r02 regression: customer un-hinted flapped to a shuffle join under
+    // AQE (1.33s→3.31s at sf0.1). Pin the shape: the ONLY hash-partition
+    // exchanges allowed are the fact-side orders⋈lineitem pair; customer/
+    // supplier/nation/region must all arrive via broadcast.
+    val df = SparkEntry.queries("q05_local_supplier_volume")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString()
+    val dimExchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")
+        && Seq("c_custkey", "s_suppkey", "s_nationkey", "n_nationkey", "r_regionkey")
+          .exists(l.contains)).toSeq
+    assert(dimExchanges.isEmpty,
+      s"dimension table shuffled instead of broadcast:\n${dimExchanges.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
+
   test("q09: global sort+limit plans as TakeOrderedAndProject") {
     val p = planOf("q09_top_orders")
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
