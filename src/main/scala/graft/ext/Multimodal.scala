@@ -90,6 +90,55 @@ object Multimodal {
     }
   }
 
+  /** Deterministic golden media corpus: real PNG/BMP bytes encoded
+    * in-JVM with KNOWN dimensions, plus undecodable junk payloads (the
+    * poison-pill path). Returns each record WITH its expected decode
+    * metadata computed from the generation PARAMETERS — width/height
+    * are what the encoder was told, never what a decoder read back —
+    * so a query over this corpus has ground truth independent of the
+    * decode path under test. q62 runs [[decodeImage]] over it against
+    * a literal-VALUES DuckDB oracle built from the expected side
+    * (closing round-2's one rows-only correctness hole).
+    *
+    * Pixels vary per (x, y, doc) so encoders emit real image data;
+    * PNG re-encoding is deterministic in-process, making n_bytes and
+    * checksum stable between the query run and the oracle build.
+    */
+  def syntheticMediaCorpus(n: Int = 24): Seq[(MediaRecord, ImageMeta)] =
+    (0 until n).map { i =>
+      val id = i.toLong
+      if (i % 5 == 4) {
+        // junk: bytes no ImageIO reader claims → expected = stub fallback
+        val bytes = Array.tabulate[Byte](40 + i)(j => ((i * 31 + j * 7) % 251).toByte)
+        (MediaRecord(id, bytes), stubMeta(MediaRecord(id, bytes)))
+      } else {
+        val w = 8 + i
+        val h = 5 + (i * 3) % 17
+        val argbPng = i % 4 == 2 // PNG carries alpha → 4 decoded channels
+        val fmt = if (i % 2 == 0) "png" else "bmp"
+        val imgType =
+          if (argbPng) java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        val img = new java.awt.image.BufferedImage(w, h, imgType)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = ((x * 31 + y * 17 + i * 7) % 0xffffff) | (if (argbPng) 0xff000000 else 0)
+            img.setRGB(x, y, rgb)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, out)
+        val bytes = out.toByteArray
+        (MediaRecord(id, bytes),
+          ImageMeta(id, bytes.length.toLong, w, h, if (argbPng) 4 else 3,
+            checksumOf(bytes)))
+      }
+    }
+
   /** STUB frame sampler ("video" → n byte-range frames with checksums):
     * the plumbing for per-frame feature extraction.
     */
@@ -122,6 +171,49 @@ object Multimodal {
       it.map { rec =>
         ImageMeta(rec.doc_id, rec.content.length.toLong, w, h, 3,
           checksumOf(rec.content))
+      }
+    }
+  }
+
+  /** REAL resize via the JDK's Graphics2D (bilinear resample → PNG
+    * re-encode — no external deps, same argument as [[decodeImage]]).
+    * Output metadata describes the RESIZED image: n_bytes/checksum over
+    * the re-encoded PNG bytes, dims = target dims, channels preserved
+    * from the source. Deterministic in-process (fixed interpolation,
+    * fixed encoder), so pipelines can content-address resized artifacts
+    * by the checksum. Undecodable payloads fall back to [[resizeStub]]
+    * semantics — one stub row, not a stage retry.
+    */
+  def resizeImage(ds: Dataset[MediaRecord], w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[ImageMeta] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (src == null)
+          ImageMeta(rec.doc_id, rec.content.length.toLong, w, h, 3,
+            checksumOf(rec.content))
+        else {
+          val hasAlpha = src.getColorModel.hasAlpha
+          val dstType =
+            if (hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+          val dst = new java.awt.image.BufferedImage(w, h, dstType)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          val bytes = out.toByteArray
+          ImageMeta(rec.doc_id, bytes.length.toLong, w, h,
+            src.getColorModel.getNumComponents, checksumOf(bytes))
+        }
       }
     }
   }

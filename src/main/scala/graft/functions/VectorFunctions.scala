@@ -280,6 +280,10 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // NB: no generated line may START with '|' (e.g. a leading '||'
+    // continuation): codegen Blocks stripMargin the assembled source a
+    // second time, which silently corrupts the Java and drops the whole
+    // stage to interpreted fallback.
     val m = ctx.addReferenceObj("centroids", mat, "float[][]")
     val gad = classOf[GenericArrayData].getName
     nullSafeCodeGen(ctx, ev, v => {
@@ -312,8 +316,8 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
          |for (int $a = 0; $a < $c; $a++) {
          |  int $best = $a;
          |  for (int $b = $a + 1; $b < $c; $b++) {
-         |    if ($dots[$idx[$b]] > $dots[$idx[$best]]
-         |        || ($dots[$idx[$b]] == $dots[$idx[$best]] && $idx[$b] < $idx[$best])) {
+         |    if ($dots[$idx[$b]] > $dots[$idx[$best]] ||
+         |        ($dots[$idx[$b]] == $dots[$idx[$best]] && $idx[$b] < $idx[$best])) {
          |      $best = $b;
          |    }
          |  }

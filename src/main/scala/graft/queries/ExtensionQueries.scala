@@ -605,24 +605,34 @@ object ExtensionQueries {
              |ORDER BY q""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q62: the REAL image decode path (javax.imageio with stub fallback)
-    // run at scale over binary content. No SQL oracle exists for ImageIO
-    // — registered without one, so the driver records the weaker
-    // rows-only check; the decode values themselves are pinned by
-    // ExtensionSpec against in-test-generated PNG/BMP bytes.
+    // q62: the REAL image decode path (javax.imageio with stub fallback),
+    // now hash-gated (round-2 verdict item 4): the corpus is deterministic
+    // in-JVM PNG/BMP/junk bytes with KNOWN dims, and the oracle is a
+    // literal VALUES table built from the generation parameters — ground
+    // truth independent of the decode under test (ImageIO must read back
+    // exactly the dims the encoder was told; junk must hit the stub
+    // fallback formula). Decode-at-scale over the documents table stays
+    // covered by q50 + ExtensionSpec.
     Q(
       "q62_multimodal_decode",
-      (s, dir) => {
+      (s, _) => {
         implicit val sp = s
         import s.implicits._
-        val media = Multimodal.withBinaryContent(Tables.load(s, dir, "documents"))
-          .select(col("doc_id"), col("content"))
-          .as[Multimodal.MediaRecord]
+        val media = s.createDataset(Multimodal.syntheticMediaCorpus().map(_._1))
+          .repartition(4) // exercise the per-partition batch shape
         Multimodal.decodeImage(media).toDF()
           .select("doc_id", "n_bytes", "width", "height", "channels", "checksum")
           .orderBy("doc_id")
       },
-      None),
+      Some {
+        val rows = Multimodal.syntheticMediaCorpus().map { case (_, m) =>
+          s"(${m.doc_id}, ${m.n_bytes}, ${m.width}, ${m.height}, ${m.channels}, ${m.checksum})"
+        }.mkString(",\n             |  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows)
+           |AS t(doc_id, n_bytes, width, height, channels, checksum)
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // q50: multimodal binary-column metadata (SQL-expressible projection;

@@ -325,6 +325,76 @@ class ExtensionSpec extends SparkSpec {
     assert(meta(3L).width == 1 + junkLen % 640 && meta(3L).n_bytes == junkLen)
   }
 
+  test("ANN recall floor: lshTopK and ivfTopK recover >=90% of planted near-dup pairs") {
+    // The subset-of-brute properties above are vacuously true for an
+    // operator returning zero candidates (round-2 verdict item 5); this
+    // pins recall quantitatively. 100 planted partners at cos ~ 0.9999
+    // of their base vector: each query's true nearest neighbor is its
+    // base, so top-5 must contain it.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val base = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val planted = base.take(100).map { case (i, v) =>
+      (1000L + i, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.005f))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") >= 1000L)
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val hits = res.collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .count { case (q, n) => n == q - 1000L }
+      hits / 100.0
+    }
+    val lshRecall = recallOf(SimilaritySearch.lshTopK(queries, corpus, 5))
+    assert(lshRecall >= 0.9, s"lshTopK planted-pair recall $lshRecall < 0.9")
+    val ivfRecall = recallOf(
+      SimilaritySearch.ivfTopK(queries, corpus, 5, nCentroids = 16, nProbe = 4))
+    assert(ivfRecall >= 0.9, s"ivfTopK planted-pair recall $ivfRecall < 0.9")
+  }
+
+  test("ivfTopK with nProbe >= C degrades to exact brute force") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = keyOf(SimilaritySearch.bruteTopK(q, e, 5))
+    val ivfAll = keyOf(SimilaritySearch.ivfTopK(q, e, 5, nCentroids = 4, nProbe = 4))
+    assert(ivfAll == brute)
+  }
+
+  test("multimodal: golden corpus decode matches generation parameters (q62 gate shape)") {
+    implicit val s = spark
+    val golden = Multimodal.syntheticMediaCorpus()
+    val meta = Multimodal.decodeImage(s.createDataset(golden.map(_._1)))
+      .collect().map(m => m.doc_id -> m).toMap
+    golden.foreach { case (_, exp) =>
+      val got = meta(exp.doc_id)
+      assert(got == exp, s"doc ${exp.doc_id}: decoded $got != expected $exp")
+    }
+    // corpus mixes shapes: both PNG channel counts and the junk path
+    assert(golden.exists(_._2.channels == 4) && golden.count(g => g._1.doc_id % 5 == 4) >= 4)
+  }
+
+  test("multimodal: real resize produces target dims, preserves channels, deterministic") {
+    implicit val s = spark
+    val golden = Multimodal.syntheticMediaCorpus().map(_._1)
+    def run() = Multimodal.resizeImage(s.createDataset(golden), 12, 7)
+      .collect().map(m => m.doc_id -> m).toMap
+    val a = run()
+    val b = run()
+    assert(a == b, "resize not deterministic across runs")
+    val expected = Multimodal.syntheticMediaCorpus().map(_._2)
+    expected.foreach { exp =>
+      val got = a(exp.doc_id)
+      assert(got.width == 12 && got.height == 7)
+      if (exp.doc_id % 5 != 4) {
+        // real images: channels preserved, bytes are the re-encoded PNG
+        assert(got.channels == exp.channels)
+        assert(got.checksum != exp.checksum || got.n_bytes != exp.n_bytes)
+      }
+    }
+  }
+
   test("multimodal: feature-extract stub feeds similarity search") {
     implicit val s = spark
     val docs = Tables.load(spark, sf0001, "documents").limit(100)

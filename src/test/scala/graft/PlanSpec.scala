@@ -96,6 +96,24 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("vector expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
+    // r03 find: CentroidRanks generated a line starting with '||'; codegen
+    // Blocks stripMargin the assembled source a second time, so the Java
+    // was corrupt and every q64 stage fell back to the interpreter —
+    // silently, because the default factoryMode is FALLBACK. CODEGEN_ONLY
+    // turns that compile failure into a hard error.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val e = Tables.load(spark, sf0001, "embeddings")
+      val ivf = graft.ext.SimilaritySearch.ivfTopK(
+        e.filter(col("vec_id") < 3), e, 3, nCentroids = 8, nProbe = 2)
+      assert(ivf.count() > 0)
+      val lsh = graft.ext.SimilaritySearch.lshTopK(
+        e.filter(col("vec_id") < 3), e, 3)
+      assert(lsh.count() >= 0)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("q56: banded range join plans as an equi-join, not a nested loop") {
     val df = SparkEntry.queries("q56_interval_attribution")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString()
