@@ -35,6 +35,11 @@ object StreamingQueries {
         if (id > 1) s.catalog.dropTempView(s"graft_stream_hourly_${id - 1}")
         val name = s"graft_stream_hourly_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+        // AvailableNow: plan ONE micro-batch over everything currently in
+        // the source, then self-terminate — drops the continuous-trigger
+        // poll/commit cycles that dominated the r02 bench (5.65s); the
+        // streaming machinery (source offsets, state store, sink commit)
+        // is unchanged, so the oracle row still gates real streaming.
         val q = EventStreams.hourlyCounts(
             EventStreams.readStream(s, dir, globFilter = Some("events.parquet")))
           .writeStream
@@ -42,9 +47,10 @@ object StreamingQueries {
           .queryName(name)
           .outputMode("complete")
           .option("checkpointLocation", ckptDir.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try {
-          q.processAllAvailable()
+          q.awaitTermination()
         } finally {
           q.stop()
           // the memory sink holds the data; the checkpoint is disposable
