@@ -190,6 +190,42 @@ object Dedup {
       .select("da", "db", "jaccard")
   }
 
+  /** CROSS-TABLE near-dup join — the incremental-ingest form of
+    * [[nearDupPairs]]: for each `left` (incoming) doc, find every `right`
+    * (existing-corpus) doc with n-gram Jaccard ≥ threshold. This is how a
+    * training pipeline dedups a new crawl batch against the corpus it
+    * already holds WITHOUT re-pairing the corpus against itself: both
+    * sides compute MinHash band keys, candidates meet through one
+    * (band, key) equi-join — corpus-side work is linear in corpus size,
+    * pair space is bucket-local, and the exact-Jaccard verify runs only
+    * on candidates. Output: (da from left, db from right, jaccard).
+    */
+  def nearDupJoin(left: DataFrame, right: DataFrame,
+                  textCol: String, idCol: String,
+                  threshold: Double): DataFrame = {
+    def bandKeysOf(df: DataFrame, outId: String): DataFrame = {
+      val sig = minhashSignatures(df, textCol, idCol)
+      val bandKeys = (0 until Bands).map { b =>
+        val keys = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+        struct(lit(b).as("band"), concat_ws("|", keys: _*).as("key"))
+      }
+      sig.select(col(idCol).as(outId), explode(array(bandKeys: _*)).as("bk"))
+        .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val cand = bandKeysOf(left, "da")
+      .join(bandKeysOf(right, "db"), Seq("band", "key"))
+      .select("da", "db").distinct()
+    val ha = left.select(col(idCol).as("da"), shingleHashes(col(textCol)).as("ha"))
+    val hb = right.select(col(idCol).as("db"), shingleHashes(col(textCol)).as("hb"))
+    cand.join(ha, "da").join(hb, "db")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard",
+        Rounding.stableRound6(col("inter").cast("double")
+          / (size(col("ha")) + size(col("hb")) - col("inter"))))
+      .where(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
+
   /** Connected components over a near-dup pair graph: every node gets its
     * component's minimum id as `label` — the cluster-canonical assignment
     * that turns pairwise near-dup evidence into "keep one per cluster".

@@ -52,4 +52,35 @@ object RangeJoin {
       .where(col(pointTs) >= col(start) && col(pointTs) < col(end))
       .drop("__band")
   }
+
+  /** Interval×interval OVERLAP join (half-open intervals: overlap iff
+    * `lStart < rEnd && rStart < lEnd`), banded the same way as
+    * [[pointInInterval]] — both sides explode into the bands they cover
+    * and meet through an equi-join on the band id.
+    *
+    * An overlapping pair co-occupies every band its overlap region
+    * touches, so the join would duplicate it; instead of a post-join
+    * `distinct` (a full extra shuffle carrying both payloads), each pair
+    * is emitted ONLY in the band containing `max(lStart, rStart)` — the
+    * first instant of the overlap, which both intervals cover by
+    * definition. Dedup is thus a free per-row predicate.
+    *
+    * All four column names must be distinct across the two inputs.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bandSeconds: Long): DataFrame = {
+    def banded(df: DataFrame, start: String, end: String): DataFrame =
+      df.where(col(end) > col(start))
+        .withColumn("__band",
+          explode(sequence(
+            floor(epochSec(col(start)) / bandSeconds).cast("long"),
+            floor((epochSec(col(end)) - lit(1e-6)) / bandSeconds).cast("long"))))
+    banded(left, lStart, lEnd).join(banded(right, rStart, rEnd), "__band")
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .where(floor(greatest(epochSec(col(lStart)), epochSec(col(rStart)))
+        / bandSeconds).cast("long") === col("__band"))
+      .drop("__band")
+  }
 }

@@ -649,6 +649,152 @@ object ExtensionQueries {
              |  (1 + octet_length(encode(text)) % 640)::BIGINT AS width,
              |  (1 + (octet_length(encode(text))::BIGINT * 31) % 480)::BIGINT AS height
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q65: salted skew join, oracle = the PLAIN join's SQL — the gate IS
+    // the invariant that salting never changes results (the salt spreads
+    // each hot key over `buckets` reducers and never escapes the join).
+    Q(
+      "q65_skew_join_agg",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.ops.SkewJoin.salted(o, c, "custkey", buckets = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q66: incremental near-dup — dedup an incoming 20% slice (the
+    // deterministic hash-split, so the oracle replays membership) against
+    // the 80% already-held corpus via the cross-table MinHash band join.
+    // The corpus never self-pairs: candidate work is one (band, key)
+    // equi-join between the sides, verify only on candidates.
+    Q(
+      "q66_incremental_neardup",
+      (s, dir) => {
+        val d = Sampling.hashSplit(Tables.load(s, dir, "documents"),
+          "doc_id", "inc", Seq(("corpus", 0.8), ("incoming", 0.2)))
+        val incoming = d.filter(col("split") === "incoming").select("doc_id", "text")
+        val corpus = d.filter(col("split") === "corpus").select("doc_id", "text")
+        Dedup.nearDupJoin(incoming, corpus, "text", "doc_id", 0.5)
+          .orderBy("da", "db")
+      },
+      Some {
+        val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a * h + $b) % $P) AS m$i"
+        }.mkString(",\n             |    ")
+        val bandJoins = (0 until Dedup.Bands).map { bnd =>
+          val keys = (0 until Dedup.RowsPerBand).map(r => s"m${bnd * Dedup.RowsPerBand + r}")
+          s"""SELECT a.doc_id AS da, b.doc_id AS db
+             |    FROM lsig a JOIN rsig b
+             |    ON ${keys.map(k => s"a.$k = b.$k").mkString(" AND ")}"""
+        }.mkString("\n             |    UNION\n             |    ")
+        s"""WITH $ShingleCtes,
+           |buckets AS (
+           |  SELECT doc_id, (h * h % 1000000007) % 10000 AS bucket
+           |  FROM (SELECT doc_id, ${PolyHash.duckSql("'inc#' || doc_id::VARCHAR")} AS h
+           |        FROM documents)),
+           |hashes AS (SELECT doc_id, ${PolyHash.duckSql("s")} AS h FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM hashes GROUP BY doc_id),
+           |lsig AS (SELECT sig.* FROM sig JOIN buckets USING (doc_id)
+           |         WHERE bucket >= 8000),
+           |rsig AS (SELECT sig.* FROM sig JOIN buckets USING (doc_id)
+           |         WHERE bucket < 8000),
+           |cand AS (SELECT DISTINCT da, db FROM (
+           |    $bandJoins)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.da, c.db, count(*) AS i
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.da
+           |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+           |  GROUP BY 1, 2)
+           |SELECT da, db,
+           |  floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = da
+           |JOIN sizes sb ON sb.doc_id = db
+           |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= 0.5
+           |ORDER BY da, db""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q67: sliding-window aggregation (1h window, 30min slide — every
+    // event lands in exactly width/slide = 2 windows). The oracle
+    // replays Spark's window assignment with a 2-element unnest of the
+    // candidate starts; epoch-aligned 30-min buckets on both engines.
+    Q(
+      "q67_sliding_windows",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum("value"), 2).as("sum_value"))
+          .select(col("w.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""SELECT w_start, event_type,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+             |FROM (
+             |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+             |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+             |           AS w_start,
+             |         event_type, value
+             |  FROM events)
+             |GROUP BY w_start, event_type
+             |ORDER BY w_start, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q68: interval×interval overlap join, banded (ops.RangeJoin
+    // .intervalOverlap): purchase attribution windows vs high-value view
+    // windows. The oracle is the naive overlap predicate — feasible in
+    // DuckDB at gate scale; the Spark side must produce identical pairs
+    // through the banded equi-join with its per-row band dedup.
+    Q(
+      "q68_interval_overlap",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val purchases = e
+          .filter(col("event_type") === "purchase" && col("value") > 100)
+          .select(col("event_id").as("purchase_id"),
+            col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"))
+        val views = e
+          .filter(col("event_type") === "view" && col("value") > 100)
+          .select(col("event_id").as("view_id"),
+            col("ts").as("v_start"),
+            (col("ts") + expr("INTERVAL 45 MINUTES")).as("v_end"))
+        graft.ops.RangeJoin.intervalOverlap(purchases, views,
+            "p_start", "p_end", "v_start", "v_end", bandSeconds = 1800L)
+          .select("purchase_id", "view_id")
+          .orderBy("purchase_id", "view_id")
+      },
+      Some("""SELECT p.purchase_id, v.view_id
+             |FROM
+             |  (SELECT event_id AS purchase_id, ts AS ps,
+             |          ts + INTERVAL 30 MINUTE AS pe
+             |   FROM events WHERE event_type = 'purchase' AND value > 100) p,
+             |  (SELECT event_id AS view_id, ts AS vs,
+             |          ts + INTERVAL 45 MINUTE AS ve
+             |   FROM events WHERE event_type = 'view' AND value > 100) v
+             |WHERE p.ps < v.ve AND v.vs < p.pe
+             |ORDER BY purchase_id, view_id""".stripMargin))
   )
 }

@@ -303,6 +303,78 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap == naive overlap join on random interval sets (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def tsOf(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val secGen = Gen.choose(0L, 86400L)
+    (1L to 5L).foreach { seed =>
+      // ~8% reversed/degenerate intervals on each side by construction —
+      // they must match nothing and must not band-explode
+      val lens = Gen.zip(secGen, Gen.choose(-600L, 7200L))
+      val l = sample(Gen.listOfN(30, lens), seed).zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, tsOf(s), tsOf(s + len)) }
+        .toDF("l_id", "l_start", "l_end")
+      val r = sample(Gen.listOfN(40, lens), seed + 100).zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, tsOf(s), tsOf(s + len)) }
+        .toDF("r_id", "r_start", "r_end")
+      val banded = graft.ops.RangeJoin.intervalOverlap(
+          l, r, "l_start", "l_end", "r_start", "r_end", bandSeconds = 900L)
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val naive = l.crossJoin(r)
+        .where(col("l_start") < col("r_end") && col("r_start") < col("l_end")
+          && col("l_end") > col("l_start") && col("r_end") > col("r_start"))
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(banded == naive, s"seed $seed: banded ${banded.size} vs naive ${naive.size}")
+      // per-row band dedup means each overlapping pair appears EXACTLY once
+      val rows = graft.ops.RangeJoin.intervalOverlap(
+          l, r, "l_start", "l_end", "r_start", "r_end", bandSeconds = 900L)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(rows.length == rows.toSet.size, s"seed $seed: duplicate pairs emitted")
+    }
+  }
+
+  test("nearDupJoin finds planted cross-table dups, emits only true-Jaccard pairs") {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(7)
+    def doc(): String = Array.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (0L until 40L).map(i => (i, doc()))
+    // planted: 10 incoming docs that are exact copies of corpus docs 0-9
+    // (identical MinHash signature -> certain LSH candidate -> recall 1),
+    // plus 10 fresh incoming docs
+    val incoming = (0L until 10L).map(i => (100L + i, corpus(i.toInt)._2)) ++
+      (10L until 20L).map(i => (100L + i, doc()))
+    val got = Dedup.nearDupJoin(
+        incoming.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    (0L until 10L).foreach { i =>
+      assert(gotPairs.contains((100L + i, i)), s"missing planted pair ${100 + i} -> $i")
+    }
+    // soundness: every emitted pair must pass the exact cross-table
+    // Jaccard (brute) — the banded join may only shrink the pair space
+    val brute = {
+      val a = incoming.toDF("doc_id", "text")
+        .select(col("doc_id").as("da"), Dedup.shingleHashes(col("text")).as("ha"))
+      val b = corpus.toDF("doc_id", "text")
+        .select(col("doc_id").as("db"), Dedup.shingleHashes(col("text")).as("hb"))
+      a.crossJoin(b)
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("j", col("inter").cast("double")
+          / (size(col("ha")) + size(col("hb")) - col("inter")))
+        .where(col("j") >= 0.5)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(gotPairs.subsetOf(brute), s"false positives: ${gotPairs -- brute}")
+  }
+
   test("multimodal: decodeImage reads real PNG/BMP bytes, falls back on junk") {
     implicit val s = spark
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {

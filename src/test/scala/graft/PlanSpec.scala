@@ -114,12 +114,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
-  test("q56: banded range join plans as an equi-join, not a nested loop") {
-    val df = SparkEntry.queries("q56_interval_attribution")(spark, sf0001)
-    val plan = df.queryExecution.executedPlan.toString()
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"range join fell back to all-pairs:\n${plan.take(800)}")
-    assert(plan.contains("Join") || plan.contains("join"), plan.take(400))
+  test("q56/q68: banded range joins plan as equi-joins, not nested loops") {
+    Seq("q56_interval_attribution", "q68_interval_overlap").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name fell back to all-pairs:\n${plan.take(800)}")
+      assert(plan.contains("Join") || plan.contains("join"), plan.take(400))
+    }
   }
 
   test("salted join == plain join (skew utility preserves semantics)") {
