@@ -795,6 +795,125 @@ object ExtensionQueries {
              |          ts + INTERVAL 45 MINUTE AS ve
              |   FROM events WHERE event_type = 'view' AND value > 100) v
              |WHERE p.ps < v.ve AND v.vs < p.pe
-             |ORDER BY purchase_id, view_id""".stripMargin))
+             |ORDER BY purchase_id, view_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q69: cumulative unique users — the FIRST-TOUCH formulation: uniques
+    // per day are users whose min(ts) lands that day, so the cumulative
+    // count is a running sum over daily new-user counts. At scale this is
+    // one user-keyed aggregation + a window over #days (dozens of rows),
+    // NOT a growing distinct-set accumulation over the event stream.
+    Q(
+      "q69_cumulative_uniques",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+        val firstSeen = e.groupBy("user_id")
+          .agg(min(date_trunc("day", col("ts"))).as("first_day"))
+        val w = Window.orderBy("first_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstSeen.groupBy("first_day")
+          .agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum("new_users").over(w))
+          .orderBy("first_day")
+      },
+      Some("""SELECT first_day, count(*) AS new_users,
+             |  CAST(sum(count(*)) OVER (ORDER BY first_day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_users
+             |FROM (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+             |        AS first_day
+             |      FROM events GROUP BY user_id)
+             |GROUP BY first_day
+             |ORDER BY first_day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q70: weekly retention cohorts — users cohorted by first-activity
+    // week, activity counted as distinct users per (cohort, weeks-since).
+    // The cohort map is a user-keyed aggregation joined back on user_id
+    // (both sides shuffle-partitioned by user — co-located, no broadcast
+    // needed as the map grows with the user base).
+    Q(
+      "q70_retention_cohorts",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val act = e.select(col("user_id"),
+          date_trunc("week", col("ts")).as("week"))
+        val cohort = act.groupBy("user_id").agg(min("week").as("cohort_week"))
+        act.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+              .as("weeks_since"))
+          .agg(countDistinct("user_id").as("active_users"))
+          .orderBy("cohort_week", "weeks_since")
+      },
+      Some("""SELECT cohort_week, weeks_since,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+             |FROM (
+             |  SELECT a.user_id, c.cohort_week,
+             |    (date_diff('day', c.cohort_week::DATE, a.week::DATE) // 7)::BIGINT
+             |      AS weeks_since
+             |  FROM (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)
+             |          AS week FROM events) a
+             |  JOIN (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+             |          AS cohort_week FROM events GROUP BY user_id) c
+             |    ON a.user_id = c.user_id)
+             |GROUP BY cohort_week, weeks_since
+             |ORDER BY cohort_week, weeks_since""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q71: multimodal -> features -> ANN, end to end: byte-histogram
+    // feature extraction (the stub standing in for a model forward pass)
+    // over the golden media corpus, piped straight into exact top-k
+    // cosine search. The oracle restates the features as literal arrays
+    // (computed independently from the corpus BYTES at oracle-build
+    // time — exact float->double expansions) and replays the kNN with
+    // DuckDB's list_cosine_similarity, so both the distributed batch
+    // plumbing and the ANN math are hash-gated.
+    Q(
+      "q71_media_knn",
+      (s, _) => {
+        implicit val sp = s
+        import s.implicits._
+        val media = s.createDataset(Multimodal.syntheticMediaCorpus(48).map(_._1))
+          .repartition(4)
+        val feats = Multimodal.featureExtractStub(media, dim = 16).toDF()
+          .withColumnRenamed("doc_id", "vec_id")
+        SimilaritySearch.bruteTopK(feats.filter(col("vec_id") < 4), feats, 3)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        // independent replay of the byte-histogram features in driver
+        // Scala (plain arrays, no Spark), emitted as exact DOUBLE
+        // literals: a float widens to double losslessly and
+        // BigDecimal(double) prints its exact decimal expansion
+        val rows = Multimodal.syntheticMediaCorpus(48).map { case (rec, _) =>
+          val dim = 16
+          val v = new Array[Float](dim)
+          rec.content.foreach(b => v((b & 0xff) % dim) += 1f)
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+          val unit =
+            if (norm > 0) v.map(x => (x / norm).toFloat) else v
+          val lits = unit.map(f =>
+            new java.math.BigDecimal(f.toDouble).toPlainString)
+            .mkString("[", ", ", "]")
+          s"(${rec.doc_id}, $lits::DOUBLE[])"
+        }.mkString(",\n             |  ")
+        s"""WITH feats(vec_id, v) AS (VALUES
+           |  $rows),
+           |q AS (SELECT * FROM feats WHERE vec_id < 4),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    floor(list_cosine_similarity(q.v, c.v) * 1000000 + 0.5) / 1000000 AS cos
+           |  FROM q CROSS JOIN feats c WHERE q.vec_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin
+      })
   )
 }
