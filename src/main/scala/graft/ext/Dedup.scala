@@ -92,22 +92,48 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** One exploded (id, band, key) relation per doc — the LSH join key
+    * shared by the self-join ([[minhashCandidates]]) and cross-table
+    * ([[nearDupJoin]]) candidate paths, so the banding layout can never
+    * diverge between them (or from the DuckDB oracle replay).
+    */
+  private def bandKeys(df: DataFrame, textCol: String, idCol: String,
+                       outId: String): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol)
+    val keys = (0 until Bands).map { b =>
+      val ks = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", ks: _*).as("key"))
+    }
+    sig.select(col(idCol).as(outId), explode(array(keys: _*)).as("bk"))
+      .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Exact-Jaccard verification of candidate (da, db) pairs on the two
+    * sides' compiled shingle-hash arrays (computed once per side via a
+    * projection, intersected as longs — not re-derived string shingles
+    * through interpreted HOFs). Shared by every LSH→verify composition.
+    */
+  private def verifyJaccard(cand: DataFrame, left: DataFrame, right: DataFrame,
+                            textCol: String, idCol: String,
+                            threshold: Double): DataFrame = {
+    val a = left.select(col(idCol).as("da"), shingleHashes(col(textCol)).as("ha"))
+    val b = right.select(col(idCol).as("db"), shingleHashes(col(textCol)).as("hb"))
+    cand.join(a, "da").join(b, "db")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard",
+        Rounding.stableRound6(col("inter").cast("double")
+          / (size(col("ha")) + size(col("hb")) - col("inter"))))
+      .where(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
+
   /** LSH candidate pairs: docs agreeing on all rows of at least one band.
-    * Implemented as `Bands` equi-self-joins on the band signature —
-    * shuffle-partitioned by band key, no cross join anywhere.
+    * Implemented as ONE equi-self-join on the exploded composite
+    * (band, key) — shuffle-partitioned by band key, no cross join
+    * anywhere (and one shuffle instead of `Bands` separate join legs).
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // one exploded (band_idx, band_key) relation + a single self-join on
-    // the composite key — ONE shuffle instead of `Bands` separate
-    // join+union legs
-    val sig = minhashSignatures(df, textCol, idCol)
-    val bandKeys = (0 until Bands).map { b =>
-      val keys = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws("|", keys: _*).as("key"))
-    }
-    val bands = sig
-      .select(col(idCol).as("id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandKeys(df, textCol, idCol, "id")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -173,22 +199,9 @@ object Dedup {
     * pipeline as you'd run it at scale.
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                   threshold: Double): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol)
-    // verify on the compiled hash arrays (computed once per side via a
-    // projection, intersected as longs) — not on re-derived string
-    // shingles through interpreted HOFs
-    val hashed = df.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
-    val a = hashed.select(col(idCol).as("da"), col("hs").as("ha"))
-    val b = hashed.select(col(idCol).as("db"), col("hs").as("hb"))
-    cand.join(a, "da").join(b, "db")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jaccard",
-        Rounding.stableRound6(col("inter").cast("double")
-          / (size(col("ha")) + size(col("hb")) - col("inter"))))
-      .where(col("jaccard") >= threshold)
-      .select("da", "db", "jaccard")
-  }
+                   threshold: Double): DataFrame =
+    verifyJaccard(minhashCandidates(df, textCol, idCol), df, df,
+      textCol, idCol, threshold)
 
   /** CROSS-TABLE near-dup join — the incremental-ingest form of
     * [[nearDupPairs]]: for each `left` (incoming) doc, find every `right`
@@ -203,27 +216,10 @@ object Dedup {
   def nearDupJoin(left: DataFrame, right: DataFrame,
                   textCol: String, idCol: String,
                   threshold: Double): DataFrame = {
-    def bandKeysOf(df: DataFrame, outId: String): DataFrame = {
-      val sig = minhashSignatures(df, textCol, idCol)
-      val bandKeys = (0 until Bands).map { b =>
-        val keys = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-        struct(lit(b).as("band"), concat_ws("|", keys: _*).as("key"))
-      }
-      sig.select(col(idCol).as(outId), explode(array(bandKeys: _*)).as("bk"))
-        .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
-    }
-    val cand = bandKeysOf(left, "da")
-      .join(bandKeysOf(right, "db"), Seq("band", "key"))
+    val cand = bandKeys(left, textCol, idCol, "da")
+      .join(bandKeys(right, textCol, idCol, "db"), Seq("band", "key"))
       .select("da", "db").distinct()
-    val ha = left.select(col(idCol).as("da"), shingleHashes(col(textCol)).as("ha"))
-    val hb = right.select(col(idCol).as("db"), shingleHashes(col(textCol)).as("hb"))
-    cand.join(ha, "da").join(hb, "db")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jaccard",
-        Rounding.stableRound6(col("inter").cast("double")
-          / (size(col("ha")) + size(col("hb")) - col("inter"))))
-      .where(col("jaccard") >= threshold)
-      .select("da", "db", "jaccard")
+    verifyJaccard(cand, left, right, textCol, idCol, threshold)
   }
 
   /** Connected components over a near-dup pair graph: every node gets its

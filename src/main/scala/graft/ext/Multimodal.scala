@@ -177,12 +177,15 @@ object Multimodal {
 
   /** REAL resize via the JDK's Graphics2D (bilinear resample → PNG
     * re-encode — no external deps, same argument as [[decodeImage]]).
-    * Output metadata describes the RESIZED image: n_bytes/checksum over
-    * the re-encoded PNG bytes, dims = target dims, channels preserved
-    * from the source. Deterministic in-process (fixed interpolation,
-    * fixed encoder), so pipelines can content-address resized artifacts
-    * by the checksum. Undecodable payloads fall back to [[resizeStub]]
-    * semantics — one stub row, not a stage retry.
+    * Output metadata describes the RESIZED ARTIFACT: n_bytes/checksum
+    * over the re-encoded PNG bytes, dims = target dims, channels = what
+    * the re-encoded PNG actually carries (4 if the source had alpha,
+    * else 3 — so decoding the artifact agrees with its stored metadata;
+    * a grayscale source is widened to RGB by the resample target).
+    * Deterministic in-process (fixed interpolation, fixed encoder), so
+    * pipelines can content-address resized artifacts by the checksum.
+    * Undecodable payloads fall back to [[resizeStub]] semantics — one
+    * stub row, not a stage retry.
     */
   def resizeImage(ds: Dataset[MediaRecord], w: Int, h: Int)(
       implicit spark: SparkSession): Dataset[ImageMeta] = {
@@ -212,7 +215,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(dst, "png", out)
           val bytes = out.toByteArray
           ImageMeta(rec.doc_id, bytes.length.toLong, w, h,
-            src.getColorModel.getNumComponents, checksumOf(bytes))
+            if (hasAlpha) 4 else 3, checksumOf(bytes))
         }
       }
     }

@@ -135,11 +135,14 @@ object SimilaritySearch {
       return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
         col(idCol).as("neighbor_id"), lit(0.0).as("cos")).limit(0)
     }
-    val ranks = VectorFunctions.centroidRanks(col(vecCol), cents)
+    // corpus side computes ONLY its argmax cell (partial selection,
+    // O(C) per row); the small query side selects its nProbe best
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      element_at(ranks, 1).as("cell"))
+      element_at(VectorFunctions.centroidRanks(col(vecCol), cents, 1), 1)
+        .as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(slice(ranks, 1, nProbe)).as("cell"))
+      explode(VectorFunctions.centroidRanks(col(vecCol), cents, nProbe))
+        .as("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), col("neighbor_id"))
     broadcast(q).join(c, "cell")

@@ -219,22 +219,24 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
-/** All centroid indices `0..C-1` ordered by affinity to the input vector:
-  * dot product descending, index ascending on ties. One expression serves
-  * both IVF uses — `ranks[0]` is the cell a corpus vector lives in,
-  * `slice(ranks, 1, nProbe)` is the query's probe list — so assignment
-  * and probing share identical arithmetic (same tie-break, same
-  * left-to-right double accumulation as [[DotProduct]], hence exactly
-  * replayable by a DuckDB window over `list_dot_product`).
+/** The `limit` centroid indices closest to the input vector, in affinity
+  * order: dot product descending, index ascending on ties. One expression
+  * serves both IVF uses — `limit=1` gives the cell a corpus vector lives
+  * in, `limit=nProbe` a query's probe list — so assignment and probing
+  * share identical arithmetic (same tie-break, same left-to-right double
+  * accumulation as [[DotProduct]], hence exactly replayable by a DuckDB
+  * window over `list_dot_product`).
   *
   * Same compact-codegen rationale as [[HyperplaneBucket]]: C inlined
   * per-centroid dot chains would blow the huge-method limit; here the
   * matrix rides along as a reference object and the generated code is one
-  * nested loop + an O(C²) selection sort (C is the coarse-quantizer size,
-  * tens, so the sort is noise next to the C·dim dot work).
+  * nested loop + a PARTIAL selection sort: only the first
+  * `min(limit, C)` positions are selected — O(C·limit), which matters on
+  * the corpus side where every row needs only its argmax cell (a full
+  * O(C²) sort at C=64 would equal the dot-product work itself).
   */
-case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
-    extends UnaryExpression {
+case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]],
+                         limit: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -252,6 +254,7 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val c = mat.length
+    val k = math.min(limit, c)
     val dots = new Array[Double](c)
     var p = 0
     while (p < c) {
@@ -265,7 +268,7 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
     }
     val idx = Array.tabulate(c)(identity)
     var a = 0
-    while (a < c) {
+    while (a < k) {
       var best = a
       var b = a + 1
       while (b < c) {
@@ -276,7 +279,7 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
       val t = idx(a); idx(a) = idx(best); idx(best) = t
       a += 1
     }
-    new GenericArrayData(idx)
+    new GenericArrayData(java.util.Arrays.copyOf(idx, k))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -299,8 +302,10 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
       val b = ctx.freshName("b")
       val best = ctx.freshName("best")
       val t = ctx.freshName("t")
+      val k = ctx.freshName("k")
       s"""
          |int $c = $m.length;
+         |int $k = Math.min($limit, $c);
          |double[] $dots = new double[$c];
          |for (int $p = 0; $p < $c; $p++) {
          |  float[] $row = $m[$p];
@@ -313,7 +318,7 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
          |}
          |int[] $idx = new int[$c];
          |for (int $p = 0; $p < $c; $p++) $idx[$p] = $p;
-         |for (int $a = 0; $a < $c; $a++) {
+         |for (int $a = 0; $a < $k; $a++) {
          |  int $best = $a;
          |  for (int $b = $a + 1; $b < $c; $b++) {
          |    if ($dots[$idx[$b]] > $dots[$idx[$best]] ||
@@ -323,7 +328,7 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
          |  }
          |  int $t = $idx[$a]; $idx[$a] = $idx[$best]; $idx[$best] = $t;
          |}
-         |${ev.value} = new $gad($idx);
+         |${ev.value} = new $gad(java.util.Arrays.copyOf($idx, $k));
        """.stripMargin
     })
   }
@@ -344,6 +349,7 @@ object VectorFunctions {
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(vec), planes))
 
-  def centroidRanks(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    Bridge.column(CentroidRanks(Bridge.expression(vec), centroids))
+  def centroidRanks(vec: Column, centroids: Seq[Seq[Double]],
+                    limit: Int = Int.MaxValue): Column =
+    Bridge.column(CentroidRanks(Bridge.expression(vec), centroids, limit))
 }

@@ -22,8 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def epochSec(c: Column): Column =
-    c.cast("timestamp").cast("double")
+  /** Exact epoch microseconds — Spark timestamps are µs-precision, and
+    * band ids must be computed in INTEGER arithmetic: double epoch
+    * seconds carry ~0.24µs of rounding near present-day epochs, enough
+    * to push a timestamp within 1µs of a band boundary into the wrong
+    * band (a silently dropped join pair).
+    */
+  private def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Floor-division band id from exact µs: `(us - pmod(us, b)) / b` —
+    * the numerator is an exact multiple of `b`, so the double division
+    * is exact, and pmod keeps the floor semantics for pre-1970 inputs.
+    */
+  private def bandOf(us: Column, bandUs: Long): Column =
+    ((us - pmod(us, lit(bandUs))) / lit(bandUs)).cast("long")
 
   /** @param pointTs  column name in `points` (timestamp)
     * @param start    interval start column name in `intervals`, inclusive
@@ -34,6 +46,7 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTs: String, start: String, end: String,
                       bandSeconds: Long): DataFrame = {
+    val bandUs = bandSeconds * 1000000L
     val bandedInts = intervals
       // degenerate intervals (end <= start) match nothing — and must be
       // dropped BEFORE banding: Spark's sequence(a, b) generates a
@@ -42,12 +55,12 @@ object RangeJoin {
       .where(col(end) > col(start))
       .withColumn("__band",
         explode(sequence(
-          floor(epochSec(col(start)) / bandSeconds).cast("long"),
+          bandOf(epochUs(col(start)), bandUs),
           // end is exclusive: an interval ending exactly on a band
           // boundary does not cover that band
-          floor((epochSec(col(end)) - lit(1e-6)) / bandSeconds).cast("long"))))
+          bandOf(epochUs(col(end)) - 1, bandUs))))
     val bandedPts = points.withColumn("__band",
-      floor(epochSec(col(pointTs)) / bandSeconds).cast("long"))
+      bandOf(epochUs(col(pointTs)), bandUs))
     bandedPts.join(bandedInts, "__band")
       .where(col(pointTs) >= col(start) && col(pointTs) < col(end))
       .drop("__band")
@@ -71,16 +84,17 @@ object RangeJoin {
                       lStart: String, lEnd: String,
                       rStart: String, rEnd: String,
                       bandSeconds: Long): DataFrame = {
+    val bandUs = bandSeconds * 1000000L
     def banded(df: DataFrame, start: String, end: String): DataFrame =
       df.where(col(end) > col(start))
         .withColumn("__band",
           explode(sequence(
-            floor(epochSec(col(start)) / bandSeconds).cast("long"),
-            floor((epochSec(col(end)) - lit(1e-6)) / bandSeconds).cast("long"))))
+            bandOf(epochUs(col(start)), bandUs),
+            bandOf(epochUs(col(end)) - 1, bandUs))))
     banded(left, lStart, lEnd).join(banded(right, rStart, rEnd), "__band")
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .where(floor(greatest(epochSec(col(lStart)), epochSec(col(rStart)))
-        / bandSeconds).cast("long") === col("__band"))
+      .where(bandOf(greatest(epochUs(col(lStart)), epochUs(col(rStart))), bandUs)
+        === col("__band"))
       .drop("__band")
   }
 }

@@ -606,31 +606,51 @@ object ExtensionQueries {
 
     // ------------------------------------------------------------------
     // q62: the REAL image decode path (javax.imageio with stub fallback),
-    // now hash-gated (round-2 verdict item 4): the corpus is deterministic
-    // in-JVM PNG/BMP/junk bytes with KNOWN dims, and the oracle is a
-    // literal VALUES table built from the generation parameters — ground
-    // truth independent of the decode under test (ImageIO must read back
-    // exactly the dims the encoder was told; junk must hit the stub
-    // fallback formula). Decode-at-scale over the documents table stays
-    // covered by q50 + ExtensionSpec.
+    // hash-gated at scale (round-2 verdict item 4 + r03 review): the
+    // corpus is the UNION of (a) deterministic in-JVM PNG/BMP/junk bytes
+    // with KNOWN dims — the oracle restates them as a literal VALUES
+    // table built from the generation parameters, ground truth
+    // independent of the decode under test — and (b) every sf-dir
+    // document as a binary payload, which keeps the per-row ImageIO
+    // attempt (reader-registry probe + parse failure + stub fallback)
+    // in the benched at-scale path; text bytes never parse as an image,
+    // so leg (b)'s expected rows are the SQL-expressible stub formula
+    // (checksumOf over bytes == PolyHash over chars — the fixture text
+    // is pure ASCII at every SF, and a non-ASCII fixture would fail
+    // this gate loudly rather than silently).
     Q(
       "q62_multimodal_decode",
-      (s, _) => {
+      (s, dir) => {
         implicit val sp = s
         import s.implicits._
-        val media = s.createDataset(Multimodal.syntheticMediaCorpus().map(_._1))
+        val offset = 10000000L // keep golden ids clear of documents ids
+        val golden = s.createDataset(Multimodal.syntheticMediaCorpus()
+            .map { case (r, _) => Multimodal.MediaRecord(r.doc_id + offset, r.content) })
           .repartition(4) // exercise the per-partition batch shape
-        Multimodal.decodeImage(media).toDF()
+        val docs = Multimodal.withBinaryContent(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("content"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeImage(golden.union(docs)).toDF()
           .select("doc_id", "n_bytes", "width", "height", "channels", "checksum")
           .orderBy("doc_id")
       },
       Some {
         val rows = Multimodal.syntheticMediaCorpus().map { case (_, m) =>
-          s"(${m.doc_id}, ${m.n_bytes}, ${m.width}, ${m.height}, ${m.channels}, ${m.checksum})"
-        }.mkString(",\n             |  ")
-        s"""SELECT * FROM (VALUES
-           |  $rows)
-           |AS t(doc_id, n_bytes, width, height, channels, checksum)
+          s"(${m.doc_id + 10000000L}, ${m.n_bytes}, ${m.width}, ${m.height}, " +
+            s"${m.channels}, ${m.checksum})"
+        }.mkString(",\n             |    ")
+        s"""SELECT doc_id, n_bytes, width, height, channels, checksum FROM (
+           |  SELECT * FROM (VALUES
+           |    $rows)
+           |  AS t(doc_id, n_bytes, width, height, channels, checksum)
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    octet_length(encode(text))::BIGINT,
+           |    (1 + octet_length(encode(text)) % 640)::INTEGER,
+           |    (1 + (octet_length(encode(text))::BIGINT * 31) % 480)::INTEGER,
+           |    3::INTEGER,
+           |    ${PolyHash.duckSql("text")}
+           |  FROM documents)
            |ORDER BY doc_id""".stripMargin
       }),
 

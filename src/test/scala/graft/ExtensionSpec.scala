@@ -339,6 +339,39 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("range joins are exact at microsecond band boundaries") {
+    // r03 review find: double epoch seconds carry ~0.24µs of rounding
+    // near present-day epochs, so an interval end within 1µs of a band
+    // boundary could land in the wrong band and silently drop a pair.
+    // Bands are now computed in exact integer µs; pin the boundary cases.
+    val bandSec = 1800L
+    val boundary = 1700003700L // multiple of 1800 near 1.7e9
+    def ts(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val bUs = boundary * 1000000L
+    // left ends 1µs past the boundary: overlap region is [boundary, +1µs)
+    val l = Seq((1L, ts(bUs - 100000000L), ts(bUs + 1L)))
+      .toDF("l_id", "l_start", "l_end")
+    val r = Seq((2L, ts(bUs), ts(bUs + 600000000L)))
+      .toDF("r_id", "r_start", "r_end")
+    val overlap = graft.ops.RangeJoin.intervalOverlap(
+        l, r, "l_start", "l_end", "r_start", "r_end", bandSec)
+      .select("l_id", "r_id").collect()
+    assert(overlap.length == 1, s"µs-boundary overlap pair dropped: ${overlap.toSeq}")
+    // point exactly at the boundary joins an interval ending there? No —
+    // end is exclusive; but a point 1µs before must match
+    val pts = Seq((10L, ts(bUs - 1L)), (11L, ts(bUs))).toDF("p_id", "p_ts")
+    val ints = Seq((20L, ts(bUs - 3600000000L), ts(bUs)))
+      .toDF("w_id", "w_start", "w_end")
+    val got = graft.ops.RangeJoin.pointInInterval(
+        pts, ints, "p_ts", "w_start", "w_end", bandSec)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L), s"exclusive-end µs semantics broken: $got")
+  }
+
   test("nearDupJoin finds planted cross-table dups, emits only true-Jaccard pairs") {
     val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa", "lambda", "mu")

@@ -102,16 +102,21 @@ class PlanSpec extends SparkSpec {
     // was corrupt and every q64 stage fell back to the interpreter —
     // silently, because the default factoryMode is FALLBACK. CODEGEN_ONLY
     // turns that compile failure into a hard error.
+    val prior = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
       val e = Tables.load(spark, sf0001, "embeddings")
       val ivf = graft.ext.SimilaritySearch.ivfTopK(
         e.filter(col("vec_id") < 3), e, 3, nCentroids = 8, nProbe = 2)
       assert(ivf.count() > 0)
-      val lsh = graft.ext.SimilaritySearch.lshTopK(
-        e.filter(col("vec_id") < 3), e, 3)
-      assert(lsh.count() >= 0)
-    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      // executing at all is the assertion: CODEGEN_ONLY turns any codegen
+      // compile failure in the bucket/cosine path into a thrown error
+      graft.ext.SimilaritySearch.lshTopK(
+        e.filter(col("vec_id") < 3), e, 3).count()
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("q56/q68: banded range joins plan as equi-joins, not nested loops") {
