@@ -934,6 +934,73 @@ object ExtensionQueries {
            |SELECT query_id, rank, neighbor_id, cos
            |FROM ranked WHERE rank <= 3
            |ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q72: ordered funnel — per user, first 'view', first 'click' AFTER
+    // that view, first 'purchase' after that click; stage counts. Each
+    // stage is a user-keyed aggregation joined co-partitioned on user_id
+    // — no window over the event stream, no per-user event sorting, so
+    // the shape is three shuffles on the user key regardless of events
+    // per user.
+    Q(
+      "q72_funnel",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").where(col("ts") > col("v_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("ts") > col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+          .map { case (name, df) =>
+            df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+          }
+        stages.reduce(_ union _).orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+             |          WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+             |      JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+             |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+             |      JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+             |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT stage, users FROM (
+             |  SELECT '1_view' AS stage, count(*) AS users FROM v
+             |  UNION ALL SELECT '2_click', count(*) FROM c
+             |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+             |ORDER BY stage""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q73: triangle count over the near-dup pair graph — the standard
+    // two-join formulation on (da < db)-oriented edges: wedges
+    // (a,b)⋈(b,c) closed by a third edge (a,c). Orientation means each
+    // triangle is counted exactly once and the join fan-out is bounded
+    // by out-degree, the classic distributed-triangle trick. The oracle
+    // nests the full q53 pipeline replay as the edge set.
+    Q(
+      "q73_triangles",
+      (s, dir) => {
+        val edges = Dedup.nearDupPairs(
+            Tables.load(s, dir, "documents"), "text", "doc_id", 0.5)
+          .select("da", "db")
+        val e1 = edges.select(col("da").as("a"), col("db").as("b"))
+        val e2 = edges.select(col("da").as("b2"), col("db").as("c"))
+        val e3 = edges.select(col("da").as("a3"), col("db").as("c3"))
+        e1.join(e2, col("b") === col("b2"))
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some(s"""WITH e AS MATERIALIZED (
+             |  $NearDupPairsOracle
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM e e1
+             |JOIN e e2 ON e1.db = e2.da
+             |JOIN e e3 ON e3.da = e1.da AND e3.db = e2.db""".stripMargin))
   )
 }
