@@ -17,6 +17,7 @@ import graft.streaming.EventStreams
 object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
+  private val dedupRunId = new AtomicInteger(0)
 
   /** q54: EventStreams.hourlyCounts driven as a stream over the events
     * fixture; oracle = batch q21's SQL. Complete output mode emits every
@@ -66,6 +67,48 @@ object StreamingQueries {
              |  count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events
              |GROUP BY 1, 2
-             |ORDER BY hour, event_type""".stripMargin))
+             |ORDER BY hour, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q74: STATEFUL streaming dedup — every event is planted twice into
+    // the stream (explode×2), then `dropDuplicates("event_id")` holds
+    // keyed state (bounded by the 2h watermark at steady state) and must
+    // emit each event exactly once; the oracle is simply the batch
+    // events table. Append mode: rows flow through on first sight, the
+    // state only suppresses repeats — the streaming-ingest dedup shape
+    // (exact dedup at the door, near-dup downstream in batch).
+    Q(
+      "q74_streaming_dedup",
+      (s, dir) => {
+        val id = dedupRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_dedup_${id - 1}")
+        val name = s"graft_stream_dedup_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt")
+        val q = EventStreams.readStream(s, dir, globFilter = Some("events.parquet"))
+          .withColumn("__copy", explode(array(lit(1), lit(2)))) // plant dups
+          .drop("__copy")
+          .withWatermark("ts", "2 hours")
+          .dropDuplicates("event_id")
+          .select("event_id", "user_id", "event_type", "value")
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        s.table(name).orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events
+             |ORDER BY event_id""".stripMargin))
   )
 }
