@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, SimilaritySearch, Sketches, TextAnalysis}
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
 
@@ -1001,6 +1001,34 @@ object ExtensionQueries {
              |SELECT CAST(count(*) AS BIGINT) AS n_triangles
              |FROM e e1
              |JOIN e e2 ON e1.db = e2.da
-             |JOIN e e3 ON e3.da = e1.da AND e3.db = e2.db""".stripMargin))
+             |JOIN e e3 ON e3.da = e1.da AND e3.db = e2.db""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q75: sequence packing — docs assigned to fixed-token-capacity
+    // training bins by exclusive cumulative token offset in doc_id
+    // order. The Spark side is ext.Packing's two-pass distributed prefix
+    // sum (one row per partition to the driver, broadcast bases back —
+    // never Window.orderBy-with-no-partition, which funnels the corpus
+    // through one task); the oracle is the single-window formulation
+    // DuckDB can afford at gate scale.
+    Q(
+      "q75_sequence_packing",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextAnalysis.wsTokens(col("text"))).cast("long").as("toks"))
+        Packing.packBins(d, "doc_id", "toks", capacity = 2048L)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, tokens, start_token, start_token // 2048 AS bin
+             |FROM (
+             |  SELECT doc_id, toks AS tokens,
+             |    CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS start_token
+             |  FROM (SELECT doc_id,
+             |          len(regexp_extract_all(text, '\S+'))::BIGINT AS toks
+             |        FROM documents))
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -408,6 +408,29 @@ class ExtensionSpec extends SparkSpec {
     assert(gotPairs.subsetOf(brute), s"false positives: ${gotPairs -- brute}")
   }
 
+  test("sequence packing == single-window formulation, partition-count invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val d = (0L until 500L).map(i => (i, 1L + rnd.nextInt(400)))
+      .toDF("doc_id", "toks")
+    val naive = d.withColumn("start_token",
+        coalesce(sum("toks").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("toks").as("tokens"), col("start_token"),
+        (col("start_token") / 2048L).cast("long").as("bin"))
+      .collect().map(_.toSeq).toSet
+    Seq(1, 5, 32).foreach { p =>
+      val got = graft.ext.Packing.packBins(d, "doc_id", "toks", 2048L, partitions = p)
+        .collect().map(_.toSeq).toSet
+      assert(got == naive, s"partitions=$p diverges from the window formulation")
+    }
+    // bins are contiguous from 0 and every bin except possibly the last
+    // begins before the capacity boundary of the previous one ends
+    val bins = graft.ext.Packing.packBins(d, "doc_id", "toks", 2048L)
+      .select("bin").distinct().collect().map(_.getLong(0)).sorted
+    assert(bins.head == 0L && bins.sameElements(bins.head to bins.last))
+  }
+
   test("multimodal: decodeImage reads real PNG/BMP bytes, falls back on junk") {
     implicit val s = spark
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
