@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * "concatenate the token stream and cut every `capacity` tokens"
   * formulation, where a doc's bin is `floor(exclusive_cumsum(tokens) /
   * capacity)`. Deterministic and engine-replayable (the DuckDB oracle is
-  * one window function), and docs that straddle a cut share the two bins
-  * exactly as a packed token stream would.
+  * one window function). A doc is assigned the single bin containing its
+  * START offset; a doc whose tokens straddle a cut is NOT split — the
+  * consumer decides whether to truncate or spill at materialization.
   *
   * Scale shape: the naive Spark formulation is a global-window running
   * sum — `Window.orderBy(id)` with no partition key, which moves the

@@ -985,9 +985,13 @@ object ExtensionQueries {
     Q(
       "q73_triangles",
       (s, dir) => {
+        // localCheckpoint: the three self-join legs reference the edge
+        // set on different keys, so without materialization the whole
+        // minhash+LSH+verify pipeline would execute three times
         val edges = Dedup.nearDupPairs(
             Tables.load(s, dir, "documents"), "text", "doc_id", 0.5)
           .select("da", "db")
+          .localCheckpoint()
         val e1 = edges.select(col("da").as("a"), col("db").as("b"))
         val e2 = edges.select(col("da").as("b2"), col("db").as("c"))
         val e3 = edges.select(col("da").as("a3"), col("db").as("c3"))

@@ -71,12 +71,16 @@ object StreamingQueries {
 
     // ------------------------------------------------------------------
     // q74: STATEFUL streaming dedup — every event is planted twice into
-    // the stream (explode×2), then `dropDuplicates("event_id")` holds
-    // keyed state (bounded by the 2h watermark at steady state) and must
-    // emit each event exactly once; the oracle is simply the batch
-    // events table. Append mode: rows flow through on first sight, the
-    // state only suppresses repeats — the streaming-ingest dedup shape
-    // (exact dedup at the door, near-dup downstream in batch).
+    // the stream (explode×2), then `dropDuplicatesWithinWatermark` holds
+    // keyed state and must emit each event exactly once; the oracle is
+    // simply the batch events table. The WithinWatermark variant is the
+    // one whose state the watermark actually evicts: plain
+    // dropDuplicates("event_id") only applies the watermark to state
+    // when the event-time column is among the dedup keys, so its state
+    // would grow with every key ever seen. Append mode: rows flow
+    // through on first sight, the state only suppresses repeats — the
+    // streaming-ingest dedup shape (exact dedup at the door, near-dup
+    // downstream in batch).
     Q(
       "q74_streaming_dedup",
       (s, dir) => {
@@ -88,7 +92,7 @@ object StreamingQueries {
           .withColumn("__copy", explode(array(lit(1), lit(2)))) // plant dups
           .drop("__copy")
           .withWatermark("ts", "2 hours")
-          .dropDuplicates("event_id")
+          .dropDuplicatesWithinWatermark("event_id")
           .select("event_id", "user_id", "event_type", "value")
           .writeStream
           .format("memory")

@@ -345,7 +345,7 @@ class ExtensionSpec extends SparkSpec {
     // boundary could land in the wrong band and silently drop a pair.
     // Bands are now computed in exact integer µs; pin the boundary cases.
     val bandSec = 1800L
-    val boundary = 1700003700L // multiple of 1800 near 1.7e9
+    val boundary = 1700002800L // exact multiple of 1800 near 1.7e9
     def ts(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(us / 1000)
       t.setNanos(((us % 1000000) * 1000).toInt)
