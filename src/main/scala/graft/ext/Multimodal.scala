@@ -61,6 +61,22 @@ object Multimodal {
     ds.mapPartitions(it => it.map(stubMeta))
   }
 
+  /** Magic-number pre-check for the four formats this decode surface
+    * supports (PNG `\x89PNG`, JPEG `\xFF\xD8\xFF`, GIF `GIF8`, BMP `BM`).
+    * `ImageIO.read` on a non-image payload walks the whole reader
+    * registry (every plugin gets to sniff the stream) before giving up —
+    * measured as the dominant cost of q62, where ~95% of payloads are
+    * text. Four byte compares skip that search; payloads failing the
+    * check take the same stub fallback a failed parse would, so
+    * semantics are unchanged.
+    */
+  private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
   /** REAL image decode via the JDK's `javax.imageio` registry (PNG, BMP,
     * GIF, JPEG — no external deps), in the same mapPartitions batch shape
     * as the stub. Payloads ImageIO can't parse fall back to [[stubMeta]],
@@ -76,8 +92,10 @@ object Multimodal {
         // IllegalArgumentException / ArrayIndexOutOfBounds etc. on
         // malformed payloads whose header passed format detection
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
-          catch { case scala.util.control.NonFatal(_) => null }
+          if (!looksLikeImage(rec.content)) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) stubMeta(rec)
         else ImageMeta(
           doc_id = rec.doc_id,
@@ -193,8 +211,10 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { rec =>
         val src =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
-          catch { case scala.util.control.NonFatal(_) => null }
+          if (!looksLikeImage(rec.content)) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
+            catch { case scala.util.control.NonFatal(_) => null }
         if (src == null)
           ImageMeta(rec.doc_id, rec.content.length.toLong, w, h, 3,
             checksumOf(rec.content))
@@ -223,32 +243,97 @@ object Multimodal {
 
   case class MediaFeatures(doc_id: Long, embedding: Array[Float])
 
+  private[graft] def l2Normalize(v: Array[Float]): Array[Float] = {
+    var norm = 0.0
+    var j = 0
+    while (j < v.length) { norm += v(j).toDouble * v(j); j += 1 }
+    val n = math.sqrt(norm)
+    if (n > 0) { j = 0; while (j < v.length) { v(j) = (v(j) / n).toFloat; j += 1 } }
+    v
+  }
+
+  /** Byte histogram folded to `dim` buckets, L2 normalized — the stub
+    * feature function, also the fallback when a payload doesn't decode.
+    */
+  private[graft] def byteHistogram(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      v((bytes(i) & 0xff) % dim) += 1f
+      i += 1
+    }
+    l2Normalize(v)
+  }
+
   /** STUB feature extraction: a deterministic fixed-length float vector
-    * from the bytes (byte histogram folded to `dim` buckets, L2
-    * normalized) — the plumbing that connects binary media columns to
-    * the similarity-search path (`ext.SimilaritySearch` accepts its
-    * output directly). A real pipeline swaps the histogram for a model
-    * forward pass; schema, batching and downstream ops are unchanged.
+    * from the bytes ([[byteHistogram]]) — the plumbing that connects
+    * binary media columns to the similarity-search path
+    * (`ext.SimilaritySearch` accepts its output directly). A real
+    * pipeline swaps the histogram for a model forward pass; schema,
+    * batching and downstream ops are unchanged. For a feature vector
+    * derived from DECODED PIXELS, use [[featureExtractPixels]].
     */
   def featureExtractStub(ds: Dataset[MediaRecord], dim: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    ds.mapPartitions { it =>
-      it.map { rec =>
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < rec.content.length) {
-          v((rec.content(i) & 0xff) % dim) += 1f
-          i += 1
+    ds.mapPartitions(it => it.map(rec => MediaFeatures(rec.doc_id, byteHistogram(rec.content, dim))))
+  }
+
+  /** Pixel-derived feature vector: decode ([[looksLikeImage]] gate +
+    * `ImageIO.read`, as in [[decodeImage]]) → bilinear downsample to
+    * `side`×`side` via the same Graphics2D machinery as [[resizeImage]]
+    * → row-major per-pixel (R, G, B) floats → L2 normalize. Dim =
+    * side·side·3. Undecodable payloads fall back to [[byteHistogram]]
+    * at the same dim (one stub row, not a stage retry — same poison-
+    * payload argument as decodeImage). Deterministic in-process: fixed
+    * interpolation, fixed traversal order.
+    */
+  private[graft] def pixelFeatures(bytes: Array[Byte], side: Int): Array[Float] = {
+    val dim = side * side * 3
+    val src =
+      if (!looksLikeImage(bytes)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (src == null) byteHistogram(bytes, dim)
+    else {
+      val dst = new java.awt.image.BufferedImage(
+        side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, side, side, null)
+      } finally g.dispose()
+      val v = new Array[Float](dim)
+      var y = 0
+      var i = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val rgb = dst.getRGB(x, y)
+          v(i) = ((rgb >> 16) & 0xff).toFloat
+          v(i + 1) = ((rgb >> 8) & 0xff).toFloat
+          v(i + 2) = (rgb & 0xff).toFloat
+          i += 3
+          x += 1
         }
-        var norm = 0.0
-        var j = 0
-        while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
-        val n = math.sqrt(norm)
-        if (n > 0) { j = 0; while (j < dim) { v(j) = (v(j) / n).toFloat; j += 1 } }
-        MediaFeatures(rec.doc_id, v)
+        y += 1
       }
+      l2Normalize(v)
     }
+  }
+
+  /** REAL feature extraction from decoded pixels — the
+    * decode→feature→search leg of the media pipeline (q71), exercising
+    * the full path a model-embedding job would take; the downsample
+    * stands where the forward pass would sit.
+    */
+  def featureExtractPixels(ds: Dataset[MediaRecord], side: Int = 4)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions(it => it.map(rec => MediaFeatures(rec.doc_id, pixelFeatures(rec.content, side))))
   }
 
   /** SQL-expressible metadata projection (no stub involved) — binary

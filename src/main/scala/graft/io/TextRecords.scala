@@ -88,9 +88,16 @@ object TextRecords {
     * this collects and is only for reference-shaped golden outputs at demo
     * scale. Real pipelines use `df.write.json/parquet` (per-line, parallel).
     */
-  def writeJsonObject(df: DataFrame, path: String): Unit = {
+  def writeJsonObject(df: DataFrame, path: String, maxRows: Long = 1000000L): Unit = {
     val cols = df.columns
     require(cols.length == 2, s"expected (key, value) shape, got ${cols.toSeq}")
+    // guard the unbounded collect: a single JSON object is a demo-scale
+    // sink; count first (cheap aggregate) so an oversized input fails with
+    // a pointer at the scale path instead of an executor->driver OOM
+    val count = df.count()
+    require(count <= maxRows,
+      s"writeJsonObject collects to the driver and got $count rows (max $maxRows); " +
+        "use graft.io.Sources.writeJsonLines for scale output")
     val rows = df.toJSON.collect() // per-row {"k":...,"v":...} objects
     val entries = rows.map { j =>
       // rewrap {"key":k,"value":v} rows into "k": v members

@@ -86,7 +86,7 @@ object Advanced2 {
     // ------------------------------------------------------------------
     // q29: batch sessionization — gap-based session assignment via
     // lag + cumulative boundary counting (the batch twin of
-    // streaming.EventStreams.userSessions; a session starts when the gap
+    // streaming.EventStreams.gapSessions; a session starts when the gap
     // since the user's previous event exceeds 1 hour). Pure integer
     // window math — fully oracle-replayable.
     Q(

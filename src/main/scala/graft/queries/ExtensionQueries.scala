@@ -882,14 +882,17 @@ object ExtensionQueries {
              |ORDER BY cohort_week, weeks_since""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q71: multimodal -> features -> ANN, end to end: byte-histogram
-    // feature extraction (the stub standing in for a model forward pass)
-    // over the golden media corpus, piped straight into exact top-k
-    // cosine search. The oracle restates the features as literal arrays
-    // (computed independently from the corpus BYTES at oracle-build
-    // time — exact float->double expansions) and replays the kNN with
-    // DuckDB's list_cosine_similarity, so both the distributed batch
-    // plumbing and the ANN math are hash-gated.
+    // q71: multimodal -> features -> ANN, end to end: PIXEL-derived
+    // feature extraction (real ImageIO decode -> 4x4 bilinear downsample
+    // -> RGB vector, the downsample standing where a model forward pass
+    // would sit; junk payloads fall back to the byte histogram) over the
+    // golden media corpus, piped straight into exact top-k cosine
+    // search. The oracle restates the features as literal arrays
+    // (replayed independently at oracle-build time in plain driver
+    // Scala — its own decode/resample loop, no Spark, no shared feature
+    // fn — exact float->double expansions) and replays the kNN with
+    // DuckDB's list_cosine_similarity, so the decode, the distributed
+    // batch plumbing, and the ANN math are all hash-gated.
     Q(
       "q71_media_knn",
       (s, _) => {
@@ -897,20 +900,45 @@ object ExtensionQueries {
         import s.implicits._
         val media = s.createDataset(Multimodal.syntheticMediaCorpus(48).map(_._1))
           .repartition(4)
-        val feats = Multimodal.featureExtractStub(media, dim = 16).toDF()
+        val feats = Multimodal.featureExtractPixels(media, side = 4).toDF()
           .withColumnRenamed("doc_id", "vec_id")
         SimilaritySearch.bruteTopK(feats.filter(col("vec_id") < 4), feats, 3)
           .orderBy("query_id", "rank")
       },
       Some {
-        // independent replay of the byte-histogram features in driver
-        // Scala (plain arrays, no Spark), emitted as exact DOUBLE
-        // literals: a float widens to double losslessly and
-        // BigDecimal(double) prints its exact decimal expansion
+        // independent replay of the pixel features in driver Scala
+        // (plain arrays, no Spark), emitted as exact DOUBLE literals: a
+        // float widens to double losslessly and BigDecimal(double)
+        // prints its exact decimal expansion. Java2D is deterministic
+        // in-process, so this replay and the executor-side decode see
+        // identical pixels.
+        val side = 4
+        val dim = side * side * 3
         val rows = Multimodal.syntheticMediaCorpus(48).map { case (rec, _) =>
-          val dim = 16
+          val src =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
+            catch { case scala.util.control.NonFatal(_) => null }
           val v = new Array[Float](dim)
-          rec.content.foreach(b => v((b & 0xff) % dim) += 1f)
+          if (src == null) {
+            rec.content.foreach(b => v((b & 0xff) % dim) += 1f)
+          } else {
+            val dst = new java.awt.image.BufferedImage(
+              side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, side, side, null)
+            } finally g.dispose()
+            for (y <- 0 until side; x <- 0 until side) {
+              val rgb = dst.getRGB(x, y)
+              val i = (y * side + x) * 3
+              v(i) = ((rgb >> 16) & 0xff).toFloat
+              v(i + 1) = ((rgb >> 8) & 0xff).toFloat
+              v(i + 2) = (rgb & 0xff).toFloat
+            }
+          }
           val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
           val unit =
             if (norm > 0) v.map(x => (x / norm).toFloat) else v

@@ -18,6 +18,34 @@ object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
   private val dedupRunId = new AtomicInteger(0)
+  private val sessRunId = new AtomicInteger(0)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  /** Run `body` with the RocksDB state store provider — the 100 TB
+    * configuration for keyed streaming state: RocksDB spills keyed state
+    * to local SSD instead of holding it on the executor heap, so state
+    * capacity scales with disk, not JVM memory, and snapshots upload to
+    * the checkpoint incrementally. The stateful gate queries (q74, q76)
+    * run under it so the scale path is what correctness is measured on;
+    * the provider is a per-query-start session conf, restored after so
+    * co-resident queries keep their own setting.
+    */
+  private def withRocksDbState[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 
   /** q54: EventStreams.hourlyCounts driven as a stream over the events
     * fixture; oracle = batch q21's SQL. Complete output mode emits every
@@ -88,7 +116,8 @@ object StreamingQueries {
         if (id > 1) s.catalog.dropTempView(s"graft_stream_dedup_${id - 1}")
         val name = s"graft_stream_dedup_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt")
-        val q = EventStreams.readStream(s, dir, globFilter = Some("events.parquet"))
+        val q = withRocksDbState(s) {
+          EventStreams.readStream(s, dir, globFilter = Some("events.parquet"))
           .withColumn("__copy", explode(array(lit(1), lit(2)))) // plant dups
           .drop("__copy")
           .withWatermark("ts", "2 hours")
@@ -101,18 +130,86 @@ object StreamingQueries {
           .option("checkpointLocation", ckptDir.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+        }
         try {
           q.awaitTermination()
         } finally {
           q.stop()
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          deleteRecursively(ckptDir)
         }
         s.table(name).orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, event_type, value
              |FROM events
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q76: STATEFUL gap sessionization (flatMapGroupsWithState) driven
+    // as a real stream and gated against batch q29's exact SQL — the
+    // last operator family that was pinned only by a spec. Finalizing
+    // every session deterministically on a finite stream needs the
+    // watermark to pass every open session's timeout, so a SENTINEL
+    // event far past the fixture's time range (user_id = -1, filtered
+    // from output) is streamed in through a second source: after the
+    // data batch the watermark jumps to sentinel−2h, the trailing
+    // no-data micro-batch fires every event-time timeout, and each
+    // user's final open session is emitted. Append mode: the sink holds
+    // exactly one row per (user, session), no running updates.
+    Q(
+      "q76_streaming_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val id = sessRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_sessions_${id - 1}")
+        val name = s"graft_stream_sessions_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_sess_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sess_sentinel")
+        // raw-schema sentinel parquet: ts in NANOS like the fixture
+        // (2100-01-01 — far past any fixture event + watermark delay)
+        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us", "event_id", "value")
+          .as[EventStreams.SessionEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.gapSessions(stream)
+            .filter(col("user_id") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name).orderBy("user_id", "session_idx")
+      },
+      // the oracle IS batch q29's sessionization SQL: gap > 3600
+      // fractional-epoch seconds, per-user (ts, event_id) order
+      Some("""SELECT user_id, session_idx, count(*) AS n_events,
+             |  round(sum(value), 2) AS session_value
+             |FROM (
+             |  SELECT user_id, value,
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             |  FROM (
+             |    SELECT user_id, ts, event_id, value,
+             |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+             |           THEN 1 ELSE 0 END AS new_session
+             |    FROM events))
+             |GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin))
   )
 }

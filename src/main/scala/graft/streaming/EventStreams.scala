@@ -64,51 +64,99 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
-  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class UserSession(user_id: Long, n_events: Long, total_value: Double,
-                         first_ts: java.sql.Timestamp,
-                         last_ts: java.sql.Timestamp)
-
-  /** Custom stateful aggregation: running per-user session summary via
-    * `flatMapGroupsWithState` (the reference's "bring your own reducer"
-    * idea, streaming edition).
-    *
-    * State is BOUNDED: event-time timeout set to `gap` past each user's
-    * last event — once the watermark (applied here, 2 hours) passes it,
-    * the state store evicts the user and the final session summary is
-    * emitted. Idle users therefore cost nothing after gap+watermark;
-    * state tracks active users, not history.
+  /** One event on the stateful-session path. `ts` (TimestampType) exists
+    * for the watermark; `ts_us` carries the same instant as epoch MICROS
+    * because session-gap math must see sub-millisecond precision —
+    * `java.sql.Timestamp.getTime` is millis, and a gap of 3600.0005s
+    * must still read as > 1 hour (the batch twin q29 compares fractional
+    * epoch seconds).
     */
-  def userSessions(events: Dataset[UserEvent],
-                   gap: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[UserSession] = {
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                          event_id: Long, value: Double)
+
+  /** One finalized session, in the batch-sessionization (q29) output
+    * shape: `session_idx` is the 1-based ordinal of the session within
+    * its user's event-time order.
+    */
+  case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+                        session_value: Double)
+
+  /** Keyed state: the user's open session plus how many sessions have
+    * already been closed (so every emission carries its ordinal without
+    * any post-hoc renumbering). Public only because the state encoder's
+    * generated code must reach the accessors — not part of the API.
+    */
+  case class OpenSession(closed: Long, n: Long, value: Double, lastUs: Long)
+
+  private def round2(v: Double): Double =
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Custom stateful GAP sessionization via `flatMapGroupsWithState`
+    * (the reference's "bring your own reducer" idea, streaming edition)
+    * — the streaming twin of batch q29: a session ends when the gap to
+    * the next event exceeds `gap` (strictly), sessions are numbered per
+    * user in event-time order, and each session is emitted EXACTLY ONCE
+    * when it closes (append semantics, no running updates):
+    *
+    *  - within a batch, the group's events are sorted by (ts, event_id)
+    *    — the same total order as the batch window — and gap-split
+    *    eagerly, so a batch containing several sessions emits every
+    *    closed one immediately;
+    *  - the still-open session waits in state with an event-time timeout
+    *    at `last + gap`; when the watermark (applied here, 2 hours)
+    *    passes it, the session is finalized and the state evicted.
+    *
+    * State is BOUNDED: one small OpenSession per ACTIVE user — idle
+    * users cost nothing after gap+watermark, exactly the property that
+    * lets keyed session state survive 100 TB event history (state scales
+    * with concurrent users, not events). Events later than the watermark
+    * are dropped by the engine before reaching the function, which is
+    * consistent: any event that could legally arrive (≤ 2 h late) either
+    * extends a session whose timeout has not yet fired or starts a new
+    * one.
+    *
+    * Cross-batch assumption (standard for event-time sessionization):
+    * within a user, batches arrive in non-decreasing event-time order up
+    * to the watermark slack — an event older than the open session's
+    * last timestamp merges as if it were next (its contribution to
+    * n/value is correct; only a sub-gap reordering straddling a batch
+    * boundary could mis-split, and the watermark bounds that window).
+    */
+  def gapSessions(events: Dataset[SessionEvent],
+                  gap: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gap.toMillis
+    val gapUs = gap.toMillis * 1000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserSession, UserSession](
-        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserSession]) =>
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            val finalSession = state.get
+            val st = state.get
             state.remove()
-            Iterator.single(finalSession)
+            Iterator.single(SessionOut(uid, st.closed + 1, st.n, round2(st.value)))
           } else {
-            val evs = batch.toSeq
-            if (evs.isEmpty) Iterator.empty
-            else {
-              val prev = state.getOption
-              val first = (prev.map(_.first_ts) ++ evs.map(_.ts)).minBy(_.getTime)
-              val last = (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime)
-              val next = UserSession(
-                uid,
-                prev.map(_.n_events).getOrElse(0L) + evs.size,
-                prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-                first, last)
-              state.update(next)
-              state.setTimeoutTimestamp(last.getTime + gapMs)
-              Iterator.single(next)
+            val evs = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            evs.foreach { e =>
+              if (st == null)
+                st = OpenSession(0L, 1L, e.value, e.ts_us)
+              else if (e.ts_us - st.lastUs > gapUs) {
+                out += SessionOut(uid, st.closed + 1, st.n, round2(st.value))
+                st = OpenSession(st.closed + 1, 1L, e.value, e.ts_us)
+              } else
+                st = OpenSession(st.closed, st.n + 1, st.value + e.value,
+                  math.max(st.lastUs, e.ts_us))
             }
+            if (st != null) {
+              state.update(st)
+              // ceil to ms so the timeout never lands before last+gap
+              state.setTimeoutTimestamp((st.lastUs + gapUs + 999L) / 1000L)
+            }
+            out.iterator
           }
       }
   }

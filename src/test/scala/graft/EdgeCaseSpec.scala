@@ -64,4 +64,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Files.readString(out) == """{"a": [1], "b": [3,7]}""")
     Files.delete(out)
   }
+
+  test("writeJsonObject refuses oversized inputs with a pointer at the scale path") {
+    val out = Files.createTempFile("graft_sink_guard", ".json")
+    val big = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("word", "cnt")
+    val e = intercept[IllegalArgumentException] {
+      TextRecords.writeJsonObject(big, out.toString, maxRows = 2L)
+    }
+    assert(e.getMessage.contains("writeJsonLines"))
+    // at/under the cap still writes
+    TextRecords.writeJsonObject(big, out.toString, maxRows = 3L)
+    assert(Files.readString(out) == """{"a": 1, "b": 2, "c": 3}""")
+    Files.delete(out)
+  }
 }

@@ -56,33 +56,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("stateful user sessions (flatMapGroupsWithState) == batch summary") {
-    val stream = EventStreams.readStream(spark, eventsDir)
-      .selectExpr("user_id", "ts", "value")
-      .as[EventStreams.UserEvent]
-    val q = EventStreams.userSessions(stream)
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName("sessions")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+  test("stateful gap sessions (flatMapGroupsWithState) == batch sessionization") {
+    // the registered q76 pipeline (real stream + sentinel watermark
+    // flush) must equal the registered batch q29 pipeline row-for-row
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSeq
 
-    // single batch → exactly one update row per user
-    val got = spark.table("sessions")
-      .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
-      .toMap
-
-    val batch = Tables.load(spark, sf0001, "events")
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n"), sum("value").as("tv"))
-      .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
-      .toMap
-
+    val got = canon(SparkEntry.queries("q76_streaming_sessions")(spark, sf0001))
+    val batch = canon(SparkEntry.queries("q29_sessionization")(spark, sf0001))
     assert(got == batch)
     assert(got.nonEmpty)
+    // multiple sessions per user must actually occur in the fixture —
+    // otherwise the gap-split path was never exercised
+    assert(got.exists(_._2 > 1))
   }
 }
