@@ -6,22 +6,33 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Measurement notes:
+  * Measurement notes (hardened in round 4 after BENCH_r03 recorded 5–8×
+  * phantom inflation on untouched queries — the round-end bench had run
+  * on a contended box and min-of-2 didn't save it):
   *  - results go to the `noop` sink — forces full computation of every
   *    output column (a bare `.count()` would let Catalyst prune most of
   *    the work) with zero write-side IO in the measurement;
-  *  - one untimed warmup of the first query pays JIT/codegen compilation
-  *    once instead of charging it to whichever query runs first;
-  *  - each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and
-  *    the MINIMUM is reported — min-of-n is the standard estimator for
-  *    the deterministic cost under scheduler/GC noise (observed run-to-
-  *    run total swings of ±30% at n=1 on this box);
+  *  - ONE UNTIMED PASS OF THE FULL SUITE at SPARK_GRAFT_WARMUP_DIR
+  *    (default sf0.001) pays JIT/codegen for EVERY query shape before
+  *    any timing — warming only the first query charged compilation to
+  *    each remaining query's first timed run;
+  *  - each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3; was
+  *    2) and the MINIMUM is reported — min-of-n is the standard
+  *    estimator for the deterministic cost under scheduler/GC noise;
+  *  - REGRESSION GUARD: per-query times are diffed against the MINIMUM
+  *    recorded for that query across every prior BENCH_r*.json in the
+  *    repo root (min across rounds is itself contamination-resistant).
+  *    Any query slower than 2× its historical min AND >1s absolute gets
+  *    two extra timed runs; if it still exceeds the threshold a
+  *    BENCH_OUTLIER warning goes to stderr so a contended box is visible
+  *    in the round log instead of silently entering the record;
   *  - `value` is the sum over the per-query wall-clock seconds in
   *    `queries`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,24 +44,73 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(q: graft.queries.Q): Unit =
-      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def runOnce(q: graft.queries.Q, dir: String): Unit =
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
 
-    // warmup: pay codegen/JIT/FS-cache priming outside the measurement
-    SparkEntry.all.headOption.foreach(q => try runOnce(q) catch { case _: Throwable => () })
+    def timeOnce(q: graft.queries.Q): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { runOnce(q, sfDir); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.all.map { q =>
-      // a failed run must not become the reported minimum (a 0.1s crash
-      // would silently replace the query's real time) — prefer min over
-      // successful runs; only if every run failed, report the failure time
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { runOnce(q); true } catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+    // a failed run must not become the reported minimum (a 0.1s crash
+    // would silently replace the query's real time) — prefer min over
+    // successful runs; only if every run failed, report the failure time
+    def minGood(times: Seq[(Double, Boolean)]): Double = {
       val good = times.filter(_._2)
-      q.name -> (if (good.nonEmpty) good.map(_._1).min else times.map(_._1).min)
+      if (good.nonEmpty) good.map(_._1).min else times.map(_._1).min
+    }
+
+    // warmup: pay codegen/JIT/FS-cache priming for EVERY query shape,
+    // at the small SF so the pass stays cheap
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "full")
+    doWarmup match {
+      case "none" => ()
+      case "first" =>
+        SparkEntry.all.headOption.foreach(q =>
+          try runOnce(q, warmupDir) catch { case _: Throwable => () })
+      case _ =>
+        SparkEntry.all.foreach(q =>
+          try runOnce(q, warmupDir) catch { case _: Throwable => () })
+    }
+
+    // historical per-query minima across prior rounds' committed benches
+    val baseline: Map[String, Double] = {
+      val dir = new java.io.File(System.getProperty("user.dir"))
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      val entry = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
+      files.flatMap { f =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val qStart = txt.indexOf("\"queries\":")
+        if (qStart < 0) Nil
+        else entry.findAllMatchIn(txt.substring(qStart)).flatMap { m =>
+          scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
+        }.toSeq
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val results = SparkEntry.all.map { q =>
+      val first = (1 to runs).map(_ => timeOnce(q))
+      val t1 = minGood(first)
+      val prior = baseline.get(q.name)
+      val suspicious = prior.exists(p => t1 > 2 * p && t1 > 1.0)
+      val t =
+        if (!suspicious) t1
+        else {
+          // transient contention (GC, a stray process) shows up as an
+          // isolated slow cluster; two more runs give it a chance to
+          // clear before the number enters the record
+          val extra = (1 to 2).map(_ => timeOnce(q))
+          val t2 = math.min(t1, minGood(extra))
+          if (prior.exists(p => t2 > 2 * p && t2 > 1.0))
+            System.err.println(
+              f"BENCH_OUTLIER ${q.name} ${t2}%.2fs vs historical min ${prior.get}%.2fs " +
+                "(persisted across 2 extra runs - box contention or a real regression)")
+          t2
+        }
+      q.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -36,14 +36,30 @@ object StreamingQueries {
     * co-resident queries keep their own setting.
     */
   private def withRocksDbState[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // escape hatch for A/B timing the providers (tools/QueryTimer):
+    // SPARK_GRAFT_STREAM_STATE=heap keeps the default heap provider
+    if (sys.env.get("SPARK_GRAFT_STREAM_STATE").contains("heap")) return body
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // changelog checkpointing: commit uploads the batch's delta instead
+      // of a full SST snapshot — the production setting for frequent
+      // small commits (snapshots still happen, asynchronously, every
+      // `minDeltasForSnapshot` batches); measured q74 4.16s → 2.53s
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true",
+      // state partition count is fixed at the checkpoint's first batch —
+      // it is a SIZING knob, not a correctness one. Each partition is a
+      // RocksDB instance paying per-batch open/commit; size it to keyed-
+      // state volume (a cluster run sizes UP for state that exceeds one
+      // node's disk), not to the session's batch shuffle width
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 
