@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.functions.PolyHash
 
@@ -81,5 +82,65 @@ object Sampling {
       when(col(strataCol) === stratum, math.round(f * Buckets).toInt).otherwise(acc)
     }
     df.where(b < thr)
+  }
+
+  /** TOKEN-BUDGET curation: keep the best documents, in (score DESC, id)
+    * order, until the cumulative token count would exceed `budget` — the
+    * "fill N billion tokens from the top of the quality ranking" job
+    * every pre-training data mix ends with.
+    *
+    * Scale shape: the naive formulation is a no-partition global-window
+    * running sum (the whole corpus through one task). This instead
+    * range-partitions on the selection order and runs the same two-pass
+    * distributed prefix sum as [[graft.ext.Packing]] / `io.TextRecords`:
+    * pass 1 ships ONE (partition, token-total) row per partition to the
+    * driver, pass 2 streams each partition against its broadcast base
+    * and keeps rows while `cum_tokens ≤ budget`. Partitions whose base
+    * already exceeds the budget are skipped wholesale (their iterator is
+    * never consumed past the short-circuit), so the post-budget tail
+    * costs a scan, not a sort-and-sum. Result is deterministic and
+    * range-boundary-invariant: the cumsum depends only on the global
+    * (score DESC, id) order, which ties back to data, not to sampling.
+    *
+    * @return (idCol, score, tokens, cum_tokens) for every kept doc
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long,
+                        partitions: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"),
+        col(tokensCol).cast("long").as("tokens"))
+      .repartitionByRange(partitions, col("score").desc, col("id"))
+      .sortWithinPartitions(col("score").desc, col("id"))
+    val rdd = sorted.rdd
+    val partTotals = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var sum = 0L
+        it.foreach(sum += _.getLong(2))
+        Iterator((pid, sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = partTotals.scanLeft(0L)(_ + _)
+    val basesB = spark.sparkContext.broadcast(bases)
+    val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = basesB.value(pid)
+      // > not >=: a zero-token doc landing exactly at the budget is kept
+      if (cum > budget) Iterator.empty // whole partition past the budget
+      else it
+        .map { r =>
+          cum += r.getLong(2)
+          Row(r.getLong(0), r.getDouble(1), r.getLong(2), cum)
+        }
+        .takeWhile(_.getLong(3) <= budget)
+    }
+    spark.createDataFrame(kept, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("tokens", LongType, nullable = false),
+      StructField("cum_tokens", LongType, nullable = false))))
+      .withColumnRenamed("id", idCol)
   }
 }

@@ -73,6 +73,26 @@ object TextAnalysis {
         + lit(0.3) * (lit(1.0) - punctRatio(text))
         + lit(0.3) * least(stopwordRatio(text) * 5.0, lit(1.0)))
 
+  /** PII redaction patterns, applied IN ORDER (email before IP: an
+    * email's host part can contain digit runs an IP pattern would
+    * otherwise claim). Patterns are deliberately RE2-compatible — no
+    * backreferences or lookaround — so the Java regex engine (Spark) and
+    * RE2 (the DuckDB oracle) produce byte-identical redactions; that
+    * cross-engine agreement is what q77 gates.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{1,2}-\\d{3}-\\d{4}" -> "<PHONE>")
+
+  /** Scrub emails / IPv4s / phone numbers from a text column — the
+    * standard pre-training redaction pass. Pure chained `regexp_replace`
+    * projections: codegen'd, shuffle-free, embarrassingly parallel — the
+    * 100 TB cost is the scan itself.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** Whitespace-normalized, lowercased canonical form (fingerprint basis). */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

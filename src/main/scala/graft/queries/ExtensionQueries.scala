@@ -20,6 +20,19 @@ object ExtensionQueries {
   private val DuckToks =
     "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** DuckDB replay of TextAnalysis.qualityScore (the q52 formula:
+    * length saturation + low punctuation + stopword presence, each leg
+    * stable-rounded exactly as the Spark side rounds).
+    */
+  private val QualityScoreSql =
+    """floor((0.4 * least(len(regexp_extract_all(text, '\S+'))::DOUBLE / 50.0, 1.0)
+      |      + 0.3 * (1.0 - floor(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE
+      |          / greatest(length(text), 1) * 1000000 + 0.5) / 1000000)
+      |      + 0.3 * least(floor(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+      |            t -> t IN ('the', 'a', 'and', 'of', 'is', 'to', 'in')))::DOUBLE
+      |          / greatest(len(regexp_extract_all(lower(text), '\S+')), 1) * 1000000 + 0.5)
+      |          / 1000000 * 5.0, 1.0)) * 1000000 + 0.5) / 1000000""".stripMargin
+
   /** DuckDB replay of Dedup.shingles (distinct word 3-grams). */
   private val ShingleCtes =
     s"""toks AS (SELECT doc_id, $DuckToks AS arr FROM documents),
@@ -1061,6 +1074,113 @@ object ExtensionQueries {
              |  FROM (SELECT doc_id,
              |          len(regexp_extract_all(text, '\S+'))::BIGINT AS toks
              |        FROM documents))
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q77: PII redaction — the pre-training scrub pass. The fixture
+    // carries no PII, so the input is built IN the query: each doc's
+    // text gets a deterministic synthetic email/IP/phone appended (the
+    // same concat on both engines), then TextAnalysis.redactPii runs on
+    // the Spark side and DuckDB's RE2 regexp_replace replays the same
+    // patterns — the gate is byte-identical redacted text from two
+    // independent regex engines.
+    Q(
+      "q77_pii_redaction",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(concat(
+              col("text"),
+              lit(" contact u"), col("doc_id").cast("string"),
+              lit("@mail.example.org host 10."),
+              (col("doc_id") % 256).cast("string"),
+              lit(".0.7 tel +1-555-"),
+              (lit(1000) + col("doc_id") % 9000).cast("string"))).as("clean"))
+          .orderBy("doc_id"),
+      Some {
+        val planted = "text || ' contact u' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail.example.org host 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
+          "'.0.7 tel +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+        // DuckDB single-quoted strings take backslashes literally, so
+        // the Java-regex pattern strings drop in unchanged (they are
+        // RE2-compatible by construction, see PiiPatterns)
+        val redacted = TextAnalysis.PiiPatterns.foldLeft(planted) {
+          case (expr, (pat, rep)) => s"regexp_replace($expr, '$pat', '$rep', 'g')"
+        }
+        s"""SELECT doc_id, $redacted AS clean
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q78: eval-set decontamination — flag training docs sharing any
+    // distinct word 8-gram with the (hash-split) eval slice; n_shared
+    // counts the shared shingles. Eval membership is the deterministic
+    // bucket formula (replayable, as in q55); the oracle rebuilds the
+    // same 8-grams in SQL and replays the join.
+    Q(
+      "q78_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val b = Sampling.bucket(col("doc_id"), "decon1")
+        val train = docs.where(b >= 2000)
+        val eval = docs.where(b < 2000)
+        Dedup.contaminationReport(train, eval, "text", "doc_id", n = 8)
+          .orderBy("doc_id")
+      },
+      Some {
+        val gram8 = (1 to 8).map(j => s"arr[i+$j]").mkString(" || ' ' || ")
+        s"""WITH bucketed AS (
+           |  SELECT doc_id, text,
+           |    (h * h % 1000000007) % 10000 AS bucket
+           |  FROM (SELECT doc_id, text,
+           |          ${PolyHash.duckSql("'decon1#' || doc_id::VARCHAR")} AS h
+           |        FROM documents)),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, bucket, s FROM (
+           |    SELECT doc_id, bucket,
+           |      unnest(list_transform(range(len(arr) - 7), i -> $gram8)) AS s
+           |    FROM (SELECT doc_id, bucket,
+           |            list_filter(string_split(text, ' '), t -> t <> '') AS arr
+           |          FROM bucketed)
+           |    WHERE len(arr) >= 8))
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM (SELECT doc_id, s FROM sh WHERE bucket >= 2000) t
+           |JOIN (SELECT DISTINCT s FROM sh WHERE bucket < 2000) e ON t.s = e.s
+           |GROUP BY t.doc_id
+           |ORDER BY t.doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q79: token-budget curation — fill a 10k-token budget from the top
+    // of the quality ranking (score DESC, doc_id tiebreak). The Spark
+    // side is ext.Sampling.tokenBudgetSelect's two-pass distributed
+    // prefix sum over a range partitioning (never a no-partition global
+    // window); the oracle is the single-window cumsum DuckDB can afford
+    // at gate scale. Monotone cumsum makes WHERE cum <= budget equal to
+    // the engine's takeWhile.
+    Q(
+      "q79_token_budget",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("score"),
+            size(TextAnalysis.wsTokens(col("text"))).cast("long").as("tokens"))
+        Sampling.tokenBudgetSelect(scored, "doc_id", "score", "tokens",
+            budget = 10000L)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, score, tokens, cum_tokens
+             |FROM (
+             |  SELECT doc_id, score, tokens,
+             |    CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_tokens
+             |  FROM (
+             |    SELECT doc_id, $QualityScoreSql AS score,
+             |      len(regexp_extract_all(text, '\\S+'))::BIGINT AS tokens
+             |    FROM documents))
+             |WHERE cum_tokens <= 10000
+             |ORDER BY score DESC, doc_id""".stripMargin))
   )
 }

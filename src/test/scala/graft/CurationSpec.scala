@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Sampling, TextAnalysis}
+
+/** Round-4 curation operators: PII redaction, eval-set decontamination,
+  * token-budget selection. Each also has an oracle-gated query
+  * (q77/q78/q79); these specs pin the edge cases the fixture corpus
+  * doesn't reach.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("redactPii scrubs emails, IPs, phones; leaves clean text alone") {
+    val rows = Seq(
+      (1L, "reach me at alice.smith+work@corp.example.com today"),
+      (2L, "server 192.168.1.254 and 10.0.0.7 are up"),
+      (3L, "call +1-555-0142 now"),
+      (4L, "nothing sensitive here, just 3.14 and version 2.0"),
+      (5L, "combo bob@x.io on 172.16.0.1 tel +44-555-9000"))
+      .toDF("id", "text")
+    val got = rows.select(col("id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "reach me at <EMAIL> today")
+    assert(got(2L) == "server <IP> and <IP> are up")
+    assert(got(3L) == "call <PHONE> now")
+    // version numbers / decimals survive: the IP pattern needs 4 octets
+    assert(got(4L) == "nothing sensitive here, just 3.14 and version 2.0")
+    assert(got(5L) == "combo <EMAIL> on <IP> tel <PHONE>")
+  }
+
+  test("contaminationReport flags n-gram collisions with the eval set only") {
+    val shared8 = "one two three four five six seven eight"
+    val train = Seq(
+      (1L, s"prefix words then $shared8 and a tail"),   // contaminated
+      (2L, "totally different content with no overlap at all present here"),
+      (3L, s"$shared8"),                                 // exact 8-gram doc
+      (4L, "short doc"))                                 // < n tokens: no shingles
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, s"eval says $shared8 verbatim")).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, eval, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 3L))
+    // doc 3 is exactly the shared 8-gram: one shingle, one collision
+    assert(got(3L) == 1L)
+    assert(got(1L) >= 1L)
+  }
+
+  test("tokenBudgetSelect == window formulation, budget edge exact, partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 500)
+      .map(i => (i.toLong, rnd.nextInt(100) / 100.0, 1L + rnd.nextInt(50)))
+      .toDF("doc_id", "score", "tokens")
+    val budget = 3000L
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "score", "tokens", "cum_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+      .toSeq
+
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val oracle = canon(docs
+      .withColumn("cum_tokens", sum("tokens").over(w))
+      .where(col("cum_tokens") <= budget))
+
+    for (parts <- Seq(1, 4, 13)) {
+      val got = canon(
+        Sampling.tokenBudgetSelect(docs, "doc_id", "score", "tokens", budget, parts))
+      assert(got == oracle, s"mismatch at partitions=$parts")
+    }
+
+    // edge: a doc landing exactly on the budget is kept, the next is not
+    val exact = Seq((1L, 0.9, 600L), (2L, 0.8, 400L), (3L, 0.7, 1L))
+      .toDF("doc_id", "score", "tokens")
+    val kept = Sampling.tokenBudgetSelect(exact, "doc_id", "score", "tokens", 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+}
