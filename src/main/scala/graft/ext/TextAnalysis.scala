@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
@@ -93,9 +93,43 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
+  /** Word n-grams WITH multiplicity (unlike `Dedup.shingles`, which
+    * dedups) — repetition analysis needs occurrence counts.
+    */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = graft.ops.Text.words(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
   /** Whitespace-normalized, lowercased canonical form (fingerprint basis). */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Gopher-style repetition statistics per document: total 2-gram
+    * occurrences, the most-frequent 2-gram's share, and the share of
+    * occurrences belonging to repeated 2-grams — the standard cheap
+    * signals for boilerplate/spam (high dup_gram_frac) ahead of the
+    * expensive near-dup pass. Docs with fewer than `n` tokens produce no
+    * n-grams and are omitted.
+    *
+    * Scale shape: two keyed aggregations ((doc, gram) then doc) — the
+    * word-count plan, with partial aggregation collapsing repeats
+    * map-side; never a per-row O(grams²) multiplicity scan.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(ngramsAll(col(textCol), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").cast("long").as("n_grams"),
+        Rounding.stableRound6(max("c").cast("double") / sum("c")).as("top_gram_frac"),
+        Rounding.stableRound6(
+          sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double") / sum("c"))
+          .as("dup_gram_frac"))
 
   /** Content-addressed fingerprint (md5 of the normalized text). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))

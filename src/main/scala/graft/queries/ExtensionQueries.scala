@@ -1181,6 +1181,36 @@ object ExtensionQueries {
              |      len(regexp_extract_all(text, '\\S+'))::BIGINT AS tokens
              |    FROM documents))
              |WHERE cum_tokens <= 10000
-             |ORDER BY score DESC, doc_id""".stripMargin))
+             |ORDER BY score DESC, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q80: repetition statistics (the Gopher boilerplate signals) —
+    // per-doc 2-gram occurrence totals, top-gram share, repeated-gram
+    // share. Two keyed aggregations (the word-count plan); the oracle
+    // rebuilds the multiplicity-preserving 2-grams and replays both
+    // groupings.
+    Q(
+      "q80_repetition_stats",
+      (s, dir) =>
+        TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"),
+            "text", "doc_id", n = 2)
+          .orderBy("doc_id"),
+      Some("""WITH grams AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(len(arr) - 1),
+             |      i -> arr[i+1] || ' ' || arr[i+2])) AS g
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), t -> t <> '') AS arr
+             |        FROM documents)
+             |  WHERE len(arr) >= 2),
+             |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(sum(c) AS BIGINT) AS n_grams,
+             |  floor(max(c)::DOUBLE / sum(c) * 1000000 + 0.5) / 1000000 AS top_gram_frac,
+             |  floor(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) * 1000000 + 0.5)
+             |    / 1000000 AS dup_gram_frac
+             |FROM counts
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

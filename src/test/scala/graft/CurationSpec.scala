@@ -82,4 +82,24 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L))
   }
+
+  test("repetitionStats: planted boilerplate scores high, distinct text scores 0") {
+    val rows = Seq(
+      (1L, "buy now buy now buy now buy now"),  // grams: 7 occurrences
+      (2L, "every word here is fully distinct"),
+      (3L, "one"))                               // < 2 tokens: no grams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(rows, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L)) // doc 3 omitted
+    // doc 1: 7 bigrams — "buy now"×4, "now buy"×3 → all repeated,
+    // top share 4/7
+    assert(got(1L)._1 == 7L)
+    assert(math.abs(got(1L)._2 - 4.0 / 7.0) < 1e-6)
+    assert(got(1L)._3 == 1.0)
+    // doc 2: 5 distinct bigrams — top share 1/5, nothing repeated
+    assert(got(2L) == ((5L, 0.2, 0.0)))
+  }
 }
