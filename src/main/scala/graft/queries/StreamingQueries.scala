@@ -19,6 +19,7 @@ object StreamingQueries {
   private val runId = new AtomicInteger(0)
   private val dedupRunId = new AtomicInteger(0)
   private val sessRunId = new AtomicInteger(0)
+  private val joinRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -226,6 +227,62 @@ object StreamingQueries {
              |           THEN 1 ELSE 0 END AS new_session
              |    FROM events))
              |GROUP BY user_id, session_idx
-             |ORDER BY user_id, session_idx""".stripMargin))
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q81: STREAM-STREAM time-bounded join — clicks joined to the
+    // purchases that follow them within 1 hour per user, both sides
+    // real watermarked streams. The watermark + time-range condition is
+    // what lets Spark EVICT buffered join state (inner-join results
+    // need no watermark for correctness, only for state cleanup — the
+    // property that matters at 100 TB: each side buffers at most the
+    // watermark horizon, not the stream's history). Oracle = the same
+    // join as batch SQL; gap in exact micros, no float rounding needed.
+    Q(
+      "q81_stream_stream_join",
+      (s, dir) => {
+        val id = joinRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_join_${id - 1}")
+        val name = s"graft_stream_join_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt")
+        val clicks = EventStreams.readStream(s, dir, globFilter = Some("events.parquet"))
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val purchases = EventStreams.readStream(s, dir, globFilter = Some("events.parquet"))
+          .where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val q = withRocksDbState(s) {
+          clicks.join(purchases,
+              col("user_id") === col("p_user")
+                && col("p_ts") >= col("c_ts")
+                && col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+            .select(col("user_id"), col("click_id"), col("purchase_id"),
+              (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+        }
+        s.table(name).orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin))
   )
 }
