@@ -54,15 +54,14 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }
 
-  /** Distinct word n-gram shingles of a (space-tokenized) text column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = graft.ops.Text.words(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles of a (space-tokenized) text column.
+    * Compiled ([[graft.functions.WordNgrams]]): the HOF formulation
+    * (`transform(sequence, i -> concat_ws over n element_at)`) re-splits
+    * the text per element after CollapseProject inlining — at n=8 that
+    * was the whole cost of q78 (12.8s → 1s at sf0.1).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordNgrams(text, n, distinct = true)
 
   /** PolyHash of each distinct shingle — the MinHash input set. Computed
     * by the compiled [[graft.functions.ShingleHashes]] expression (hash

@@ -94,15 +94,12 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
   /** Word n-grams WITH multiplicity (unlike `Dedup.shingles`, which
-    * dedups) — repetition analysis needs occurrence counts.
+    * dedups) — repetition analysis needs occurrence counts. Compiled
+    * (`WordNgrams`); see `Dedup.shingles` for the HOF-inlining trap the
+    * compiled form avoids.
     */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val toks = graft.ops.Text.words(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
-  }
+  def ngramsAll(text: Column, n: Int): Column =
+    graft.functions.WordNgrams(text, n, distinct = false)
 
   /** Whitespace-normalized, lowercased canonical form (fingerprint basis). */
   def normalize(text: Column): Column =

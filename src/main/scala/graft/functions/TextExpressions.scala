@@ -155,3 +155,72 @@ object TokenizeWithOffsets {
   def apply(line: Column, base: Column): Column =
     Bridge.column(TokenizeWithOffsets(Bridge.expression(line), Bridge.expression(base)))
 }
+
+/** Word n-gram STRINGS in one compiled pass — the string twin of
+  * [[ShingleHashes]], with multiplicity kept (`distinct = false`, the
+  * repetition-stats basis) or first-occurrence dedup (`distinct = true`,
+  * the decontamination/shingle basis). Exists because the HOF
+  * formulation (`transform(sequence(...), i -> concat_ws over n
+  * element_at calls)`) re-evaluates the token split per element after
+  * CollapseProject inlining — measured at sf0.1: q78's 8-gram explode
+  * dropped 12.8s → ~1s when this replaced it.
+  */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($c.toString(), $n, $distinct);")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[UTF8String].toString, n, distinct)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+
+  def compute(s: String, n: Int, distinct: Boolean): ArrayData = {
+    // tokenize: split on single spaces, drop empties (Text.words semantics)
+    val toks = new ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) toks += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    val out = new ArrayBuffer[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var t = 0
+    while (t <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(t + j))
+        j += 1
+      }
+      val g = sb.toString
+      if (seen == null || seen.add(g)) out += UTF8String.fromString(g)
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(c: Column, n: Int, distinct: Boolean): Column =
+    Bridge.column(WordNgrams(Bridge.expression(c), n, distinct))
+}

@@ -89,11 +89,31 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.expressions.Literal("a b c d"), 3),
       graft.functions.TokenizeWithOffsets(
         org.apache.spark.sql.catalyst.expressions.Literal("a b"),
-        org.apache.spark.sql.catalyst.expressions.Literal(0L)))
+        org.apache.spark.sql.catalyst.expressions.Literal(0L)),
+      graft.functions.WordNgrams(
+        org.apache.spark.sql.catalyst.expressions.Literal("a b c d"), 2,
+        distinct = false))
       .foreach { e =>
         assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
           s"${e.prettyName} regressed to CodegenFallback")
       }
+  }
+
+  test("word_ngrams compiles under CODEGEN_ONLY (no interpreted fallback)") {
+    val prior = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = Tables.load(spark, sf0001, "documents")
+      // executing is the assertion (see the vector-expression gate): a
+      // corrupt generated line would throw instead of silently
+      // interpreting — covers both the distinct (q78) and multiplicity
+      // (q80) variants
+      assert(docs.select(explode(graft.ext.Dedup.shingles(col("text"), 8))).count() > 0)
+      assert(graft.ext.TextAnalysis.repetitionStats(docs, "text", "doc_id").count() > 0)
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("vector expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
