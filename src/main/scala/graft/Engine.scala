@@ -57,6 +57,7 @@ object Engine {
           org.apache.spark.sql.types.LongType)))
     Bridge.registerFunction(spark, "lsh_bucket",
       graft.ext.SimilaritySearch.lshBucketBuilder)
+    Bridge.registerFunction(spark, "word_ngrams", WordNgrams.builder)
   }
 
   /** Register every fixture table as a temp view so plain

@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_bucket",
         "lsh_bucket(vec, nPlanes, dim, seed) - hyperplane LSH bucket id (literal int args)"),
       (es: Seq[Expression]) => graft.ext.SimilaritySearch.lshBucketBuilder(es)))
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(str, n[, distinct]) - word n-grams, compiled (literal n/distinct)"),
+      (es: Seq[Expression]) => WordNgrams.builder(es)))
   }
 }

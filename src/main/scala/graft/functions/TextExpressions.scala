@@ -223,4 +223,22 @@ object WordNgrams {
 
   def apply(c: Column, n: Int, distinct: Boolean): Column =
     Bridge.column(WordNgrams(Bridge.expression(c), n, distinct))
+
+  /** SQL-registry builder: `word_ngrams(str, n[, distinct])` with
+    * literal n/distinct args (same literal-arg convention as
+    * `lsh_bucket`).
+    */
+  def builder(es: Seq[Expression]): Expression = {
+    val n = es(1).eval(null) match {
+      case i: Number => i.intValue
+      case other => throw new IllegalArgumentException(
+        s"word_ngrams arg 1 must be an integer literal, got $other")
+    }
+    val distinct = if (es.length < 3) false else es(2).eval(null) match {
+      case b: java.lang.Boolean => b.booleanValue
+      case other => throw new IllegalArgumentException(
+        s"word_ngrams arg 2 must be a boolean literal, got $other")
+    }
+    WordNgrams(es.head, n, distinct)
+  }
 }

@@ -20,6 +20,7 @@ object StreamingQueries {
   private val dedupRunId = new AtomicInteger(0)
   private val sessRunId = new AtomicInteger(0)
   private val joinRunId = new AtomicInteger(0)
+  private val outerRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -282,6 +283,86 @@ object StreamingQueries {
              |FROM events c JOIN events p
              |  ON c.user_id = p.user_id
              |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q82: stream-stream LEFT OUTER join — q81 plus the subtle half: a
+    // click with NO purchase within the hour must still emit (with
+    // nulls), and in streaming that emission happens only when the
+    // watermark passes the click's join window and evicts its buffered
+    // state. On a finite stream that eviction is forced the q76 way:
+    // sentinel events far past the fixture range on BOTH streams (the
+    // global watermark is the MIN across watermark nodes, so each side
+    // needs one). The sentinel filter must run BATCH-side on the sink
+    // table, never inside the streaming plan: a `user_id >= 0` filter
+    // above a left-outer join is legally pushed below the join — and
+    // below the watermark nodes — on the left side, and the equi-join
+    // condition lets Catalyst infer `p_user >= 0` for the right side
+    // too, so both sentinels were deleted at the scan and the last
+    // click's null row never emitted (caught by this query's own gate:
+    // 209 vs 210 rows).
+    Q(
+      "q82_stream_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val id = outerRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_outer_${id - 1}")
+        val name = s"graft_stream_outer_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_sso_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sso_sentinel")
+        Seq(
+          (-1L, 4102444800000000000L, -1L, "click", 0.0, "{}"),
+          (-2L, 4102444800000000000L, -2L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        def side(eventType: String) = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .where(col("event_type") === eventType)
+        val clicks = side("click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val purchases = side("purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val q = withRocksDbState(s) {
+          clicks.join(purchases,
+              col("user_id") === col("p_user")
+                && col("p_ts") >= col("c_ts")
+                && col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+              "left_outer")
+            .select(col("user_id"), col("click_id"), col("purchase_id"),
+              (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        // batch-side sentinel filter (see scaladoc above — it must not
+        // enter the streaming plan); the sentinel click never actually
+        // emits (nothing later advances the watermark past its window),
+        // so this is belt-and-braces
+        s.table(name).where(col("user_id") >= 0)
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id
              |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
              |ORDER BY c.user_id, click_id, purchase_id""".stripMargin))
   )
