@@ -22,7 +22,8 @@ import graft.streaming.EventStreams
   */
 object PlanSnapshots {
   val defaultQueries: Seq[String] =
-    Seq("q44_jaccard_pairs", "q62_multimodal_decode", "q59_dedup_clusters")
+    Seq("q44_jaccard_pairs", "q62_multimodal_decode", "q59_dedup_clusters",
+      "q78_decontaminate", "q80_repetition_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -37,6 +38,7 @@ object PlanSnapshots {
         .replaceAll("codegen id : \\d+", "codegen id : *")
         .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=*]")
         .replaceAll("file:[^,\\]\\s]*", "file:*")
+        .replaceAll("#\\d+", "#*") // exprIds shift with registry order
       Files.writeString(Paths.get(s"$outDir/$name.txt"), stable)
       println(s"PLAN_SNAPSHOT $outDir/$name.txt")
     }
