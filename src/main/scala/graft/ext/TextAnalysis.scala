@@ -128,6 +128,34 @@ object TextAnalysis {
           sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double") / sum("c"))
           .as("dup_gram_frac"))
 
+  /** RAG-style document chunking: overlapping token windows of
+    * `chunkSize` tokens every `stride` tokens (stride < chunkSize ⇒
+    * overlap), the standard retrieval-corpus preparation. Output one row
+    * per chunk: (doc_id, chunk_idx, start_tok, n_tokens, chunk_text);
+    * the tail chunk may be short. Pure per-row projection + explode —
+    * shuffle-free, embarrassingly parallel; chunk count per doc is
+    * ⌈n/stride⌉, so the lambda re-evaluates the token split O(chunks)
+    * times per row (bounded small — unlike the per-ELEMENT n-gram trap,
+    * see `WordNgrams`).
+    */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize and stride must be positive, got ($chunkSize, $stride)")
+    df.select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          s"""transform(sequence(0, n - 1, $stride), s -> struct(
+             |  s AS start_tok,
+             |  least($chunkSize, n - s) AS n_tokens,
+             |  array_join(slice(toks, s + 1, $chunkSize), ' ') AS chunk_text))"""
+            .stripMargin)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"), col("c.start_tok"),
+        col("c.n_tokens"), col("c.chunk_text"))
+  }
+
   /** Content-addressed fingerprint (md5 of the normalized text). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 

@@ -47,4 +47,15 @@ object Sources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC: the other columnar format warehouses hand over — same
+    * pushdown/pruning properties as parquet through Spark's native
+    * reader, so ingesting an ORC-resident corpus needs no conversion
+    * pass.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -1211,6 +1211,31 @@ object ExtensionQueries {
              |    / 1000000 AS dup_gram_frac
              |FROM counts
              |GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q83: RAG-style chunking — 50-token windows every 25 tokens
+    // (2x overlap), one row per chunk with its reassembled text. The
+    // oracle rebuilds the same windows with DuckDB list slicing, so
+    // window boundaries, tail handling, and the join-with-spaces text
+    // all hash-match.
+    Q(
+      "q83_doc_chunking",
+      (s, dir) =>
+        TextAnalysis.chunkTokens(Tables.load(s, dir, "documents"),
+            "text", "doc_id", chunkSize = 50, stride = 25)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, CAST((s // 25) AS INTEGER) AS chunk_idx,
+             |  CAST(s AS INTEGER) AS start_tok,
+             |  CAST(least(50, n - s) AS INTEGER) AS n_tokens,
+             |  array_to_string(list_slice(arr, s + 1, least(s + 50, n)), ' ') AS chunk_text
+             |FROM (
+             |  SELECT doc_id, arr, len(arr) AS n,
+             |    unnest(range(0, len(arr), 25)) AS s
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), w -> w <> '') AS arr
+             |        FROM documents)
+             |  WHERE len(arr) > 0)
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -34,6 +34,20 @@ class AdvancedSpec extends SparkSpec {
     assert(fromCsv.schema == orig.schema)
   }
 
+  test("orc round-trip preserves data, schema, and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val orig = Tables.load(spark, sf0001, "nation")
+    Sources.writeOrc(orig, s"$dir/nation_orc")
+    val back = Sources.readOrc(spark, s"$dir/nation_orc")
+    assert(back.collect().map(_.toSeq).toSet == orig.collect().map(_.toSeq).toSet)
+    assert(back.schema == orig.schema)
+    val plan = back.filter(col("n_regionkey") === 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]"),
+      plan.take(800))
+  }
+
   test("partitioned write prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val orders = Tables.load(spark, sf0001, "orders")

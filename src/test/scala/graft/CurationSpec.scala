@@ -102,4 +102,23 @@ class CurationSpec extends SparkSpec {
     // doc 2: 5 distinct bigrams — top share 1/5, nothing repeated
     assert(got(2L) == ((5L, 0.2, 0.0)))
   }
+
+  test("chunkTokens: window boundaries, short tails, empty docs") {
+    val rows = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x"),             // 1 token -> one short chunk
+      (3L, ""))              // 0 tokens -> no rows
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(rows, "text", "doc_id",
+        chunkSize = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 3, "a b c"),
+      (1L, 1, 2, 3, "c d e"),
+      (1L, 2, 4, 3, "e f g"),
+      (1L, 3, 6, 1, "g"),
+      (2L, 0, 0, 1, "x")))
+  }
 }
