@@ -115,10 +115,17 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, left: DataFrame, right: DataFrame,
                             textCol: String, idCol: String,
                             threshold: Double): DataFrame = {
-    val a = left.select(col(idCol).as("da"), shingleHashes(col(textCol)).as("ha"))
-    val b = right.select(col(idCol).as("db"), shingleHashes(col(textCol)).as("hb"))
+    // sorted projections so the verify can merge-walk (see
+    // SortedIntersectCount — array_intersect builds a hash set AND the
+    // intersection array per evaluation, and pushdown evaluates the
+    // jaccard condition's intersect up to 3x per candidate row)
+    val a = left.select(col(idCol).as("da"),
+      sort_array(shingleHashes(col(textCol))).as("ha"))
+    val b = right.select(col(idCol).as("db"),
+      sort_array(shingleHashes(col(textCol))).as("hb"))
     cand.join(a, "da").join(b, "db")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard",
         Rounding.stableRound6(col("inter").cast("double")
           / (size(col("ha")) + size(col("hb")) - col("inter"))))
@@ -171,7 +178,10 @@ object Dedup {
     cand
       .join(docArrs.select(col("id").as("da"), col("hs").as("ha"), col("n").as("na")), "da")
       .join(docArrs.select(col("id").as("db"), col("hs").as("hb"), col("n").as("nb")), "db")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      // hs is sort_array'd above — merge-walk count, no hash set or
+      // materialized intersection per evaluation
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard",
         Rounding.stableRound6(col("inter").cast("double")
           / (col("na") + col("nb") - col("inter"))))

@@ -92,7 +92,12 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.expressions.Literal(0L)),
       graft.functions.WordNgrams(
         org.apache.spark.sql.catalyst.expressions.Literal("a b c d"), 2,
-        distinct = false))
+        distinct = false),
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 2L),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(Array(2L, 3L),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
       .foreach { e =>
         assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
           s"${e.prettyName} regressed to CodegenFallback")
