@@ -1236,6 +1236,73 @@ object ExtensionQueries {
              |          list_filter(string_split(text, ' '), w -> w <> '') AS arr
              |        FROM documents)
              |  WHERE len(arr) > 0)
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q84: MapType surface — build a map<string,double> per event (JSON
+    // prop + derived metrics), explode its entries, aggregate per key.
+    // Gates map construction, entry explosion, and key-grouped
+    // aggregation; the oracle unrolls the same three entries as a UNION.
+    Q(
+      "q84_map_metrics",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            map(
+              lit("value"), col("value"),
+              lit("value_sq"), col("value") * col("value"),
+              lit("prop_k"), get_json_object(col("props"), "$.k").cast("double"))
+              .as("m"))
+          .select(col("event_type"), explode(col("m")).as(Seq("metric", "v")))
+          .groupBy("event_type", "metric")
+          .agg(round(sum("v"), 2).as("total"), count(lit(1)).cast("long").as("n"))
+          .orderBy("event_type", "metric"),
+      Some("""SELECT event_type, metric, round(sum(v), 2) AS total,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM (
+             |  SELECT event_type, 'value' AS metric, value AS v FROM events
+             |  UNION ALL
+             |  SELECT event_type, 'value_sq', value * value FROM events
+             |  UNION ALL
+             |  SELECT event_type, 'prop_k',
+             |    CAST(json_extract_string(props, '$.k') AS DOUBLE) FROM events)
+             |GROUP BY event_type, metric
+             |ORDER BY event_type, metric""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q85: time-series gap filling — hourly counts per event_type with
+    // EVERY hour of the observed range present (zero-filled), the
+    // resampling step before any windowed/forecast consumer. The hour
+    // spine is sequence() over the corpus min/max (one tiny 1-row agg,
+    // broadcast), cross-joined with the distinct types and left-joined
+    // to the real counts: the heavy work stays the one counts shuffle,
+    // the spine join is dimension-sized.
+    Q(
+      "q85_gap_fill",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val counts = e
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val spine = e
+          .agg(date_trunc("hour", min("ts")).as("h0"), date_trunc("hour", max("ts")).as("h1"))
+          .select(explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour"))
+          .crossJoin(e.select("event_type").distinct())
+        spine.join(counts, Seq("hour", "event_type"), "left")
+          .select(col("hour"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+             |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+             |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |counts AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+             |             count(*) AS n
+             |           FROM events GROUP BY 1, 2)
+             |SELECT s.hour, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |FROM spine s CROSS JOIN types t
+             |LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+             |ORDER BY s.hour, t.event_type""".stripMargin))
   )
 }
