@@ -32,6 +32,11 @@ object SentinelProbe {
     spark.stop()
   }
 }
+/** Companion reproducer to [[OuterJoinProbe]]: the same left-outer
+  * pipeline WITH the sentinel filter inside the streaming plan, built
+  * from a shared sentinel dir — prints TOTAL=209 (the pushdown trap) and
+  * per-source rows=0 for the sentinel sources.
+  */
 object SentinelJoinProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.session(appName = "sentinel-join-probe")
