@@ -1,0 +1,40 @@
+package graft
+
+/** Meta-invariants of the query registry — the mistakes that have
+  * actually cost rounds (duplicate names would silently shadow a query
+  * in the Map the driver consumes; a missing oracle downgrades a query
+  * to the weak rows-only check; an oracle without a full ORDER BY makes
+  * the hash compare row-order-dependent).
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("registry: unique well-formed names, an oracle for every query") {
+    val all = SparkEntry.all
+    assert(all.nonEmpty)
+    val names = all.map(_.name)
+    val dupes = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    names.foreach(n =>
+      assert(n.matches("q\\d+_[a-z0-9_]+"), s"malformed query name: $n"))
+    // since round 3 every query is hash-gated: no oracle-less entries
+    val missing = all.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without a DuckDB oracle: $missing")
+    // the driver consumes the Map form — it must cover the Seq exactly
+    assert(SparkEntry.queries.size == all.size)
+    assert(SparkEntry.oracleSql.size == all.size)
+  }
+
+  test("registry: every oracle ends in a deterministic ORDER BY") {
+    // canonical row-sorting in the checker hides row-order drift, but the
+    // engine contract (queries.Q scaladoc) is deterministic output — an
+    // oracle with no ORDER BY usually means the Spark side lost its sort
+    // single-row global aggregates where order is vacuous; adding a name
+    // here requires the query to provably emit exactly one row
+    val singleRow = Set("q06_forecast_revenue", "q14_promo_revenue",
+      "q17_small_quantity_revenue", "q73_triangles")
+    SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
+      val sql = q.oracle.get.toUpperCase
+      assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
+    }
+  }
+}
