@@ -84,6 +84,22 @@ object Sampling {
     df.where(b < thr)
   }
 
+  /** Deterministic global shuffle ORDER for training epochs: a
+    * reproducible pseudo-random permutation key per row —
+    * `shuffle_key = bucket(id, salt)` with the id as tiebreak. Consumers
+    * `ORDER BY (shuffle_key, id)` (or range-partition on it) to get the
+    * same epoch order on every run and engine; a new salt is a fresh
+    * independent permutation. `rand()`-ordered epochs are
+    * unreproducible, and at 100 TB an ORDER BY over a pure projection is
+    * a range exchange — no extra scan, no driver state.
+    */
+  def shuffleKey(id: Column, salt: String): Column = {
+    // same mixing as [[bucket]] (squared mod p — see the spec-pinned
+    // rationale there) without the basis-point fold: ~1e9 distinct keys
+    val h = PolyHash(concat(lit(salt + "#"), id.cast("string")))
+    h * h % PolyHash.Mod
+  }
+
   /** TOKEN-BUDGET curation: keep the best documents, in (score DESC, id)
     * order, until the cumulative token count would exceed `budget` — the
     * "fill N billion tokens from the top of the quality ranking" job

@@ -58,4 +58,24 @@ object Sources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Small-files hygiene: write parquet with the file count sized to
+    * `targetBytes` per file from the optimizer's size estimate. At
+    * 100 TB both failure modes are real — thousands of KB-files per
+    * partition drown the driver in listing/task overhead, and one
+    * giant file serializes downstream scans — and the fix is the same
+    * repartition-before-write. The estimate is the logical plan's
+    * (pre-compression) sizeInBytes, so actual files land smaller by
+    * roughly the parquet compression ratio; `targetBytes` is a ceiling
+    * knob, not a promise. Uses round-robin repartition: even file sizes,
+    * no ordering assumption.
+    */
+  def writeCompacted(df: DataFrame, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes.max(BigInt(1))
+    val ceilDiv = (estimated + targetBytes - 1) / targetBytes
+    val nFiles = ceilDiv.min(BigInt(100000)).toInt
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -1303,6 +1303,25 @@ object ExtensionQueries {
              |SELECT s.hour, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
              |FROM spine s CROSS JOIN types t
              |LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
-             |ORDER BY s.hour, t.event_type""".stripMargin))
+             |ORDER BY s.hour, t.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q86: deterministic epoch shuffle — a reproducible pseudo-random
+    // permutation of the corpus (`Sampling.shuffleKey`): same salt ⇒
+    // same order on every run and engine, new salt ⇒ fresh independent
+    // permutation. The oracle replays the squared-PolyHash key, so the
+    // exact permutation — not just the key formula — is hash-gated.
+    Q(
+      "q86_epoch_shuffle",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            Sampling.shuffleKey(col("doc_id"), "epoch0").as("shuffle_key"))
+          .orderBy("shuffle_key", "doc_id"),
+      Some(s"""SELECT doc_id, h * h % 1000000007 AS shuffle_key
+             |FROM (SELECT doc_id,
+             |        ${PolyHash.duckSql("'epoch0#' || doc_id::VARCHAR")} AS h
+             |      FROM documents)
+             |ORDER BY shuffle_key, doc_id""".stripMargin))
   )
 }

@@ -48,6 +48,21 @@ class AdvancedSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("writeCompacted sizes the file count to the target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val li = Tables.load(spark, sf0001, "lineitem")
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    // huge target -> exactly one file
+    Sources.writeCompacted(li, s"$dir/one", targetBytes = Long.MaxValue / 2)
+    assert(parquetFiles(s"$dir/one") == 1)
+    // tiny target -> several files (the estimate is the ~115KB scan),
+    // and the data round-trips
+    Sources.writeCompacted(li, s"$dir/many", targetBytes = 16 * 1024)
+    assert(parquetFiles(s"$dir/many") >= 4)
+    assert(Sources.readParquet(spark, s"$dir/many").count() == li.count())
+  }
+
   test("partitioned write prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val orders = Tables.load(spark, sf0001, "orders")
