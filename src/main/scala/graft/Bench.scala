@@ -83,8 +83,12 @@ object Bench {
       files.flatMap { f =>
         val txt = java.nio.file.Files.readString(f.toPath)
         val qStart = txt.indexOf("\"queries\":")
-        if (qStart < 0) Nil
-        else entry.findAllMatchIn(txt.substring(qStart)).flatMap { m =>
+        // bound the scan to the queries OBJECT (flat, no nested braces)
+        // — scanning to end-of-file would ingest trailing fields like
+        // "sf":0.1 as phantom query baselines
+        val qEnd = if (qStart < 0) -1 else txt.indexOf('}', qStart)
+        if (qStart < 0 || qEnd < 0) Nil
+        else entry.findAllMatchIn(txt.substring(qStart, qEnd + 1)).flatMap { m =>
           scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
         }.toSeq
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }

@@ -230,10 +230,16 @@ object Dedup {
     // PPJoin POSITIONAL filter: for the pair's first prefix match (0-based
     // positions pa, pb), every other common element sorts after it in
     // both arrays, so overlap ≤ 1 + min(na−pa−1, nb−pb−1); J ≥ t needs
-    // overlap ≥ ⌈t/(1+t)·(na+nb)⌉ — rows failing that bound can't be the
-    // first match of a qualifying pair. Per-row filter + distinct is
-    // exact: the first-match row carries the loosest (and valid) bound,
-    // so a qualifying pair always survives through it. Measured at
+    // overlap ≥ t/(1+t)·(na+nb) — rows failing that bound can't be the
+    // first match of a qualifying pair. The bound is compared directly
+    // (ub ≥ t/(1+t)·(na+nb)) with an epsilon of slack rather than
+    // through ⌈·⌉: float ceil over-rounds for many thresholds (e.g.
+    // t=0.2, na+nb=18 → 3.0000000000000004 → ⌈⌉=4, wrongly pruning an
+    // exactly-at-threshold pair), and a pruning filter may only ever be
+    // LOOSE — extra candidates are killed by the exact verify. Per-row
+    // filter + distinct is exact: the first-match row carries the
+    // loosest (and valid) bound, so a qualifying pair always survives
+    // through it. Measured at
     // sf0.1: candidates 429,655 → 209,474 (2.05×) for +0.3s of per-probe
     // arithmetic in the (broadcast-local) candidate join — a fixture-
     // scale cost, but the 100 TB win: candidate ROWS feed a distinct
@@ -245,7 +251,7 @@ object Dedup {
         && col("a.n") >= lit(threshold) * col("b.n")
         && col("b.n") >= lit(threshold) * col("a.n")
         && lit(1) + least(col("a.n") - col("a.p") - 1, col("b.n") - col("b.p") - 1)
-          >= ceil(lit(threshold) / (1 + threshold) * (col("a.n") + col("b.n"))))
+          >= lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")) - lit(1e-9))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
   }

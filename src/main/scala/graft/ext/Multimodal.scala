@@ -67,8 +67,12 @@ object Multimodal {
     * registry (every plugin gets to sniff the stream) before giving up —
     * measured as the dominant cost of q62, where ~95% of payloads are
     * text. Four byte compares skip that search; payloads failing the
-    * check take the same stub fallback a failed parse would, so
-    * semantics are unchanged.
+    * check take the same stub fallback a failed parse would. This gate
+    * DEFINES the engine's supported image set: formats ImageIO could
+    * also decode (TIFF on JDK 9+, headerless WBMP) deliberately take
+    * the stub path — every decode surface (decodeImage, resizeImage,
+    * pixelFeatures) and the q71 oracle replay apply the same gate, so
+    * engine and oracle can never diverge on an exotic payload.
     */
   private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
     b.length >= 4 && (

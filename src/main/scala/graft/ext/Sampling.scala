@@ -135,7 +135,14 @@ object Sampling {
     val partTotals = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var sum = 0L
-        it.foreach(sum += _.getLong(2))
+        it.foreach { r =>
+          // fail fast with a usable message: a null score/tokens would
+          // otherwise surface as an opaque task NPE after retries
+          require(!r.isNullAt(1) && !r.isNullAt(2),
+            s"tokenBudgetSelect: null score/tokens for id=${r.get(0)} — " +
+              "clean the input (na.drop or coalesce) before selection")
+          sum += r.getLong(2)
+        }
         Iterator((pid, sum))
       }
       .collect().sortBy(_._1).map(_._2)

@@ -142,7 +142,10 @@ object TextAnalysis {
                   chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0,
       s"chunkSize and stride must be positive, got ($chunkSize, $stride)")
-    df.select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("toks"))
+    // Text.words (single-space split), NOT wsTokens (\S+): the q83
+    // oracle splits with string_split(text, ' '), and a tab/newline in a
+    // document would move chunk boundaries between the engines under \S+
+    df.select(col(idCol).as("doc_id"), graft.ops.Text.words(col(textCol)).as("toks"))
       .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
       .where(col("n") > 0)
       .select(col("doc_id"), col("n"),

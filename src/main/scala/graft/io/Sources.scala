@@ -75,7 +75,13 @@ object Sources {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes.max(BigInt(1))
     val ceilDiv = (estimated + targetBytes - 1) / targetBytes
-    val nFiles = ceilDiv.min(BigInt(100000)).toInt
+    // without CBO, join/agg plans estimate sizeInBytes multiplicatively
+    // (can overshoot by orders of magnitude) — clamp by the physical
+    // partition count, which tracks actual data volume: more than 8
+    // output files per input partition means the estimate, not the data,
+    // is big
+    val partitionClamp = math.max(df.rdd.getNumPartitions * 8, 1)
+    val nFiles = ceilDiv.min(BigInt(partitionClamp)).max(BigInt(1)).toInt
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -928,9 +928,14 @@ object ExtensionQueries {
         val side = 4
         val dim = side * side * 3
         val rows = Multimodal.syntheticMediaCorpus(48).map { case (rec, _) =>
+          // same looksLikeImage gate as the engine: the gate defines the
+          // supported format set, so a payload only ImageIO's exotic
+          // readers accept must take the histogram path on BOTH sides
           val src =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
-            catch { case scala.util.control.NonFatal(_) => null }
+            if (!Multimodal.looksLikeImage(rec.content)) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.content))
+              catch { case scala.util.control.NonFatal(_) => null }
           val v = new Array[Float](dim)
           if (src == null) {
             rec.content.foreach(b => v((b & 0xff) % dim) += 1f)

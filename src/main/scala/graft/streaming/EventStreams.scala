@@ -81,12 +81,18 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
                         session_value: Double)
 
-  /** Keyed state: the user's open session plus how many sessions have
-    * already been closed (so every emission carries its ordinal without
-    * any post-hoc renumbering). Public only because the state encoder's
-    * generated code must reach the accessors — not part of the API.
+  /** One session-in-progress (a maximal run of events with inter-event
+    * gaps ≤ gap). Public only because the state encoder's generated code
+    * must reach the accessors — not part of the API.
     */
-  case class OpenSession(closed: Long, n: Long, value: Double, lastUs: Long)
+  case class SessionSpan(firstUs: Long, lastUs: Long, n: Long, value: Double)
+
+  /** Keyed state: the user's not-yet-sealed session spans (disjoint,
+    * separated by > gap, kept sorted) plus how many sessions have
+    * already been emitted — so every emission carries its per-user
+    * ordinal without post-hoc renumbering.
+    */
+  case class SessionsState(closed: Long, spans: Seq[SessionSpan])
 
   private def round2(v: Double): Double =
     java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
@@ -97,31 +103,30 @@ object EventStreams {
     * — the streaming twin of batch q29: a session ends when the gap to
     * the next event exceeds `gap` (strictly), sessions are numbered per
     * user in event-time order, and each session is emitted EXACTLY ONCE
-    * when it closes (append semantics, no running updates):
+    * (append semantics, no running updates).
     *
-    *  - within a batch, the group's events are sorted by (ts, event_id)
-    *    — the same total order as the batch window — and gap-split
-    *    eagerly, so a batch containing several sessions emits every
-    *    closed one immediately;
-    *  - the still-open session waits in state with an event-time timeout
-    *    at `last + gap`; when the watermark (applied here, 2 hours)
-    *    passes it, the session is finalized and the state evicted.
+    * Emission is strictly WATERMARK-DRIVEN, never eager: a session is
+    * emitted only once `last + gap < watermark`, i.e. once no legally
+    * late event (the engine admits anything ≥ watermark) could still
+    * extend it, start before it, or bridge into it. An earlier design
+    * emitted a span the moment a later event split away from it — wrong
+    * under multi-batch late arrival: an admissible late event landing
+    * BETWEEN an already-emitted span and the open one would silently
+    * merge into the wrong session (caught in round-4 review). Until the
+    * watermark seals them, finished-looking spans wait in state; each
+    * batch merges its (event-time-sorted) events into the span list —
+    * gap-sessionization of a point set is one sorted merge pass, so late
+    * events within the watermark fall into exactly the session batch
+    * q29 would give them.
     *
-    * State is BOUNDED: one small OpenSession per ACTIVE user — idle
-    * users cost nothing after gap+watermark, exactly the property that
-    * lets keyed session state survive 100 TB event history (state scales
-    * with concurrent users, not events). Events later than the watermark
-    * are dropped by the engine before reaching the function, which is
-    * consistent: any event that could legally arrive (≤ 2 h late) either
-    * extends a session whose timeout has not yet fired or starts a new
-    * one.
-    *
-    * Cross-batch assumption (standard for event-time sessionization):
-    * within a user, batches arrive in non-decreasing event-time order up
-    * to the watermark slack — an event older than the open session's
-    * last timestamp merges as if it were next (its contribution to
-    * n/value is correct; only a sub-gap reordering straddling a batch
-    * boundary could mis-split, and the watermark bounds that window).
+    * State per ACTIVE user is a handful of spans bounded by the
+    * watermark horizon (everything older is sealed and emitted — the
+    * event-time timeout fires at the earliest `last + gap`). After a
+    * user's spans all seal, a counter-only tombstone (16 bytes) remains
+    * so a returning user's `session_idx` continues the batch-equivalent
+    * numbering; pipelines that key sessions by (user, first_ts) instead
+    * of ordinals can drop the tombstone and make state strictly
+    * active-user-bounded.
     */
   def gapSessions(events: Dataset[SessionEvent],
                   gap: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[SessionOut] = {
@@ -130,34 +135,39 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator.single(SessionOut(uid, st.closed + 1, st.n, round2(st.value)))
-          } else {
-            val evs = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
-            var st = state.getOption.orNull
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            evs.foreach { e =>
-              if (st == null)
-                st = OpenSession(0L, 1L, e.value, e.ts_us)
-              else if (e.ts_us - st.lastUs > gapUs) {
-                out += SessionOut(uid, st.closed + 1, st.n, round2(st.value))
-                st = OpenSession(st.closed + 1, 1L, e.value, e.ts_us)
-              } else
-                st = OpenSession(st.closed, st.n + 1, st.value + e.value,
-                  math.max(st.lastUs, e.ts_us))
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionsState]) =>
+          val prev = state.getOption.getOrElse(SessionsState(0L, Seq.empty))
+          // merge new events (as unit spans) into the span list: sort,
+          // then combine neighbors whose gap is ≤ gapUs — exactly the
+          // batch gap rule, late events included
+          val units = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
+            .map(e => SessionSpan(e.ts_us, e.ts_us, 1L, e.value))
+          val merged = (prev.spans ++ units).sortBy(s => (s.firstUs, s.lastUs))
+            .foldLeft(List.empty[SessionSpan]) {
+              case (acc @ (cur :: rest), s) if s.firstUs - cur.lastUs <= gapUs =>
+                SessionSpan(cur.firstUs, math.max(cur.lastUs, s.lastUs),
+                  cur.n + s.n, cur.value + s.value) :: rest
+              case (acc, s) => s :: acc
             }
-            if (st != null) {
-              state.update(st)
-              // ceil to ms so the timeout never lands before last+gap
-              state.setTimeoutTimestamp((st.lastUs + gapUs + 999L) / 1000L)
-            }
-            out.iterator
+            .reverse
+          // seal: STRICTLY below the watermark — an event at exactly
+          // ts == last + gap == watermark is still admissible and still
+          // extends the session
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, open) = merged.partition(s => s.lastUs + gapUs < wmUs)
+          val out = ready.zipWithIndex.map { case (s, i) =>
+            SessionOut(uid, prev.closed + i + 1, s.n, round2(s.value))
           }
+          state.update(SessionsState(prev.closed + ready.size, open))
+          if (open.nonEmpty) {
+            // fire when the earliest retained span could seal; must be
+            // strictly beyond the current watermark
+            val nextMs = (open.map(_.lastUs).min + gapUs) / 1000L + 1L
+            state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
       }
   }
 }

@@ -72,4 +72,51 @@ class StreamingSpec extends SparkSpec {
     // otherwise the gap-split path was never exercised
     assert(got.exists(_._2 > 1))
   }
+
+  test("gapSessions: admissible late event lands in its own session (round-4 review)") {
+    // the failure the watermark-driven redesign fixes: user 1 has events
+    // at 10:00 and 13:00 in batch 1 (watermark after it: 11:00); batch 2
+    // delivers a legally-late 11:15 event. Correct sessionization gives
+    // THREE singleton sessions; the old eager-emit design had already
+    // emitted {10:00} and merged 11:15 into the open 13:00 session.
+    import spark.implicits._
+    def nanos(s: String): Long =
+      java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val dir = Files.createTempDirectory("graft_late_sess")
+    val staging = Files.createTempDirectory("graft_late_stage")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = staging.resolve(name)
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    writeBatch("b1", Seq(
+      (1L, nanos("2024-05-01T10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, nanos("2024-05-01T13:00:00"), 1L, "view", 4.0, "{}")))
+    val stream = EventStreams.readStream(spark, dir.toString, globFilter = Some("*.parquet"))
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us", "event_id", "value")
+      .as[EventStreams.SessionEvent]
+    val q = EventStreams.gapSessions(stream)
+      .writeStream.outputMode("append").format("memory").queryName("late_sess").start()
+    try {
+      q.processAllAvailable() // batch 1: watermark -> 11:00
+      writeBatch("b2", Seq(
+        (3L, nanos("2024-05-01T11:15:00"), 1L, "view", 2.0, "{}"),
+        // sentinel far past everything: seals every session
+        (99L, nanos("2030-01-01T00:00:00"), -1L, "view", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("late_sess")
+      .where(col("user_id") === 1L)
+      .orderBy("session_idx")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 4.0)),
+      s"expected three singleton sessions in event-time order, got $got")
+  }
 }
