@@ -39,6 +39,10 @@ object PlanSnapshots {
         .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=*]")
         .replaceAll("file:[^,\\]\\s]*", "file:*")
         .replaceAll("#\\d+", "#*") // exprIds shift with registry order
+        // RDD descriptions carry source line numbers + RDD ids — both
+        // churn with unrelated edits/run order
+        .replaceAll("\\.scala:\\d+", ".scala:*")
+        .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
       Files.writeString(Paths.get(s"$outDir/$name.txt"), stable)
       println(s"PLAN_SNAPSHOT $outDir/$name.txt")
     }
