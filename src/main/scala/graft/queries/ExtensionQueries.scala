@@ -1327,6 +1327,37 @@ object ExtensionQueries {
              |FROM (SELECT doc_id,
              |        ${PolyHash.duckSql("'epoch0#' || doc_id::VARCHAR")} AS h
              |      FROM documents)
-             |ORDER BY shuffle_key, doc_id""".stripMargin))
+             |ORDER BY shuffle_key, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q87: FULL OUTER join — the one join type without a gate: per-day
+    // HIGH-VALUE view spend vs purchase spend, where days with only one
+    // side present must survive with a null on the other. The value
+    // thresholds exist to make each side sparse — unfiltered, every day
+    // has both types and the full outer degenerates to an inner join,
+    // gating nothing (measured: 0 one-sided days at either SF; at these
+    // thresholds sf0.01 exercises BOTH null directions, sf0.001 the
+    // purchase-null one). Null-key semantics don't arise (day is never
+    // null), so Spark's full-outer and DuckDB's agree row-for-row.
+    Q(
+      "q87_full_outer_daily",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        def daily(tpe: String, minValue: Int, alias: String) = e
+          .where(col("event_type") === tpe && col("value") > minValue)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(round(sum("value"), 2).as(alias))
+        daily("view", 200, "view_value")
+          .join(daily("purchase", 250, "purchase_value"), Seq("day"), "full_outer")
+          .orderBy("day")
+      },
+      Some("""SELECT coalesce(v.day, p.day) AS day, v.view_value, p.purchase_value
+             |FROM (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS view_value
+             |      FROM events WHERE event_type = 'view' AND value > 200 GROUP BY 1) v
+             |FULL OUTER JOIN
+             |     (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS purchase_value
+             |      FROM events WHERE event_type = 'purchase' AND value > 250 GROUP BY 1) p
+             |  ON v.day = p.day
+             |ORDER BY day""".stripMargin))
   )
 }

@@ -103,6 +103,40 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((5L, 0.2, 0.0)))
   }
 
+  test("WordNgrams == the HOF formulation it replaced (property)") {
+    // the compiled expression claims BIT-IDENTICAL output to
+    // transform(sequence, i -> concat_ws over element_at) ± dedup —
+    // pin it on randomized strings including empties, runs of spaces,
+    // and sub-n docs
+    val rnd = new scala.util.Random(23)
+    val words = Seq("a", "bb", "ccc", "dd", "e")
+    val texts = (0 until 200).map { i =>
+      val n = rnd.nextInt(12)
+      val sep = if (rnd.nextBoolean()) " " else "  " // double spaces too
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(sep))
+    } :+ (200L, "") :+ (201L, "   ") :+ (202L, "x")
+    val df = texts.toDF("id", "text")
+
+    for (n <- Seq(2, 3, 5); distinct <- Seq(true, false)) {
+      val toks = graft.ops.Text.words(col("text"))
+      val grams0 = transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+      val hof = when(size(toks) >= n,
+        if (distinct) array_distinct(grams0) else grams0)
+        .otherwise(array().cast("array<string>"))
+      val got = df.select(col("id"),
+        graft.functions.WordNgrams(col("text"), n, distinct).as("g"),
+        hof.as("h"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n distinct=$distinct id=${r.getLong(0)}: " +
+            s"${r.getSeq[String](1)} != ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("chunkTokens: window boundaries, short tails, empty docs") {
     val rows = Seq(
       (1L, "a b c d e f g"), // 7 tokens
