@@ -79,18 +79,25 @@ object Bench {
       val dir = new java.io.File(System.getProperty("user.dir"))
       val files = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      val entry = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
+      // Committed BENCH_r*.json are driver wrappers: the JSON line lives
+      // escaped (\" for ") and possibly TRUNCATED inside a "tail" string
+      // field — the round-3/4 files carry no literal `"queries":` at all,
+      // so anchoring on that marker yielded an EMPTY baseline and the
+      // regression guard silently never fired. Instead: unescape, then
+      // harvest every `"qNN_name":<number>` pair anywhere in the file —
+      // the qNN_ prefix is what distinguishes a per-query time from
+      // wrapper fields ("n", "rc", "cpus") and summary fields ("value").
+      val entry = """"(q\d+_[A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
       files.flatMap { f =>
-        val txt = java.nio.file.Files.readString(f.toPath)
-        val qStart = txt.indexOf("\"queries\":")
-        // bound the scan to the queries OBJECT (flat, no nested braces)
-        // — scanning to end-of-file would ingest trailing fields like
-        // "sf":0.1 as phantom query baselines
-        val qEnd = if (qStart < 0) -1 else txt.indexOf('}', qStart)
-        if (qStart < 0 || qEnd < 0) Nil
-        else entry.findAllMatchIn(txt.substring(qStart, qEnd + 1)).flatMap { m =>
+        val txt = java.nio.file.Files.readString(f.toPath).replace("\\\"", "\"")
+        val found = entry.findAllMatchIn(txt).flatMap { m =>
           scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
         }.toSeq
+        if (found.isEmpty)
+          System.err.println(
+            s"BENCH_BASELINE_WARN ${f.getName} contributed no per-query baselines " +
+              "(unrecognized format?) - the regression guard is weaker this run")
+        found
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
 
@@ -119,7 +126,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Tear down BEFORE printing: the streaming state-store maintenance
+    // thread races SparkEnv shutdown and can dump an IllegalStateException
+    // stack trace; printed after the JSON line it lands inside the
+    // driver-captured output tail (this corrupted BENCH_r04's tail).
+    // Stopping the maintenance task explicitly, then Spark, then printing
+    // keeps the JSON line the last thing this process writes.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
+    System.out.flush()
+    // forked JVM (run / fork := true): exit now so no lingering non-daemon
+    // thread can write after the JSON line
+    sys.exit(0)
   }
 }

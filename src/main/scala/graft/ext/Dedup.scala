@@ -299,13 +299,21 @@ object Dedup {
     * `shingleHashes` form — same plan, ~10× fewer shuffle bytes, and a
     * hash collision can only over-flag (a false contamination), never
     * leak an eval doc through.
+    *
+    * @param broadcastEval hint the (deduplicated) eval-shingle side for a
+    *                      broadcast join — right for the typical tiny eval
+    *                      set; pass false when the eval/blocklist side is
+    *                      large (an unconditional broadcast would OOM
+    *                      executors instead of degrading to a shuffle join)
     */
   def contaminationReport(train: DataFrame, eval: DataFrame,
-                          textCol: String, idCol: String, n: Int = 8): DataFrame = {
+                          textCol: String, idCol: String, n: Int = 8,
+                          broadcastEval: Boolean = true): DataFrame = {
     val trainSh = train.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), n)).as("s"))
     val evalSh = eval.select(explode(shingles(col(textCol), n)).as("s")).distinct()
-    trainSh.join(broadcast(evalSh), "s")
+    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
+    trainSh.join(evalSide, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }

@@ -136,10 +136,11 @@ object Sampling {
       .mapPartitionsWithIndex { (pid, it) =>
         var sum = 0L
         it.foreach { r =>
-          // fail fast with a usable message: a null score/tokens would
-          // otherwise surface as an opaque task NPE after retries
-          require(!r.isNullAt(1) && !r.isNullAt(2),
-            s"tokenBudgetSelect: null score/tokens for id=${r.get(0)} — " +
+          // fail fast with a usable message: a null id/score/tokens would
+          // otherwise surface as an opaque task NPE after retries (a null
+          // id specifically would NPE only in the second pass's getLong)
+          require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+            s"tokenBudgetSelect: null id/score/tokens in row $r — " +
               "clean the input (na.drop or coalesce) before selection")
           sum += r.getLong(2)
         }

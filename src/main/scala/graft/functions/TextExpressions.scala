@@ -294,6 +294,17 @@ object SortedIntersectCount {
     while (i < na && j < nb) {
       val x = a.getLong(i)
       val y = b.getLong(j)
+      // the sorted/dup-free invariant lives in caller discipline; a
+      // violated invariant must THROW here (one extra read+compare per
+      // step), not silently undercount the intersection
+      if (i > 0 && a.getLong(i - 1) >= x)
+        throw new IllegalArgumentException(
+          s"sorted_intersect_count: left array not strictly ascending at index $i " +
+            s"(${a.getLong(i - 1)} >= $x) - sort_array(array_distinct(...)) the input")
+      if (j > 0 && b.getLong(j - 1) >= y)
+        throw new IllegalArgumentException(
+          s"sorted_intersect_count: right array not strictly ascending at index $j " +
+            s"(${b.getLong(j - 1)} >= $y) - sort_array(array_distinct(...)) the input")
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1

@@ -124,12 +124,17 @@ object EventStreams {
     * event-time timeout fires at the earliest `last + gap`). After a
     * user's spans all seal, a counter-only tombstone (16 bytes) remains
     * so a returning user's `session_idx` continues the batch-equivalent
-    * numbering; pipelines that key sessions by (user, first_ts) instead
-    * of ordinals can drop the tombstone and make state strictly
-    * active-user-bounded.
+    * numbering — which means state grows with the number of distinct
+    * users EVER seen, unbounded on a long-running stream. Pipelines that
+    * key sessions by (user, first_ts) instead of ordinals should pass
+    * `dropIdleTombstones = true`: state is then removed outright once a
+    * user's spans all seal (strictly active-user-bounded), at the
+    * documented cost that a user returning after going fully idle
+    * restarts `session_idx` at 1.
     */
   def gapSessions(events: Dataset[SessionEvent],
-                  gap: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[SessionOut] = {
+                  gap: java.time.Duration = java.time.Duration.ofHours(1),
+                  dropIdleTombstones: Boolean = false): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gap.toMillis * 1000L
     events
@@ -160,12 +165,19 @@ object EventStreams {
           val out = ready.zipWithIndex.map { case (s, i) =>
             SessionOut(uid, prev.closed + i + 1, s.n, round2(s.value))
           }
-          state.update(SessionsState(prev.closed + ready.size, open))
-          if (open.nonEmpty) {
-            // fire when the earliest retained span could seal; must be
-            // strictly beyond the current watermark
-            val nextMs = (open.map(_.lastUs).min + gapUs) / 1000L + 1L
-            state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+          if (open.isEmpty && dropIdleTombstones) {
+            // fully-idle user: drop the counter tombstone so total state
+            // is bounded by ACTIVE users, not users-ever-seen (numbering
+            // restarts if this user returns — the caller opted in)
+            if (state.exists) state.remove()
+          } else {
+            state.update(SessionsState(prev.closed + ready.size, open))
+            if (open.nonEmpty) {
+              // fire when the earliest retained span could seal; must be
+              // strictly beyond the current watermark
+              val nextMs = (open.map(_.lastUs).min + gapUs) / 1000L + 1L
+              state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+            }
           }
           out.iterator
       }

@@ -119,4 +119,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 4.0)),
       s"expected three singleton sessions in event-time order, got $got")
   }
+
+  test("gapSessions dropIdleTombstones: state removed after seal, numbering restarts") {
+    // the advised opt-out of the forever-tombstone: with the flag, a user
+    // whose spans all sealed leaves NO state behind, so a much-later
+    // return restarts session_idx at 1 (the documented trade for strictly
+    // active-user-bounded state)
+    import spark.implicits._
+    def nanos(s: String): Long =
+      java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val dir = Files.createTempDirectory("graft_tomb_sess")
+    val staging = Files.createTempDirectory("graft_tomb_stage")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = staging.resolve(name)
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    writeBatch("b1", Seq(
+      (1L, nanos("2024-05-01T10:00:00"), 1L, "view", 1.0, "{}"),
+      // sentinel seals user 1's session and (with the flag) removes state
+      (90L, nanos("2026-01-01T00:00:00"), -1L, "view", 0.0, "{}")))
+    val stream = EventStreams.readStream(spark, dir.toString, globFilter = Some("*.parquet"))
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us", "event_id", "value")
+      .as[EventStreams.SessionEvent]
+    val q = EventStreams.gapSessions(stream, dropIdleTombstones = true)
+      .writeStream.outputMode("append").format("memory").queryName("tomb_sess").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", Seq(
+        (2L, nanos("2026-06-01T00:00:00"), 1L, "view", 2.0, "{}"),
+        (91L, nanos("2030-01-01T00:00:00"), -1L, "view", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("tomb_sess")
+      .where(col("user_id") === 1L)
+      .orderBy("n_events", "session_value")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // two singleton sessions, BOTH numbered 1: the second emission proves
+    // the tombstone was dropped (the default path would number it 2)
+    assert(got == Seq((1L, 1L, 1.0), (1L, 1L, 2.0)),
+      s"expected restarted numbering after tombstone drop, got $got")
+  }
 }

@@ -68,4 +68,35 @@ class TextPropertySpec extends SparkSpec {
       assert(results.distinct.size == 1, s"seed=$seed")
     }
   }
+
+  test("sorted_intersect_count: violated sort invariant throws, never undercounts") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import graft.functions.SortedIntersectCount
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    // happy path: strictly ascending, dup-free
+    assert(SortedIntersectCount.compute(arr(1L, 2L, 3L), arr(2L, 3L, 4L)) == 2)
+    assert(SortedIntersectCount.compute(arr(), arr(1L)) == 0)
+    // out-of-order element REACHED BY THE MERGE WALK must throw (the old
+    // code silently undercounted — the invariant lived only in caller
+    // discipline)
+    val e1 = intercept[IllegalArgumentException] {
+      SortedIntersectCount.compute(arr(3L, 1L, 5L), arr(1L, 3L, 5L))
+    }
+    assert(e1.getMessage.contains("not strictly ascending"))
+    // duplicates violate the distinct-count contract the same way
+    val e2 = intercept[IllegalArgumentException] {
+      SortedIntersectCount.compute(arr(1L, 2L, 3L), arr(1L, 1L, 2L))
+    }
+    assert(e2.getMessage.contains("not strictly ascending"))
+    // and the same check fires through the SQL/codegen path
+    val ex = intercept[Exception] {
+      spark.range(1)
+        .select(SortedIntersectCount(
+          expr("array(3L, 1L, 5L)"), expr("array(1L, 3L, 5L)")).as("c"))
+        .collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("not strictly ascending")), messages.mkString(" | "))
+  }
 }
