@@ -61,16 +61,25 @@ object Bench {
       if (good.nonEmpty) good.map(_._1).min else times.map(_._1).min
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=q65_skew_join_agg,q44_jaccard_pairs — time a
+    // subset (investigating one outlier shouldn't cost a full suite pass)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.all.filter(q => names(q.name))
+      case None => SparkEntry.all
+    }
+
     // warmup: pay codegen/JIT/FS-cache priming for EVERY query shape,
     // at the small SF so the pass stays cheap
     val doWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "full")
     doWarmup match {
       case "none" => ()
       case "first" =>
-        SparkEntry.all.headOption.foreach(q =>
+        selected.headOption.foreach(q =>
           try runOnce(q, warmupDir) catch { case _: Throwable => () })
       case _ =>
-        SparkEntry.all.foreach(q =>
+        selected.foreach(q =>
           try runOnce(q, warmupDir) catch { case _: Throwable => () })
     }
 
@@ -102,7 +111,7 @@ object Bench {
     }
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.all.map { q =>
+    val results = selected.map { q =>
       val first = (1 to runs).map(_ => timeOnce(q))
       val t1 = minGood(first)
       val prior = baseline.get(q.name)

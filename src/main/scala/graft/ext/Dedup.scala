@@ -318,6 +318,42 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** [[contaminationReport]] with a BLOOM-FILTER pre-filter on the
+    * training side — the 100 TB shape: the exploded training-shingle
+    * stream is pruned against a driver-built sketch of the eval set
+    * BEFORE any join, so the join input shrinks from "every shingle of
+    * the corpus" to "shingles that might be contaminated" (~fpp of the
+    * corpus when contamination is rare). The exact equi-join after the
+    * sketch removes bloom false positives, and a bloom filter has no
+    * false negatives — so the result is IDENTICAL to the exact operator,
+    * which is exactly what the q92 gate asserts.
+    *
+    * The per-row `mightContain` is a Scala UDF (the sketch lives in a
+    * broadcast, outside codegen) — acceptable here because it REPLACES
+    * shuffle volume rather than adding hot-path work; the 3-of-3 rule
+    * (functions > Expression > UDF) is about computation, and this is a
+    * data-movement trade.
+    *
+    * @param expectedEvalShingles sizes the sketch (bits ≈ -n·ln(fpp)/ln2²);
+    *                             at the default 1M/1% the bloom is ~1.2 MB
+    */
+  def contaminationReportBloom(train: DataFrame, eval: DataFrame,
+                               textCol: String, idCol: String, n: Int = 6,
+                               fpp: Double = 0.01,
+                               expectedEvalShingles: Long = 1000000L): DataFrame = {
+    val evalSh = eval.select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    val bf = evalSh.stat.bloomFilter("s", expectedEvalShingles, fpp)
+    val bfB = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val trainSh = train
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+      .where(mightContain(col("s")))
+    trainSh.join(broadcast(evalSh), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets its
     * component's minimum id as `label` — the cluster-canonical assignment
     * that turns pairwise near-dup evidence into "keep one per cluster".

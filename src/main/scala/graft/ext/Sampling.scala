@@ -69,6 +69,35 @@ object Sampling {
                  fraction: Double): DataFrame =
     df.where(bucket(col(idCol), salt) < math.round(fraction * Buckets).toInt)
 
+  /** Deterministic WEIGHTED sampling without replacement
+    * (Efraimidis-Spirakis A-ES): each row gets key `u^(1/w)` where `u` is
+    * the row's hash-derived uniform `(bucket + 0.5) / 10000` and `w` its
+    * weight; the k largest keys are the sample. Selection probability is
+    * proportional to weight; membership is a pure function of
+    * (salt, id, weight) — reproducible run-to-run and engine-to-engine
+    * like every sampler here.
+    *
+    * Scale shape: one codegen'd projection then a top-k
+    * (`TakeOrderedAndProject`: per-partition heaps of k rows, no global
+    * sort). The only cross-engine caveat: `pow` is correct to the last
+    * ulp, not exactly rounded, so the rank-k/rank-k+1 boundary could in
+    * principle flip if two keys are within ~1e-15 — with hash-spread
+    * uniforms the observed gaps are ~1e-3.
+    *
+    * @return the k selected rows: (idCol, weight, bucket, sel_key)
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: Column,
+                   salt: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val b = bucket(col(idCol), salt)
+    val w = greatest(weightCol.cast("double"), lit(1.0))
+    val u = (b.cast("double") + 0.5) / Buckets.toDouble
+    df.select(col(idCol), w.as("weight"), b.cast("long").as("bucket"),
+        pow(u, lit(1.0) / w).as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (the
     * `sampleBy` shape, minus the nondeterminism — rebalancing a skewed
     * training mix must be reproducible run-to-run). Strata missing from

@@ -42,4 +42,61 @@ object Sketches {
       .withColumn("est", round((col("bin") + 0.5) * binWidth, 2))
       .orderBy("q")
   }
+
+  /** EXACT heavy hitters via a Misra-Gries sketch pass + recheck — the
+    * two-phase shape that finds "every value occurring > 1/k of the
+    * time" without ever building the full frequency table in one
+    * aggregation state.
+    *
+    * Phase 1 runs a k-counter Misra-Gries summary PER PARTITION
+    * (`mapPartitions`, bounded O(k) memory regardless of partition size
+    * or cardinality). MG guarantees any item with partition frequency
+    * > N_p/(k+1) survives its partition's sketch, and an item with
+    * global frequency > N/(k+1) must exceed that density in at least one
+    * partition (averaging argument) — so the union of per-partition
+    * survivors is a SUPERSET of every global heavy hitter: sketches can
+    * over-report, never drop. Phase 2 restores exactness: a semi-join of
+    * the data against the (tiny, broadcast) candidate set and an exact
+    * count, filtered at the caller's threshold. q93 gates the end-to-end
+    * result against DuckDB's plain GROUP BY/HAVING — which is precisely
+    * the no-false-negative property.
+    *
+    * At 100 TB vs a plain groupBy: the full-shuffle aggregation keys on
+    * EVERY distinct value (billions for tokens); here the shuffle only
+    * carries values that look heavy somewhere — ≤ k·partitions keys.
+    *
+    * @param k sketch width; must satisfy N/(k+1) ≤ minCount or the
+    *          superset guarantee does not cover the requested threshold
+    *          (checked: increase k or raise minCount)
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int,
+                   minCountOfTotal: Double): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minCountOfTotal > 1.0 / (k + 1),
+      f"threshold ${minCountOfTotal}%f of total is below the k=$k sketch " +
+        f"guarantee 1/(k+1)=${1.0 / (k + 1)}%f - heavy hitters could be dropped")
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+    import vals.sparkSession.implicits._
+    val candidates = vals.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        counters.get(v) match {
+          case Some(c) => counters.update(v, c + 1)
+          case None if counters.size < k => counters.update(v, 1L)
+          case None =>
+            // the Misra-Gries step: decrement every counter, evict zeros
+            counters.mapValuesInPlace((_, c) => c - 1)
+            counters.filterInPlace((_, c) => c > 0)
+        }
+      }
+      counters.keysIterator
+    }.toDF("v").distinct()
+    val total = vals.agg(count(lit(1)).cast("double").as("total"))
+    vals.join(broadcast(candidates), "v")
+      .groupBy("v")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") >= col("total") * minCountOfTotal)
+      .select("v", "n")
+  }
 }

@@ -49,7 +49,7 @@ object ExtensionQueries {
     * jaccard), no ORDER BY. Shared by q53 (the pipeline gate) and q59
     * (connected components over its pairs).
     */
-  private lazy val NearDupPairsOracle: String = {
+  private[queries] lazy val NearDupPairsOracle: String = {
     val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $P) AS m$i"
     }.mkString(",\n             |    ")
