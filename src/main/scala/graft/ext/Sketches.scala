@@ -77,9 +77,16 @@ object Sketches {
         f"guarantee 1/(k+1)=${1.0 / (k + 1)}%f - heavy hitters could be dropped")
     val vals = df.select(col(valueCol).cast("string").as("v"))
     import vals.sparkSession.implicits._
-    val candidates = vals.as[String].mapPartitions { it =>
+    // one sketch pass emits BOTH the per-partition candidates (v, 0) and
+    // the partition's row count (null, n) — so the corpus is scanned
+    // exactly twice in total (sketch + exact recount), not three times
+    // (a separate count() pass would be a full third scan at 100 TB).
+    // The persisted intermediate is tiny: ≤ k+1 rows per partition.
+    val sketch = vals.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var seen = 0L
       it.foreach { v =>
+        seen += 1
         counters.get(v) match {
           case Some(c) => counters.update(v, c + 1)
           case None if counters.size < k => counters.update(v, 1L)
@@ -89,9 +96,11 @@ object Sketches {
             counters.filterInPlace((_, c) => c > 0)
         }
       }
-      counters.keysIterator
-    }.toDF("v").distinct()
-    val total = vals.agg(count(lit(1)).cast("double").as("total"))
+      counters.keysIterator.map(kk => (kk, 0L)) ++ Iterator((null: String, seen))
+    }.toDF("v", "cnt").persist()
+    val candidates = sketch.where(col("v").isNotNull).select("v").distinct()
+    val total = sketch.where(col("v").isNull)
+      .agg(coalesce(sum("cnt"), lit(0L)).cast("double").as("total"))
     vals.join(broadcast(candidates), "v")
       .groupBy("v")
       .agg(count(lit(1)).cast("long").as("n"))

@@ -258,10 +258,16 @@ object ExtensionQueries2 {
       (s, dir) => {
         val toks = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(Text.words(Text.clean(col("text")))).as("w"))
+        // total token count as a single-partition window over the SMALL
+        // vocab (q58's doc_freq trick) — a separate `toks.count()` branch
+        // would re-scan the whole corpus (Catalyst does not CSE the vocab
+        // subplan across DataFrame reuse); this keeps it at exactly two
+        // corpus scans (vocab build + scoring join). Counts are integral
+        // doubles, so the windowed sum is exact.
         val vocab = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cnt"))
-        val total = toks.agg(count(lit(1)).cast("double").as("total"))
+          .withColumn("total", sum("cnt").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
         toks.join(broadcast(vocab), "w")
-          .crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_tokens"),
             Rounding.stableRound6(avg(-log(col("cnt") / col("total"))))
