@@ -23,7 +23,9 @@ import graft.streaming.EventStreams
 object PlanSnapshots {
   val defaultQueries: Seq[String] =
     Seq("q44_jaccard_pairs", "q62_multimodal_decode", "q59_dedup_clusters",
-      "q78_decontaminate", "q80_repetition_stats")
+      "q78_decontaminate", "q80_repetition_stats",
+      // round 5: the iterative graph op and the two sketch-shaped ops
+      "q89_pagerank", "q92_bloom_decontaminate", "q93_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

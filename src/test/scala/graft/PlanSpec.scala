@@ -185,4 +185,29 @@ class PlanSpec extends SparkSpec {
       s"bucketed join still shuffles:\n${plan.take(800)}")
     assert(joined.count() > 0)
   }
+
+  test("q91: weighted sampling is one scan + TakeOrderedAndProject (no shuffle)") {
+    val p = planOf("q91_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "weighted top-k must not shuffle — per-partition heaps + driver merge")
+  }
+
+  test("q90: all three SCD2 key joins broadcast the change batch") {
+    val p = planOf("q90_scd2")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "small change batch must broadcast, not sort-merge")
+  }
+
+  test("q93: heavy-hitter recount joins a broadcast candidate set off a persisted sketch") {
+    // the scale properties: the exact-recheck join must build on the tiny
+    // candidate side (never shuffle the corpus token stream), and the
+    // sketch pass must be persisted so candidates + totals come from ONE
+    // corpus scan, not one each
+    val p = planOf("q93_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(p.contains("InMemoryTableScan"),
+      "single-pass sketch output must be persisted (candidates + totals)")
+  }
 }
