@@ -65,4 +65,44 @@ object Packing {
       StructField("bin", LongType, nullable = false))))
       .withColumnRenamed("id", idCol)
   }
+
+  /** The OTHER packing convention — GPT-style "concatenate the whole
+    * token stream and cut every `seqLen` tokens", where documents ARE
+    * split at sequence boundaries: emits one row per (document ×
+    * training sequence it overlaps) with the token sub-range each side
+    * sees. [[packBins]] assigns whole docs to bins; this materializes the
+    * exact span map a sequence builder needs:
+    * `(seq_id, idCol, doc_from, doc_to, seq_offset)` — the doc's tokens
+    * `[doc_from, doc_to)` land in sequence `seq_id` starting at position
+    * `seq_offset`. Zero-token docs emit nothing; every sequence's spans
+    * concatenate to exactly `seqLen` tokens (except the final tail), a
+    * property the spec pins.
+    *
+    * Scale shape: the same two-pass distributed prefix sum as
+    * [[packBins]] for the exclusive cumulative offset, then a
+    * shuffle-free `sequence()`+`explode` projection — a doc overlaps
+    * `1 + ⌊(start+tokens-1)/seqLen⌋ − ⌊start/seqLen⌋` sequences, so the
+    * fan-out is (total tokens)/seqLen rows, linear in corpus size.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Long, partitions: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val offsets = packBins(df, idCol, tokensCol, capacity = seqLen, partitions)
+      .where(col("tokens") > 0)
+    // `div`, not `/`: Column./ is double division, which silently loses
+    // exactness past 2^53 total tokens — real territory for 100 TB text
+    offsets
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_token div ${seqLen}L"),
+        expr(s"(start_token + tokens - 1) div ${seqLen}L"))))
+      .select(
+        col("seq_id"),
+        col(idCol),
+        greatest(col("seq_id") * seqLen - col("start_token"), lit(0L))
+          .as("doc_from"),
+        least(col("tokens"), (col("seq_id") + 1) * seqLen - col("start_token"))
+          .as("doc_to"),
+        greatest(col("start_token") - col("seq_id") * seqLen, lit(0L))
+          .as("seq_offset"))
+  }
 }

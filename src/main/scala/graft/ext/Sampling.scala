@@ -129,6 +129,34 @@ object Sampling {
     h * h % PolyHash.Mod
   }
 
+  /** DOMAIN CAPPING: keep at most `n` rows per group, chosen
+    * deterministically — the mixture-control step that stops one huge
+    * domain/source from dominating a training mix. Which rows survive is
+    * a pure function of (salt, id): rows rank within their group by
+    * (bucket(id, salt), id) and ranks ≤ n are kept, so the kept set is a
+    * uniform pseudo-random sample of each group, stable under corpus
+    * growth ONLY in distribution (a group gaining rows can displace a
+    * kept row — capping is inherently rank-based, unlike [[hashSample]]'s
+    * per-row independence; callers who need growth-stable membership
+    * want a fraction, not a cap).
+    *
+    * Scale shape: one window aggregation partitioned by the group column
+    * — the shuffle is by group key and each group streams through one
+    * task's sort. A pathological single-group skew (one domain = half
+    * the corpus) pays that group's sort in one task; at that point cap
+    * the offender separately or pre-filter with [[hashSample]] at an
+    * estimated fraction. Adds `cap_rank`.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  salt: String, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .where(col("cap_rank") <= n)
+  }
+
   /** TOKEN-BUDGET curation: keep the best documents, in (score DESC, id)
     * order, until the cumulative token count would exceed `budget` — the
     * "fill N billion tokens from the top of the quality ranking" job

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Clustering, Packing, Sampling, TextAnalysis}
+import graft.functions.{PolyHash, Rounding, ZOrder}
+import graft.io.Tables
+
+/** Round-5 second wave: semantic clustering (q95), GPT-style sequence
+  * spans (q96), domain capping (q97), Markov transition matrices (q98),
+  * dataset profiling (q99), grouped statistical moments (q100), and
+  * Z-order layout keys (q101). Same contract as every other module: each
+  * Spark pipeline is paired with DuckDB oracle SQL that replays it
+  * exactly.
+  */
+object ExtensionQueries3 {
+
+  private val P = PolyHash.Mod
+
+  /** DuckDB replay of [[Clustering.normQuant]]: stable-rounded input →
+    * unit-normalize → float-quantize, all the same IEEE ops. `l` must be
+    * a short column reference (it is duplicated textually).
+    */
+  private def normQuantSql(l: String): String =
+    s"CASE WHEN list_dot_product($l, $l) = 0 THEN $l " +
+      s"ELSE list_transform($l, y -> CAST(CAST(y / sqrt(list_dot_product($l, $l)) AS REAL) AS DOUBLE)) END"
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q95: spherical k-means over the embedding corpus — the semantic-
+    // clustering step (topic balancing, per-cluster curation) between
+    // dedup and mixture design. Deterministic end-to-end: hash-picked
+    // init (q64's codebook rule), CentroidRanks assignment (dot DESC,
+    // cid ASC — replayed by a DuckDB window), per-cell mean update as 64
+    // avg aggregates in one hash agg, centroids stable-rounded then
+    // FLOAT-QUANTIZED each round so both engines assign against
+    // identical bits (ext.Clustering scaladoc). The oracle unrolls all 3
+    // iterations as chained CTEs.
+    Q(
+      "q95_kmeans",
+      (s, dir) =>
+        Clustering.kmeans(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, iters = 3)
+          .orderBy("vec_id"),
+      Some {
+        val k = 8
+        val iters = 3
+        val meanList = (1 to 64)
+          .map(j => s"floor(avg(v[$j]) * 1000000 + 0.5) / 1000000")
+          .mkString("[", ", ", "]")
+        def assignSql(name: String, cents: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rnk
+             |    FROM e CROSS JOIN $cents c)
+             |  WHERE rnk = 1)"""
+        val steps = (1 to iters).map { i =>
+          Seq(
+            assignSql(s"a$i", s"c${i - 1}"),
+            s"""m$i AS (
+               |  SELECT cid, $meanList AS mv
+               |  FROM a$i JOIN e USING (vec_id) GROUP BY cid)""",
+            s"""c$i AS (
+               |  SELECT c.cid,
+               |    CASE WHEN m.mv IS NULL THEN c.cv
+               |         ELSE ${normQuantSql("m.mv")} END AS cv
+               |  FROM c${i - 1} c LEFT JOIN m$i m USING (cid))""").mkString(",\n")
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |picked AS (
+           |  SELECT vec_id, v FROM (
+           |    SELECT vec_id, v,
+           |      ${PolyHash.duckSql("'ivf#' || vec_id::VARCHAR")} AS h
+           |    FROM e)
+           |  ORDER BY h, vec_id LIMIT $k),
+           |c0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           |    ${normQuantSql("v")} AS cv
+           |  FROM picked),
+           |$steps,
+           |${assignSql("afin", s"c$iters")}
+           |SELECT a.vec_id, a.cid::BIGINT AS cluster,
+           |  floor(list_cosine_similarity(e.v, c.cv) * 1000000 + 0.5) / 1000000 AS cos
+           |FROM afin a JOIN e USING (vec_id) JOIN c$iters c USING (cid)
+           |ORDER BY vec_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q96: GPT-style sequence spans — concatenate the corpus token
+    // stream in doc_id order, cut every 256 tokens, and emit the exact
+    // (sequence × document) token sub-ranges a sequence builder
+    // materializes. The complement of q75 (whole-doc bins): here docs DO
+    // split at boundaries. Same two-pass distributed prefix sum, then a
+    // shuffle-free sequence()+explode; `div` (never `/`) keeps offsets
+    // exact past 2^53.
+    Q(
+      "q96_sequence_spans",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), size(TextAnalysis.wsTokens(col("text"))).as("tokens"))
+        Packing.packSequences(docs, "doc_id", "tokens", seqLen = 256)
+          .orderBy("seq_id", "doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(text, '\S+'))::BIGINT AS tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, tokens,
+             |    COALESCE(sum(tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+             |  FROM t),
+             |s AS (
+             |  SELECT doc_id, tokens, start,
+             |    unnest(range(start // 256, (start + tokens - 1) // 256 + 1)) AS seq_id
+             |  FROM c WHERE tokens > 0)
+             |SELECT seq_id, doc_id,
+             |  greatest(seq_id * 256 - start, 0)::BIGINT AS doc_from,
+             |  least(tokens, (seq_id + 1) * 256 - start)::BIGINT AS doc_to,
+             |  greatest(start - seq_id * 256, 0)::BIGINT AS seq_offset
+             |FROM s
+             |ORDER BY seq_id, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q97: domain capping — at most 40 documents per source, survivors a
+    // pure function of (salt, doc_id) (Sampling.capPerGroup): the
+    // mixture-control op that stops one crawl domain from dominating the
+    // training mix, reproducible across runs and engines.
+    Q(
+      "q97_domain_cap",
+      (s, dir) =>
+        Sampling.capPerGroup(Tables.load(s, dir, "documents"),
+            "doc_id", "source", "cap1", 40)
+          .select("doc_id", "source", "cap_rank")
+          .orderBy("doc_id"),
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, source, (h * h % $P) % 10000 AS bucket
+             |  FROM (SELECT doc_id, source,
+             |          ${PolyHash.duckSql("'cap1#' || doc_id::VARCHAR")} AS h
+             |        FROM documents)),
+             |r AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY bucket, doc_id)::BIGINT AS cap_rank
+             |  FROM b)
+             |SELECT doc_id, source, cap_rank FROM r
+             |WHERE cap_rank <= 40
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q98: Markov transition matrix over per-user event sequences — the
+    // behavioral-analytics twin of q72's funnel: P(next event type |
+    // current), from a lead() window + one grouped count. The
+    // probability is a ratio of exact integers, identical IEEE division
+    // in both engines (round6 is belt-and-braces).
+    Q(
+      "q98_markov_transitions",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wf = Window.partitionBy("from_type")
+        e.withColumn("to_type", lead("event_type", 1).over(w))
+          .where(col("to_type").isNotNull)
+          .withColumnRenamed("event_type", "from_type")
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("p", Rounding.stableRound6(
+            col("n").cast("double") / sum("n").over(wf).cast("double")))
+          .orderBy("from_type", "to_type")
+      },
+      Some(s"""WITH nxt AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |t AS (
+             |  SELECT from_type, to_type, count(*)::BIGINT AS n
+             |  FROM nxt WHERE to_type IS NOT NULL
+             |  GROUP BY from_type, to_type)
+             |SELECT from_type, to_type, n,
+             |  ${Rounding.duckSql(
+                  "n::DOUBLE / sum(n::DOUBLE) OVER (PARTITION BY from_type)")} AS p
+             |FROM t
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q99: dataset profiling / quality audit (the Deequ-style
+    // completeness+cardinality pass every ingestion gate runs): per
+    // column, row count, null count, exact distinct count — ONE corpus
+    // scan (multi-countDistinct compiles to a single Expand aggregation;
+    // the oracle is free to re-scan per column). A null-planted
+    // priority column makes the completeness metric actually move.
+    Q(
+      "q99_profile",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders").withColumn("priority_nn",
+          when(col("o_orderpriority") === "1-URGENT", lit(null))
+            .otherwise(col("o_orderpriority")))
+        val cols = Seq("o_orderstatus", "o_custkey", "o_totalprice", "priority_nn")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+          Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+        o.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${cols.size}, ${cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")}) " +
+              "AS (column_name, n_nonnull, n_distinct)")
+          .select(col("column_name"), col("n_rows"),
+            (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"))
+          .orderBy("column_name")
+      },
+      Some {
+        val cols = Seq("o_orderstatus", "o_custkey", "o_totalprice", "priority_nn")
+        val selects = cols.map(c =>
+          s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+             |  (count(*) - count($c))::BIGINT AS n_null,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct FROM o""")
+          .mkString("\nUNION ALL\n")
+        s"""WITH o AS (
+           |  SELECT *, nullif(o_orderpriority, '1-URGENT') AS priority_nn
+           |  FROM orders)
+           |$selects
+           |ORDER BY column_name""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q100: grouped statistical moments — stddev, Pearson correlation,
+    // and skewness per return flag. stddev/corr are the same estimator
+    // in both engines (round6 absorbs summation-order drift); DuckDB's
+    // skewness applies a sample-bias correction Spark's does not, so the
+    // oracle replays Spark's POPULATION formula sqrt(n)·Σ(x−μ)³/(Σ(x−μ)²)^1.5
+    // two-pass instead of calling DuckDB's aggregate.
+    Q(
+      "q100_group_moments",
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("long").as("n"),
+            Rounding.stableRound6(stddev_samp(col("l_quantity"))).as("sd_qty"),
+            Rounding.stableRound6(corr(col("l_quantity"), col("l_extendedprice")))
+              .as("corr_qty_price"),
+            Rounding.stableRound6(skewness(col("l_quantity"))).as("skew_qty"))
+          .orderBy("l_returnflag"),
+      Some(s"""WITH mu AS (
+             |  SELECT l_returnflag, avg(l_quantity) AS m, count(*)::DOUBLE AS nd
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l.l_returnflag, count(*)::BIGINT AS n,
+             |  ${Rounding.duckSql("stddev_samp(l.l_quantity)")} AS sd_qty,
+             |  ${Rounding.duckSql("corr(l.l_quantity, l.l_extendedprice)")} AS corr_qty_price,
+             |  ${Rounding.duckSql(
+                  "sqrt(any_value(mu.nd)) * sum(pow(l.l_quantity - mu.m, 3))" +
+                    " / pow(sum(pow(l.l_quantity - mu.m, 2)), 1.5)")} AS skew_qty
+             |FROM lineitem l JOIN mu ON mu.l_returnflag = l.l_returnflag
+             |GROUP BY l.l_returnflag
+             |ORDER BY l.l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q101: Z-order layout key — the Morton interleave of (l_partkey,
+    // l_suppkey) that gives BOTH columns min/max-pruning locality when
+    // the table is range-partitioned and sorted by it (a plain sort
+    // favors only its leading column; tools.ZOrderProbe measures point
+    // filters touching 32%/23% of partitions vs 100% for the non-leading
+    // column). Each dimension is min-max-stretched into the full 16-bit
+    // domain first — without that, a narrow key contributes only
+    // low-order bits and the interleave degenerates to a plain sort
+    // (ZOrder.stretch16 scaladoc). Pure codegen'd bitwise/div built-ins,
+    // replayed in exact BIGINT arithmetic.
+    Q(
+      "q101_zorder_key",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        // two scalar maxes at plan-build (same pattern as deriveDim)
+        val r = l.agg(max("l_partkey"), max("l_suppkey")).head()
+        val (mx, my) = (r.getLong(0), r.getLong(1))
+        l.select(col("l_orderkey"), col("l_linenumber"),
+            ZOrder.interleave16(
+              ZOrder.stretch16(col("l_partkey"), mx),
+              ZOrder.stretch16(col("l_suppkey"), my)).as("zval"))
+          .orderBy("zval", "l_orderkey", "l_linenumber")
+      },
+      Some(s"""WITH mx AS (
+             |  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+             |s AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    (l_partkey * 65536) // ((SELECT mp FROM mx) + 1) AS sx,
+             |    (l_suppkey * 65536) // ((SELECT ms FROM mx) + 1) AS sy
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber,
+             |  ${ZOrder.duckSql("sx", "sy")} AS zval
+             |FROM s
+             |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin))
+  )
+}

@@ -210,4 +210,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "single-pass sketch output must be persisted (candidates + totals)")
   }
+
+  test("q99: multi-column profile is ONE scan (a single Expand aggregation)") {
+    // the audit must not re-scan the table per column — Spark compiles
+    // multiple count(DISTINCT col) into one Expand over one scan
+    val p = planOf("q99_profile")
+    assert(p.contains("Expand"), p.take(400))
+    // count node-detail headers ("(n) Scan parquet"), not tree lines —
+    // formatted mode prints every node twice
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"profile re-scans the table: $scans scans\n${p.take(800)}")
+  }
+
+  test("q95: k-means final assignment is shuffle-free up to the broadcast centroid join") {
+    // assignment = CentroidRanks projection; the only join is against the
+    // k-row broadcast centroid frame — the corpus must never hash-shuffle
+    val p = planOf("q95_kmeans")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "centroid join must broadcast — k rows vs the corpus")
+  }
+
+  test("q98: transition matrix shuffles by user once, then by from-state once") {
+    val df = SparkEntry.queries("q98_markov_transitions")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString()
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // user-window + group count can reuse one exchange lineage; the
+    // from-state probability window adds one more. >3 means a lost reuse.
+    assert(hashEx <= 3, s"unexpected extra shuffles ($hashEx):\n${plan.take(800)}")
+  }
 }
