@@ -58,6 +58,7 @@ object Engine {
     Bridge.registerFunction(spark, "lsh_bucket",
       graft.ext.SimilaritySearch.lshBucketBuilder)
     Bridge.registerFunction(spark, "word_ngrams", WordNgrams.builder)
+    Bridge.registerFunction(spark, "nfc_normalize", es => NfcNormalize(es.head))
   }
 
   /** Register every fixture table as a temp view so plain

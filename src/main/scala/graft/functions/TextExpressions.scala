@@ -315,3 +315,52 @@ object SortedIntersectCount {
   def apply(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }
+
+/** Unicode NFC normalization — canonical composition (e + COMBINING
+  * ACUTE → é), the hygiene step web-crawl text needs before any
+  * fingerprint/dedup/tokenize pass: visually identical strings with
+  * different codepoint sequences must hash identically. Wraps
+  * `java.text.Normalizer` (ICU-equivalent for the canonical forms) as a
+  * codegen'd expression — NOT a UDF — with an ASCII fast path: an ASCII
+  * string is NFC by construction (for UTF8String, bytes == chars ⟺
+  * ASCII), so the overwhelmingly-ASCII common case costs one compare and
+  * zero allocation. Replayed in the oracle by DuckDB's `nfc_normalize`
+  * (both implement Unicode canonical composition — q103 gates the
+  * agreement byte-for-byte).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+
+  def compute(s: UTF8String): UTF8String = {
+    // ASCII ⟺ numBytes == numChars: already NFC, skip the Normalizer
+    // (and its char[] round-trip) entirely
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  def apply(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+}

@@ -290,6 +290,52 @@ object ExtensionQueries3 {
              |SELECT l_orderkey, l_linenumber,
              |  ${ZOrder.duckSql("sx", "sy")} AS zval
              |FROM s
-             |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q103: Unicode NFC normalization + casefold — the hygiene pass
+    // web-crawl text needs before fingerprinting: visually identical
+    // strings with different codepoint sequences (é composed vs
+    // e+COMBINING ACUTE) must hash identically. The fixture corpus is
+    // ASCII, so representative non-ASCII suffixes are planted in-query
+    // (q77's PII pattern); Spark runs the codegen'd NfcNormalize
+    // expression (java.text.Normalizer + ASCII fast path), DuckDB
+    // replays with its utf8proc-backed nfc_normalize — two independent
+    // Unicode implementations that must agree byte-for-byte. Lengths are
+    // code-point counts in both engines; lower() AFTER normalize on both
+    // sides.
+    Q(
+      "q103_unicode_normalize",
+      (s, dir) => {
+        val suffixes = array(
+          lit("cafe\u0301"), // decomposed: e + COMBINING ACUTE
+          lit("caf\u00e9"), // precomposed
+          lit("U\u0308BER STRA\u00dfE"), // decomposed Ü, uppercase, ß
+          lit("ASCII only"))
+        val planted = concat(substring(col("text"), 1, 24), lit(" "),
+          element_at(suffixes, (col("doc_id") % 4 + 1).cast("int")))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            length(planted).cast("long").as("len_raw"),
+            lower(graft.functions.NfcNormalize(planted)).as("norm_text"),
+            length(graft.functions.NfcNormalize(planted)).cast("long").as("len_nfc"))
+          .orderBy("doc_id")
+      },
+      // all non-ASCII codepoints written as chr() so the oracle SQL
+      // survives any transport encoding; 769=U+0301, 233=é, 776=U+0308,
+      // 223=ß
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 24) || ' ' ||
+             |    (['cafe' || chr(769), 'caf' || chr(233),
+             |      'U' || chr(776) || 'BER STRA' || chr(223) || 'E',
+             |      'ASCII only'])[(doc_id % 4 + 1)] AS planted
+             |  FROM documents)
+             |SELECT doc_id,
+             |  length(planted)::BIGINT AS len_raw,
+             |  lower(nfc_normalize(planted)) AS norm_text,
+             |  length(nfc_normalize(planted))::BIGINT AS len_nfc
+             |FROM p
+             |ORDER BY doc_id""".stripMargin))
   )
 }

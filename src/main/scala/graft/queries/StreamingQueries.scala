@@ -21,6 +21,7 @@ object StreamingQueries {
   private val sessRunId = new AtomicInteger(0)
   private val joinRunId = new AtomicInteger(0)
   private val outerRunId = new AtomicInteger(0)
+  private val swRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -364,6 +365,81 @@ object StreamingQueries {
              |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
              |  ON c.user_id = p.user_id
              |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin))
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q102: Catalyst's NATIVE session_window under a real stream — the
+    // streaming twin of batch q88 (as q76 is the streaming twin of the
+    // hand-rolled q29), exercising the built-in merging-session state
+    // operator instead of flatMapGroupsWithState. Append mode emits a
+    // session only when the watermark passes its close, so a finite
+    // stream needs the q76-style far-future sentinel to flush the tail;
+    // the sentinel's own session never closes and is filtered BATCH-side
+    // (a user_id filter above the agg would be pushed below the
+    // watermark node and delete the sentinel — the q82 trap). Oracle =
+    // q88's batch SQL: merge at gap == duration, session_end = last+gap.
+    Q(
+      "q102_streaming_session_window",
+      (s, dir) => {
+        import s.implicits._
+        val id = swRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_sw_${id - 1}")
+        val name = s"graft_stream_sw_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_sw_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sw_sentinel")
+        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .withWatermark("ts", "2 hours")
+        val q = withRocksDbState(s) {
+          stream
+            .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+            .agg(count(lit(1)).cast("long").as("n_events"),
+              round(sum("value"), 2).as("session_value"))
+            .select(col("user_id"),
+              col("sw.start").cast("timestamp_ntz").as("session_start"),
+              col("sw.end").cast("timestamp_ntz").as("session_end"),
+              col("n_events"), col("session_value"))
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name).where(col("user_id") >= 0)
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 1 HOUR AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS session_value
+             |FROM sess
+             |GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }
