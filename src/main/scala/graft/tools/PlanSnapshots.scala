@@ -25,7 +25,10 @@ object PlanSnapshots {
     Seq("q44_jaccard_pairs", "q62_multimodal_decode", "q59_dedup_clusters",
       "q78_decontaminate", "q80_repetition_stats",
       // round 5: the iterative graph op and the two sketch-shaped ops
-      "q89_pagerank", "q92_bloom_decontaminate", "q93_heavy_hitters")
+      "q89_pagerank", "q92_bloom_decontaminate", "q93_heavy_hitters",
+      // round 5 second wave: the iterative clustering op and the
+      // single-scan multi-distinct profile
+      "q95_kmeans", "q99_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
