@@ -3,16 +3,18 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Packing, Sampling, TextAnalysis}
+import graft.ext.{Clustering, Packing, Sampling, SimilaritySearch, TextAnalysis}
 import graft.functions.{PolyHash, Rounding, ZOrder}
 import graft.io.Tables
 
 /** Round-5 second wave: semantic clustering (q95), GPT-style sequence
   * spans (q96), domain capping (q97), Markov transition matrices (q98),
-  * dataset profiling (q99), grouped statistical moments (q100), and
-  * Z-order layout keys (q101). Same contract as every other module: each
-  * Spark pipeline is paired with DuckDB oracle SQL that replays it
-  * exactly.
+  * dataset profiling (q99), grouped statistical moments (q100), Z-order
+  * layout keys (q101), product-quantization ANN (q104), per-key EWMA
+  * (q105), edit-distance fuzzy matching (q106), explicit GROUPING SETS
+  * (q107), rolling z-score anomaly detection (q108), and add-one bigram
+  * LM scoring (q110). Same contract as every other module: each Spark
+  * pipeline is paired with DuckDB oracle SQL that replays it exactly.
   */
 object ExtensionQueries3 {
 
@@ -336,6 +338,295 @@ object ExtensionQueries3 {
              |  lower(nfc_normalize(planted)) AS norm_text,
              |  length(nfc_normalize(planted))::BIGINT AS len_nfc
              |FROM p
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q104: product-quantization ANN — the vector-COMPRESSION retrieval
+    // path (Jegou et al. 2011): corpus encoded once to m=8 codes/vector
+    // (32x smaller than raw floats — at 100 TB the codes are the index
+    // you persist), queries precompute a dot-product LUT on the tiny
+    // broadcast side, and each candidate costs m array lookups (ADC)
+    // instead of a 64-wide float dot. All three steps are codegen'd
+    // expressions (PqEncode/PqLut/PqAdcLookup); the codebook is the
+    // hash-picked constant-size slice rule (q64's), so the oracle
+    // replays pick → slice → argmin-encode → ADC bit-for-bit, with
+    // scores rounded BEFORE ranking on both engines.
+    Q(
+      "q104_pq_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        SimilaritySearch.pqTopK(e.filter(col("vec_id") < 5), e, 5,
+            m = 8, ksub = 16)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |picked AS (
+             |  SELECT vec_id, v FROM (
+             |    SELECT vec_id, v,
+             |      ${PolyHash.duckSql("'pq#' || vec_id::VARCHAR")} AS h
+             |    FROM e)
+             |  ORDER BY h, vec_id LIMIT 16),
+             |cwi AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+             |  FROM picked),
+             |js AS (SELECT unnest(range(8)) AS j),
+             |cw AS (
+             |  SELECT j.j, c.i, c.v[j.j*8+1 : j.j*8+8] AS cv
+             |  FROM js j CROSS JOIN cwi c),
+             |cc AS (SELECT j, i, list_dot_product(cv, cv) AS cc, cv FROM cw),
+             |subs AS (
+             |  SELECT e.vec_id, j.j, e.v[j.j*8+1 : j.j*8+8] AS sub
+             |  FROM e CROSS JOIN js j),
+             |enc AS (
+             |  SELECT vec_id, j, cv FROM (
+             |    SELECT s.vec_id, s.j, c.i, c.cv,
+             |      row_number() OVER (PARTITION BY s.vec_id, s.j
+             |        ORDER BY c.cc - 2*list_dot_product(s.sub, c.cv) ASC, c.i) AS rnk
+             |    FROM subs s JOIN cc c ON s.j = c.j)
+             |  WHERE rnk = 1),
+             |qsub AS (
+             |  SELECT vec_id AS query_id, j, sub FROM subs WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT qs.query_id, en.vec_id AS neighbor_id,
+             |    ${Rounding.duckSql("sum(list_dot_product(qs.sub, en.cv))")} AS score
+             |  FROM qsub qs JOIN enc en ON qs.j = en.j
+             |  WHERE qs.query_id <> en.vec_id
+             |  GROUP BY qs.query_id, en.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, score
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // q105: per-key EWMA (α = 1/2) — the time-series smoothing op
+    // (monitoring baselines, engagement decay scores). EWMA is an
+    // inherently sequential fold, so the scalable shape is fold-WITHIN-
+    // key, parallel-ACROSS-keys: one shuffle to the key, an ordered
+    // collect per key (bounded by per-user history, the same bound the
+    // window ops already carry), then the `aggregate` HOF folds in event
+    // order. α = 1/2 makes every step exact-halving double arithmetic;
+    // seed = first element and fold over the rest, which is precisely
+    // DuckDB's list_reduce semantics — identical op sequence both
+    // engines, round6 as belt-and-braces.
+    Q(
+      "q105_ewma",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("value")))).as("seq"))
+          .withColumn("vals", expr("transform(seq, x -> x.value)"))
+          .select(col("user_id"), col("n_events"),
+            Rounding.stableRound6(expr(
+              "aggregate(slice(vals, 2, size(vals) - 1), " +
+                "element_at(vals, 1), (acc, x) -> acc * 0.5D + x * 0.5D)"))
+              .as("ewma_value"))
+          .orderBy("user_id"),
+      Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  ${Rounding.duckSql(
+                  "list_reduce(list(value ORDER BY ts, event_id), " +
+                    "(acc, x) -> acc * 0.5 + x * 0.5)")} AS ewma_value
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q106: typo-tolerant fuzzy match (edit-distance join) — entity
+    // resolution against a name catalog. The scale shape is band-then-
+    // verify (the same discipline as every dedup op here): candidates
+    // meet through cheap equi-band predicates (same first char, length
+    // within ±2) BEFORE the quadratic levenshtein verify ever runs, and
+    // the catalog side is distinct names (vocabulary-sized, broadcast) —
+    // never a row-level cross join. Probes are hash-picked part rows
+    // with a deterministic planted typo (3rd char deleted), so the
+    // oracle replays the mutation and the match set exactly.
+    Q(
+      "q106_fuzzy_join",
+      (s, dir) => {
+        val parts = Tables.load(s, dir, "part")
+        val catalog = parts.select(col("p_name")).distinct()
+        val probes = parts
+          .withColumn("h", PolyHash(
+            concat(lit("fz#"), col("p_partkey").cast("string"))))
+          .orderBy("h", "p_partkey").limit(30)
+          .select(col("p_partkey").as("probe_id"),
+            concat(substring(col("p_name"), 1, 2),
+              substring(col("p_name"), 4, 100)).as("typo"))
+        val w = Window.partitionBy("probe_id").orderBy("dist", "p_name")
+        probes.join(broadcast(catalog),
+            substring(col("typo"), 1, 1) === substring(col("p_name"), 1, 1) &&
+              abs(length(col("typo")) - length(col("p_name"))) <= 2)
+          .withColumn("dist", levenshtein(col("typo"), col("p_name")).cast("long"))
+          .where(col("dist") <= 2)
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 2)
+          .select(col("probe_id"), col("typo"),
+            col("p_name").as("matched"), col("dist"), col("rnk"))
+          .orderBy("probe_id", "rnk")
+      },
+      Some(s"""WITH cat AS (SELECT DISTINCT p_name FROM part),
+             |probes AS (
+             |  SELECT p_partkey AS probe_id,
+             |    substr(p_name, 1, 2) || substr(p_name, 4, 100) AS typo
+             |  FROM (
+             |    SELECT p_partkey, p_name,
+             |      ${PolyHash.duckSql("'fz#' || p_partkey::VARCHAR")} AS h
+             |    FROM part)
+             |  ORDER BY h, p_partkey LIMIT 30),
+             |cand AS (
+             |  SELECT p.probe_id, p.typo, c.p_name,
+             |    levenshtein(p.typo, c.p_name)::BIGINT AS dist
+             |  FROM probes p JOIN cat c
+             |    ON substr(p.typo, 1, 1) = substr(c.p_name, 1, 1)
+             |   AND abs(length(p.typo) - length(c.p_name)) <= 2
+             |  WHERE levenshtein(p.typo, c.p_name) <= 2),
+             |ranked AS (
+             |  SELECT probe_id, typo, p_name AS matched, dist,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY dist, p_name) AS rnk
+             |  FROM cand)
+             |SELECT probe_id, typo, matched, dist, rnk
+             |FROM ranked WHERE rnk <= 2
+             |ORDER BY probe_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q107: explicit GROUPING SETS — the general form rollup (q11) and
+    // cube (q20) are special cases of: the caller names exactly which
+    // grouping combinations to materialize, and Spark computes them in
+    // ONE pass (an Expand node feeding one hash aggregate — not one scan
+    // per set). grouping() disambiguates "aggregated over" from a real
+    // NULL, surfaced as an 'ALL' sentinel so both engines emit identical
+    // dimension values.
+    Q(
+      "q107_grouping_sets",
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping(col("o_orderstatus")).as("g_s"),
+            grouping(col("o_orderpriority")).as("g_p"),
+            count(lit(1)).cast("long").as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .select(
+            when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus"))
+              .as("status"),
+            when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority"))
+              .as("priority"),
+            col("n"), col("sum_price"))
+          .orderBy("status", "priority"),
+      Some("""SELECT
+             |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+             |       ELSE o_orderstatus END AS status,
+             |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+             |       ELSE o_orderpriority END AS priority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |  (o_orderstatus), ())
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q108: rolling z-score anomaly detection — each event scored
+    // against its user's own trailing baseline (ROWS BETWEEN 10
+    // PRECEDING AND 1 PRECEDING: the current row is excluded so it
+    // cannot mask its own anomaly). One shuffle to the user key; the
+    // frame state is O(10) per row regardless of history length. Guards:
+    // ≥8 trailing samples (cold-start suppression) and sd > 0.05 (a
+    // flat baseline makes z explode on noise); z rounded BEFORE the
+    // |z| > 2 cut so both engines threshold identical keys.
+    Q(
+      "q108_rolling_zscore",
+      (s, dir) => {
+        val fr = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-10, -1)
+        Tables.load(s, dir, "events")
+          .withColumn("mu", avg("value").over(fr))
+          .withColumn("sd", stddev_samp("value").over(fr))
+          .withColumn("nw", count(lit(1)).over(fr))
+          .where(col("nw") >= 8 && col("sd") > 0.05)
+          .withColumn("z",
+            Rounding.stableRound6((col("value") - col("mu")) / col("sd")))
+          .where(abs(col("z")) > 2)
+          .select(col("event_id"), col("user_id"),
+            col("event_type"), col("value"), col("z"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH w AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    avg(value) OVER fr AS mu,
+             |    stddev_samp(value) OVER fr AS sd,
+             |    count(*) OVER fr AS nw
+             |  FROM events
+             |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+             |z AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    ${Rounding.duckSql("(value - mu) / sd")} AS z
+             |  FROM w WHERE nw >= 8 AND sd > 0.05)
+             |SELECT event_id, user_id, event_type, value, z
+             |FROM z WHERE abs(z) > 2
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q110: add-one-smoothed bigram LM scoring — the next step up from
+    // q94's unigram surprisal: templated docs whose WORD PAIRS repeat
+    // verbatim score low even when their unigrams look diverse. Bigrams
+    // come from a shuffle-free per-row array zip (no window over token
+    // position); the count table is vocabulary²-sized and meets the
+    // stream through a broadcast; history mass c(w1) is a window over
+    // that small table, V a whole-table window — exactly two corpus
+    // scans (count build + scoring), q94's accepted shape.
+    Q(
+      "q110_bigram_logprob",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("ws", graft.ops.Text.words(graft.ops.Text.clean(col("text"))))
+          .where(size(col("ws")) >= 2)
+        val bi = docs.select(col("doc_id"), expr(
+            "explode(transform(sequence(1, size(ws) - 1), " +
+              "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))")
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cnt = bi.groupBy("w1", "w2")
+          .agg(count(lit(1)).cast("double").as("c12"))
+          .withColumn("c1",
+            sum("c12").over(Window.partitionBy("w1")))
+          .withColumn("vv", size(collect_set("w2").over(Window.partitionBy()))
+            .cast("double"))
+        bi.join(broadcast(cnt), Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            Rounding.stableRound6(
+              avg(-log((col("c12") + 1.0) / (col("c1") + col("vv")))))
+              .as("avg_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '') AS ws
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |    i -> {'w1': ws[i], 'w2': ws[i+1]}), recursive := true)
+             |  FROM toks WHERE len(ws) >= 2),
+             |cnt AS (
+             |  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bi GROUP BY 1, 2),
+             |c1t AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+             |v AS (SELECT count(DISTINCT w2)::DOUBLE AS vv FROM bi)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  ${Rounding.duckSql("avg(-ln((c12 + 1) / (c1 + vv)))")} AS avg_surprisal
+             |FROM bi JOIN cnt USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN v
+             |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -22,6 +22,7 @@ object StreamingQueries {
   private val joinRunId = new AtomicInteger(0)
   private val outerRunId = new AtomicInteger(0)
   private val swRunId = new AtomicInteger(0)
+  private val enrichRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -440,6 +441,52 @@ object StreamingQueries {
              |  round(sum(value), 2) AS session_value
              |FROM sess
              |GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q109: stream-static enrichment — the most common production
+    // streaming shape: a fact stream joined to a slowly-changing
+    // dimension table at ingest (user → segment here). The static side
+    // is a plain batch DataFrame broadcast into every micro-batch, so
+    // the stream side never shuffles for the join and the dimension is
+    // read once per batch, not per row; the aggregation then runs per
+    // enriched key. Complete mode on a finite AvailableNow pass equals
+    // the batch join+group, which is exactly what the oracle replays.
+    Q(
+      "q109_stream_static_enrich",
+      (s, dir) => {
+        val id = enrichRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_enrich_${id - 1}")
+        val name = s"graft_stream_enrich_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_enrich_ckpt")
+        val dim = broadcast(graft.io.Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val q = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum("value"), 2).as("sum_value"))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+        }
+        s.table(name).orderBy("c_mktsegment", "event_type")
+      },
+      Some("""SELECT c.c_mktsegment, e.event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(e.value), 2) AS sum_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2
+             |ORDER BY c_mktsegment, event_type""".stripMargin))
   )
 }

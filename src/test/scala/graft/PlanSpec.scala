@@ -138,6 +138,11 @@ class PlanSpec extends SparkSpec {
       // compile failure in the bucket/cosine path into a thrown error
       graft.ext.SimilaritySearch.lshTopK(
         e.filter(col("vec_id") < 3), e, 3).count()
+      // PQ family: encode (corpus scan), LUT (query side), ADC lookup
+      // all carry doGenCode — a corrupt generated line must throw here,
+      // not silently fall back on the 100 TB scan path
+      assert(graft.ext.SimilaritySearch.pqTopK(
+        e.filter(col("vec_id") < 3), e, 3).count() > 0)
     } finally prior match {
       case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")
