@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Distributed global ranking — the scalable replacement for the
+  * single-partition window (`Window.orderBy(...)` with no partition key
+  * moves the WHOLE dataset through one task; rank/ntile/percent_rank over
+  * a large table is the canonical way to accidentally serialize a job).
+  *
+  * Same two-pass shape as [[Packing.packBins]] / `graft.io.TextRecords`:
+  * range-repartition on the sort key (a narrow exchange whose partition
+  * count scales with data volume), sort within partitions, pass 1 sends
+  * ONE row-count per partition to the driver (O(#partitions)), pass 2
+  * streams every partition with its broadcast base offset. The rank a row
+  * receives is its position in the unique total order, so the result is
+  * independent of where the range boundaries fall — partition-count
+  * invariance is pinned in Extension4Spec.
+  *
+  * The sort columns MUST form a total order (include a unique tiebreaker
+  * like the row id): with duplicate full keys the rank of the duplicates
+  * would depend on physical placement.
+  */
+object Ranking {
+
+  /** Appends `global_rank` (1-based, in `sortCols` order) and returns the
+    * total row count alongside (it falls out of pass 1 for free — no
+    * separate `count()` scan).
+    */
+  def withGlobalRankAndCount(df: DataFrame, sortCols: Seq[Column],
+                             partitions: Int = 32): (DataFrame, Long) = {
+    require(sortCols.nonEmpty, "sortCols must not be empty")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd
+    val partCounts = rdd
+      .mapPartitionsWithIndex { (pid, it) => Iterator((pid, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = partCounts.scanLeft(0L)(_ + _)
+    val basesB = spark.sparkContext.broadcast(bases)
+    val withRank = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = basesB.value(pid)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }
+    val schema = sorted.schema.add(StructField("global_rank", LongType, nullable = false))
+    (spark.createDataFrame(withRank, schema), partCounts.sum)
+  }
+
+  /** [[withGlobalRankAndCount]] without the count. */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
+                     partitions: Int = 32): DataFrame =
+    withGlobalRankAndCount(df, sortCols, partitions)._1
+
+  /** SQL `ntile(buckets)` as a closed form over a 1-based unique rank:
+    * the first `n mod buckets` tiles hold `n div buckets + 1` rows, the
+    * rest `n div buckets`. Expressed as exact integer arithmetic so both
+    * engines (and the [[withGlobalRank]] path, which never materializes a
+    * window) compute identical tile ids; equivalence with Spark's own
+    * `ntile` window function is pinned in Extension4Spec.
+    */
+  def ntileFromRank(rankCol: Column, n: Long, buckets: Int): Column = {
+    import org.apache.spark.sql.functions._
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // exact integer division via pmod (Column./ is DOUBLE division — the
+    // Packing rule: never trust it past 2^53): x - pmod(x, d) is an exact
+    // multiple of d, so the double quotient is exact
+    def idiv(x: Column, d: Long): Column =
+      ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+    val q = n / buckets
+    val rm = n % buckets
+    if (q == 0) rankCol // fewer rows than buckets: tile == rank
+    else when(rankCol <= rm * (q + 1), idiv(rankCol - 1, q + 1) + 1)
+      .otherwise(lit(rm) + idiv(rankCol - rm * (q + 1) - 1, q) + 1)
+  }
+}

@@ -241,4 +241,45 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
+
+  /** IVF-PQ: the composition that serves ANN at the largest scales —
+    * IVF's cell equi-join prunes WHICH vectors a query touches
+    * (`nProbe/C` of the corpus), PQ's codes shrink WHAT is read per
+    * touched vector (8 bytes vs 256). The corpus side is one scan
+    * computing (cell, codes) — both codegen'd projections — and at 100 TB
+    * that (id, cell, codes) table IS the persisted index, re-partitioned
+    * by cell so a probe reads only its cells' partitions. Classic IVF-PQ
+    * encodes the RESIDUAL (x − centroid) for a tighter quantization; this
+    * variant encodes raw vectors so every step stays exactly
+    * DuckDB-replayable (pick, slice, argmin, ADC — q111's oracle) — the
+    * cell join and ADC scan shapes, which are what scale, are identical.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cents = hashPickedCentroids(corpus, idCol, vecCol, nCentroids)
+    val cb = pqCodebook(corpus, idCol, vecCol, m, ksub)
+    if (cents.isEmpty || cb.isEmpty) {
+      return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("score")).limit(0)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(VectorFunctions.centroidRanks(col(vecCol), cents, 1), 1)
+        .as("cell"),
+      graft.functions.PqFunctions.encode(col(vecCol), cb).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.PqFunctions.lut(col(vecCol), cb).as("lut"),
+      explode(VectorFunctions.centroidRanks(col(vecCol), cents, nProbe))
+        .as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("neighbor_id"))
+    broadcast(q).join(c, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", Rounding.stableRound6(
+        graft.functions.PqFunctions.adc(col("lut"), col("codes"), ksub)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
 }

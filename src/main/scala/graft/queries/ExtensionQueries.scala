@@ -24,7 +24,7 @@ object ExtensionQueries {
     * length saturation + low punctuation + stopword presence, each leg
     * stable-rounded exactly as the Spark side rounds).
     */
-  private val QualityScoreSql =
+  private[queries] val QualityScoreSql =
     """floor((0.4 * least(len(regexp_extract_all(text, '\S+'))::DOUBLE / 50.0, 1.0)
       |      + 0.3 * (1.0 - floor(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE
       |          / greatest(length(text), 1) * 1000000 + 0.5) / 1000000)
