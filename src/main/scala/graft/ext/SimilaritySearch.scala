@@ -227,8 +227,29 @@ object SimilaritySearch {
       return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
         col(idCol).as("neighbor_id"), lit(0.0).as("score")).limit(0)
     }
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
+    pqScoreTopK(queries, pqEncodeCorpus(corpus, cb, idCol, vecCol), cb, k,
+      idCol, vecCol)
+  }
+
+  /** The index-build half of [[pqTopK]]: one corpus scan → (neighbor_id,
+    * codes). At scale this table is persisted (it IS the ANN index — 8
+    * bytes/vector at m=8) and [[pqScoreTopK]] queries it without ever
+    * re-reading raw vectors.
+    */
+  def pqEncodeCorpus(corpus: DataFrame, cb: Seq[Seq[Seq[Double]]],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
       graft.functions.PqFunctions.encode(col(vecCol), cb).as("codes"))
+
+  /** The query-time half of [[pqTopK]]: ADC over a pre-encoded codes
+    * table (m array reads per candidate, LUT broadcast with the queries).
+    */
+  def pqScoreTopK(queries: DataFrame, codes: DataFrame,
+                  cb: Seq[Seq[Seq[Double]]], k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val ksub = cb.head.length
     val q = queries.select(col(idCol).as("query_id"),
       graft.functions.PqFunctions.lut(col(vecCol), cb).as("lut"))
     val w = Window.partitionBy("query_id")

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextAnalysis}
+import graft.functions.Rounding
+import graft.io.Tables
+
+/** Round-5 fourth wave: trigram-indexed fuzzy string pairs (q117),
+  * near-dup cluster survivorship (q118), and trailing-time-range window
+  * stats (q119). Same contract as every other module: each Spark
+  * pipeline pairs with DuckDB oracle SQL replaying it.
+  */
+object ExtensionQueries5 {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q117: all-pairs fuzzy string matching via a character-trigram
+    // inverted index — q106 matches probes against a catalog; this is
+    // the SELF-join form (dedupe a name/entity column against itself).
+    // Scale shape: candidates meet through the trigram posting list
+    // (pairs sharing >= 1 trigram — the pg_trgm strategy), trigram
+    // counts arrive via vocabulary-sized broadcasts, and the quadratic
+    // levenshtein verify runs only on candidates passing the trigram-
+    // Jaccard cut. On a corpus-scale column the posting join adds a
+    // document-frequency stop-trigram cut (drop trigrams in > x% of
+    // names) — the same hot-key discipline as the shingle pipeline.
+    Q(
+      "q117_trigram_fuzzy_pairs",
+      (s, dir) => {
+        val names = Tables.load(s, dir, "part")
+          .select(col("p_name").as("nm")).distinct()
+          .where(length(col("nm")) >= 3)
+        val tri = names.select(col("nm"), explode(array_distinct(expr(
+          "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))")))
+          .as("tg"))
+        val cand = tri.toDF("na", "tga").join(tri.toDF("nb", "tgb"),
+            col("tga") === col("tgb") && col("na") < col("nb"))
+          .groupBy("na", "nb").agg(count(lit(1)).cast("long").as("shared"))
+        val tc = tri.groupBy("nm").agg(count(lit(1)).cast("long").as("nt"))
+        cand
+          .join(broadcast(tc.toDF("na", "nta")), "na")
+          .join(broadcast(tc.toDF("nb", "ntb")), "nb")
+          .withColumn("jacc", col("shared").cast("double") /
+            (col("nta") + col("ntb") - col("shared")).cast("double"))
+          .where(col("jacc") >= 0.3 && levenshtein(col("na"), col("nb")) <= 4)
+          .select(col("na"), col("nb"),
+            Rounding.stableRound6(col("jacc")).as("jacc"),
+            levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+          .orderBy("na", "nb")
+      },
+      Some(s"""WITH names AS (
+             |  SELECT DISTINCT p_name AS nm FROM part WHERE length(p_name) >= 3),
+             |tri AS (
+             |  SELECT nm, unnest(list_distinct(list_transform(
+             |    range(1, length(nm) - 1),
+             |    i -> substr(nm, CAST(i AS INTEGER), 3)))) AS tg
+             |  FROM names),
+             |cand AS (
+             |  SELECT a.nm AS na, b.nm AS nb, count(*)::BIGINT AS shared
+             |  FROM tri a JOIN tri b ON a.tg = b.tg AND a.nm < b.nm
+             |  GROUP BY 1, 2),
+             |tc AS (SELECT nm, count(*)::BIGINT AS nt FROM tri GROUP BY 1),
+             |j AS (
+             |  SELECT na, nb,
+             |    shared::DOUBLE / CAST(ta.nt + tb.nt - shared AS DOUBLE) AS jacc
+             |  FROM cand JOIN tc ta ON ta.nm = na JOIN tc tb ON tb.nm = nb)
+             |SELECT na, nb, ${Rounding.duckSql("jacc")} AS jacc,
+             |  levenshtein(na, nb)::BIGINT AS dist
+             |FROM j
+             |WHERE jacc >= 0.3 AND levenshtein(na, nb) <= 4
+             |ORDER BY na, nb""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q118: near-dup cluster survivorship — the step that closes the
+    // dedup pipeline: after clustering (q59), exactly one copy per
+    // cluster is KEPT (highest quality score, doc_id as tiebreak) and
+    // the rest map to it. The survivor is a `max(struct(quality, id))`
+    // per cluster — one aggregation, no window — then a key join maps
+    // every member to its cluster's survivor. The oracle extends q59's
+    // WITH RECURSIVE reachability with the same argmax.
+    Q(
+      "q118_dedup_survivorship",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", 0.5)
+          .select("da", "db")
+        val labels = Dedup.canonicalize(pairs)
+        val withC = docs
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("canonical_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+        val surv = withC.groupBy("canonical_id")
+          .agg(max(struct(col("quality"), col("doc_id"))).as("s"),
+            count(lit(1)).cast("long").as("cluster_size"))
+          .select(col("canonical_id"), col("s.doc_id").as("survivor_id"),
+            col("cluster_size"))
+        withC.join(surv, "canonical_id")
+          .select(col("doc_id"), col("canonical_id"), col("survivor_id"),
+            (col("doc_id") === col("survivor_id")).as("kept"),
+            col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+             |${ExtensionQueries.NearDupPairsOracle}
+             |),
+             |edges AS (SELECT da AS s, db AS d FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |walk(id, lab) AS (
+             |  SELECT s, s FROM edges
+             |  UNION
+             |  SELECT e.s, w.lab FROM edges e JOIN walk w ON w.id = e.d),
+             |labels AS (SELECT id, min(lab) AS label FROM walk GROUP BY id),
+             |docs AS (
+             |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS canonical_id,
+             |    ${ExtensionQueries.QualityScoreSql} AS quality
+             |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+             |surv AS (
+             |  SELECT canonical_id, doc_id AS survivor_id, cluster_size FROM (
+             |    SELECT canonical_id, doc_id,
+             |      count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+             |      row_number() OVER (PARTITION BY canonical_id
+             |        ORDER BY quality DESC, doc_id DESC) AS rn
+             |    FROM docs)
+             |  WHERE rn = 1)
+             |SELECT d.doc_id, d.canonical_id, s.survivor_id,
+             |  (d.doc_id = s.survivor_id) AS kept,
+             |  CAST(s.cluster_size AS BIGINT) AS cluster_size
+             |FROM docs d JOIN surv s USING (canonical_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q119: trailing-time-range window stats — the RANGE-frame
+    // complement to q108's ROWS frame: "activity in the last hour" per
+    // event, where the frame is defined by the TIME axis (peers at the
+    // same instant are all included — RANGE semantics both engines
+    // share), not a row count. One user-keyed shuffle; frame state
+    // bounded by events-per-hour-per-user.
+    Q(
+      "q119_trailing_hour",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val te = unix_micros(col("ts").cast("timestamp"))
+        val w = Window.partitionBy("user_id").orderBy(te)
+          .rangeBetween(-3600000000L, Window.currentRow)
+        e.withColumn("n_1h", count(lit(1)).over(w).cast("long"))
+          .withColumn("sum_1h", round(sum("value").over(w), 2))
+          .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             |  round(sum(value) OVER w, 2) AS sum_1h
+             |FROM (SELECT *, epoch_us(ts) AS te FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY te
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
+  )
+}

@@ -28,7 +28,11 @@ object PlanSnapshots {
       "q89_pagerank", "q92_bloom_decontaminate", "q93_heavy_hitters",
       // round 5 second wave: the iterative clustering op and the
       // single-scan multi-distinct profile
-      "q95_kmeans", "q99_profile")
+      "q95_kmeans", "q99_profile",
+      // round 5 third wave: the compressed-ANN scans and the two
+      // Ranking-based ops (their plans should NEVER show a global sort)
+      "q104_pq_ann", "q111_ivfpq", "q115_quality_normalize",
+      "q116_equidepth_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

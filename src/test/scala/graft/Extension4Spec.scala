@@ -104,11 +104,11 @@ class Extension4Spec extends SparkSpec {
   test("resample interpolates linearly and reproduces exact-grid events") {
     val q = SparkEntry.queries("q113_resample_interpolate")
     val dir = java.nio.file.Files.createTempDirectory("graft_resample")
-    // events at 00:00 (v=10) and 00:30 (v=20): grid points 00:00, 00:15,
-    // 00:30 → 10 (exact hit), 15 (midpoint), 20 (exact hit)
+    // events at 00:00 (v=10) and 02:00 (v=20): grid points 00:00, 01:00,
+    // 02:00 → 10 (exact hit), 15 (midpoint), 20 (exact hit)
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "a", 10.0, "{}"),
-      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "a", 20.0, "{}"))
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 7L, "a", 20.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     try {
@@ -121,8 +121,8 @@ class Extension4Spec extends SparkSpec {
         }).toString -> r.getDouble(2))
       assert(out.toSeq == Seq(
         "2024-01-01T00:00" -> 10.0,
-        "2024-01-01T00:15" -> 15.0,
-        "2024-01-01T00:30" -> 20.0), out.toSeq.toString)
+        "2024-01-01T01:00" -> 15.0,
+        "2024-01-01T02:00" -> 20.0), out.toSeq.toString)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Round-5 fourth-wave operators: trigram fuzzy pairs, dedup
+  * survivorship, trailing-range windows.
+  */
+class Extension5Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("trigram fuzzy pairs: ordered, thresholded, and a known pair exact") {
+    val out = SparkEntry.queries("q117_trigram_fuzzy_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (na, nb, jacc, dist) =>
+      assert(na < nb, s"unordered pair ($na, $nb)")
+      assert(jacc > 0.0 && jacc <= 1.0, s"jacc $jacc")
+      assert(dist >= 1 && dist <= 4, s"dist $dist")
+    }
+    // hand check: 'cold widget' (9 distinct trigrams) vs 'old widget'
+    // (8), all of old widget's inside cold widget's → 8 / (9+8-8)
+    val known = out.find(t => t._1 == "cold widget" && t._2 == "old widget")
+    assert(known.isDefined, "expected (cold widget, old widget) pair")
+    assert(known.get._3 == math.floor(8.0 / 9.0 * 1e6 + 0.5) / 1e6)
+    assert(known.get._4 == 1L)
+  }
+
+  test("dedup survivorship keeps exactly one highest-quality doc per cluster") {
+    val out = SparkEntry.queries("q118_dedup_survivorship")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(out.length == total)
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      // one survivor, every member maps to it, size is consistent
+      val kept = rows.filter(_._4)
+      assert(kept.length == 1, s"cluster $c kept ${kept.length}")
+      assert(rows.forall(_._3 == kept.head._1), s"cluster $c survivor drift")
+      assert(rows.forall(_._5 == rows.length), s"cluster $c size")
+    }
+    // survivor quality is the cluster max (tie → larger doc_id)
+    val quality = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byCluster.foreach { case (c, rows) =>
+      val survivor = rows.find(_._4).get._1
+      val best = rows.map(r => (quality(r._1), r._1)).max
+      assert((quality(survivor), survivor) == best, s"cluster $c survivor")
+    }
+  }
+
+  test("trailing-hour range window matches a brute recompute") {
+    val e = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](2)).getTime * 1000L,
+        r.getDouble(3)))
+    val expected = e.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      rows.iterator.map { r =>
+        val fr = rows.filter(o => o._3 >= r._3 - 3600000000L && o._3 <= r._3)
+        r._1 -> (fr.length.toLong,
+          math.round(fr.map(_._4).sum * 100.0) / 100.0)
+      }
+    }.toMap
+    val got = SparkEntry.queries("q119_trailing_hour")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, s0)) =>
+      assert(n == expected(id)._1, s"event $id count")
+      assert(math.abs(s0 - expected(id)._2) < 1e-9, s"event $id sum")
+    }
+  }
+}
