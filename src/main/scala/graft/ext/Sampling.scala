@@ -43,6 +43,15 @@ object Sampling {
     (h * h % PolyHash.Mod) % Buckets
   }
 
+  /** The DuckDB replay of [[bucket]] for oracle SQL construction (the
+    * hash expression is textually duplicated for the squaring — DuckDB
+    * CSEs it). `idExpr` must be a short column reference.
+    */
+  def bucketDuckSql(salt: String, idExpr: String): String = {
+    val h = PolyHash.duckSql(s"'$salt#' || $idExpr::VARCHAR")
+    s"(($h) * ($h) % ${PolyHash.Mod}) % $Buckets"
+  }
+
   /** Adds `bucket` and `split` columns; `fractions` must sum to 1.
     * Fractions resolve to basis-point thresholds (0.8 → buckets 0-7999).
     */

@@ -3,14 +3,16 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Sampling, SimilaritySearch, TextAnalysis}
 import graft.functions.Rounding
 import graft.io.Tables
 
 /** Round-5 fourth wave: trigram-indexed fuzzy string pairs (q117),
-  * near-dup cluster survivorship (q118), and trailing-time-range window
-  * stats (q119). Same contract as every other module: each Spark
-  * pipeline pairs with DuckDB oracle SQL replaying it.
+  * near-dup cluster survivorship (q118), trailing-time-range window
+  * stats (q119), dataset diff (q121), feature hashing (q122), and
+  * labeled-embedding centroid reports (q123). Same contract as every
+  * other module: each Spark pipeline pairs with DuckDB oracle SQL
+  * replaying it.
   */
 object ExtensionQueries5 {
 
@@ -157,6 +159,136 @@ object ExtensionQueries5 {
              |FROM (SELECT *, epoch_us(ts) AS te FROM events)
              |WINDOW w AS (PARTITION BY user_id ORDER BY te
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q121: dataset diff — snapshot comparison between two corpus
+    // versions (the data-versioning/CDF shape: what was added, removed,
+    // or edited between crawls). Versions are synthesized from
+    // deterministic hash buckets (membership + a planted edit are pure
+    // functions of doc_id), then a single full-outer join on the key
+    // classifies every doc; content equality via md5 fingerprints, the
+    // same exact-dedup discipline as q43. One key-partitioned shuffle.
+    Q(
+      "q121_dataset_diff",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val old = docs
+          .where(Sampling.bucket(col("doc_id"), "ver1") < 9000)
+          .select(col("doc_id"), col("text").as("text_old"))
+        val neu = docs
+          .where(Sampling.bucket(col("doc_id"), "ver2") < 9000)
+          .select(col("doc_id"),
+            when(Sampling.bucket(col("doc_id"), "edit1") < 1000,
+              concat(col("text"), lit(" [v2]")))
+              .otherwise(col("text")).as("text_new"))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("text_old").isNull, lit("added"))
+              .when(col("text_new").isNull, lit("removed"))
+              .when(md5(col("text_old")) =!= md5(col("text_new")), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, text,
+             |    ${Sampling.bucketDuckSql("ver1", "doc_id")} AS b1,
+             |    ${Sampling.bucketDuckSql("ver2", "doc_id")} AS b2,
+             |    ${Sampling.bucketDuckSql("edit1", "doc_id")} AS b3
+             |  FROM documents),
+             |old AS (SELECT doc_id, text AS text_old FROM b WHERE b1 < 9000),
+             |neu AS (
+             |  SELECT doc_id,
+             |    CASE WHEN b3 < 1000 THEN text || ' [v2]' ELSE text END AS text_new
+             |  FROM b WHERE b2 < 9000)
+             |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       WHEN md5(o.text_old) <> md5(n.text_new) THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q122: feature hashing (HashingTF) — the fixed-width featurizer for
+    // linear models/classifier-based quality filters: token → bucket via
+    // PolyHash % k, counts per (doc, bucket). No vocabulary table at
+    // all — the whole point of the hashing trick at corpus scale — so
+    // it is one explode + one keyed aggregation with map-side partials.
+    Q(
+      "q122_hashing_tf",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.ops.Text.words(graft.ops.Text.clean(col("text"))))
+              .as("w"))
+          .withColumn("idx", pmod(graft.functions.PolyHash(col("w")), lit(64L)))
+          .groupBy("doc_id", "idx")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .orderBy("doc_id", "idx"),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '')) AS w
+             |  FROM documents)
+             |SELECT doc_id, ${graft.functions.PolyHash.duckSql("w")} % 64 AS idx,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM toks
+             |GROUP BY doc_id, idx
+             |ORDER BY doc_id, idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q123: labeled-embedding centroid report — the embedding-QA pass a
+    // labeled corpus gets before training (class balance, centroid
+    // norms, intra-class cohesion). Per-label centroids are dim
+    // avg-aggregates in ONE hash agg (q95's update step), stable-rounded
+    // and float-quantized so both engines score against identical bits;
+    // members then meet their centroid through a 10-row broadcast and
+    // the codegen'd cosine. Two corpus scans (centroid build + scoring).
+    Q(
+      "q123_label_centroids",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val dim = SimilaritySearch.deriveDim(e, "embedding")
+        val avgs = (0 until dim).map(i =>
+          avg(element_at(col("embedding"), i + 1)).as(s"c_$i"))
+        val rows = e.groupBy("label").agg(avgs.head, avgs.tail: _*).collect()
+        def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+        val cents = rows.map { r =>
+          val cv = (0 until dim).map(i => r6(r.getDouble(i + 1)).toFloat)
+          val norm = {
+            var d = 0.0
+            cv.foreach(f => d += f.toDouble * f.toDouble)
+            r6(math.sqrt(d))
+          }
+          (r.getInt(0), cv, norm)
+        }
+        import s.implicits._
+        val cdf = cents.toSeq.toDF("label", "cv", "centroid_norm")
+        e.join(broadcast(cdf), "label")
+          .withColumn("cos", Rounding.stableRound6(
+            graft.functions.VectorFunctions.cosineSim(col("embedding"), col("cv"))))
+          .groupBy("label")
+          .agg(count(lit(1)).cast("long").as("n_vectors"),
+            first("centroid_norm").as("centroid_norm"),
+            Rounding.stableRound6(avg("cos")).as("avg_cos"))
+          .orderBy("label")
+      },
+      Some {
+        val meanList = (1 to 64)
+          .map(j => s"CAST(CAST(floor(avg(v[$j]) * 1000000 + 0.5) / 1000000 AS REAL) AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           |c AS (SELECT label, $meanList AS cv FROM e GROUP BY label)
+           |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vectors,
+           |  ${Rounding.duckSql("first(sqrt(list_dot_product(c.cv, c.cv)))")}
+           |    AS centroid_norm,
+           |  ${Rounding.duckSql(
+                "avg(floor(list_cosine_similarity(e.v, c.cv) * 1000000 + 0.5) / 1000000)")}
+           |    AS avg_cos
+           |FROM e JOIN c USING (label)
+           |GROUP BY e.label
+           |ORDER BY e.label""".stripMargin
+      })
   )
 }

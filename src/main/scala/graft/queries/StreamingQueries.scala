@@ -23,6 +23,7 @@ object StreamingQueries {
   private val outerRunId = new AtomicInteger(0)
   private val swRunId = new AtomicInteger(0)
   private val enrichRunId = new AtomicInteger(0)
+  private val slideRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -487,6 +488,54 @@ object StreamingQueries {
              |  round(sum(e.value), 2) AS sum_value
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
              |GROUP BY 1, 2
-             |ORDER BY c_mktsegment, event_type""".stripMargin))
+             |ORDER BY c_mktsegment, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q120: SLIDING windows under a real stream — the streaming twin of
+    // batch q67 (as q102 is to q88): each event lands in the two
+    // overlapping 1-hour/30-minute-slide windows, maintained as
+    // per-(window, type) keyed state. Complete mode on a finite
+    // AvailableNow pass equals the batch sliding grouping, which is
+    // exactly q67's oracle.
+    Q(
+      "q120_streaming_sliding",
+      (s, dir) => {
+        val id = slideRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_slide_${id - 1}")
+        val name = s"graft_stream_slide_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_slide_ckpt")
+        val q = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum("value"), 2).as("sum_value"))
+          .select(col("w.start").cast("timestamp_ntz").as("w_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+        }
+        s.table(name).orderBy("w_start", "event_type")
+      },
+      Some("""SELECT w_start, event_type,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+             |FROM (
+             |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+             |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+             |           AS w_start,
+             |         event_type, value
+             |  FROM events)
+             |GROUP BY w_start, event_type
+             |ORDER BY w_start, event_type""".stripMargin))
   )
 }

@@ -76,4 +76,51 @@ class Extension5Spec extends SparkSpec {
       assert(math.abs(s0 - expected(id)._2) < 1e-9, s"event $id sum")
     }
   }
+
+  test("dataset diff statuses agree with the bucket memberships") {
+    val out = SparkEntry.queries("q121_dataset_diff")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val buckets = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.ext.Sampling.bucket(col("doc_id"), "ver1").as("b1"),
+        graft.ext.Sampling.bucket(col("doc_id"), "ver2").as("b2"),
+        graft.ext.Sampling.bucket(col("doc_id"), "edit1").as("b3"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    buckets.foreach { case (id, (b1, b2, b3)) =>
+      val expected =
+        if (b1 >= 9000 && b2 >= 9000) None // in neither version
+        else if (b1 >= 9000) Some("added")
+        else if (b2 >= 9000) Some("removed")
+        else if (b3 < 1000) Some("changed")
+        else Some("unchanged")
+      assert(out.get(id) == expected, s"doc $id: ${out.get(id)} vs $expected")
+    }
+    assert(Set("added", "removed", "changed", "unchanged") == out.values.toSet)
+  }
+
+  test("hashing_tf buckets match a driver-side PolyHash recompute") {
+    val got = SparkEntry.queries("q122_hashing_tf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, t) =>
+      t.replaceAll("[^a-zA-Z0-9 ]", "").split(" ").filter(_.nonEmpty)
+        .map(w => (id, graft.functions.PolyHash.hash(w) % 64))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got == expected)
+  }
+
+  test("label centroid report is balanced and cohesion is a valid cosine") {
+    val out = SparkEntry.queries("q123_label_centroids")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(out.map(_._2).sum == total)
+    out.foreach { case (label, n, norm, cos) =>
+      assert(n > 0, s"label $label empty")
+      assert(norm > 0.0, s"label $label degenerate centroid")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"label $label cos $cos")
+    }
+    // members should on average lean TOWARD their own centroid
+    assert(out.forall(_._4 > 0.0))
+  }
 }
