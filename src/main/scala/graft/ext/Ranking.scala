@@ -26,6 +26,11 @@ object Ranking {
   /** Appends `global_rank` (1-based, in `sortCols` order) and returns the
     * total row count alongside (it falls out of pass 1 for free — no
     * separate `count()` scan).
+    *
+    * Both passes map over the SAME RDD object, so the range exchange's
+    * map stage runs once and pass 2 re-reads its shuffle files (Spark
+    * skips completed stages for a shared lineage); only the in-partition
+    * sort re-executes — the same cost model as [[Packing.packBins]].
     */
   def withGlobalRankAndCount(df: DataFrame, sortCols: Seq[Column],
                              partitions: Int = 32): (DataFrame, Long) = {

@@ -288,6 +288,9 @@ object ExtensionQueries4 {
           .withColumn("nsrc", count(lit(1)).over(wAll).cast("double"))
           .withColumn("accept", least(lit(1.0),
             (col("tot") * 0.5 / col("nsrc")) / col("tokens_total").cast("double")))
+        // broadcast: one row per SOURCE (the mixture's domain count —
+        // dimension-sized by construction; at web-scale domain counts
+        // drop the hint and let AQE choose, as q97's window path does)
         val sel = d.join(broadcast(rates.select("source", "accept")), "source")
           .where(Sampling.bucket(col("doc_id"), "mix1") < col("accept") * 10000)
           .groupBy("source")

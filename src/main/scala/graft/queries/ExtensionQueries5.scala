@@ -253,6 +253,12 @@ object ExtensionQueries5 {
         val avgs = (0 until dim).map(i =>
           avg(element_at(col("embedding"), i + 1)).as(s"c_$i"))
         val rows = e.groupBy("label").agg(avgs.head, avgs.tail: _*).collect()
+        // the collect is one row per LABEL (class count, not corpus size)
+        // — fail loudly if someone points this at a high-cardinality
+        // column instead of a class label
+        require(rows.length <= 10000,
+          s"label cardinality ${rows.length} too high for a centroid report " +
+            "(driver collects one centroid per label)")
         def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
         val cents = rows.map { r =>
           val cv = (0 until dim).map(i => r6(r.getDouble(i + 1)).toFloat)
@@ -289,6 +295,77 @@ object ExtensionQueries5 {
            |FROM e JOIN c USING (label)
            |GROUP BY e.label
            |ORDER BY e.label""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q124: repeated-span extraction — the exact-substring dedup signal
+    // (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better"): token 8-grams occurring in >= 2 distinct docs are
+    // hits; per doc, overlapping hits merge into maximal repeated spans
+    // (the byte ranges you'd excise). Gram frequency is one keyed
+    // aggregation, hits one equi-join on the gram (NOT broadcast — the
+    // repeated-gram set is data-dependent), and island merging is a
+    // doc-keyed lag window: fixed gram length makes "overlaps previous"
+    // exactly pos <= lag(pos)+8. Two corpus scans (freq build + hits),
+    // q94's accepted shape.
+    Q(
+      "q124_repeated_spans",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("ws", graft.ops.Text.words(graft.ops.Text.clean(col("text"))))
+          .where(size(col("ws")) >= 8)
+        val grams = docs.select(col("doc_id"), expr(
+            "explode(transform(sequence(0, size(ws) - 8), " +
+              "i -> struct(i AS pos, array_join(slice(ws, i + 1, 8), ' ') AS g)))")
+            .as("e"))
+          .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+        val rep = grams.groupBy("g")
+          .agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") >= 2).select("g")
+        val hits = grams.join(rep, "g").select("doc_id", "pos")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val marked = hits.withColumn("new_s",
+          when(lag("pos", 1).over(w).isNull ||
+            col("pos") > lag("pos", 1).over(w) + 8, 1).otherwise(0))
+        marked
+          .withColumn("sid", sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "sid")
+          .agg(min("pos").cast("long").as("span_start"),
+            (max("pos") + 8).cast("long").as("span_end"),
+            count(lit(1)).cast("long").as("n_grams"))
+          .select("doc_id", "span_start", "span_end", "n_grams")
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '') AS ws
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, len(ws) - 7),
+             |    i -> {'pos': i, 'g': array_to_string(ws[i+1:i+8], ' ')}),
+             |    recursive := true)
+             |  FROM toks WHERE len(ws) >= 8),
+             |rep AS (
+             |  SELECT g FROM grams GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+             |marked AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER w IS NULL
+             |           OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS new_s
+             |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |sp AS (
+             |  SELECT doc_id, pos, sum(new_s) OVER (PARTITION BY doc_id
+             |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sid
+             |  FROM marked)
+             |SELECT doc_id, min(pos)::BIGINT AS span_start,
+             |  (max(pos) + 8)::BIGINT AS span_end,
+             |  CAST(count(*) AS BIGINT) AS n_grams
+             |FROM sp
+             |GROUP BY doc_id, sid
+             |ORDER BY doc_id, span_start""".stripMargin))
   )
 }

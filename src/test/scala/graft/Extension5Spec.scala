@@ -58,9 +58,15 @@ class Extension5Spec extends SparkSpec {
   test("trailing-hour range window matches a brute recompute") {
     val e = Tables.load(spark, sf, "events")
       .select("event_id", "user_id", "ts", "value").collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](2)).getTime * 1000L,
-        r.getDouble(3)))
+      .map { r =>
+        // exact MICROsecond epoch — Timestamp.getTime*1000 would truncate
+        // to millis and disagree with the query's unix_micros at frame
+        // boundaries that land inside a millisecond
+        val ldt = r.getAs[java.time.LocalDateTime](2)
+        val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+        (r.getLong(0), r.getLong(1), us, r.getDouble(3))
+      }
     val expected = e.groupBy(_._2).iterator.flatMap { case (_, rows) =>
       rows.iterator.map { r =>
         val fr = rows.filter(o => o._3 >= r._3 - 3600000000L && o._3 <= r._3)
@@ -122,5 +128,34 @@ class Extension5Spec extends SparkSpec {
     }
     // members should on average lean TOWARD their own centroid
     assert(out.forall(_._4 > 0.0))
+  }
+
+  test("repeated spans recover a planted cross-doc duplicate exactly") {
+    val q = SparkEntry.queries("q124_repeated_spans")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans")
+    // docs 1 and 2 share tokens 10..21 (a 12-token run: 5 overlapping
+    // 8-grams in doc 1 at positions 10..14); all other tokens unique
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    def uniq(tag: String, n: Int, from: Int = 0) =
+      (from until from + n).map(i => s"$tag$i").mkString(" ")
+    import spark.implicits._
+    val df = Seq(
+      (1L, s"${uniq("a", 10)} $shared ${uniq("a", 10, 10)}", "en", "s", 0L),
+      (2L, s"${uniq("b", 4)} $shared ${uniq("b", 4, 4)}", "en", "s", 0L),
+      (3L, uniq("c", 30), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = q(spark, dir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // doc 1: hits at positions 10..14 → one span [10, 22), 5 grams
+      // doc 2: hits at positions 4..8 → one span [4, 16), 5 grams
+      assert(out.toSeq == Seq((1L, 10L, 22L, 5L), (2L, 4L, 16L, 5L)),
+        out.toSeq.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

@@ -244,4 +244,28 @@ class PlanSpec extends SparkSpec {
     // from-state probability window adds one more. >3 means a lost reuse.
     assert(hashEx <= 3, s"unexpected extra shuffles ($hashEx):\n${plan.take(800)}")
   }
+
+  test("q104/q111: PQ scans broadcast the query side and push top-k map-side") {
+    Seq("q104_pq_ann", "q111_ivfpq").foreach { name =>
+      val p = planOf(name)
+      // the tiny query side (LUT) must broadcast; the corpus/codes side
+      // must stream through without a pre-join shuffle
+      assert(p.contains("BroadcastExchange"), s"$name:\n${p.take(600)}")
+      // WindowGroupLimit = per-partition top-k BEFORE the rank shuffle —
+      // the plan property that keeps the top-k exchange k-sized per query
+      assert(p.contains("WindowGroupLimit"), s"$name lost the group-limit pushdown")
+    }
+  }
+
+  test("q115/q116: Ranking-based queries contain NO window operator at all") {
+    // the whole point of ext.Ranking: rank/ntile computed by the two-pass
+    // prefix count, so no WindowExec (and especially no single-partition
+    // Window.orderBy) may appear anywhere in the executed plan
+    Seq("q115_quality_normalize", "q116_equidepth_histogram").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"),
+        s"$name regressed to a window operator:\n${plan.take(800)}")
+    }
+  }
 }
