@@ -32,7 +32,9 @@ object PlanSnapshots {
       // round 5 third wave: the compressed-ANN scans and the two
       // Ranking-based ops (their plans should NEVER show a global sort)
       "q104_pq_ann", "q111_ivfpq", "q115_quality_normalize",
-      "q116_equidepth_histogram")
+      "q116_equidepth_histogram",
+      // round 5 fourth wave: the suite's newest expensive query
+      "q124_repeated_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -52,6 +54,12 @@ object PlanSnapshots {
         // churn with unrelated edits/run order
         .replaceAll("\\.scala:\\d+", ".scala:*")
         .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
+        // per-JVM identities: lambda class names/addresses, object hash
+        // suffixes, and watermark node UUIDs differ every run
+        .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda\\$*")
+        .replaceAll("@[0-9a-f]{6,}", "@*")
+        .replaceAll(
+          "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "*")
       Files.writeString(Paths.get(s"$outDir/$name.txt"), stable)
       println(s"PLAN_SNAPSHOT $outDir/$name.txt")
     }
