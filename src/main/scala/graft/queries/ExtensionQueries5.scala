@@ -366,6 +366,127 @@ object ExtensionQueries5 {
              |  CAST(count(*) AS BIGINT) AS n_grams
              |FROM sp
              |GROUP BY doc_id, sid
-             |ORDER BY doc_id, span_start""".stripMargin))
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q125: winsorization — clip a measure to its per-group [p01, p99]
+    // before aggregate statistics (the standard heavy-tail guard for
+    // reward/quality signals). Exact percentiles per group (q28's
+    // percentile ≡ quantile_cont equivalence), bounds broadcast back
+    // (group-count-sized), clip is a pure projection. Clipped values mix
+    // 2-decimal data with interpolated bounds, so the group mean is
+    // round6, not round2.
+    Q(
+      "q125_winsorize",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val bounds = o.groupBy("o_orderstatus")
+          .agg(expr("percentile(o_totalprice, 0.01)").as("p01"),
+            expr("percentile(o_totalprice, 0.99)").as("p99"))
+        o.join(broadcast(bounds), "o_orderstatus")
+          .withColumn("w", least(greatest(col("o_totalprice"), col("p01")),
+            col("p99")))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("o_totalprice") < col("p01"), 1L).otherwise(0L))
+              .cast("long").as("n_clipped_low"),
+            sum(when(col("o_totalprice") > col("p99"), 1L).otherwise(0L))
+              .cast("long").as("n_clipped_high"),
+            Rounding.stableRound6(avg("w")).as("avg_winsorized"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT o_orderstatus,
+             |    quantile_cont(o_totalprice, 0.01) AS p01,
+             |    quantile_cont(o_totalprice, 0.99) AS p99
+             |  FROM orders GROUP BY 1)
+             |SELECT o.o_orderstatus,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN o.o_totalprice < b.p01 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clipped_low,
+             |  CAST(sum(CASE WHEN o.o_totalprice > b.p99 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clipped_high,
+             |  ${Rounding.duckSql(
+                  "avg(least(greatest(o.o_totalprice, b.p01), b.p99))")}
+             |    AS avg_winsorized
+             |FROM orders o JOIN b USING (o_orderstatus)
+             |GROUP BY o.o_orderstatus
+             |ORDER BY o.o_orderstatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q126: median/MAD robust outliers — q108's rolling z-score breaks
+    // on heavy-tailed baselines (the outliers inflate the std that is
+    // supposed to flag them); median absolute deviation is the robust
+    // alternative. Two group aggregations (median, then median of
+    // absolute deviations), bounds broadcast back, flag |x − med| >
+    // 3·MAD. All comparisons run on identical doubles in both engines;
+    // the reported med/mad are round6.
+    Q(
+      "q126_mad_outliers",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val med = e.groupBy("user_id")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val withMed = e.join(broadcast(med), "user_id")
+        val mad = withMed.groupBy("user_id")
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        withMed.join(broadcast(mad), "user_id")
+          .where(col("mad") > 0 &&
+            abs(col("value") - col("med")) > col("mad") * 3)
+          .select(col("event_id"), col("user_id"), col("value"),
+            Rounding.stableRound6(col("med")).as("med"),
+            Rounding.stableRound6(col("mad")).as("mad"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH m AS (
+             |  SELECT user_id, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |d AS (
+             |  SELECT e.user_id,
+             |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             |  FROM events e JOIN m USING (user_id) GROUP BY 1)
+             |SELECT e.event_id, e.user_id, e.value,
+             |  ${Rounding.duckSql("m.med")} AS med,
+             |  ${Rounding.duckSql("d.mad")} AS mad
+             |FROM events e JOIN m USING (user_id) JOIN d USING (user_id)
+             |WHERE d.mad > 0 AND abs(e.value - m.med) > d.mad * 3
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q127: grouped linear regression — slope/intercept/R² of the metric
+    // against time per event type (drift/trend detection over a metric
+    // stream). One aggregation: regr_* are declarative aggregates with
+    // map-side partials, so the trend over a 100 TB stream costs one
+    // keyed shuffle of 6 moments per group. The time axis is hours since
+    // the global minimum timestamp (an exact integer min both engines
+    // agree on), keeping slope magnitudes in round6's resolution.
+    Q(
+      "q127_regr_per_type",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val te = unix_micros(col("ts").cast("timestamp"))
+        val t0 = e.agg(min(te)).head().getLong(0)
+        e.withColumn("x", (te - lit(t0)).cast("double") / 3600000000.0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            Rounding.stableRound6(regr_slope(col("value"), col("x")))
+              .as("slope"),
+            Rounding.stableRound6(regr_intercept(col("value"), col("x")))
+              .as("intercept"),
+            Rounding.stableRound6(regr_r2(col("value"), col("x"))).as("r2"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+             |x AS (
+             |  SELECT event_type, value,
+             |    CAST(epoch_us(ts) - t0.t0 AS DOUBLE) / 3600000000.0 AS x
+             |  FROM events CROSS JOIN t0)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  ${Rounding.duckSql("regr_slope(value, x)")} AS slope,
+             |  ${Rounding.duckSql("regr_intercept(value, x)")} AS intercept,
+             |  ${Rounding.duckSql("regr_r2(value, x)")} AS r2
+             |FROM x
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

@@ -158,4 +158,71 @@ class Extension5Spec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("winsorize clips ~1% per tail and keeps the mean inside the data range") {
+    val out = SparkEntry.queries("q125_winsorize")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(out.map(_._2).sum == total)
+    out.foreach { case (st, n, lo, hi, avgW) =>
+      assert(lo <= n / 20 && hi <= n / 20, s"$st clipped too much: $lo/$hi of $n")
+      assert(lo > 0 || hi > 0 || n < 100, s"$st clipped nothing at n=$n")
+      assert(avgW > 0, s"$st avg $avgW")
+    }
+  }
+
+  test("mad outliers satisfy the robust criterion under a brute recompute") {
+    val e = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      val n = s0.length
+      // percentile/quantile_cont linear interpolation at p=0.5
+      val pos = 0.5 * (n - 1)
+      val lo = s0(pos.toInt)
+      val hi = s0(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val expected = e.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val med = medianOf(rows.map(_._3).toSeq)
+      val mad = medianOf(rows.map(r => math.abs(r._3 - med)).toSeq)
+      if (mad <= 0) Iterator.empty
+      else rows.iterator.filter(r => math.abs(r._3 - med) > mad * 3).map(_._1)
+    }.toSet
+    val got = SparkEntry.queries("q126_mad_outliers")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("per-type regression matches brute least squares") {
+    val e = Tables.load(spark, sf, "events")
+      .select("event_type", "ts", "value").collect()
+      .map { r =>
+        val ldt = r.getAs[java.time.LocalDateTime](1)
+        (r.getString(0),
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L,
+          r.getDouble(2))
+      }
+    val t0 = e.map(_._2).min
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = e.groupBy(_._1).view.mapValues { rows =>
+      val xs = rows.map(r => (r._2 - t0).toDouble / 3600000000.0)
+      val ys = rows.map(_._3)
+      val n = xs.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val slope = sxy / sxx
+      (r6(slope), r6(my - slope * mx))
+    }.toMap
+    val got = SparkEntry.queries("q127_regr_per_type")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (t, (sl, ic)) =>
+      assert(math.abs(sl - expected(t)._1) < 1e-5, s"$t slope $sl vs ${expected(t)._1}")
+      assert(math.abs(ic - expected(t)._2) < 1e-5, s"$t intercept $ic vs ${expected(t)._2}")
+    }
+  }
 }
