@@ -108,7 +108,11 @@ object ExtensionQueries4 {
     // per-vector reconstruction MSE are emitted; floor/div arithmetic is
     // the same IEEE sequence both engines run. HOF lambdas (not a custom
     // expression) are acceptable here: encoding is a one-time offline
-    // pass, not the per-query hot loop ADC is.
+    // pass, not the per-query hot loop ADC is. The codes column is
+    // emitted as a comma-joined STRING, not ARRAY<INT>: the gate's
+    // pandas canonicalization sorts cell values, and ndarray cells are
+    // unsortable (round-5 red row) — a scalar projection of the same 64
+    // values gates identical information.
     Q(
       "q112_int8_quantize",
       (s, dir) => {
@@ -136,7 +140,9 @@ object ExtensionQueries4 {
           val d = rec - x.cast("double")
           d * d
         })
-        e.select(col("vec_id"), codes.as("codes"),
+        e.select(col("vec_id"),
+            array_join(transform(codes, c => c.cast("string")), ",")
+              .as("codes"),
             Rounding.stableRound6(
               aggregate(errs, lit(0.0), (a, b) => a + b) / dim).as("mse"))
           .orderBy("vec_id")
@@ -151,9 +157,9 @@ object ExtensionQueries4 {
              |    list((mx - mn) / 255.0 ORDER BY i) AS scs
              |  FROM mm)
              |SELECT vec_id,
-             |  list_transform(v, (x, i) -> CASE WHEN scs[i] = 0 THEN 0
+             |  array_to_string(list_transform(v, (x, i) -> CASE WHEN scs[i] = 0 THEN 0
              |    ELSE least(255, greatest(0,
-             |      CAST(floor((x - mns[i]) / scs[i]) AS INTEGER))) END) AS codes,
+             |      CAST(floor((x - mns[i]) / scs[i]) AS INTEGER))) END), ',') AS codes,
              |  ${Rounding.duckSql(
                   "list_reduce(list_transform(v, (x, i) -> CASE " +
                     "WHEN scs[i] = 0 THEN (mns[i] - x) * (mns[i] - x) " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Sampling, SimilaritySearch, TextAnalysis}
-import graft.functions.Rounding
+import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
 
 /** Round-5 fourth wave: trigram-indexed fuzzy string pairs (q117),
@@ -303,11 +303,17 @@ object ExtensionQueries5 {
     // Models Better"): token 8-grams occurring in >= 2 distinct docs are
     // hits; per doc, overlapping hits merge into maximal repeated spans
     // (the byte ranges you'd excise). Gram frequency is one keyed
-    // aggregation, hits one equi-join on the gram (NOT broadcast — the
-    // repeated-gram set is data-dependent), and island merging is a
-    // doc-keyed lag window: fixed gram length makes "overlaps previous"
-    // exactly pos <= lag(pos)+8. Two corpus scans (freq build + hits),
-    // q94's accepted shape.
+    // aggregation, hits one equi-join (NOT broadcast — the repeated-gram
+    // set is data-dependent), and island merging is a doc-keyed lag
+    // window: fixed gram length makes "overlaps previous" exactly
+    // pos <= lag(pos)+8. Both the aggregation and the join key on
+    // poly_hash(gram) — an 8-byte long — so the ~50-byte gram STRINGS
+    // never enter a shuffle (round-5 plan-quality fix); the oracle
+    // replays the identical hash (q86/q122 precedent), so any collision
+    // merges the same grams in both engines and the gate stays exact.
+    // At production scale swap poly_hash for xxhash64 (64-bit space, no
+    // oracle-replay constraint) to push the collision rate to ~0.
+    // Two corpus scans (freq build + hits), q94's accepted shape.
     Q(
       "q124_repeated_spans",
       (s, dir) => {
@@ -318,11 +324,17 @@ object ExtensionQueries5 {
             "explode(transform(sequence(0, size(ws) - 8), " +
               "i -> struct(i AS pos, array_join(slice(ws, i + 1, 8), ' ') AS g)))")
             .as("e"))
-          .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
-        val rep = grams.groupBy("g")
+          .select(col("doc_id"), col("e.pos").as("pos"),
+            graft.functions.PolyHash(col("e.g")).as("gh"))
+        val rep = grams.groupBy("gh")
           .agg(countDistinct("doc_id").as("nd"))
-          .where(col("nd") >= 2).select("g")
-        val hits = grams.join(rep, "g").select("doc_id", "pos")
+          .where(col("nd") >= 2).select("gh")
+        // shuffle-hash, NOT broadcast: the repeated-gram set's size is
+        // data-dependent (could be billions of grams on a crawl), and
+        // the static post-aggregation size estimate that would pick
+        // broadcast here is a guess; SHJ shuffles 8-byte keys instead
+        val hits = grams.join(rep.hint("shuffle_hash"), "gh")
+          .select("doc_id", "pos")
         val w = Window.partitionBy("doc_id").orderBy("pos")
         val marked = hits.withColumn("new_s",
           when(lag("pos", 1).over(w).isNull ||
@@ -337,20 +349,22 @@ object ExtensionQueries5 {
           .select("doc_id", "span_start", "span_end", "n_grams")
           .orderBy("doc_id", "span_start")
       },
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
              |  SELECT doc_id, list_filter(string_split(
              |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
              |    w -> w <> '') AS ws
              |  FROM documents),
-             |grams AS (
+             |grams0 AS (
              |  SELECT doc_id, unnest(list_transform(range(0, len(ws) - 7),
              |    i -> {'pos': i, 'g': array_to_string(ws[i+1:i+8], ' ')}),
              |    recursive := true)
              |  FROM toks WHERE len(ws) >= 8),
+             |grams AS (
+             |  SELECT doc_id, pos, ${PolyHash.duckSql("g")} AS gh FROM grams0),
              |rep AS (
-             |  SELECT g FROM grams GROUP BY g
+             |  SELECT gh FROM grams GROUP BY gh
              |  HAVING count(DISTINCT doc_id) >= 2),
-             |hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+             |hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (gh)),
              |marked AS (
              |  SELECT doc_id, pos,
              |    CASE WHEN lag(pos) OVER w IS NULL
@@ -371,18 +385,36 @@ object ExtensionQueries5 {
     // ------------------------------------------------------------------
     // q125: winsorization — clip a measure to its per-group [p01, p99]
     // before aggregate statistics (the standard heavy-tail guard for
-    // reward/quality signals). Exact percentiles per group (q28's
-    // percentile ≡ quantile_cont equivalence), bounds broadcast back
-    // (group-count-sized), clip is a pure projection. Clipped values mix
-    // 2-decimal data with interpolated bounds, so the group mean is
-    // round6, not round2.
+    // reward/quality signals). The bounds come from the engine's
+    // deterministic fixed-width-histogram quantile (the q61
+    // Sketches.histogramQuantiles shape, inlined per-group): one
+    // MERGEABLE aggregation whose state is #(group, bin) pairs — bounded
+    // by value-range/binWidth, NOT corpus size — unlike exact
+    // `percentile`, whose buffer materializes every group value (a
+    // round-5-flagged executor OOM at 100 TB). Bound = bin midpoint
+    // (bin+0.5)*binWidth, exact in doubles, so DuckDB replays it
+    // bit-identically. The bounds join back via broadcast — keyed by
+    // o_orderstatus, an enum domain of 3, so the broadcast is
+    // domain-bounded, not data-sized. Clip is a pure projection; the
+    // group mean is round6.
     Q(
       "q125_winsorize",
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
-        val bounds = o.groupBy("o_orderstatus")
-          .agg(expr("percentile(o_totalprice, 0.01)").as("p01"),
-            expr("percentile(o_totalprice, 0.99)").as("p99"))
+        val binW = 100.0
+        val bins = o
+          .groupBy(col("o_orderstatus"),
+            floor(col("o_totalprice") / binW).as("bin"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("o_orderstatus").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("o_orderstatus")
+        val cum = bins.withColumn("cum", sum("c").over(wCum))
+          .withColumn("total", sum("c").over(wAll))
+        def qBound(q: Double) =
+          (min(when(col("cum") >= lit(q) * col("total"), col("bin"))) + 0.5) * binW
+        val bounds = cum.groupBy("o_orderstatus")
+          .agg(qBound(0.01).as("p01"), qBound(0.99).as("p99"))
         o.join(broadcast(bounds), "o_orderstatus")
           .withColumn("w", least(greatest(col("o_totalprice"), col("p01")),
             col("p99")))
@@ -395,11 +427,23 @@ object ExtensionQueries5 {
             Rounding.stableRound6(avg("w")).as("avg_winsorized"))
           .orderBy("o_orderstatus")
       },
-      Some(s"""WITH b AS (
+      Some(s"""WITH bins AS (
+             |  SELECT o_orderstatus, floor(o_totalprice / 100.0) AS bin,
+             |    count(*) AS c
+             |  FROM orders GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT o_orderstatus, bin, c,
+             |    sum(c) OVER (PARTITION BY o_orderstatus ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(c) OVER (PARTITION BY o_orderstatus) AS total
+             |  FROM bins),
+             |b AS (
              |  SELECT o_orderstatus,
-             |    quantile_cont(o_totalprice, 0.01) AS p01,
-             |    quantile_cont(o_totalprice, 0.99) AS p99
-             |  FROM orders GROUP BY 1)
+             |    (min(CASE WHEN cum >= 0.01 * total THEN bin END) + 0.5)
+             |      * 100.0 AS p01,
+             |    (min(CASE WHEN cum >= 0.99 * total THEN bin END) + 0.5)
+             |      * 100.0 AS p99
+             |  FROM cum GROUP BY 1)
              |SELECT o.o_orderstatus,
              |  CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CASE WHEN o.o_totalprice < b.p01 THEN 1 ELSE 0 END)
@@ -418,19 +462,26 @@ object ExtensionQueries5 {
     // on heavy-tailed baselines (the outliers inflate the std that is
     // supposed to flag them); median absolute deviation is the robust
     // alternative. Two group aggregations (median, then median of
-    // absolute deviations), bounds broadcast back, flag |x − med| >
-    // 3·MAD. All comparisons run on identical doubles in both engines;
-    // the reported med/mad are round6.
+    // absolute deviations), joined back WITHOUT a broadcast hint: the
+    // per-user aggregates are keyed by user_id, whose cardinality grows
+    // with the corpus — an unconditional broadcast would OOM executors
+    // at scale (the round-5-flagged anti-pattern; same rationale as the
+    // guarded Dedup.contaminationReport broadcast). AQE picks broadcast
+    // when the side is actually small and degrades to a shuffle join
+    // when it isn't. The median buffers are bounded by per-user
+    // activity, not corpus size. Flag |x − med| > 3·MAD; all comparisons
+    // run on identical doubles in both engines; reported med/mad are
+    // round6.
     Q(
       "q126_mad_outliers",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
         val med = e.groupBy("user_id")
           .agg(expr("percentile(value, 0.5)").as("med"))
-        val withMed = e.join(broadcast(med), "user_id")
+        val withMed = e.join(med, "user_id")
         val mad = withMed.groupBy("user_id")
           .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
-        withMed.join(broadcast(mad), "user_id")
+        withMed.join(mad, "user_id")
           .where(col("mad") > 0 &&
             abs(col("value") - col("med")) > col("mad") * 3)
           .select(col("event_id"), col("user_id"), col("value"),

@@ -92,7 +92,7 @@ class Extension4Spec extends SparkSpec {
       (r.getFloat(2 * i + 1).toDouble - r.getFloat(2 * i).toDouble) / 255.0).max
     val bound = maxScale * maxScale / 4.0 + 1e-9
     out.foreach { row =>
-      val codes = row.getSeq[Int](1)
+      val codes = row.getString(1).split(",").map(_.toInt)
       assert(codes.length == dim && codes.forall(c => c >= 0 && c <= 255))
       assert(row.getDouble(2) <= bound,
         s"vec ${row.getLong(0)} mse ${row.getDouble(2)} > $bound")

@@ -21,24 +21,45 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def canon(rel):
+    """Canonicalize a DuckDB relation THROUGH pandas, the way the driver's
+    hasher does: columns sorted by name, then DataFrame.sort_values over
+    ALL columns. The sort_values call is the fidelity point — array-typed
+    cells (numpy.ndarray) crash pandas' lexsort exactly like they crash
+    the driver (round-5 q112), so an unsortable output fails HERE first.
+    After the pandas sort we normalize values for the float-tolerant
+    compare (10 significant digits)."""
+    df = rel.df()
+    cols = sorted(df.columns)
+    df = df[cols]
+    # raises on ndarray cells — intentionally NOT caught here
+    df.sort_values(by=cols)
 
     def norm(v):
-        if isinstance(v, float):
+        if v is None:
+            return "None"
+        if isinstance(v, (float, np.floating)):
             if math.isnan(v):
                 return "nan"
-            return f"{v:.10g}"
+            return f"{float(v):.10g}"
+        if isinstance(v, (int, np.integer)):
+            return repr(int(v))
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(norm(x) for x in v.tolist()) + "]"
         if isinstance(v, list):
-            return "[" + ",".join(str(norm(x)) for x in v) + "]"
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        if v != v:  # pandas NaT (scalars only reach here)
+            return "None"
         return repr(v)
 
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(tuple(norm(v) for v in row)
+                  for row in df.itertuples(index=False, name=None))
 
 
 def dtype_mismatches(got_df, exp_df):
@@ -65,9 +86,9 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got = canon(got_rel.fetchall(), got_rel.columns)
+            got = canon(got_rel)
             exp_rel = con.sql(sql)
-            exp = canon(exp_rel.fetchall(), exp_rel.columns)
+            exp = canon(exp_rel)
             bad_types = dtype_mismatches(
                 con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df(),
                 con.sql(sql).df())
