@@ -65,6 +65,16 @@ object Advanced2 {
     // ------------------------------------------------------------------
     // q28: exact percentiles (sort-based `percentile`, linear
     // interpolation — same definition as DuckDB quantile_cont).
+    // MEMORY CONTRACT: `percentile` buffers every group value in one
+    // aggregation state — O(values-per-group) heap, NOT mergeable-
+    // bounded. With 3 enum groups that is ~N/3 doubles per buffer, so
+    // this exact form is only safe where the per-group row count fits
+    // an executor (ad-hoc/interactive scale). At corpus scale use the
+    // engine's mergeable quantiles instead: Sketches.histogramQuantiles
+    // (q61) or the grouped inline histogram form (q125) — state bounded
+    // by bin count, deterministic, oracle-replayable. q28 stays exact
+    // on purpose: it is the surface that PINS the percentile ≡
+    // quantile_cont equivalence the sketch gates are judged against.
     Q(
       "q28_price_percentiles",
       (s, dir) =>
