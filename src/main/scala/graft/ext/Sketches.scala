@@ -43,6 +43,42 @@ object Sketches {
       .orderBy("q")
   }
 
+  /** Grouped form of [[histogramQuantiles]]: per-group quantile
+    * estimates with the same fixed-width-bin determinism. One MERGEABLE
+    * aggregation whose state is the #(group, bin) pair count — bounded
+    * by group-cardinality × value-range/binWidth, independent of row
+    * count (the scale-safe replacement for per-group exact `percentile`,
+    * whose buffer holds every group value). The cumulative window runs
+    * over bins WITHIN a group (thousands of rows max per group), and
+    * `est = (bin + 0.5) · binWidth` is exact double arithmetic, so
+    * DuckDB replays results bit-identically (q125/q134 gates).
+    *
+    * @return one row per (group, q): est = midpoint of the first bin
+    *         whose cumulative count reaches q·groupTotal;
+    *         |est − exact group quantile| ≤ binWidth.
+    */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+                                valueCol: String, binWidth: Double,
+                                qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df
+      .groupBy(col(groupCol), floor(col(valueCol) / binWidth).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val byBin = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(groupCol)
+    val cum = bins
+      .withColumn("cum", sum("c").over(byBin))
+      .withColumn("total", sum("c").over(all))
+    broadcast(qs.toDF("q"))
+      .crossJoin(cum)
+      .where(col("cum") >= col("q") * col("total"))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min("bin").as("bin"))
+      .withColumn("est", (col("bin") + 0.5) * binWidth)
+  }
+
   /** EXACT heavy hitters via a Misra-Gries sketch pass + recheck — the
     * two-phase shape that finds "every value occurring > 1/k of the
     * time" without ever building the full frequency table in one

@@ -401,20 +401,11 @@ object ExtensionQueries5 {
       "q125_winsorize",
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
-        val binW = 100.0
-        val bins = o
-          .groupBy(col("o_orderstatus"),
-            floor(col("o_totalprice") / binW).as("bin"))
-          .agg(count(lit(1)).as("c"))
-        val wCum = Window.partitionBy("o_orderstatus").orderBy("bin")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy("o_orderstatus")
-        val cum = bins.withColumn("cum", sum("c").over(wCum))
-          .withColumn("total", sum("c").over(wAll))
-        def qBound(q: Double) =
-          (min(when(col("cum") >= lit(q) * col("total"), col("bin"))) + 0.5) * binW
-        val bounds = cum.groupBy("o_orderstatus")
-          .agg(qBound(0.01).as("p01"), qBound(0.99).as("p99"))
+        val bq = graft.ext.Sketches.groupedHistogramQuantiles(
+          o, "o_orderstatus", "o_totalprice", 100.0, Seq(0.01, 0.99))
+        val bounds = bq.groupBy("o_orderstatus")
+          .agg(min(when(col("q") === 0.01, col("est"))).as("p01"),
+            min(when(col("q") === 0.99, col("est"))).as("p99"))
         o.join(broadcast(bounds), "o_orderstatus")
           .withColumn("w", least(greatest(col("o_totalprice"), col("p01")),
             col("p99")))
@@ -439,9 +430,9 @@ object ExtensionQueries5 {
              |  FROM bins),
              |b AS (
              |  SELECT o_orderstatus,
-             |    (min(CASE WHEN cum >= 0.01 * total THEN bin END) + 0.5)
+             |    (min(CASE WHEN cum >= 0.01::DOUBLE * total THEN bin END) + 0.5)
              |      * 100.0 AS p01,
-             |    (min(CASE WHEN cum >= 0.99 * total THEN bin END) + 0.5)
+             |    (min(CASE WHEN cum >= 0.99::DOUBLE * total THEN bin END) + 0.5)
              |      * 100.0 AS p99
              |  FROM cum GROUP BY 1)
              |SELECT o.o_orderstatus,

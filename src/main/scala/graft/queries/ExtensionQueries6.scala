@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding
 import graft.io.Tables
+import graft.ops.Text
 
 /** Round-6 wave: config-file job dispatch (q128) and the round's new
   * operators. Same contract as every other module: each Spark pipeline
@@ -45,6 +46,365 @@ object ExtensionQueries6 {
              |  FROM read_text('${TextQueries.ReferenceCorpus}'))
              |WHERE word <> ''
              |GROUP BY word
-             |ORDER BY word""".stripMargin))
+             |ORDER BY word""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q129: BM25 retrieval scoring — the ranking function behind every
+    // lexical search/retrieval stack (and the retrieval half of RAG
+    // corpus curation). Query = fixed term set; score(d) = Σ_t idf(t) ·
+    // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the Lucene "+1" idf.
+    // Scale shape: one corpus scan builds doc lengths AND query-term
+    // tfs (the term filter prunes the explode before the shuffle);
+    // df/N/avgdl are term-count- and 1-row-sized broadcasts. No window,
+    // no second corpus scan (dl aggregates from the same exploded scan;
+    // Catalyst reuses nothing between lazy frames, so dl and tf are
+    // built from one grouped pass each — tf's input is the FILTERED
+    // token stream, dl's the unfiltered counts, both keyed on doc_id).
+    Q(
+      "q129_bm25",
+      (s, dir) => {
+        val k1 = 1.2
+        val b = 0.75
+        val terms = Seq("spark", "join", "window")
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(Text.words(Text.clean(col("text")))).as("word"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tf = toks.where(col("word").isin(terms: _*))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("word")
+          .agg(countDistinct("doc_id").as("df"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(dl.agg(sum("dl").as("sum_dl")))
+        val idf = log(
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val norm = col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") /
+            (col("sum_dl").cast("double") / col("n_docs")))
+        tf.join(dl, "doc_id")
+          .join(broadcast(dfreq), "word")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib", idf * col("tf") * (k1 + 1.0) / norm)
+          .groupBy("doc_id")
+          .agg(Rounding.stableRound6(sum("contrib")).as("bm25"))
+          .orderBy(desc("bm25"), col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+             |       WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2),
+             |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+             |stats AS (
+             |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+             |         (SELECT sum(dl) FROM dl) AS sum_dl)
+             |SELECT doc_id,
+             |  ${Rounding.duckSql(
+                  "sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) " +
+                    "* tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + " +
+                    "0.75 * dl / (sum_dl::DOUBLE / n_docs))))")} AS bm25
+             |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (word)
+             |  CROSS JOIN stats
+             |GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q130: data-quality constraint report (the Deequ-style gate every
+    // production ingest runs): each constraint contributes one row
+    // (constraint, violations, total) — FK integrity via anti-joins
+    // (dimension side broadcast-able), uniqueness as total−distinct,
+    // domain/range checks as single-scan conditional counts. The fixture
+    // makes customer_acctbal_nonneg genuinely fail (negative balances
+    // exist) so the counting path is gated by nonzero violations, not
+    // just zeros. Scale: every check is one scan + map-side-partial agg;
+    // the union is of 1-row frames.
+    Q(
+      "q130_dq_constraints",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        val lineitem = Tables.load(s, dir, "lineitem")
+        val events = Tables.load(s, dir, "events")
+        def check(name: String, df: org.apache.spark.sql.DataFrame,
+                  bad: org.apache.spark.sql.Column) =
+          df.agg(sum(when(bad, 1L).otherwise(0L)).cast("long").as("violations"),
+              count(lit(1)).cast("long").as("total"))
+            .select(lit(name).as("constraint"), col("violations"), col("total"))
+        val fkOrders = orders.join(customer,
+            orders("o_custkey") === customer("c_custkey"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("violations"))
+          .crossJoin(orders.agg(count(lit(1)).cast("long").as("total")))
+          .select(lit("orders_custkey_fk").as("constraint"),
+            col("violations"), col("total"))
+        val fkLineitem = lineitem.join(orders,
+            lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("violations"))
+          .crossJoin(lineitem.agg(count(lit(1)).cast("long").as("total")))
+          .select(lit("lineitem_orderkey_fk").as("constraint"),
+            col("violations"), col("total"))
+        val unique = customer
+          .agg((count(lit(1)) - countDistinct("c_custkey"))
+              .cast("long").as("violations"),
+            count(lit(1)).cast("long").as("total"))
+          .select(lit("customer_custkey_unique").as("constraint"),
+            col("violations"), col("total"))
+        check("customer_acctbal_nonneg", customer, col("c_acctbal") < 0)
+          .unionAll(check("events_type_domain", events,
+            !col("event_type").isin("view", "click", "purchase", "signup", "error")))
+          .unionAll(check("events_value_positive", events, col("value") <= 0))
+          .unionAll(check("lineitem_quantity_range", lineitem,
+            col("l_quantity") < 1 || col("l_quantity") > 50))
+          .unionAll(fkOrders)
+          .unionAll(fkLineitem)
+          .unionAll(unique)
+          .withColumn("pass", col("violations") === 0)
+          .orderBy("constraint")
+      },
+      Some("""WITH raw AS (
+             |  SELECT 'customer_acctbal_nonneg' AS "constraint",
+             |    CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT) AS violations,
+             |    CAST(count(*) AS BIGINT) AS total FROM customer
+             |  UNION ALL
+             |  SELECT 'events_type_domain',
+             |    CAST(count(*) FILTER (event_type NOT IN
+             |      ('view','click','purchase','signup','error')) AS BIGINT),
+             |    CAST(count(*) AS BIGINT) FROM events
+             |  UNION ALL
+             |  SELECT 'events_value_positive',
+             |    CAST(count(*) FILTER (value <= 0) AS BIGINT),
+             |    CAST(count(*) AS BIGINT) FROM events
+             |  UNION ALL
+             |  SELECT 'lineitem_quantity_range',
+             |    CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+             |    CAST(count(*) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders_custkey_fk',
+             |    CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+             |    CAST(count(*) AS BIGINT) FROM orders
+             |  UNION ALL
+             |  SELECT 'lineitem_orderkey_fk',
+             |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+             |    CAST(count(*) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'customer_custkey_unique',
+             |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+             |    CAST(count(*) AS BIGINT) FROM customer)
+             |SELECT *, violations = 0 AS pass FROM raw
+             |ORDER BY "constraint"""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q131: inclusion-dependency discovery (FK profiling) — for each
+    // candidate (child.col → parent.col) pair, the inclusion coefficient
+    // |distinct(child) ∩ parent| / |distinct(child)|: 1.0 means the pair
+    // is FK-shaped, fractions expose partial references (the schema-
+    // inference pass a lakehouse catalog runs over new tables). Scale
+    // shape: one distinct-agg per column (keyed shuffle), containment
+    // via LEFT SEMI join against the parent's distinct set, coefficient
+    // arithmetic over pair-count-sized frames. Includes a deliberately
+    // partial reverse pair (customer → events.user_id ≈ 0.1: only ~10%
+    // of customers ever appear in events).
+    Q(
+      "q131_inclusion_deps",
+      (s, dir) => {
+        val pairs = Seq(
+          ("lineitem.l_orderkey->orders.o_orderkey",
+            Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("v")),
+            Tables.load(s, dir, "orders").select(col("o_orderkey").as("v"))),
+          ("orders.o_custkey->customer.c_custkey",
+            Tables.load(s, dir, "orders").select(col("o_custkey").as("v")),
+            Tables.load(s, dir, "customer").select(col("c_custkey").as("v"))),
+          ("events.user_id->customer.c_custkey",
+            Tables.load(s, dir, "events").select(col("user_id").as("v")),
+            Tables.load(s, dir, "customer").select(col("c_custkey").as("v"))),
+          ("customer.c_custkey->events.user_id",
+            Tables.load(s, dir, "customer").select(col("c_custkey").as("v")),
+            Tables.load(s, dir, "events").select(col("user_id").as("v"))))
+        pairs.map { case (name, child, parent) =>
+          val cd = child.distinct()
+          val contained = cd.join(parent.distinct(), Seq("v"), "left_semi")
+          cd.agg(count(lit(1)).cast("long").as("distinct_child"))
+            .crossJoin(contained.agg(count(lit(1)).cast("long").as("contained")))
+            .select(lit(name).as("dependency"), col("distinct_child"),
+              col("contained"),
+              Rounding.stableRound6(
+                col("contained").cast("double") / col("distinct_child"))
+                .as("coverage"))
+        }.reduce(_ unionAll _).orderBy("dependency")
+      },
+      Some(s"""WITH pair AS (
+             |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS dependency,
+             |    (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS dc,
+             |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+             |      WHERE EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey)) AS ct
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer.c_custkey',
+             |    (SELECT count(DISTINCT o_custkey) FROM orders),
+             |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+             |      WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+             |  UNION ALL
+             |  SELECT 'events.user_id->customer.c_custkey',
+             |    (SELECT count(DISTINCT user_id) FROM events),
+             |    (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) c
+             |      WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.user_id))
+             |  UNION ALL
+             |  SELECT 'customer.c_custkey->events.user_id',
+             |    (SELECT count(DISTINCT c_custkey) FROM customer),
+             |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer) c
+             |      WHERE EXISTS (SELECT 1 FROM events p WHERE p.user_id = c.c_custkey)))
+             |SELECT dependency, CAST(dc AS BIGINT) AS distinct_child,
+             |  CAST(ct AS BIGINT) AS contained,
+             |  ${Rounding.duckSql("ct::DOUBLE / dc")} AS coverage
+             |FROM pair
+             |ORDER BY dependency""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q132: cohort retention — the engagement matrix (cohort week ×
+    // week offset → fraction of the cohort still active), the standard
+    // longitudinal health view over any event stream. Two keyed
+    // aggregations: per-user first-activity week (one shuffle on
+    // user_id), then distinct-user counts per (cohort, offset); cohort
+    // sizes fold in via a cohort-count-sized self-aggregation, joined
+    // back (cohort cardinality = #weeks, tiny). Week arithmetic is exact
+    // integer epoch math — both engines truncate to Monday.
+    Q(
+      "q132_cohort_retention",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        val firstWeek = e.groupBy("user_id")
+          .agg(min("week").as("cohort_week"))
+        val active = e.join(firstWeek, "user_id")
+          .groupBy(col("cohort_week"),
+            datediff(col("week"), col("cohort_week")).divide(7)
+              .cast("int").as("week_offset"))
+          .agg(countDistinct("user_id").cast("long").as("n_active"))
+        val sizes = active.where(col("week_offset") === 0)
+          .select(col("cohort_week"),
+            col("n_active").as("cohort_size"))
+        active.join(sizes, "cohort_week")
+          .select(col("cohort_week").cast("date").as("cohort_week"),
+            col("week_offset"), col("n_active"), col("cohort_size"),
+            Rounding.stableRound6(
+              col("n_active").cast("double") / col("cohort_size"))
+              .as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id, date_trunc('week', ts) AS week FROM events),
+             |fw AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+             |active AS (
+             |  SELECT cohort_week,
+             |    CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+             |  FROM e JOIN fw USING (user_id) GROUP BY 1, 2),
+             |sizes AS (
+             |  SELECT cohort_week, n_active AS cohort_size FROM active
+             |  WHERE week_offset = 0)
+             |SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+             |  n_active, cohort_size,
+             |  ${Rounding.duckSql("n_active::DOUBLE / cohort_size")} AS retention
+             |FROM active JOIN sizes USING (cohort_week)
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q133: key-skew diagnostics — the report you run BEFORE keying a
+    // 100 TB shuffle on a column: per candidate key column, total rows,
+    // distinct keys, and the top-5 hottest keys with their row share
+    // (the inputs to the salt-or-not decision; see DESIGN.md Skew).
+    // Scale shape: one keyed count agg per column; top-5 via
+    // orderBy+limit (TakeOrderedAndProject per-partition heaps — no
+    // global window, no single-partition sort); the rank window runs
+    // over the ≤5-row post-limit frame per column.
+    Q(
+      "q133_key_skew_report",
+      (s, dir) => {
+        def top5(df: org.apache.spark.sql.DataFrame, colName: String) = {
+          val counts = df.groupBy(col(colName).cast("string").as("key"))
+            .agg(count(lit(1)).as("n"))
+          val totals = df.agg(count(lit(1)).as("total"))
+          val dk = counts.agg(count(lit(1)).cast("long").as("distinct_keys"))
+          counts.orderBy(desc("n"), col("key")).limit(5)
+            .crossJoin(broadcast(totals))
+            .crossJoin(broadcast(dk))
+            .select(lit(colName).as("column"), col("key"),
+              col("n").cast("long").as("n"), col("distinct_keys"),
+              Rounding.stableRound6(
+                col("n").cast("double") / col("total")).as("share"))
+        }
+        val events = Tables.load(s, dir, "events")
+        val lineitem = Tables.load(s, dir, "lineitem")
+        val unioned = top5(events, "user_id")
+          .unionAll(top5(lineitem, "l_suppkey"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("column").orderBy(desc("n"), col("key"))
+        unioned.withColumn("rank", row_number().over(w))
+          .orderBy("column", "rank")
+      },
+      Some(s"""WITH ranked AS (
+             |  SELECT 'user_id' AS "column", user_id::VARCHAR AS key,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 2),
+             |ranked2 AS (
+             |  SELECT 'l_suppkey' AS "column", l_suppkey::VARCHAR AS key,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 2),
+             |stats AS (
+             |  SELECT 'user_id' AS "column",
+             |    (SELECT count(*) FROM events) AS total,
+             |    (SELECT count(DISTINCT user_id) FROM events) AS dk
+             |  UNION ALL
+             |  SELECT 'l_suppkey',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(DISTINCT l_suppkey) FROM lineitem)),
+             |u AS (SELECT * FROM ranked UNION ALL SELECT * FROM ranked2),
+             |top AS (
+             |  SELECT *, row_number() OVER
+             |    (PARTITION BY "column" ORDER BY n DESC, key) AS rank
+             |  FROM u)
+             |SELECT t."column", t.key, t.n,
+             |  CAST(s.dk AS BIGINT) AS distinct_keys,
+             |  ${Rounding.duckSql("t.n::DOUBLE / s.total")} AS share,
+             |  t.rank
+             |FROM top t JOIN stats s USING ("column")
+             |WHERE t.rank <= 5
+             |ORDER BY t."column", t.rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q134: grouped histogram quantiles — the first-class gate for
+    // ext.Sketches.groupedHistogramQuantiles (q125 consumes the same
+    // API for its bounds): per-group p50/p95/p99 from ONE mergeable
+    // fixed-width-bin aggregation whose state is #(group, bin) pairs,
+    // never the group's values. est = bin midpoint — exact double
+    // arithmetic, replayed bit-identically by the oracle's cumulative-
+    // histogram SQL.
+    Q(
+      "q134_grouped_quantiles",
+      (s, dir) =>
+        graft.ext.Sketches.groupedHistogramQuantiles(
+            Tables.load(s, dir, "lineitem"),
+            "l_returnflag", "l_extendedprice", 100.0, Seq(0.5, 0.95, 0.99))
+          .select(col("l_returnflag"), col("q"), col("est"))
+          .orderBy("l_returnflag", "q"),
+      Some("""WITH bins AS (
+             |  SELECT l_returnflag, floor(l_extendedprice / 100.0) AS bin,
+             |    count(*) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT l_returnflag, bin, c,
+             |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(c) OVER (PARTITION BY l_returnflag) AS total
+             |  FROM bins),
+             |qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q)
+             |SELECT l_returnflag, q,
+             |  (min(CASE WHEN cum >= q * total THEN bin END) + 0.5) * 100.0 AS est
+             |FROM cum CROSS JOIN qs
+             |GROUP BY 1, 2
+             |ORDER BY l_returnflag, q""".stripMargin))
   )
 }

@@ -49,6 +49,105 @@ class Extension6Spec extends SparkSpec {
     }
   }
 
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- BM25 ---------------------------------------------------------
+
+  test("bm25: positive scores, only docs containing a query term, idf sane") {
+    val out = SparkEntry.queries("q129_bm25")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(1) > 0.0,
+      s"doc ${r.getLong(0)} non-positive score"))
+    // docs scored == docs containing >= 1 query term
+    val expected = graft.io.Tables.load(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.expr(
+        "exists(split(regexp_replace(text, '[^a-zA-Z0-9 ]', ''), ' '), " +
+          "w -> w IN ('spark', 'join', 'window'))"))
+      .count()
+    assert(out.length.toLong == expected)
+  }
+
+  // --- data-quality constraints -------------------------------------
+
+  test("dq constraints: acctbal check fails with real counts, FKs pass") {
+    val rows = SparkEntry.queries("q130_dq_constraints")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val (accV, accT, accPass) = rows("customer_acctbal_nonneg")
+    assert(accV > 0 && !accPass && accV < accT)
+    Seq("orders_custkey_fk", "lineitem_orderkey_fk",
+        "customer_custkey_unique", "events_type_domain").foreach { c =>
+      val (v, t, pass) = rows(c)
+      assert(v == 0L && pass && t > 0, s"$c: ($v, $t, $pass)")
+    }
+  }
+
+  // --- inclusion dependencies ---------------------------------------
+
+  test("inclusion deps: FK pairs at 1.0, reverse pair strictly partial") {
+    val rows = SparkEntry.queries("q131_inclusion_deps")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows("lineitem.l_orderkey->orders.o_orderkey") == 1.0)
+    assert(rows("orders.o_custkey->customer.c_custkey") == 1.0)
+    assert(rows("events.user_id->customer.c_custkey") == 1.0)
+    val rev = rows("customer.c_custkey->events.user_id")
+    assert(rev > 0.0 && rev < 1.0, s"expected partial coverage, got $rev")
+  }
+
+  // --- cohort retention ---------------------------------------------
+
+  test("cohort retention: offset 0 is 1.0 and active never exceeds cohort") {
+    val out = SparkEntry.queries("q132_cohort_retention")(spark, sf)
+      .collect().map(r => (r.getDate(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, off, active, size, ret) =>
+      assert(active <= size)
+      assert(ret > 0.0 && ret <= 1.0)
+      if (off == 0) assert(ret == 1.0, "cohort week must retain itself fully")
+    }
+  }
+
+  // --- key-skew report ----------------------------------------------
+
+  test("key skew: 5 ranked keys per column, shares ordered and bounded") {
+    val out = SparkEntry.queries("q133_key_skew_report")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(4),
+        r.getInt(5)))
+    val byCol = out.groupBy(_._1)
+    assert(byCol.keySet == Set("user_id", "l_suppkey"))
+    byCol.values.foreach { rs =>
+      assert(rs.length == 5)
+      assert(rs.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val ns = rs.sortBy(_._4).map(_._2)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        "counts must be non-increasing in rank")
+      rs.foreach(r => assert(r._3 > 0.0 && r._3 <= 1.0))
+    }
+  }
+
+  // --- grouped histogram quantiles ----------------------------------
+
+  test("grouped quantiles: within binWidth of the exact group quantile") {
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+    val est = graft.ext.Sketches.groupedHistogramQuantiles(
+        li, "l_returnflag", "l_extendedprice", 100.0, Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr(
+          "percentile(l_extendedprice, 0.5)").as("p50"),
+        org.apache.spark.sql.functions.expr(
+          "percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+    exact.foreach { case (flag, (p50, p95)) =>
+      assert(math.abs(est((flag, 0.5)) - p50) <= 100.0,
+        s"$flag p50 est ${est((flag, 0.5))} vs exact $p50")
+      assert(math.abs(est((flag, 0.95)) - p95) <= 100.0,
+        s"$flag p95 est ${est((flag, 0.95))} vs exact $p95")
+    }
+  }
+
   test("custom registered jobs are spec-addressable") {
     graft.api.JobConfig.register("line_count",
       records => records.agg(count(lit(1)).as("n")))
