@@ -62,4 +62,51 @@ object Graph {
     }
     ranks
   }
+
+  /** Multi-source BFS hop distances, capped at `maxHops` rounds — the
+    * "blast radius" primitive (taint propagation through a similarity
+    * graph, contamination reach, recall expansion). Classic frontier
+    * BFS as keyed joins: each round expands the frontier through the
+    * edge list (one shuffle on `src`), anti-joins already-visited nodes
+    * (one shuffle on `node`), and checkpoints — lineage stays O(1), and
+    * the left-anti visit set guarantees first-reach = minimum hop count,
+    * so results are partitioning-invariant. Terminates early when a
+    * frontier empties (the `isEmpty` probe is one cheap job on a frame
+    * that is already checkpointed). Per-round state is the visited set —
+    * node-count bounded, never edges × rounds.
+    *
+    * @param edges    directed (src, dst) rows — symmetrize before the
+    *                 call for an undirected walk
+    * @param sources  one column of seed node ids (hop 0)
+    * @return (node LONG, hops INT) — nodes unreachable in maxHops are
+    *         absent
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1, 64], got $maxHops")
+    val e = edges.select(col(edges.columns(0)).cast("long").as("src"),
+      col(edges.columns(1)).cast("long").as("dst")).localCheckpoint()
+    var visited = sources
+      .select(col(sources.columns(0)).cast("long").as("node")).distinct()
+      .withColumn("hops", lit(0))
+      .localCheckpoint()
+    var frontier = visited.select("node")
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select("node")
+        hop += 1
+      }
+    }
+    visited
+  }
 }

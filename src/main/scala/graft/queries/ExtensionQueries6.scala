@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.Dedup
 import graft.functions.Rounding
 import graft.io.Tables
 import graft.ops.Text
@@ -405,6 +406,209 @@ object ExtensionQueries6 {
              |  (min(CASE WHEN cum >= q * total THEN bin END) + 0.5) * 100.0 AS est
              |FROM cum CROSS JOIN qs
              |GROUP BY 1, 2
-             |ORDER BY l_returnflag, q""".stripMargin))
+             |ORDER BY l_returnflag, q""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q135: market-basket association rules — support/confidence/lift
+    // for part pairs co-ordered in the same order (the co-occurrence
+    // mining shape: product affinity, tag co-occurrence, co-citation).
+    // Scale shape: the pair space is generated by a SELF-JOIN ON THE
+    // ORDER KEY (fanout bounded by lines-per-order², ~tens — never the
+    // parts² cross product), then one keyed pair aggregation; item
+    // counts join back keyed on the part (no forced broadcast — part
+    // cardinality grows with scale). All three metrics are single
+    // integer-product/one-division forms, so both engines compute
+    // bit-identical doubles before round6.
+    Q(
+      "q135_association_rules",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val nOrders = li.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val itemCnt = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val bb = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+        val pairs = a.join(bb, "l_orderkey")
+          .where(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("pair_cnt"))
+          .where(col("pair_cnt") >= 3)
+        pairs
+          .join(itemCnt.select(col("l_partkey").as("pa"), col("cnt").as("ca")), "pa")
+          .join(itemCnt.select(col("l_partkey").as("pb"), col("cnt").as("cb")), "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa"), col("pb"), col("pair_cnt").cast("long").as("pair_cnt"),
+            Rounding.stableRound6(
+              col("pair_cnt").cast("double") / col("n_orders")).as("support"),
+            Rounding.stableRound6(
+              col("pair_cnt").cast("double") / col("ca")).as("confidence"),
+            Rounding.stableRound6((col("pair_cnt") * col("n_orders"))
+              .cast("double") / (col("ca") * col("cb"))).as("lift"))
+          .orderBy("pa", "pb")
+      },
+      Some(s"""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+             |ic AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_cnt
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT pa, pb, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+             |  ${Rounding.duckSql("pair_cnt::DOUBLE / n_orders")} AS support,
+             |  ${Rounding.duckSql("pair_cnt::DOUBLE / ca.cnt")} AS confidence,
+             |  ${Rounding.duckSql(
+                  "(pair_cnt * n_orders)::DOUBLE / (ca.cnt * cb.cnt)")} AS lift
+             |FROM pairs
+             |JOIN ic ca ON ca.l_partkey = pa
+             |JOIN ic cb ON cb.l_partkey = pb
+             |CROSS JOIN n
+             |ORDER BY pa, pb""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q136: taint propagation — multi-source BFS hop distances through
+    // the near-dup evidence graph from a quarantined source's documents
+    // (the "blast radius" question: if src0's docs are bad, which docs
+    // are duplication-reachable from them, and how close?). Frontier BFS
+    // as keyed joins (ext.Graph.bfsDistances): per round one edge join +
+    // one anti-join against the visited set, lineage checkpoint-
+    // truncated; first-reach = min-hop by construction. The oracle
+    // replays it as a recursive CTE whose UNION-dedup on (node, dist)
+    // keeps the walk polynomial, then takes min(dist) per node.
+    Q(
+      "q136_taint_bfs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", 0.5)
+          .select(col("da"), col("db"))
+        val edges = pairs.unionAll(
+          pairs.select(col("db").as("da"), col("da").as("db"))).toDF("src", "dst")
+        val seeds = docs.where(col("source") === "src0").select("doc_id")
+        graft.ext.Graph.bfsDistances(edges, seeds, maxHops = 4)
+          .select(col("node").as("doc_id"), col("hops"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+             |${ExtensionQueries.NearDupPairsOracle}
+             |),
+             |edges AS (SELECT da AS src, db AS dst FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |walk(node, dist) AS (
+             |  SELECT doc_id, 0 FROM documents WHERE source = 'src0'
+             |  UNION
+             |  SELECT e.dst, w.dist + 1
+             |  FROM walk w JOIN edges e ON e.src = w.node
+             |  WHERE w.dist < 4)
+             |SELECT node AS doc_id, CAST(min(dist) AS INT) AS hops
+             |FROM walk GROUP BY node
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q137: distinctive terms per source — term lift (in-source rate vs
+    // corpus rate), the "what characterizes this slice" profile every
+    // corpus audit runs (per-domain, per-language, per-cluster). One
+    // (source, word) aggregation + vocabulary-sized word totals joined
+    // back on the word key + source totals (source-count rows,
+    // broadcast); top-3 per source via a rank window over each source's
+    // vocabulary partition. lift = (tf_s · total_g) / (total_s · tf_g)
+    // — integer products, ONE double division: bit-identical in both
+    // engines, so the rank order (lift desc, word) cannot diverge.
+    Q(
+      "q137_source_term_lift",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(Text.words(Text.clean(col("text")))).as("word"))
+        val sw = toks.groupBy("source", "word").agg(count(lit(1)).as("tf_s"))
+          .where(col("tf_s") >= 5)
+        val st = toks.groupBy("source").agg(count(lit(1)).as("total_s"))
+        val wt = toks.groupBy("word").agg(count(lit(1)).as("tf_g"))
+        val gt = toks.agg(count(lit(1)).as("total_g"))
+        val scored = sw.join(broadcast(st), "source").join(wt, "word")
+          .crossJoin(broadcast(gt))
+          .withColumn("lift", (col("tf_s") * col("total_g")).cast("double") /
+            (col("total_s") * col("tf_g")))
+        val w = Window.partitionBy("source")
+          .orderBy(desc("lift"), col("word"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("source"), col("word"), col("tf_s").cast("long").as("tf_s"),
+            Rounding.stableRound6(col("lift")).as("lift"), col("rank"))
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT source, unnest(list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '')) AS word
+             |  FROM documents),
+             |sw AS (SELECT source, word, count(*) AS tf_s FROM toks
+             |       GROUP BY 1, 2 HAVING count(*) >= 5),
+             |st AS (SELECT source, count(*) AS total_s FROM toks GROUP BY 1),
+             |wt AS (SELECT word, count(*) AS tf_g FROM toks GROUP BY 1),
+             |gt AS (SELECT count(*) AS total_g FROM toks),
+             |scored AS (
+             |  SELECT source, word, tf_s,
+             |    (tf_s * total_g)::DOUBLE / (total_s * tf_g) AS lift
+             |  FROM sw JOIN st USING (source) JOIN wt USING (word)
+             |    CROSS JOIN gt),
+             |ranked AS (
+             |  SELECT *, row_number() OVER
+             |    (PARTITION BY source ORDER BY lift DESC, word) AS rank
+             |  FROM scored)
+             |SELECT source, word, CAST(tf_s AS BIGINT) AS tf_s,
+             |  ${Rounding.duckSql("lift")} AS lift, rank
+             |FROM ranked WHERE rank <= 3
+             |ORDER BY source, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q138: conversion rates with Wilson 95% intervals — the experiment-
+    // readout op (rate + uncertainty per arm), robust at small n and
+    // p near 0/1 where the normal interval breaks. One single-scan
+    // aggregation (n, successes per event_type); the interval is pure
+    // per-row double arithmetic spelled with identical parenthesization
+    // and ::DOUBLE literals in both engines, so lo/hi are bit-identical
+    // before round6.
+    Q(
+      "q138_rate_wilson_ci",
+      (s, dir) => {
+        val z = lit(1.96)
+        val e = Tables.load(s, dir, "events")
+        val agg = e.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("value") > 250, 1L).otherwise(0L))
+              .cast("long").as("successes"))
+        val nD = col("n").cast("double")
+        val p = col("successes").cast("double") / nD
+        val z2 = z * z
+        val denom = lit(1.0) + z2 / nD
+        val center = p + z2 / (lit(2.0) * nD)
+        val half = z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)
+        agg.select(col("event_type"), col("n"), col("successes"),
+            Rounding.stableRound6(p).as("rate"),
+            Rounding.stableRound6((center - half) / denom).as("ci_lo"),
+            Rounding.stableRound6((center + half) / denom).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some {
+        val nD = "n::DOUBLE"
+        val p = s"(successes::DOUBLE / $nD)"
+        val z = "1.96::DOUBLE"
+        val z2 = s"($z * $z)"
+        val denom = s"(1.0::DOUBLE + $z2 / $nD)"
+        val center = s"($p + $z2 / (2.0::DOUBLE * $nD))"
+        val half = s"($z * sqrt(($p * (1.0::DOUBLE - $p) + " +
+          s"$z2 / (4.0::DOUBLE * $nD)) / $nD))"
+        s"""WITH agg AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(*) FILTER (value > 250) AS BIGINT) AS successes
+           |  FROM events GROUP BY 1)
+           |SELECT event_type, n, successes,
+           |  ${Rounding.duckSql(p)} AS rate,
+           |  ${Rounding.duckSql(s"(($center - $half) / $denom)")} AS ci_lo,
+           |  ${Rounding.duckSql(s"(($center + $half) / $denom)")} AS ci_hi
+           |FROM agg
+           |ORDER BY event_type""".stripMargin
+      })
   )
 }

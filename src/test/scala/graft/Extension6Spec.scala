@@ -148,6 +148,65 @@ class Extension6Spec extends SparkSpec {
     }
   }
 
+  // --- association rules --------------------------------------------
+
+  test("association rules: metrics consistent and support threshold held") {
+    val out = SparkEntry.queries("q135_association_rules")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (pa, pb, cnt, sup, conf, lift) =>
+      assert(pa < pb)
+      assert(cnt >= 3)
+      assert(sup > 0.0 && sup <= 1.0)
+      assert(conf >= sup - 1e-9, "confidence >= support always")
+      assert(conf <= 1.0 && lift > 0.0)
+    }
+  }
+
+  // --- BFS taint propagation ----------------------------------------
+
+  test("bfs distances: hand-built graph gets exact min-hop counts") {
+    import spark.implicits._
+    // 1-2-3-4 chain plus isolated 5<->6; seeds {1, 6}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 6L).toDF("id")
+    val d = graft.ext.Graph.bfsDistances(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 0, 5L -> 1),
+      s"got $d")
+  }
+
+  test("bfs taint: seeds at hop 0, hops within cap") {
+    val out = SparkEntry.queries("q136_taint_bfs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val seeds = graft.io.Tables.load(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byDoc = out.toMap
+    assert(seeds.forall(d => byDoc.get(d).contains(0)),
+      "every quarantined doc must be at hop 0")
+    out.foreach { case (_, h) => assert(h >= 0 && h <= 4) }
+    assert(out.exists(_._2 > 0), "expected some propagation beyond seeds")
+  }
+
+  // --- Wilson intervals ---------------------------------------------
+
+  test("wilson ci: interval brackets the rate and stays in [0, 1]") {
+    val out = SparkEntry.queries("q138_rate_wilson_ci")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._1).toSet ==
+      Set("view", "click", "purchase", "signup", "error"))
+    out.foreach { case (t, n, s0, rate, lo, hi) =>
+      assert(s0 <= n)
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9, s"$t: $lo $rate $hi")
+      assert(lo >= 0.0 && hi <= 1.0)
+      assert(hi - lo < 0.2, s"$t: interval too wide for n=$n")
+    }
+  }
+
   test("custom registered jobs are spec-addressable") {
     graft.api.JobConfig.register("line_count",
       records => records.agg(count(lit(1)).as("n")))
