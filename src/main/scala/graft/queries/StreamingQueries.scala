@@ -24,6 +24,8 @@ object StreamingQueries {
   private val swRunId = new AtomicInteger(0)
   private val enrichRunId = new AtomicInteger(0)
   private val slideRunId = new AtomicInteger(0)
+  private val convRunId = new AtomicInteger(0)
+  private val dauRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -536,6 +538,129 @@ object StreamingQueries {
              |         event_type, value
              |  FROM events)
              |GROUP BY w_start, event_type
-             |ORDER BY w_start, event_type""".stripMargin))
+             |ORDER BY w_start, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q139: streaming conversion timeouts — every view is decided
+    // EXACTLY ONCE: converted (a purchase by the same user within 30
+    // minutes) or abandoned, decided only when the watermark proves no
+    // admissible purchase can still arrive (EventStreams
+    // .conversionTimeouts: per-item timeout state, both sides
+    // watermark-evicted). The decided-FALSE rows are the business
+    // signal a stream-stream outer join cannot produce with first-
+    // match-only semantics. The sentinel (2100) seals every pending
+    // view; the oracle replays the decision rule as a batch
+    // first-purchase-in-window lookup.
+    Q(
+      "q139_streaming_conversions",
+      (s, dir) => {
+        import s.implicits._
+        val id = convRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_conv_${id - 1}")
+        val name = s"graft_stream_conv_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_conv_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_conv_sentinel")
+        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .where(col("event_type").isin("view", "purchase") || col("user_id") < 0)
+          .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us",
+            "event_id", "event_type")
+          .as[EventStreams.FlowEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.conversionTimeouts(stream)
+            .filter(col("user_id") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name).orderBy("view_event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+             |p AS (
+             |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT v.event_id, min(epoch_us(p.ts) - epoch_us(v.ts)) AS lag_us
+             |  FROM v JOIN p ON p.user_id = v.user_id AND p.ts > v.ts
+             |    AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+             |  GROUP BY 1)
+             |SELECT v.user_id, v.event_id AS view_event_id,
+             |  m.lag_us IS NOT NULL AS converted,
+             |  CAST(m.lag_us AS BIGINT) AS lag_us
+             |FROM v LEFT JOIN m USING (event_id)
+             |ORDER BY view_event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q140: streaming daily active users — CHAINED stateful operators:
+    // dropDuplicatesWithinWatermark on (user, type, day) feeding a
+    // 1-day windowed count, both under one watermark (the Spark ≥3.5
+    // multi-stateful-operator pipeline). Exact distinct-per-window with
+    // state bounded by the watermark horizon on the dedup side and open
+    // windows on the agg side — the streaming-cardinality shape that
+    // needs NO sketch because the count is per-window, not all-time.
+    // Oracle = batch count(DISTINCT user_id) per day per type.
+    Q(
+      "q140_streaming_daily_active",
+      (s, dir) => {
+        import s.implicits._
+        val id = dauRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_dau_${id - 1}")
+        val name = s"graft_stream_dau_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_dau_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_dau_sentinel")
+        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val q = withRocksDbState(s) {
+          EventStreams
+            .readStream(s, dir, globFilter = Some("events.parquet"))
+            .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+              globFilter = Some("*.parquet")))
+            .withColumn("day", to_date(col("ts")))
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+            .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+            .agg(count(lit(1)).cast("long").as("active_users"))
+            .select(col("w.start").cast("date").as("day"),
+              col("event_type"), col("active_users"))
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name).where(col("event_type") =!= "__flush")
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY day, event_type""".stripMargin))
   )
 }

@@ -132,6 +132,84 @@ object EventStreams {
     * documented cost that a user returning after going fully idle
     * restarts `session_idx` at 1.
     */
+  /** One typed event on the conversion-tracking path (view or purchase). */
+  case class FlowEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                       event_id: Long, event_type: String)
+
+  /** The decided fate of one view: did a purchase follow within the
+    * window? `lag_us` is first-purchase latency (None when unconverted).
+    */
+  case class ConversionOut(user_id: Long, view_event_id: Long,
+                           converted: Boolean, lag_us: Option[Long])
+
+  /** Keyed state: undecided views + the purchases that could still
+    * convert an undecided or legally-late view. Both lists are bounded
+    * by the watermark horizon: a view seals (and leaves) once
+    * `ts + window < watermark`, a purchase is useless (and dropped) once
+    * `ts + window ≤ watermark` — no admissible view could still precede
+    * it within the window. */
+  case class FlowState(views: Seq[(Long, Long)], purchases: Seq[Long])
+
+  /** Per-view conversion detection with timeout semantics — the
+    * "abandoned flow" op (cart abandonment, un-actioned alerts,
+    * SLA-breach detection): every `view` is decided EXACTLY ONCE as
+    * converted (a purchase by the same user followed within `window`)
+    * or timed out, decided only when the watermark proves no admissible
+    * purchase can still arrive. Unlike [[gapSessions]] (one evolving
+    * span set per user) this is per-ITEM timeout state: the state is
+    * the set of undecided views plus the watermark-horizon purchases —
+    * both evicted as the watermark advances, so state per user is
+    * horizon-bounded, never history-bounded. A stream-stream left-outer
+    * join gives the converted half; the decided-false half — the
+    * business signal — is exactly what the join cannot emit per-row
+    * without this state shape (it emits nulls only at state eviction,
+    * with no first-match-only semantics).
+    */
+  def conversionTimeouts(events: Dataset[FlowEvent],
+                         window: java.time.Duration =
+                           java.time.Duration.ofMinutes(30)): Dataset[ConversionOut] = {
+    import events.sparkSession.implicits._
+    val winUs = window.toMillis * 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FlowState, ConversionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FlowEvent], state: GroupState[FlowState]) =>
+          val prev = state.getOption.getOrElse(FlowState(Seq.empty, Seq.empty))
+          val evts = batch.toArray
+          val views = prev.views ++ evts.filter(_.event_type == "view")
+            .map(e => (e.ts_us, e.event_id))
+          val purchases = prev.purchases ++
+            evts.filter(_.event_type == "purchase").map(_.ts_us)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // decide: no admissible purchase (ts >= watermark) can land in
+          // (v, v + window] anymore once v + window < watermark
+          val (ready, pending) = views.partition { case (ts, _) =>
+            ts + winUs < wmUs }
+          val out = ready.sortBy { case (ts, id) => (ts, id) }.map {
+            case (vts, vid) =>
+              val hit = purchases.filter(p => p > vts && p - vts <= winUs)
+              ConversionOut(uid, vid, hit.nonEmpty,
+                if (hit.nonEmpty) Some(hit.min - vts) else None)
+          }
+          // a purchase at p converts only views in [p - window, p); all
+          // such views are decided once p + window <= watermark
+          val keepP = purchases.filter(p => p + winUs > wmUs)
+          if (pending.isEmpty && keepP.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(FlowState(pending, keepP))
+            val nextUs =
+              if (pending.nonEmpty) pending.map(_._1).min + winUs
+              else keepP.max + winUs
+            state.setTimeoutTimestamp(
+              math.max(nextUs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   def gapSessions(events: Dataset[SessionEvent],
                   gap: java.time.Duration = java.time.Duration.ofHours(1),
                   dropIdleTombstones: Boolean = false): Dataset[SessionOut] = {

@@ -207,6 +207,42 @@ class Extension6Spec extends SparkSpec {
     }
   }
 
+  // --- streaming conversion timeouts --------------------------------
+
+  test("conversion window boundary: exactly 30min converts, 30min+1us not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv_edge")
+    val t0 = 1704067200L * 1000000000L // 2024-01-01 00:00:00 UTC, nanos
+    def ns(offsetUs: Long) = t0 + offsetUs * 1000L
+    // raw events schema: ts as int64 NANOS (the fixture's layout)
+    Seq(
+      (1L, ns(0L), 7L, "view", 1.0, "{}"),
+      (2L, ns(1800000000L), 7L, "purchase", 1.0, "{}"), // exactly +30min
+      (3L, ns(0L), 8L, "view", 1.0, "{}"),
+      (4L, ns(1800000001L), 8L, "purchase", 1.0, "{}"), // +30min +1us
+      (5L, ns(0L), 9L, "view", 1.0, "{}"), // never purchases
+      (6L, ns(1700000000L), 7L, "view", 1.0, "{}")) // converts in 100s
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/raw")
+    // the streaming source lists FILES; place a literal events.parquet
+    // file (not a directory) where the registered query's glob expects it
+    val part = java.nio.file.Files.list(dir.resolve("raw")).iterator()
+    val partFile = Iterator.continually(part).takeWhile(_.hasNext)
+      .map(_.next()).find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(partFile, dir.resolve("events.parquet"))
+    val out = SparkEntry.queries("q139_streaming_conversions")(
+        spark, dir.toString)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L) == ((true, Some(1800000000L))),
+      "purchase at exactly +window must convert")
+    assert(out(3L) == ((false, None)),
+      "purchase 1us past the window must NOT convert")
+    assert(out(5L) == ((false, None)))
+    assert(out(6L) == ((true, Some(100000000L))))
+  }
+
   test("custom registered jobs are spec-addressable") {
     graft.api.JobConfig.register("line_count",
       records => records.agg(count(lit(1)).as("n")))
