@@ -609,6 +609,171 @@ object ExtensionQueries6 {
            |  ${Rounding.duckSql(s"(($center + $half) / $denom)")} AS ci_hi
            |FROM agg
            |ORDER BY event_type""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q141: chi-square independence — the contingency-table test (is
+    // event type independent of value band?), the categorical-drift /
+    // segmentation-significance primitive. One scan builds the observed
+    // cell counts, then the table is DENSIFIED to the full type × band
+    // grid (a zero cell still contributes (0−e)²/e = e — dropping empty
+    // cells silently understates the statistic; caught by the
+    // Σexpected = N spec). Marginals and expecteds are windows over the
+    // CELL table (|types|×|bands| rows, never data rows). expected =
+    // (row_tot · col_tot)/N is an integer product with ONE double
+    // division — bit-identical across engines; contrib is the same
+    // (o−e)²/e shape both sides.
+    Q(
+      "q141_chi_square",
+      (s, dir) => {
+        val observed = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(col("value") / 100.0).cast("long").as("band"))
+          .agg(count(lit(1)).as("o"))
+        val cells = observed.select("event_type").distinct()
+          .crossJoin(observed.select("band").distinct())
+          .join(observed, Seq("event_type", "band"), "left")
+          .select(col("event_type"), col("band"),
+            coalesce(col("o"), lit(0L)).as("o"))
+        val byType = Window.partitionBy("event_type")
+        val byBand = Window.partitionBy("band")
+        val all = Window.partitionBy()
+        cells
+          .withColumn("rt", sum("o").over(byType))
+          .withColumn("ct", sum("o").over(byBand))
+          .withColumn("n", sum("o").over(all))
+          .withColumn("expected", (col("rt") * col("ct")).cast("double") / col("n"))
+          .select(col("event_type"), col("band"),
+            col("o").cast("long").as("observed"),
+            Rounding.stableRound6(col("expected")).as("expected"),
+            Rounding.stableRound6(
+              (col("o") - col("expected")) * (col("o") - col("expected"))
+                / col("expected")).as("contrib"))
+          .orderBy("event_type", "band")
+      },
+      Some(s"""WITH obs AS (
+             |  SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS band,
+             |    count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT t.event_type, b.band, coalesce(o.o, 0) AS o
+             |  FROM (SELECT DISTINCT event_type FROM obs) t
+             |  CROSS JOIN (SELECT DISTINCT band FROM obs) b
+             |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.band = b.band),
+             |m AS (
+             |  SELECT *,
+             |    sum(o) OVER (PARTITION BY event_type) AS rt,
+             |    sum(o) OVER (PARTITION BY band) AS ct,
+             |    sum(o) OVER () AS n
+             |  FROM cells),
+             |x AS (SELECT *, (rt * ct)::DOUBLE / n AS expected FROM m)
+             |SELECT event_type, band, CAST(o AS BIGINT) AS observed,
+             |  ${Rounding.duckSql("expected")} AS expected,
+             |  ${Rounding.duckSql("(o - expected) * (o - expected) / expected")}
+             |    AS contrib
+             |FROM x
+             |ORDER BY event_type, band""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q142: Gini concentration of customer spend — the inequality /
+    // concentration metric (is 80% of volume coming from 2% of keys —
+    // the same question behind skew planning and whale analysis).
+    // Needs every value's GLOBAL rank: computed with ext.Ranking's
+    // range-partition two-pass rank — NO single-partition window
+    // anywhere (the q115/q116 machinery; a Window.orderBy here would
+    // serialize the corpus through one task). Per-customer spend is
+    // round2 (exact 2-decimal sums) so the (spend, custkey) total order
+    // — and therefore every rank — is engine-invariant; the oracle uses
+    // DuckDB's window rank over the same order.
+    Q(
+      "q142_gini_concentration",
+      (s, dir) => {
+        val spend = Tables.load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(round(sum("o_totalprice"), 2).as("spend"))
+        val (ranked, n) = graft.ext.Ranking.withGlobalRankAndCount(
+          spend, Seq(col("spend"), col("o_custkey")))
+        val nD = lit(n.toDouble)
+        ranked
+          .agg(sum(col("global_rank") * col("spend")).as("s1"),
+            sum("spend").as("tot"))
+          .select(lit(n).as("n_customers"),
+            round(col("tot"), 2).as("total_spend"),
+            Rounding.stableRound6(
+              lit(2.0) * col("s1") / (nD * col("tot"))
+                - (nD + lit(1.0)) / nD).as("gini"))
+      },
+      Some(s"""WITH spend AS (
+             |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+             |  FROM orders GROUP BY 1),
+             |ranked AS (
+             |  SELECT spend,
+             |    row_number() OVER (ORDER BY spend, o_custkey) AS global_rank,
+             |    count(*) OVER () AS n
+             |  FROM spend)
+             |SELECT CAST(n AS BIGINT) AS n_customers,
+             |  round(sum(spend), 2) AS total_spend,
+             |  ${Rounding.duckSql(
+                  "2.0::DOUBLE * sum(global_rank * spend) / (n::DOUBLE * sum(spend))" +
+                    " - (n::DOUBLE + 1.0::DOUBLE) / n::DOUBLE")} AS gini
+             |FROM ranked
+             |GROUP BY n
+             |ORDER BY n_customers""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q143: PSI distribution drift — the population-stability index
+    // between the stream's first and last week (the standard "did the
+    // feature distribution move" monitor gating model retrains and
+    // corpus refreshes). Two filtered single-scan bin counts, a full
+    // outer bin join (bin-count rows), Laplace-smoothed rates so
+    // zero-count bins stay defined; scalars (slice sizes, bin count)
+    // ride along as 1-row broadcasts. contrib = (pa−pb)·ln(pa/pb),
+    // identical double shapes in both engines.
+    Q(
+      "q143_psi_drift",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("bin", floor(col("value") / 50.0).cast("long"))
+        val a = e.where(col("ts") < lit("2024-01-08").cast("timestamp_ntz"))
+        val bPart = e.where(col("ts") >= lit("2024-01-22").cast("timestamp_ntz"))
+        val ca = a.groupBy("bin").agg(count(lit(1)).as("n_a"))
+        val cb = bPart.groupBy("bin").agg(count(lit(1)).as("n_b"))
+        val joined = ca.join(cb, Seq("bin"), "full_outer")
+          .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+        val scalars = a.agg(count(lit(1)).as("na"))
+          .crossJoin(bPart.agg(count(lit(1)).as("nb")))
+          .crossJoin(joined.agg(count(lit(1)).as("nbins")))
+        val pa = (col("n_a") + lit(0.5)) / (col("na") + lit(0.5) * col("nbins"))
+        val pb = (col("n_b") + lit(0.5)) / (col("nb") + lit(0.5) * col("nbins"))
+        joined.crossJoin(broadcast(scalars))
+          .select(col("bin"), col("n_a").cast("long").as("n_a"),
+            col("n_b").cast("long").as("n_b"),
+            Rounding.stableRound6((pa - pb) * log(pa / pb)).as("contrib"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, ts FROM events),
+             |ca AS (SELECT bin, count(*) AS n_a FROM e
+             |       WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1),
+             |cb AS (SELECT bin, count(*) AS n_b FROM e
+             |       WHERE ts >= TIMESTAMP '2024-01-22' GROUP BY 1),
+             |j AS (
+             |  SELECT coalesce(ca.bin, cb.bin) AS bin,
+             |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+             |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+             |sc AS (
+             |  SELECT (SELECT count(*) FROM e WHERE ts < TIMESTAMP '2024-01-08') AS na,
+             |    (SELECT count(*) FROM e WHERE ts >= TIMESTAMP '2024-01-22') AS nb,
+             |    (SELECT count(*) FROM j) AS nbins)
+             |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  ${Rounding.duckSql(
+                  "((n_a + 0.5::DOUBLE) / (na + 0.5::DOUBLE * nbins) - " +
+                    "(n_b + 0.5::DOUBLE) / (nb + 0.5::DOUBLE * nbins)) * " +
+                    "ln(((n_a + 0.5::DOUBLE) / (na + 0.5::DOUBLE * nbins)) / " +
+                    "((n_b + 0.5::DOUBLE) / (nb + 0.5::DOUBLE * nbins)))")}
+             |    AS contrib
+             |FROM j CROSS JOIN sc
+             |ORDER BY bin""".stripMargin))
   )
 }

@@ -207,6 +207,36 @@ class Extension6Spec extends SparkSpec {
     }
   }
 
+  // --- chi-square / gini / psi --------------------------------------
+
+  test("chi square: expecteds reproduce the marginals, contribs non-negative") {
+    val out = SparkEntry.queries("q141_chi_square")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val total = out.map(_._3).sum
+    val expectedSum = out.map(_._4).sum
+    assert(math.abs(total - expectedSum) < 1e-3,
+      s"sum(expected)=$expectedSum must equal N=$total")
+    out.foreach(r => assert(r._5 >= 0.0))
+  }
+
+  test("gini: bounded in [0,1) and counts every customer") {
+    val r = SparkEntry.queries("q142_gini_concentration")(spark, sf).head()
+    val n = graft.io.Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(r.getLong(0) == n)
+    val gini = r.getDouble(2)
+    assert(gini >= 0.0 && gini < 1.0, s"gini $gini")
+  }
+
+  test("psi: per-bin contributions are always non-negative") {
+    val out = SparkEntry.queries("q143_psi_drift")(spark, sf)
+      .collect().map(r => r.getDouble(3))
+    assert(out.nonEmpty)
+    // (pa-pb) and ln(pa/pb) always share sign, so each term is >= 0
+    out.foreach(c => assert(c >= 0.0, s"negative PSI term $c"))
+  }
+
   // --- streaming conversion timeouts --------------------------------
 
   test("conversion window boundary: exactly 30min converts, 30min+1us not") {
