@@ -774,6 +774,143 @@ object ExtensionQueries6 {
                     "((n_b + 0.5::DOUBLE) / (nb + 0.5::DOUBLE * nbins)))")}
              |    AS contrib
              |FROM j CROSS JOIN sc
-             |ORDER BY bin""".stripMargin))
+             |ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q144: purchase streaks — gaps-and-islands on CALENDAR days (the
+    // engagement-streak op: consecutive-day activity runs per user),
+    // the calendar twin of q29's time-gap sessions. The island key is
+    // the classic `day − row_number()` constant: consecutive days share
+    // it, any gap shifts it. One distinct-agg + one user-keyed window
+    // (state O(1)/row) + one group agg; all date arithmetic is exact
+    // integer days in both engines.
+    Q(
+      "q144_purchase_streaks",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        d.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy("user_id", "grp")
+          .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+            count(lit(1)).cast("long").as("days"))
+          .select("user_id", "streak_start", "streak_end", "days")
+          .orderBy("user_id", "streak_start")
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events WHERE event_type = 'purchase'),
+             |g AS (
+             |  SELECT user_id, day,
+             |    day - CAST(row_number() OVER
+             |      (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+             |  FROM d)
+             |SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+             |  CAST(count(*) AS BIGINT) AS days
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, streak_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q145: label-propagation communities — 3 SYNCHRONOUS iterations
+    // over the near-dup evidence graph; each node adopts the most
+    // frequent label among its neighbors, ties to the SMALLEST label
+    // (the determinism rule that makes sync LPA engine-replayable —
+    // async/random-order LPA is not). Per iteration: one edge⋈labels
+    // join + one (node, label) count agg + one argmax agg — the q89
+    // recurrence with a mode instead of a sum. The argmax is
+    // max(struct(cnt, −label)) — no window over data rows. Oracle
+    // unrolls the same 3 steps as chained CTEs.
+    Q(
+      "q145_label_propagation",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", 0.5)
+          .select(col("da"), col("db"))
+        val e = pairs.unionAll(
+            pairs.select(col("db").as("da"), col("da").as("db")))
+          .toDF("src", "dst").localCheckpoint()
+        val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+        var labels = nodes.withColumn("label", col("node"))
+        for (_ <- 1 to 3) {
+          labels = e.join(labels, e("src") === labels("node"))
+            .groupBy(e("dst").as("node2"), col("label"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("node2").as("node"))
+            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("label"))
+            .localCheckpoint()
+        }
+        labels.select(col("node").as("doc_id"), col("label"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val steps = (1 to 3).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS node, l.label, count(*) AS c
+             |  FROM edges e JOIN lp${i - 1} l ON l.node = e.src
+             |  GROUP BY 1, 2),
+             |lp$i AS (
+             |  SELECT node, label FROM (
+             |    SELECT node, label, row_number() OVER
+             |      (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |    FROM c$i) WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |${ExtensionQueries.NearDupPairsOracle}
+           |),
+           |edges AS (SELECT da AS src, db AS dst FROM pairs
+           |          UNION ALL SELECT db, da FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |lp0 AS (SELECT node, node AS label FROM nodes),
+           |$steps
+           |SELECT node AS doc_id, label FROM lp3
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q146: mixture rebalancing rates — given a token budget (half the
+    // corpus) and a UNIFORM target share per language, the per-language
+    // acceptance rate min(1, desired/available) and the expected token
+    // yield: the solver that produces the rates q114-style mixture
+    // selection then applies. One tokens-per-language aggregation (the
+    // corpus scan); the rate table is language-count rows. Languages
+    // whose supply is below their target keep rate 1.0 and under-fill;
+    // redistributing that shortfall pro-rata is an iterative refinement
+    // deliberately left to the caller (documented, deterministic as-is).
+    Q(
+      "q146_mixture_rates",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            size(Text.words(Text.clean(col("text")))).cast("long").as("n_tok"))
+        val perLang = toks.groupBy("lang").agg(sum("n_tok").as("t_l"))
+        val total = toks.agg(sum("n_tok").as("t"))
+          .crossJoin(perLang.agg(count(lit(1)).as("n_langs")))
+        val desired = col("t").cast("double") * lit(0.5) / col("n_langs")
+        val rate = least(lit(1.0), desired / col("t_l"))
+        perLang.crossJoin(broadcast(total))
+          .select(col("lang"), col("t_l").cast("long").as("lang_tokens"),
+            Rounding.stableRound6(rate).as("rate"),
+            Rounding.stableRound6(rate * col("t_l")).as("expected_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT lang, CAST(len(list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |pl AS (SELECT lang, sum(n_tok) AS t_l FROM toks GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(n_tok) FROM toks) AS t,
+             |               (SELECT count(*) FROM pl) AS n_langs)
+             |SELECT lang, CAST(t_l AS BIGINT) AS lang_tokens,
+             |  ${Rounding.duckSql(
+                  "least(1.0::DOUBLE, t::DOUBLE * 0.5::DOUBLE / n_langs / t_l)")}
+             |    AS rate,
+             |  ${Rounding.duckSql(
+                  "least(1.0::DOUBLE, t::DOUBLE * 0.5::DOUBLE / n_langs / t_l) * t_l")}
+             |    AS expected_tokens
+             |FROM pl CROSS JOIN tot
+             |ORDER BY lang""".stripMargin))
   )
 }

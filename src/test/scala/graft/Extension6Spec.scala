@@ -237,6 +237,53 @@ class Extension6Spec extends SparkSpec {
     out.foreach(c => assert(c >= 0.0, s"negative PSI term $c"))
   }
 
+  // --- streaks / label propagation / mixture rates ------------------
+
+  test("purchase streaks: spans consistent and multi-day streaks exist") {
+    val out = SparkEntry.queries("q144_purchase_streaks")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDate(1), r.getDate(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, start, end, days) =>
+      val span = (end.toLocalDate.toEpochDay - start.toLocalDate.toEpochDay) + 1
+      assert(span == days, s"span $span != days $days")
+    }
+    assert(out.exists(_._4 >= 2), "expected at least one multi-day streak")
+    // per user, streaks must not overlap
+    out.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._2.toLocalDate.toEpochDay > a._3.toLocalDate.toEpochDay + 1,
+          "streaks must be separated by a gap")
+      }
+    }
+  }
+
+  test("label propagation: labels are node ids, clusters merge labels") {
+    val out = SparkEntry.queries("q145_label_propagation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    val nodes = out.map(_._1).toSet
+    out.foreach { case (_, l) => assert(nodes.contains(l),
+      s"label $l is not a node id") }
+    assert(out.map(_._2).toSet.size < nodes.size,
+      "propagation must merge at least some labels")
+  }
+
+  test("mixture rates: capped at 1, expected = rate * supply, under budget") {
+    val out = SparkEntry.queries("q146_mixture_rates")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.length == 5)
+    val totalTokens = out.map(_._2).sum
+    out.foreach { case (_, tl, rate, exp) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(math.abs(exp - rate * tl) < 1.0)
+    }
+    assert(out.map(_._4).sum <= 0.5 * totalTokens + 1.0,
+      "expected yield must not exceed the budget")
+  }
+
   // --- streaming conversion timeouts --------------------------------
 
   test("conversion window boundary: exactly 30min converts, 30min+1us not") {
