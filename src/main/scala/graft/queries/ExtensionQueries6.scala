@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.Dedup
+import graft.ext.{Dedup, SimilaritySearch}
 import graft.functions.Rounding
 import graft.io.Tables
 import graft.ops.Text
@@ -911,6 +911,117 @@ object ExtensionQueries6 {
                   "least(1.0::DOUBLE, t::DOUBLE * 0.5::DOUBLE / n_langs / t_l) * t_l")}
              |    AS expected_tokens
              |FROM pl CROSS JOIN tot
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q147: MMR diversified retrieval — maximal marginal relevance
+    // (Carbonell & Goldstein 1998), the standard RAG reranker: greedily
+    // pick 5 of the top-10 candidates maximizing λ·rel − (1−λ)·max-sim-
+    // to-already-picked (λ=0.7), so results stay relevant but not
+    // redundant. Scale shape: candidate generation is the distributed
+    // top-k (q48 machinery); the greedy runs per query over its ≤10
+    // candidates inside flatMapGroups — bounded group state, parallel
+    // across queries, never a driver loop. Determinism: rel and
+    // candidate-candidate sims are round6 values (1e-6-grid doubles),
+    // λ-arithmetic is the same IEEE sequence both engines run, ties
+    // break to the smallest neighbor id; the oracle unrolls the same 4
+    // greedy steps as chained CTEs (q89's unrolled-iteration pattern).
+    Q(
+      "q147_mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "embeddings")
+        val cand = SimilaritySearch.bruteTopK(e.filter(col("vec_id") < 3), e, 10)
+        val withVec = cand.join(
+            e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+            "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"),
+            col("nv"))
+          .as[(Long, Long, Double, Array[Float])]
+        def cosD(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        }
+        def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+        withVec.groupByKey(_._1)
+          .flatMapGroups { (qid, it) =>
+            val cs = it.toArray.sortBy(c => (-c._3, c._2))
+            val selected = scala.collection.mutable.ArrayBuffer(cs.head)
+            val out = scala.collection.mutable.ArrayBuffer(
+              (qid, 1, cs.head._2, cs.head._3))
+            var remaining = cs.tail
+            var pick = 2
+            while (pick <= 5 && remaining.nonEmpty) {
+              val scoredC = remaining.map { c =>
+                val ms = selected.map(sel => r6(cosD(c._4, sel._4))).max
+                (0.7 * c._3 - 0.3 * ms, c)
+              }
+              val best = scoredC.minBy { case (sc, c) => (-sc, c._2) }
+              selected += best._2
+              out += ((qid, pick, best._2._2, r6(best._1)))
+              remaining = remaining.filterNot(_._2 == best._2._2)
+              pick += 1
+            }
+            out.iterator
+          }
+          .toDF("query_id", "pick", "neighbor_id", "score")
+          .orderBy("query_id", "pick")
+      },
+      Some {
+        val steps = (2 to 5).map { k =>
+          s"""rem$k AS (
+             |  SELECT c.* FROM cand c
+             |  WHERE NOT EXISTS (SELECT 1 FROM selall${k - 1} s
+             |    WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
+             |sc$k AS (
+             |  SELECT r.query_id, r.neighbor_id, r.rel,
+             |    0.7::DOUBLE * r.rel - 0.3::DOUBLE * max(si.sim) AS score
+             |  FROM rem$k r
+             |  JOIN selall${k - 1} s ON s.query_id = r.query_id
+             |  JOIN sims si ON si.query_id = r.query_id
+             |    AND si.ca = r.neighbor_id AND si.cb = s.neighbor_id
+             |  GROUP BY 1, 2, 3),
+             |sel$k AS (
+             |  SELECT query_id, neighbor_id, score, $k AS pick FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, neighbor_id) AS rn
+             |    FROM sc$k) WHERE rn = 1),
+             |selall$k AS (SELECT * FROM selall${k - 1}
+             |             UNION ALL SELECT * FROM sel$k)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT * FROM e WHERE vec_id < 3),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |    floor(list_cosine_similarity(q.v, e.v) * 1000000 + 0.5) / 1000000
+           |      AS rel, e.v
+           |  FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id),
+           |cand AS (
+           |  SELECT query_id, neighbor_id, rel, v FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rel DESC, neighbor_id) AS rank
+           |    FROM scored) WHERE rank <= 10),
+           |sims AS (
+           |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+           |    floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000
+           |      AS sim
+           |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+           |    AND a.neighbor_id <> b.neighbor_id),
+           |selall1 AS (
+           |  SELECT query_id, neighbor_id, rel AS score, 1 AS pick FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rel DESC, neighbor_id) AS rn
+           |    FROM cand) WHERE rn = 1),
+           |$steps
+           |SELECT query_id, pick, neighbor_id,
+           |  floor(score * 1000000 + 0.5) / 1000000 AS score
+           |FROM selall5
+           |ORDER BY query_id, pick""".stripMargin
+      })
   )
 }

@@ -284,6 +284,26 @@ class Extension6Spec extends SparkSpec {
       "expected yield must not exceed the budget")
   }
 
+  // --- MMR rerank ---------------------------------------------------
+
+  test("mmr: 5 unique picks per query from the top-10, pick 1 = top relevance") {
+    val mmr = SparkEntry.queries("q147_mmr_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val knn = SparkEntry.queries("q48_knn_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    mmr.groupBy(_._1).foreach { case (qid, picks) =>
+      assert(picks.length == 5)
+      assert(picks.map(_._3).distinct.length == 5, "picks must be unique")
+      val top10 = knn.filter(_._1 == qid).map(_._3).toSet
+      picks.foreach(p => assert(top10.contains(p._3),
+        s"pick ${p._3} not in query $qid's top-10"))
+      val top1 = knn.find(k => k._1 == qid && k._2 == 1).get._3
+      assert(picks.find(_._2 == 1).get._3 == top1,
+        "first pick must be the most relevant candidate")
+    }
+  }
+
   // --- streaming conversion timeouts --------------------------------
 
   test("conversion window boundary: exactly 30min converts, 30min+1us not") {
