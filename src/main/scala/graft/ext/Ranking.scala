@@ -57,6 +57,52 @@ object Ranking {
                      partitions: Int = 32): DataFrame =
     withGlobalRankAndCount(df, sortCols, partitions)._1
 
+  /** Global rank AND inclusive running total of a LONG column in the
+    * `sortCols` order — the distributed twin of
+    * `sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`, built from
+    * the same two passes (pass 1 ships one (count, sum) pair per
+    * partition to the driver, pass 2 streams with broadcast bases).
+    * The value column is deliberately LONG-only: integer prefix sums are
+    * associative, so the partition-wise accumulation is EXACTLY the
+    * sequential fold an oracle's window computes — doubles would drift
+    * at the regrouping boundaries (Packing's rule; callers sum cents,
+    * tokens, counts — never raw doubles).
+    *
+    * @return (df + global_rank + running_total columns, (rowCount, grandTotal))
+    */
+  def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                       partitions: Int = 32): (DataFrame, (Long, Long)) = {
+    require(sortCols.nonEmpty, "sortCols must not be empty")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partStats = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; var s = 0L
+        it.foreach { r => n += 1; s += r.getLong(vIdx) }
+        Iterator((pid, n, s))
+      }
+      .collect().sortBy(_._1)
+    val rankBases = partStats.map(_._2).scanLeft(0L)(_ + _)
+    val sumBases = partStats.map(_._3).scanLeft(0L)(_ + _)
+    val basesB = spark.sparkContext.broadcast((rankBases, sumBases))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = basesB.value._1(pid)
+      var s = basesB.value._2(pid)
+      it.map { row =>
+        r += 1; s += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq :+ r :+ s)
+      }
+    }
+    val schema = sorted.schema
+      .add(StructField("global_rank", LongType, nullable = false))
+      .add(StructField("running_total", LongType, nullable = false))
+    (spark.createDataFrame(out, schema),
+      (partStats.map(_._2).sum, partStats.map(_._3).sum))
+  }
+
   /** SQL `ntile(buckets)` as a closed form over a 1-based unique rank:
     * the first `n mod buckets` tiles hold `n div buckets + 1` rows, the
     * rest `n div buckets`. Expressed as exact integer arithmetic so both

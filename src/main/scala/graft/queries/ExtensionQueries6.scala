@@ -1022,6 +1022,61 @@ object ExtensionQueries6 {
            |  floor(score * 1000000 + 0.5) / 1000000 AS score
            |FROM selall5
            |ORDER BY query_id, pick""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q148: Pareto concentration cut — "how many parts carry 80% of
+    // revenue" (whale analysis; the same cumulative-share machinery
+    // behind coverage curves and data-pruning score cuts). The
+    // cumulative needs a running total in a GLOBAL order: computed with
+    // ext.Ranking.withRunningTotal — range-partition two-pass prefix
+    // sum, NO single-partition window. Revenue runs as integer CENTS so
+    // the prefix sums are associative and exactly equal the oracle's
+    // sequential window fold (doubles would drift at partition
+    // boundaries); the cut predicate cum·10 ≥ total·8 is exact integer
+    // arithmetic.
+    Q(
+      "q148_pareto_cut",
+      (s, dir) => {
+        val spend = Tables.load(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("rev"))
+          .select(col("l_partkey"),
+            round(col("rev") * 100).cast("long").as("cents"))
+        val (ranked, (n, total)) = graft.ext.Ranking.withRunningTotal(
+          spend, Seq(desc("cents"), col("l_partkey")), "cents")
+        ranked.where(col("running_total") * 10 >= lit(total) * 8)
+          .agg(min("global_rank").as("k"),
+            min_by(col("running_total"), col("global_rank")).as("cum_at_k"))
+          .select(lit(n).as("n_parts"),
+            round(lit(total) / 100.0, 2).as("total_revenue"),
+            col("k").as("parts_for_80pct"),
+            Rounding.stableRound6(col("k").cast("double") / lit(n.toDouble))
+              .as("part_share"),
+            Rounding.stableRound6(
+              col("cum_at_k").cast("double") / lit(total.toDouble))
+              .as("revenue_share_at_cut"))
+      },
+      Some(s"""WITH spend AS (
+             |  SELECT l_partkey,
+             |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT l_partkey, CAST(round(rev * 100) AS BIGINT) AS cents
+             |      FROM spend),
+             |r AS (
+             |  SELECT *,
+             |    row_number() OVER (ORDER BY cents DESC, l_partkey) AS rank,
+             |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cents) OVER () AS total, count(*) OVER () AS n
+             |  FROM c)
+             |SELECT CAST(max(n) AS BIGINT) AS n_parts,
+             |  round(max(total) / 100.0, 2) AS total_revenue,
+             |  CAST(min(rank) AS BIGINT) AS parts_for_80pct,
+             |  ${Rounding.duckSql("min(rank)::DOUBLE / max(n)")} AS part_share,
+             |  ${Rounding.duckSql("min_by(cum, rank)::DOUBLE / max(total)")}
+             |    AS revenue_share_at_cut
+             |FROM r WHERE cum * 10 >= total * 8""".stripMargin))
   )
 }

@@ -304,6 +304,34 @@ class Extension6Spec extends SparkSpec {
     }
   }
 
+  // --- pareto cut ---------------------------------------------------
+
+  test("pareto cut: crosses 80% minimally, running total matches a window") {
+    val r = SparkEntry.queries("q148_pareto_cut")(spark, sf).head()
+    val n = r.getLong(0); val k = r.getLong(2)
+    val share = r.getDouble(3); val revShare = r.getDouble(4)
+    assert(k >= 1 && k <= n)
+    assert(revShare >= 0.8, "cut must reach 80% of revenue")
+    assert(math.abs(share - k.toDouble / n) < 1e-9)
+    // withRunningTotal == the window cumsum it replaces
+    import org.apache.spark.sql.expressions.Window
+    val spend = graft.io.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("rev"))
+      .select(col("l_partkey"), round(col("rev") * 100).cast("long").as("cents"))
+    val (ranked, (cnt, total)) = graft.ext.Ranking.withRunningTotal(
+      spend, Seq(desc("cents"), col("l_partkey")), "cents")
+    val w = Window.orderBy(desc("cents"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = spend.withColumn("cum", sum("cents").over(w))
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(2)).toMap
+    val twoPass = ranked.collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(3)).toMap
+    assert(twoPass == windowed, "two-pass running total must equal the window")
+    assert(cnt == spend.count() && total == windowed.values.max)
+  }
+
   // --- streaming conversion timeouts --------------------------------
 
   test("conversion window boundary: exactly 30min converts, 30min+1us not") {
