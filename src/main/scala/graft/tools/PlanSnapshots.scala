@@ -34,7 +34,10 @@ object PlanSnapshots {
       "q104_pq_ann", "q111_ivfpq", "q115_quality_normalize",
       "q116_equidepth_histogram",
       // round 5 fourth wave: the suite's newest expensive query
-      "q124_repeated_spans")
+      "q124_repeated_spans",
+      // round 6: the pair self-join, the BFS composition, and the
+      // running-total primitive's consumer
+      "q135_association_rules", "q136_taint_bfs", "q148_pareto_cut")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
