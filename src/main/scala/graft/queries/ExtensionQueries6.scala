@@ -422,8 +422,12 @@ object ExtensionQueries6 {
     Q(
       "q135_association_rules",
       (s, dir) => {
+        // materialized ONCE: five downstream branches (pair self-join
+        // sides, item counts, order count) would otherwise each rescan
+        // the corpus and redo the distinct (plan audit: 10 parquet scans
+        // without this, 2 with it)
         val li = Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
+          .select("l_orderkey", "l_partkey").distinct().localCheckpoint()
         val nOrders = li.select("l_orderkey").distinct()
           .agg(count(lit(1)).as("n_orders"))
         val itemCnt = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
@@ -1077,6 +1081,151 @@ object ExtensionQueries6 {
              |  ${Rounding.duckSql("min(rank)::DOUBLE / max(n)")} AS part_share,
              |  ${Rounding.duckSql("min_by(cum, rank)::DOUBLE / max(total)")}
              |    AS revenue_share_at_cut
-             |FROM r WHERE cum * 10 >= total * 8""".stripMargin))
+             |FROM r WHERE cum * 10 >= total * 8""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q149: rolling 7-day distinct users — the trailing-window
+    // cardinality series (WAU over a sliding day grid), the batch twin
+    // of q140's per-window streaming distinct but with OVERLAPPING
+    // windows, where a plain windowed distinct can't work. Shape: dedup
+    // to (user, day) first (the corpus-size reducer), then each (user,
+    // day) EXPLODES into the ≤7 trailing grid days it serves —
+    // fanout × 7 on the already-deduped frame, never on raw events —
+    // then one distinct-count per grid day. Days where the trailing
+    // window reaches before the stream start are reported too (partial
+    // windows, standard WAU semantics).
+    Q(
+      "q149_rolling_distinct_users",
+      (s, dir) => {
+        val ud = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val bounds = ud.agg(min("day").as("d0"), max("day").as("d1"))
+        val served = ud.crossJoin(broadcast(bounds))
+          .select(col("user_id"), explode(sequence(col("day"),
+            least(date_add(col("day"), 6), col("d1")))).as("grid_day"))
+        served.groupBy("grid_day")
+          .agg(countDistinct("user_id").cast("long").as("wau"))
+          .orderBy("grid_day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |b AS (SELECT max(day) AS d1 FROM ud),
+             |served AS (
+             |  SELECT user_id, unnest(generate_series(day,
+             |    least(day + 6, (SELECT d1 FROM b)), INTERVAL 1 DAY))::DATE
+             |    AS grid_day
+             |  FROM ud)
+             |SELECT grid_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |FROM served
+             |GROUP BY 1
+             |ORDER BY grid_day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q150: source vocabulary overlap — exact pairwise Jaccard between
+    // every source pair's vocabularies (the corpus-audit "which slices
+    // say the same things" matrix; the exact small-domain complement to
+    // the MinHash estimate the dedup family uses per-document).
+    // Shape: one (source, word) distinct agg, vocabulary sizes as a
+    // source-count broadcast, intersections from a SELF-JOIN ON THE
+    // WORD (posting-list shape — pairs only meet where they share a
+    // word, never the sources² × vocab cross product), union by
+    // inclusion-exclusion.
+    Q(
+      "q150_source_vocab_overlap",
+      (s, dir) => {
+        val sw = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(Text.words(Text.clean(col("text")))).as("word"))
+          .distinct().localCheckpoint()
+        val sizes = sw.groupBy("source").agg(count(lit(1)).as("vocab"))
+        val inter = sw.select(col("source").as("sa"), col("word"))
+          .join(sw.select(col("source").as("sb"), col("word")), "word")
+          .where(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("sa"), col("vocab").as("va"))), "sa")
+          .join(broadcast(sizes.select(col("source").as("sb"), col("vocab").as("vb"))), "sb")
+          .select(col("sa"), col("sb"), col("common").cast("long").as("common"),
+            Rounding.stableRound6(col("common").cast("double") /
+              (col("va") + col("vb") - col("common"))).as("jaccard"))
+          .orderBy("sa", "sb")
+      },
+      Some(s"""WITH sw AS (
+             |  SELECT DISTINCT source, word FROM (
+             |    SELECT source, unnest(list_filter(string_split(
+             |      regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |      w -> w <> '')) AS word
+             |    FROM documents)),
+             |sizes AS (SELECT source, count(*) AS vocab FROM sw GROUP BY 1),
+             |inter AS (
+             |  SELECT a.source AS sa, b.source AS sb, count(*) AS common
+             |  FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT sa, sb, CAST(common AS BIGINT) AS common,
+             |  ${Rounding.duckSql("common::DOUBLE / (va.vocab + vb.vocab - common)")}
+             |    AS jaccard
+             |FROM inter
+             |JOIN sizes va ON va.source = sa
+             |JOIN sizes vb ON vb.source = sb
+             |ORDER BY sa, sb""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q151: mutual information of type × value-band — the information-
+    // theoretic complement to q141's chi-square over the SAME densified
+    // cell table: per-cell pointwise MI contribution
+    // p_ab · ln(p_ab / (p_a · p_b)) (zero-count cells contribute 0 by
+    // the 0·ln0 = 0 convention and are emitted with contrib 0 so the
+    // grid stays complete). All probabilities are integer-count ratios;
+    // the ln argument is ONE double division of integer products —
+    // bit-identical across engines.
+    Q(
+      "q151_mutual_information",
+      (s, dir) => {
+        val observed = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(col("value") / 100.0).cast("long").as("band"))
+          .agg(count(lit(1)).as("o"))
+        val cells = observed.select("event_type").distinct()
+          .crossJoin(observed.select("band").distinct())
+          .join(observed, Seq("event_type", "band"), "left")
+          .select(col("event_type"), col("band"),
+            coalesce(col("o"), lit(0L)).as("o"))
+        val byType = Window.partitionBy("event_type")
+        val byBand = Window.partitionBy("band")
+        val all = Window.partitionBy()
+        cells
+          .withColumn("rt", sum("o").over(byType))
+          .withColumn("ct", sum("o").over(byBand))
+          .withColumn("n", sum("o").over(all))
+          .select(col("event_type"), col("band"),
+            col("o").cast("long").as("observed"),
+            Rounding.stableRound6(when(col("o") === 0, lit(0.0)).otherwise(
+              (col("o").cast("double") / col("n")) *
+                log((col("o") * col("n")).cast("double")
+                  / (col("rt") * col("ct"))))).as("mi_contrib"))
+          .orderBy("event_type", "band")
+      },
+      Some(s"""WITH obs AS (
+             |  SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS band,
+             |    count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT t.event_type, b.band, coalesce(o.o, 0) AS o
+             |  FROM (SELECT DISTINCT event_type FROM obs) t
+             |  CROSS JOIN (SELECT DISTINCT band FROM obs) b
+             |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.band = b.band),
+             |m AS (
+             |  SELECT *,
+             |    sum(o) OVER (PARTITION BY event_type) AS rt,
+             |    sum(o) OVER (PARTITION BY band) AS ct,
+             |    sum(o) OVER () AS n
+             |  FROM cells)
+             |SELECT event_type, band, CAST(o AS BIGINT) AS observed,
+             |  ${Rounding.duckSql(
+                  "CASE WHEN o = 0 THEN 0.0::DOUBLE ELSE " +
+                    "(o::DOUBLE / n) * ln((o * n)::DOUBLE / (rt * ct)) END")}
+             |    AS mi_contrib
+             |FROM m
+             |ORDER BY event_type, band""".stripMargin))
   )
 }

@@ -332,6 +332,44 @@ class Extension6Spec extends SparkSpec {
     assert(cnt == spend.count() && total == windowed.values.max)
   }
 
+  // --- rolling distinct / vocab overlap / MI ------------------------
+
+  test("rolling 7-day distinct: bounded by daily and total uniques") {
+    val wau = SparkEntry.queries("q149_rolling_distinct_users")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val e = graft.io.Tables.load(spark, sf, "events")
+    val totalUsers = e.select("user_id").distinct().count()
+    val daily = e.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().groupBy("day").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(wau.nonEmpty && wau.keySet == daily.keySet)
+    wau.foreach { case (day, n) =>
+      assert(n >= daily(day), s"$day: WAU $n < daily ${daily(day)}")
+      assert(n <= totalUsers)
+    }
+  }
+
+  test("vocab overlap: all source pairs present, jaccard in (0, 1]") {
+    val out = SparkEntry.queries("q150_source_vocab_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length == 190, s"expected C(20,2)=190 pairs, got ${out.length}")
+    out.foreach { case (sa, sb, common, j) =>
+      assert(sa < sb && common > 0 && j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("mutual information: total MI is non-negative, grid complete") {
+    val out = SparkEntry.queries("q151_mutual_information")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val types = out.map(_._1).distinct.length
+    val bands = out.map(_._2).distinct.length
+    assert(out.length == types * bands, "cell grid must be complete")
+    val mi = out.map(_._4).sum
+    assert(mi >= -1e-9, s"total MI $mi must be non-negative")
+  }
+
   // --- streaming conversion timeouts --------------------------------
 
   test("conversion window boundary: exactly 30min converts, 30min+1us not") {
