@@ -1226,6 +1226,158 @@ object ExtensionQueries6 {
                     "(o::DOUBLE / n) * ln((o * n)::DOUBLE / (rt * ct)) END")}
              |    AS mi_contrib
              |FROM m
-             |ORDER BY event_type, band""".stripMargin))
+             |ORDER BY event_type, band""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q152: local clustering coefficient — per-node triangle density
+    // over the near-dup graph (2·tri / deg·(deg−1)): distinguishes
+    // tight duplicate CLIQUES (template families, lcc→1) from hub-and-
+    // spoke near-dup patterns (one canonical + many partial copies,
+    // lcc→0) — which of the two a cluster is changes the right dedup
+    // action. Triangle counting is the standard two-join shape: neighbor
+    // pairs (b < c kills double-count) probed against the edge list;
+    // all joins keyed on node ids, counts exact integers, lcc one
+    // double division.
+    Q(
+      "q152_clustering_coefficient",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", 0.5)
+          .select(col("da"), col("db"))
+        val e = pairs.unionAll(
+            pairs.select(col("db").as("da"), col("da").as("db")))
+          .toDF("src", "dst").localCheckpoint()
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.src") === col("e2.src")
+            && col("e2.dst") > col("e1.dst"))
+          .join(e.as("e3"), col("e3.src") === col("e1.dst")
+            && col("e3.dst") === col("e2.dst"))
+          .groupBy(col("e1.src").as("src"))
+          .agg(count(lit(1)).as("tri"))
+        deg.join(tri, Seq("src"), "left")
+          .select(col("src").as("doc_id"), col("deg").cast("long").as("degree"),
+            coalesce(col("tri"), lit(0L)).cast("long").as("triangles"),
+            Rounding.stableRound6(when(col("deg") < 2, lit(0.0)).otherwise(
+              (coalesce(col("tri"), lit(0L)) * 2).cast("double")
+                / (col("deg") * (col("deg") - 1)))).as("lcc"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pairs AS (
+             |${ExtensionQueries.NearDupPairsOracle}
+             |),
+             |edges AS (SELECT da AS src, db AS dst FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+             |tri AS (
+             |  SELECT e1.src AS src, count(*) AS tri
+             |  FROM edges e1
+             |  JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+             |  JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+             |  GROUP BY 1)
+             |SELECT d.src AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+             |  CAST(coalesce(t.tri, 0) AS BIGINT) AS triangles,
+             |  ${Rounding.duckSql(
+                  "CASE WHEN d.deg < 2 THEN 0.0::DOUBLE ELSE " +
+                    "(coalesce(t.tri, 0) * 2)::DOUBLE / (d.deg * (d.deg - 1)) END")}
+             |    AS lcc
+             |FROM deg d LEFT JOIN tri t ON t.src = d.src
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q153: incremental aggregate maintenance — the production ETL
+    // pattern: a per-(day, type) aggregate table built from the base
+    // slice is MERGED with a late-arriving delta batch's partials
+    // (full outer join + component-wise combine) instead of recomputing
+    // the base. Works because (count, sum) are mergeable state — the
+    // same algebra behind map-side partials and the q61/q134 sketches.
+    // The gate proves merged(base, delta) == full recompute (the oracle
+    // aggregates everything at once): the equality IS the correctness
+    // claim for incremental pipelines.
+    Q(
+      "q153_incremental_agg_merge",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val cutoff = lit("2024-01-22").cast("timestamp_ntz")
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        val base = partial(e.where(col("ts") < cutoff))
+        val delta = partial(e.where(col("ts") >= cutoff))
+        base.as("b").join(delta.as("d"),
+            col("b.day") === col("d.day")
+              && col("b.event_type") === col("d.event_type"), "full_outer")
+          .select(
+            coalesce(col("b.day"), col("d.day")).as("day"),
+            coalesce(col("b.event_type"), col("d.event_type")).as("event_type"),
+            (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+              .cast("long").as("n"),
+            round(coalesce(col("b.s"), lit(0.0)) + coalesce(col("d.s"), lit(0.0)), 2)
+              .as("sum_value"))
+          .orderBy("day", "event_type")
+      },
+      // the oracle is the FULL recompute — merged partials must equal it
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY day, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q154: telemetry debounce — drop events repeating the same (user,
+    // type) within 5 minutes of the previously KEPT event (burst
+    // collapse: retry storms, double-clicks, crash loops — the standard
+    // telemetry-volume reducer). NOTE the kept-anchor semantics: a chain
+    // of events 4 minutes apart collapses to its FIRST event only if
+    // each is within 5 min of the last KEPT one — the lag()-vs-previous
+    // row rule would re-anchor at every dropped event. That running
+    // "last kept" is a per-key sequential fold: aggregate() HOF over the
+    // event-time-sorted list (q105's EWMA shape — parallel across keys,
+    // fold within key, per-key state bounded by per-user activity).
+    Q(
+      "q154_debounce",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val kept = e.groupBy("user_id", "event_type")
+          .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"))))
+            .as("evs"))
+          .select(col("user_id"), col("event_type"),
+            explode(expr(
+              // fold: keep an event iff ts - lastKept > 300s; seed with
+              // the first event (always kept)
+              "aggregate(slice(evs, 2, size(evs) - 1), " +
+                "struct(evs[0].ts_us AS last, array(evs[0].event_id) AS ids), " +
+                "(acc, x) -> IF(x.ts_us - acc.last > 300000000L, " +
+                "struct(x.ts_us AS last, array_append(acc.ids, x.event_id) AS ids), " +
+                "acc), acc -> acc.ids)")).as("event_id"))
+        kept.orderBy("event_id")
+      },
+      // NOT list_reduce: DuckDB 1.0.0's list_reduce corrupts a
+      // struct-with-list accumulator across steps (concat applies once,
+      // then prior ids vanish — reproduced on literals); the recursive
+      // CTE walks each group's event sequence with scalar state instead,
+      // recursion depth = max events per (user, type)
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY epoch_us(ts), event_id) AS idx
+             |  FROM events),
+             |walk AS (
+             |  SELECT user_id, event_type, idx, t AS last_kept,
+             |    true AS kept, event_id
+             |  FROM ev WHERE idx = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.event_type, e.idx,
+             |    CASE WHEN e.t - w.last_kept > 300000000
+             |      THEN e.t ELSE w.last_kept END,
+             |    e.t - w.last_kept > 300000000,
+             |    e.event_id
+             |  FROM walk w JOIN ev e ON e.user_id = w.user_id
+             |    AND e.event_type = w.event_type AND e.idx = w.idx + 1)
+             |SELECT user_id, event_type, event_id FROM walk WHERE kept
+             |ORDER BY event_id""".stripMargin))
   )
 }

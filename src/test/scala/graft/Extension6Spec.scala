@@ -370,6 +370,53 @@ class Extension6Spec extends SparkSpec {
     assert(mi >= -1e-9, s"total MI $mi must be non-negative")
   }
 
+  // --- clustering coefficient / incremental merge / debounce --------
+
+  test("clustering coefficient: bounded and consistent with degree") {
+    val out = SparkEntry.queries("q152_clustering_coefficient")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, deg, tri, lcc) =>
+      assert(deg >= 1)
+      assert(tri <= deg * (deg - 1) / 2, "triangles exceed neighbor pairs")
+      assert(lcc >= 0.0 && lcc <= 1.0)
+      if (deg < 2) assert(lcc == 0.0 && tri == 0)
+    }
+  }
+
+  test("incremental merge equals the full recompute") {
+    val merged = SparkEntry.queries("q153_incremental_agg_merge")(spark, sf)
+      .collect().map(r => (r.get(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val full = graft.io.Tables.load(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"), round(sum("value"), 2).as("s"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(merged == full, "merged partials must equal the full recompute")
+  }
+
+  test("debounce keeps the kept-anchor rule, not the lag rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_debounce")
+    val t0 = 1704067200L * 1000000L // micros
+    def ns(offsetUs: Long) = (t0 + offsetUs) * 1000L
+    // chain 4 min apart: kept-anchor keeps {0, +8min}; the lag rule
+    // would keep only the first (every event within 5 min of its
+    // predecessor)
+    Seq(
+      (0L, ns(0L), 7L, "view", 1.0, "{}"),
+      (1L, ns(240000000L), 7L, "view", 1.0, "{}"), // +4min: dropped
+      (2L, ns(480000000L), 7L, "view", 1.0, "{}"), // +8min: KEPT
+      (3L, ns(720000000L), 7L, "view", 1.0, "{}")) // +12min: dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val kept = SparkEntry.queries("q154_debounce")(spark, dir.toString)
+      .collect().map(_.getLong(2)).toSet
+    assert(kept == Set(0L, 2L), s"got $kept")
+  }
+
   // --- streaming conversion timeouts --------------------------------
 
   test("conversion window boundary: exactly 30min converts, 30min+1us not") {
