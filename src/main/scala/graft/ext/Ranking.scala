@@ -73,6 +73,11 @@ object Ranking {
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
                        partitions: Int = 32): (DataFrame, (Long, Long)) = {
     require(sortCols.nonEmpty, "sortCols must not be empty")
+    val vField = df.schema(valueCol) // throws with the column name if absent
+    require(vField.dataType == LongType,
+      s"withRunningTotal is LONG-only (integer prefix sums are exact; " +
+        s"sum cents/tokens/counts, never raw doubles) — '$valueCol' is " +
+        s"${vField.dataType.simpleString}")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

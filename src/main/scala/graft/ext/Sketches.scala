@@ -60,6 +60,9 @@ object Sketches {
   def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
                                 valueCol: String, binWidth: Double,
                                 qs: Seq[Double]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got ${qs.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
     val bins = df

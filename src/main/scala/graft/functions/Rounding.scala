@@ -21,9 +21,28 @@ import org.apache.spark.sql.functions._
   * any boundary (see graft.queries.Q).
   */
 object Rounding {
-  def stableRound6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  def stableRound6(c: Column): Column = stableRound(c, 6)
 
-  def duckSql(expr: String): String =
-    s"floor(($expr) * 1000000 + 0.5) / 1000000"
+  def duckSql(expr: String): String = duckSql(expr, 6)
+
+  /** [[stableRound6]] at an arbitrary decimal scale (1 ≤ scale ≤ 9) —
+    * same both-engines-run-identical-IEEE-ops guarantee. Use for
+    * averages and other arbitrary rationals whose true value has no
+    * grid-distance argument (r7 money audit: q01's avg columns, q17's
+    * sum/7.0); k-decimal-exact sums keep plain `round(sum, k)`. */
+  def stableRound(c: Column, scale: Int): Column = {
+    val p = pow10(scale)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** DuckDB replay of [[stableRound]] — textually the same arithmetic. */
+  def duckSql(expr: String, scale: Int): String = {
+    val p = pow10(scale).toLong
+    s"floor(($expr) * $p + 0.5) / $p"
+  }
+
+  private def pow10(scale: Int): Double = {
+    require(scale >= 1 && scale <= 9, s"scale must be in [1, 9], got $scale")
+    math.pow(10.0, scale.toDouble)
+  }
 }

@@ -1260,9 +1260,14 @@ object ExtensionQueries {
               .as("m"))
           .select(col("event_type"), explode(col("m")).as(Seq("metric", "v")))
           .groupBy("event_type", "metric")
-          .agg(round(sum("v"), 2).as("total"), count(lit(1)).cast("long").as("n"))
+          // round at 4, the finest decimal scale among the map entries:
+          // value_sq is EXACT 4-decimal data (2-dec squared), so
+          // round(sum, 2) would sit the true total on a .005 boundary —
+          // the q148 instability class; at 4 the true total is a grid
+          // point half a 1e-4 unit from any boundary (r7 money audit)
+          .agg(round(sum("v"), 4).as("total"), count(lit(1)).cast("long").as("n"))
           .orderBy("event_type", "metric"),
-      Some("""SELECT event_type, metric, round(sum(v), 2) AS total,
+      Some("""SELECT event_type, metric, round(sum(v), 4) AS total,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM (
              |  SELECT event_type, 'value' AS metric, value AS v FROM events

@@ -406,28 +406,41 @@ object ExtensionQueries3 {
     // q105: per-key EWMA (α = 1/2) — the time-series smoothing op
     // (monitoring baselines, engagement decay scores). EWMA is an
     // inherently sequential fold, so the scalable shape is fold-WITHIN-
-    // key, parallel-ACROSS-keys: one shuffle to the key, an ordered
-    // collect per key (bounded by per-user history, the same bound the
-    // window ops already carry), then the `aggregate` HOF folds in event
-    // order. α = 1/2 makes every step exact-halving double arithmetic;
-    // seed = first element and fold over the rest, which is precisely
-    // DuckDB's list_reduce semantics — identical op sequence both
-    // engines, round6 as belt-and-braces.
+    // key, parallel-ACROSS-keys. Round 6 used collect_list + the
+    // aggregate() HOF, which buffers a key's whole history in one
+    // aggregation buffer before folding — per-key state bounded only by
+    // per-key activity, i.e. unbounded for a hot key. Now it streams
+    // through ext.Folds.streamingKeyFold (hash-partition on user,
+    // spill-backed secondary sort by (ts, event_id), O(1) fold state per
+    // key) — the q154 machinery; FoldsSpec pins the hot-key bound.
+    // α = 1/2 keeps every step exact-halving double arithmetic, the
+    // identical op sequence DuckDB's list_reduce executes; the Scala
+    // fold runs the same doubles, round6 as belt-and-braces (the
+    // floor(x·1e6+0.5)/1e6 sequence, Rounding.stableRound6's contract).
     Q(
       "q105_ewma",
-      (s, dir) =>
-        Tables.load(s, dir, "events")
-          .groupBy("user_id")
-          .agg(count(lit(1)).cast("long").as("n_events"),
-            sort_array(collect_list(struct(col("ts"), col("event_id"),
-              col("value")))).as("seq"))
-          .withColumn("vals", expr("transform(seq, x -> x.value)"))
-          .select(col("user_id"), col("n_events"),
-            Rounding.stableRound6(expr(
-              "aggregate(slice(vals, 2, size(vals) - 1), " +
-                "element_at(vals, 1), (acc, x) -> acc * 0.5D + x * 0.5D)"))
-              .as("ewma_value"))
-          .orderBy("user_id"),
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+        val out = StructType(Seq(
+          StructField("user_id", LongType), StructField("n_events", LongType),
+          StructField("ewma_value", DoubleType)))
+        graft.ext.Folds.streamingKeyFold[(Long, Double)](
+          e, Seq("user_id"), Seq(col("ts"), col("event_id")), out,
+          init = () => (0L, 0.0),
+          step = { case ((n, acc), r) =>
+            val v = r.getDouble(1)
+            val acc2 = if (n == 0L) v else acc * 0.5 + v * 0.5
+            ((n + 1, acc2), Nil)
+          },
+          flush = { case ((n, acc), key) =>
+            Seq(Row(key.head, n,
+              math.floor(acc * 1000000.0 + 0.5) / 1000000.0))
+          }
+        ).orderBy("user_id")
+      },
       Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
              |  ${Rounding.duckSql(
                   "list_reduce(list(value ORDER BY ts, event_id), " +

@@ -39,7 +39,15 @@ object ExtensionQueries6 {
              |  "mapper_file" : "mapper_word_count.py",
              |  "reducer_file" : "reducer_word_count.py"
              |}""".stripMargin)
-        graft.api.JobConfig.run(s, cfg.toString).orderBy("word")
+        // JobConfig.run parses the spec eagerly (plain-Java read), so the
+        // temp dir can go as soon as it returns — repeated verify/bench
+        // runs must not leak a graft_jobspec dir per invocation
+        try graft.api.JobConfig.run(s, cfg.toString).orderBy("word")
+        finally {
+          java.nio.file.Files.deleteIfExists(cfg)
+          java.nio.file.Files.deleteIfExists(dir)
+          ()
+        }
       },
       Some(s"""SELECT word, count(*) AS cnt FROM (
              |  SELECT unnest(string_split_regex(
@@ -686,39 +694,52 @@ object ExtensionQueries6 {
     // range-partition two-pass rank — NO single-partition window
     // anywhere (the q115/q116 machinery; a Window.orderBy here would
     // serialize the corpus through one task). Per-customer spend is
-    // round2 (exact 2-decimal sums) so the (spend, custkey) total order
-    // — and therefore every rank — is engine-invariant; the oracle uses
-    // DuckDB's window rank over the same order.
+    // minted as exact integer CENTS at the row (o_totalprice is
+    // 2-decimal data; round(·100) recovers the exact integer) and every
+    // sum — per-customer, Σ rank·spend, Σ spend — is integer
+    // arithmetic, so no distributed double accumulation exists anywhere
+    // and the result is order-invariant by construction (round-6 ADVICE:
+    // the old sum(rank·double) depended on accumulation order). The
+    // rank·cents product runs as decimal(38,0) so it cannot overflow
+    // LONG even at 1e9 customers; DuckDB mirrors with HUGEINT.
     Q(
       "q142_gini_concentration",
       (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(19, 0)
         val spend = Tables.load(s, dir, "orders")
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("c"))
           .groupBy("o_custkey")
-          .agg(round(sum("o_totalprice"), 2).as("spend"))
+          .agg(sum("c").as("cents"))
         val (ranked, n) = graft.ext.Ranking.withGlobalRankAndCount(
-          spend, Seq(col("spend"), col("o_custkey")))
+          spend, Seq(col("cents"), col("o_custkey")))
         val nD = lit(n.toDouble)
         ranked
-          .agg(sum(col("global_rank") * col("spend")).as("s1"),
-            sum("spend").as("tot"))
+          .agg(sum(col("global_rank").cast(dec) * col("cents").cast(dec))
+              .as("s1"),
+            sum("cents").as("tot"))
           .select(lit(n).as("n_customers"),
-            round(col("tot"), 2).as("total_spend"),
+            (col("tot") / 100.0).as("total_spend"),
             Rounding.stableRound6(
-              lit(2.0) * col("s1") / (nD * col("tot"))
+              lit(2.0) * col("s1").cast("double")
+                / (nD * col("tot").cast("double"))
                 - (nD + lit(1.0)) / nD).as("gini"))
       },
       Some(s"""WITH spend AS (
-             |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
              |  FROM orders GROUP BY 1),
              |ranked AS (
-             |  SELECT spend,
-             |    row_number() OVER (ORDER BY spend, o_custkey) AS global_rank,
+             |  SELECT cents,
+             |    row_number() OVER (ORDER BY cents, o_custkey) AS global_rank,
              |    count(*) OVER () AS n
              |  FROM spend)
              |SELECT CAST(n AS BIGINT) AS n_customers,
-             |  round(sum(spend), 2) AS total_spend,
+             |  sum(cents) / 100.0 AS total_spend,
              |  ${Rounding.duckSql(
-                  "2.0::DOUBLE * sum(global_rank * spend) / (n::DOUBLE * sum(spend))" +
+                  "2.0::DOUBLE * sum(global_rank::HUGEINT * cents)::DOUBLE" +
+                    " / (n::DOUBLE * sum(cents)::DOUBLE)" +
                     " - (n::DOUBLE + 1.0::DOUBLE) / n::DOUBLE")} AS gini
              |FROM ranked
              |GROUP BY n
@@ -1034,27 +1055,35 @@ object ExtensionQueries6 {
     // behind coverage curves and data-pruning score cuts). The
     // cumulative needs a running total in a GLOBAL order: computed with
     // ext.Ranking.withRunningTotal — range-partition two-pass prefix
-    // sum, NO single-partition window. Revenue runs as integer CENTS so
-    // the prefix sums are associative and exactly equal the oracle's
-    // sequential window fold (doubles would drift at partition
-    // boundaries); the cut predicate cum·10 ≥ total·8 is exact integer
-    // arithmetic.
+    // sum, NO single-partition window. Revenue is minted as exact
+    // integer units AT THE ROW, before any sum: l_extendedprice and
+    // l_discount are 2-decimal data, so round(px·100) and round(disc·100)
+    // each recover an exact integer (the true value sits ~1 ulp from the
+    // integer, never near .5), and px_cents · (100 − disc_pct) is the
+    // row's revenue in hundredths-of-cents — an exact LONG. Every
+    // downstream sum/prefix/cut is then associative integer arithmetic,
+    // immune to the round(sum(double),2) half-cent instability where
+    // Spark (BigDecimal HALF_UP on the binary value) and DuckDB
+    // (fp multiply-then-round) disagree — the r6 red. Division back to
+    // dollars happens ONCE, in the display projection, as the identical
+    // IEEE long→double / 10000.0 in both engines.
     Q(
       "q148_pareto_cut",
       (s, dir) => {
         val spend = Tables.load(s, dir, "lineitem")
-          .groupBy("l_partkey")
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("rev"))
           .select(col("l_partkey"),
-            round(col("rev") * 100).cast("long").as("cents"))
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("u"))
+          .groupBy("l_partkey")
+          .agg(sum("u").as("cents")) // hundredths-of-cents, exact LONG
         val (ranked, (n, total)) = graft.ext.Ranking.withRunningTotal(
           spend, Seq(desc("cents"), col("l_partkey")), "cents")
         ranked.where(col("running_total") * 10 >= lit(total) * 8)
           .agg(min("global_rank").as("k"),
             min_by(col("running_total"), col("global_rank")).as("cum_at_k"))
           .select(lit(n).as("n_parts"),
-            round(lit(total) / 100.0, 2).as("total_revenue"),
+            (lit(total) / 10000.0).as("total_revenue"),
             col("k").as("parts_for_80pct"),
             Rounding.stableRound6(col("k").cast("double") / lit(n.toDouble))
               .as("part_share"),
@@ -1064,19 +1093,19 @@ object ExtensionQueries6 {
       },
       Some(s"""WITH spend AS (
              |  SELECT l_partkey,
-             |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             |      AS cents
              |  FROM lineitem GROUP BY 1),
-             |c AS (SELECT l_partkey, CAST(round(rev * 100) AS BIGINT) AS cents
-             |      FROM spend),
              |r AS (
              |  SELECT *,
              |    row_number() OVER (ORDER BY cents DESC, l_partkey) AS rank,
              |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
              |    sum(cents) OVER () AS total, count(*) OVER () AS n
-             |  FROM c)
+             |  FROM spend)
              |SELECT CAST(max(n) AS BIGINT) AS n_parts,
-             |  round(max(total) / 100.0, 2) AS total_revenue,
+             |  max(total) / 10000.0 AS total_revenue,
              |  CAST(min(rank) AS BIGINT) AS parts_for_80pct,
              |  ${Rounding.duckSql("min(rank)::DOUBLE / max(n)")} AS part_share,
              |  ${Rounding.duckSql("min_by(cum, rank)::DOUBLE / max(total)")}
@@ -1234,10 +1263,18 @@ object ExtensionQueries6 {
     // tight duplicate CLIQUES (template families, lcc→1) from hub-and-
     // spoke near-dup patterns (one canonical + many partial copies,
     // lcc→0) — which of the two a cluster is changes the right dedup
-    // action. Triangle counting is the standard two-join shape: neighbor
-    // pairs (b < c kills double-count) probed against the edge list;
-    // all joins keyed on node ids, counts exact integers, lcc one
-    // double division.
+    // action. Round 6 enumerated wedges at EVERY vertex (deg² rows per
+    // node) — a hub-skew bomb for exactly the hub-and-spoke graphs this
+    // query detects (one 100k-degree hub ⇒ 5·10⁹ wedge rows). Now it
+    // uses q73's degree-oriented discipline, extended to PER-VERTEX
+    // counts (ext.Graph.localTriangleCounts): orient each edge from its
+    // lower (deg, id) endpoint, so every triangle is enumerated exactly
+    // once, from its lowest-degree corner (oriented out-degree is O(√m);
+    // wedge work drops from Σdeg² to O(m^{3/2})), then distribute one +1
+    // credit to each of the three corners via a union and count per
+    // vertex. A 100k-spoke hub has oriented OUT-degree ~0 (all its edges
+    // point AT it) and generates no wedges at all — GraphSpec pins a
+    // 1k-spoke hub fixture.
     Q(
       "q152_clustering_coefficient",
       (s, dir) => {
@@ -1246,20 +1283,12 @@ object ExtensionQueries6 {
           .select(col("da"), col("db"))
         val e = pairs.unionAll(
             pairs.select(col("db").as("da"), col("da").as("db")))
-          .toDF("src", "dst").localCheckpoint()
-        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        val tri = e.as("e1")
-          .join(e.as("e2"), col("e1.src") === col("e2.src")
-            && col("e2.dst") > col("e1.dst"))
-          .join(e.as("e3"), col("e3.src") === col("e1.dst")
-            && col("e3.dst") === col("e2.dst"))
-          .groupBy(col("e1.src").as("src"))
-          .agg(count(lit(1)).as("tri"))
-        deg.join(tri, Seq("src"), "left")
-          .select(col("src").as("doc_id"), col("deg").cast("long").as("degree"),
-            coalesce(col("tri"), lit(0L)).cast("long").as("triangles"),
+          .toDF("src", "dst")
+        graft.ext.Graph.localTriangleCounts(e)
+          .select(col("v").as("doc_id"), col("deg").as("degree"),
+            col("tri").as("triangles"),
             Rounding.stableRound6(when(col("deg") < 2, lit(0.0)).otherwise(
-              (coalesce(col("tri"), lit(0L)) * 2).cast("double")
+              (col("tri") * 2).cast("double")
                 / (col("deg") * (col("deg") - 1)))).as("lcc"))
           .orderBy("doc_id")
       },
@@ -1293,15 +1322,22 @@ object ExtensionQueries6 {
     // same algebra behind map-side partials and the q61/q134 sketches.
     // The gate proves merged(base, delta) == full recompute (the oracle
     // aggregates everything at once): the equality IS the correctness
-    // claim for incremental pipelines.
+    // claim for incremental pipelines. For that equality to hold BY
+    // CONSTRUCTION (not by rounding luck), the summed measure is minted
+    // as exact integer CENTS at the row (value is 2-decimal data):
+    // (ΣA)+(ΣB) == Σ(A∪B) is exact for LONGs, while the r6 shape
+    // round(doubleA + doubleB, 2) vs round(doubleFull, 2) could flip a
+    // cent on a .005 boundary (round-6 ADVICE). Cents → dollars happens
+    // once, in the display projection, as the identical IEEE /100.0.
     Q(
       "q153_incremental_agg_merge",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
+          .withColumn("c", round(col("value") * 100).cast("long"))
         val cutoff = lit("2024-01-22").cast("timestamp_ntz")
         def partial(df: org.apache.spark.sql.DataFrame) = df
           .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum("value").as("s"))
+          .agg(count(lit(1)).as("n"), sum("c").as("s"))
         val base = partial(e.where(col("ts") < cutoff))
         val delta = partial(e.where(col("ts") >= cutoff))
         base.as("b").join(delta.as("d"),
@@ -1312,14 +1348,14 @@ object ExtensionQueries6 {
             coalesce(col("b.event_type"), col("d.event_type")).as("event_type"),
             (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
               .cast("long").as("n"),
-            round(coalesce(col("b.s"), lit(0.0)) + coalesce(col("d.s"), lit(0.0)), 2)
-              .as("sum_value"))
+            ((coalesce(col("b.s"), lit(0L)) + coalesce(col("d.s"), lit(0L)))
+              / 100.0).as("sum_value"))
           .orderBy("day", "event_type")
       },
       // the oracle is the FULL recompute — merged partials must equal it
       Some("""SELECT CAST(ts AS DATE) AS day, event_type,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(value), 2) AS sum_value
+             |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
              |FROM events
              |GROUP BY 1, 2
              |ORDER BY day, event_type""".stripMargin)),
@@ -1332,28 +1368,37 @@ object ExtensionQueries6 {
     // of events 4 minutes apart collapses to its FIRST event only if
     // each is within 5 min of the last KEPT one — the lag()-vs-previous
     // row rule would re-anchor at every dropped event. That running
-    // "last kept" is a per-key sequential fold: aggregate() HOF over the
-    // event-time-sorted list (q105's EWMA shape — parallel across keys,
-    // fold within key, per-key state bounded by per-user activity).
+    // "last kept" is a per-key sequential fold, and — precisely because
+    // debounce EXISTS for crash loops and retry storms — the adversarial
+    // key has millions of events, so the r6 collect_list shape (whole
+    // key history in one aggregation buffer) was its own scale hazard.
+    // Now ext.Folds.streamingKeyFold: hash-partition on the key,
+    // spill-backed secondary sort, one streamed pass with O(1) state
+    // (the last-kept timestamp) per key. FoldsSpec pins the 100k-event
+    // crash-loop key the old shape would have buffered.
     Q(
       "q154_debounce",
       (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
         val e = Tables.load(s, dir, "events")
           .select(col("user_id"), col("event_type"), col("event_id"),
             unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-        val kept = e.groupBy("user_id", "event_type")
-          .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"))))
-            .as("evs"))
-          .select(col("user_id"), col("event_type"),
-            explode(expr(
-              // fold: keep an event iff ts - lastKept > 300s; seed with
-              // the first event (always kept)
-              "aggregate(slice(evs, 2, size(evs) - 1), " +
-                "struct(evs[0].ts_us AS last, array(evs[0].event_id) AS ids), " +
-                "(acc, x) -> IF(x.ts_us - acc.last > 300000000L, " +
-                "struct(x.ts_us AS last, array_append(acc.ids, x.event_id) AS ids), " +
-                "acc), acc -> acc.ids)")).as("event_id"))
-        kept.orderBy("event_id")
+        val out = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("event_id", LongType)))
+        graft.ext.Folds.streamingKeyFold[Long](
+          e, Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")),
+          out,
+          init = () => Long.MinValue, // no kept event yet: first is kept
+          step = (lastKept, r) => {
+            val ts = r.getLong(3)
+            if (lastKept == Long.MinValue || ts - lastKept > 300000000L)
+              (ts, Seq(Row(r.getLong(0), r.getString(1), r.getLong(2))))
+            else (lastKept, Nil)
+          },
+          flush = (_, _) => Nil
+        ).orderBy("event_id")
       },
       // NOT list_reduce: DuckDB 1.0.0's list_reduce corrupts a
       // struct-with-list accumulator across steps (concat applies once,

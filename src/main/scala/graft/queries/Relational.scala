@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Rounding
 import graft.io.Tables
 
 /** The relational operator surface (SURVEY.md §2b): scans, filter/project
@@ -45,18 +46,32 @@ object Relational {
               .as("sum_disc_price"),
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
               * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
-            round(avg("l_quantity"), 4).as("avg_qty"),
-            round(avg("l_extendedprice"), 4).as("avg_price"),
+            // r7 money audit: the avg columns are arbitrary rationals
+            // (sum/count), where round() itself is the cross-engine
+            // hazard — and avg(2-dec price) also accumulates doubles in
+            // engine-specific order UPSTREAM of the rounding. avg_qty's
+            // numerator is a sum of integral doubles (exact, order-free);
+            // avg_price's is re-minted as exact integer cents; both then
+            // divide and stableRound — every op bit-identical by
+            // construction in both engines.
+            Rounding.stableRound(sum("l_quantity") / count(lit(1)), 4)
+              .as("avg_qty"),
+            Rounding.stableRound(
+              sum(round(col("l_extendedprice") * 100).cast("long"))
+                .cast("double") / (count(lit(1)) * 100).cast("double"), 4)
+              .as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
-      Some("""SELECT l_returnflag, l_linestatus,
+      Some(s"""SELECT l_returnflag, l_linestatus,
              |  sum(l_quantity) AS sum_qty,
              |  round(sum(l_extendedprice), 2) AS sum_base_price,
              |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
              |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-             |  round(avg(l_quantity), 4) AS avg_qty,
-             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  ${Rounding.duckSql("sum(l_quantity) / count(*)", 4)} AS avg_qty,
+             |  ${Rounding.duckSql(
+                  "sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE" +
+                    " / (count(*) * 100)", 4)} AS avg_price,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -396,9 +411,18 @@ object Relational {
         li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
           .join(avgQ, li("l_partkey") === avgQ("ap_partkey"))
           .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-          .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+          // r7 money audit: sum/7.0 is an arbitrary rational — mint the
+          // numerator as exact integer cents (order-free LONG sum), keep
+          // the division + stableRound identical in both engines. The
+          // avg_qty filter threshold is already exact: integral-double
+          // sums divide identically engine-to-engine.
+          .agg(Rounding.stableRound(
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .cast("double") / 700.0, 4).as("avg_yearly"))
       },
-      Some("""SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      Some(s"""SELECT ${Rounding.duckSql(
+                "sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 700.0",
+                4)} AS avg_yearly
              |FROM lineitem, part
              |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
              |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)

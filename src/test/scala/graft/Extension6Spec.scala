@@ -390,8 +390,9 @@ class Extension6Spec extends SparkSpec {
       .collect().map(r => (r.get(0).toString, r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     val full = graft.io.Tables.load(spark, sf, "events")
+      .withColumn("c", round(col("value") * 100).cast("long"))
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).cast("long").as("n"), round(sum("value"), 2).as("s"))
+      .agg(count(lit(1)).cast("long").as("n"), (sum("c") / 100.0).as("s"))
       .collect().map(r => (r.get(0).toString, r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     assert(merged == full, "merged partials must equal the full recompute")

@@ -6,9 +6,13 @@ Dev tooling only (not part of the Scala library). Usage:
 Reads outDir/<name>/ parquet (written by graft.Verify) and outDir/
 oracle_sql.json, runs each SQL in DuckDB with the sf tables registered as
 views, and compares canonically: columns sorted by name, rows sorted, floats
-compared at 10 significant digits (tight enough that a value wrong by more
-than last-ulp accumulation fails; the engine's Rounding discipline makes
-matching outputs bit-identical anyway).
+compared by EXACT shortest round-trip repr — bit-identical or FAIL, the same
+bar the driver's hash applies. (Round 6 proved any tolerance here is a
+fidelity hole: a 10-sig-digit compare rendered Spark's 3024008727.84 and
+DuckDB's 3024008727.81 both as "3024008728", so q148 passed locally and
+failed the driver. The engine's Rounding/integer-cents discipline is
+supposed to make outputs bit-identical; the local gate now checks exactly
+that claim.)
 
 Driver fidelity: the driver canonicalizes through pandas, where DuckDB
 HUGEINT (e.g. sum() over integers) becomes float64 and hashes `123.0`
@@ -33,8 +37,8 @@ def canon(rel):
     ALL columns. The sort_values call is the fidelity point — array-typed
     cells (numpy.ndarray) crash pandas' lexsort exactly like they crash
     the driver (round-5 q112), so an unsortable output fails HERE first.
-    After the pandas sort we normalize values for the float-tolerant
-    compare (10 significant digits)."""
+    After the pandas sort we normalize values for the bit-exact compare
+    (shortest round-trip float repr)."""
     df = rel.df()
     cols = sorted(df.columns)
     df = df[cols]
@@ -47,7 +51,7 @@ def canon(rel):
         if isinstance(v, (float, np.floating)):
             if math.isnan(v):
                 return "nan"
-            return f"{float(v):.10g}"
+            return repr(float(v))
         if isinstance(v, (int, np.integer)):
             return repr(int(v))
         if isinstance(v, np.ndarray):
