@@ -26,6 +26,7 @@ object StreamingQueries {
   private val slideRunId = new AtomicInteger(0)
   private val convRunId = new AtomicInteger(0)
   private val dauRunId = new AtomicInteger(0)
+  private val rateRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -661,6 +662,79 @@ object StreamingQueries {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
              |FROM events
              |GROUP BY 1, 2
-             |ORDER BY day, event_type""".stripMargin))
+             |ORDER BY day, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q167: streaming token-bucket rate limiting — q160's batch
+    // semantics as a continuous stateful operator (EventStreams
+    // .rateLimit): per-user bucket of 3, one token per 10 min, events
+    // decided in (ts, id) order only once the watermark proves nothing
+    // can precede them. Pending state is watermark-horizon-bounded (2 h
+    // of one key), the carried fold state is two longs — the streaming
+    // twin of the Folds secondary-sort shape, under RocksDB state.
+    // Oracle = q160's integer recursive-CTE walk (every event folds
+    // eventually, so the decisions match the batch rule exactly).
+    Q(
+      "q167_streaming_rate_limit",
+      (s, dir) => {
+        import s.implicits._
+        val id = rateRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_rate_${id - 1}")
+        val name = s"graft_stream_rate_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_rate_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_rate_sentinel")
+        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us", "event_id")
+          .as[EventStreams.RateEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.rateLimit(stream)
+            .filter(col("user_id") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name).orderBy("event_id")
+      },
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS t,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS idx
+             |  FROM events),
+             |walk AS (
+             |  SELECT user_id, idx, event_id, true AS allowed,
+             |    CAST(2 AS BIGINT) AS tokens, t AS last_refill
+             |  FROM ev WHERE idx = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.idx, e.event_id,
+             |    least(3, w.tokens + (e.t - w.last_refill) // 600000000) > 0,
+             |    CASE WHEN least(3, w.tokens +
+             |        (e.t - w.last_refill) // 600000000) > 0
+             |      THEN least(3, w.tokens +
+             |        (e.t - w.last_refill) // 600000000) - 1
+             |      ELSE least(3, w.tokens +
+             |        (e.t - w.last_refill) // 600000000) END,
+             |    w.last_refill +
+             |      ((e.t - w.last_refill) // 600000000) * 600000000
+             |  FROM walk w JOIN ev e ON e.user_id = w.user_id
+             |    AND e.idx = w.idx + 1)
+             |SELECT user_id, event_id, allowed FROM walk
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -260,4 +260,84 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** One event on the rate-limiting path. */
+  case class RateEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                       event_id: Long)
+
+  /** The admit/deny decision for one event. */
+  case class RateDecision(user_id: Long, event_id: Long, allowed: Boolean)
+
+  /** Keyed bucket state: `tokens == -1` means no event folded yet (the
+    * first event finds a full bucket); `pending` holds events at or
+    * above the watermark, which may still be preceded by a late arrival
+    * and so cannot be decided yet. */
+  case class RateState(tokens: Long, lastRefill: Long,
+                       pending: Seq[(Long, Long)])
+
+  /** Streaming token-bucket rate limiting — the q160 batch semantics
+    * (capacity `cap`, one token per `periodUs`, whole periods credited,
+    * the partial period banked via `lastRefill += k·period`) run as a
+    * continuous stateful operator. The decision at event i depends on
+    * every ADMIT before it, so events are decided IN (ts, id) ORDER and
+    * only once the watermark proves nothing can precede them: arrivals
+    * buffer in `pending` until `ts < watermark`, then fold through the
+    * bucket in order. Per-key live state is two longs plus the pending
+    * buffer — and pending is bounded by the watermark horizon (2 h of
+    * one key's events), NOT the key's history; the fold output and the
+    * (tokens, lastRefill) carry-over are O(1). Late events beyond the
+    * watermark are dropped by the watermark contract (the price of a
+    * bounded buffer; the batch twin q160 is the backfill-exact path).
+    * All arithmetic is integer micros — bit-identical to the batch
+    * oracle's recursive-CTE walk.
+    */
+  def rateLimit(events: Dataset[RateEvent], cap: Long = 3L,
+                periodUs: Long = 600000000L): Dataset[RateDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[RateEvent], state: GroupState[RateState]) =>
+          val prev = state.getOption.getOrElse(RateState(-1L, 0L, Seq.empty))
+          val pend = prev.pending ++ batch.map(e => (e.ts_us, e.event_id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // an event at exactly ts == watermark may still be preceded by
+          // a same-ts arrival: only strictly-below-watermark rows fold
+          val (ready, rest) = pend.partition(_._1 < wmUs)
+          var tokens = prev.tokens
+          var last = prev.lastRefill
+          val out = ready.sorted.map { case (ts, id) =>
+            if (tokens == -1L) { tokens = cap; last = ts }
+            else {
+              // clamp at 0: unlike aggregations, flatMapGroupsWithState
+              // does not auto-drop late rows — a beyond-watermark
+              // straggler folds as zero elapsed instead of rewinding
+              // the banked-credit clock
+              val k = math.max(0L, (ts - last) / periodUs)
+              tokens = math.min(cap, tokens + k)
+              last += k * periodUs
+            }
+            val allowed = tokens > 0L
+            if (allowed) tokens -= 1L
+            RateDecision(uid, id, allowed)
+          }
+          if (rest.isEmpty && tokens == -1L) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(RateState(tokens, last, rest))
+            if (rest.nonEmpty)
+              // fire once the earliest pending row can have cleared the
+              // watermark; must be strictly beyond the current watermark
+              state.setTimeoutTimestamp(math.max(
+                rest.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            // no pending: the (tokens, lastRefill) carry-over stays
+            // without a timeout — any future event re-opens the key; at
+            // deployment scale an idle-key TTL is the eviction knob
+          }
+          out.iterator
+      }
+  }
 }

@@ -167,4 +167,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1.0), (1L, 1L, 2.0)),
       s"expected restarted numbering after tombstone drop, got $got")
   }
+
+  test("rateLimit: bucket state carries across micro-batches, pending " +
+    "buffer re-orders within-horizon arrivals") {
+    def nanos(epochS: Long): Long = epochS * 1000000000L
+    val base = java.time.LocalDateTime.parse("2024-05-01T10:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val dir = Files.createTempDirectory("graft_rate_sess")
+    val staging = Files.createTempDirectory("graft_rate_stage")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = staging.resolve(name)
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = EventStreams.readStream(spark, dir.toString, globFilter = Some("*.parquet"))
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us", "event_id")
+      .as[EventStreams.RateEvent]
+    // b1: user 1 bursts 4 at 1s spacing; a user-2 event far ahead pushes
+    // the watermark past the burst so it folds on b2's invocation
+    writeBatch("b1", Seq(
+      (1L, nanos(base), 1L, "e", 0.0, "{}"),
+      (2L, nanos(base + 1), 1L, "e", 0.0, "{}"),
+      (3L, nanos(base + 2), 1L, "e", 0.0, "{}"),
+      (4L, nanos(base + 3), 1L, "e", 0.0, "{}"),
+      (50L, nanos(base + 10000), 2L, "e", 0.0, "{}")))
+    val q = EventStreams.rateLimit(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_stream").start()
+    try {
+      q.processAllAvailable()
+      // b2: OUT-OF-ORDER above-watermark pair (3000s before 2900s in id
+      // order) — the pending buffer must fold them in ts order; sentinel
+      // flushes everything
+      writeBatch("b2", Seq(
+        (5L, nanos(base + 3000), 1L, "e", 0.0, "{}"),
+        (6L, nanos(base + 2900), 1L, "e", 0.0, "{}"),
+        (99L, nanos(base + 63072000), -1L, "__flush", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rate_stream").where(col("user_id") === 1L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    // burst: 3 admitted then denied; t+2900: k=(2900-0)/600=4 whole
+    // periods -> full bucket (admit, tokens 2, last=t+2400); t+3000:
+    // k=1 -> admit
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+      6L -> true, 5L -> true), s"got $got")
+  }
 }
