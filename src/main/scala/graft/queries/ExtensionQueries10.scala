@@ -90,12 +90,16 @@ object ExtensionQueries10 {
     // latest 'error' event is a tombstone (the user is absent from the
     // snapshot). This is the compaction step every incremental ingest
     // runs before serving (Hudi/Delta merge-on-read semantics, engine-
-    // side). Scale shape: ONE keyed hash aggregation — argmax via
-    // max(struct(ts, id, payload)), q118's survivor discipline — with
-    // map-side partial aggregation, so the shuffle carries one partial
-    // winner per (partition, user), never the changelog. The
-    // window-free plan matters: row_number-over-user would sort every
-    // changelog row; max(struct) folds them. (ts_us, event_id) is a
+    // side). Scale shape: ONE keyed aggregation — argmax via
+    // max(struct(ts, id, payload)), q118's survivor discipline. A
+    // struct-typed max buffer makes Spark pick SortAggregate, but with
+    // MAP-SIDE PARTIALS: each partition pre-sorts and collapses to one
+    // winner per (partition, user) BEFORE the exchange, so the shuffle
+    // carries winners, never the changelog — the volume property that
+    // matters at 100 TB (the in-partition sort is the constant-factor
+    // price of a struct ordering key). Still strictly better than
+    // row_number-over-user, which must SHUFFLE every changelog row to
+    // its key's partition before sorting. (ts_us, event_id) is a
     // unique total order so the argmax is deterministic; the payload
     // rides the struct unchanged (raw doubles pass through bit-exact).
     Q(
