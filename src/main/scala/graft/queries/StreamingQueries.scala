@@ -27,6 +27,7 @@ object StreamingQueries {
   private val convRunId = new AtomicInteger(0)
   private val dauRunId = new AtomicInteger(0)
   private val rateRunId = new AtomicInteger(0)
+  private val anomRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -735,6 +736,75 @@ object StreamingQueries {
              |  FROM walk w JOIN ev e ON e.user_id = w.user_id
              |    AND e.idx = w.idx + 1)
              |SELECT user_id, event_id, allowed FROM walk
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q174: streaming EWMA anomaly alerts — q105's exact-halving fold
+    // run continuously (EventStreams.ewmaAnomalies): an alert fires
+    // when an event deviates from the PRE-event EWMA by > 50 after a
+    // 3-event warm-up, decided in (ts, id) order under the watermark
+    // (q167's pending-buffer discipline, O(1) carried state). The
+    // entire fold is the identical IEEE op sequence the oracle's
+    // recursive-CTE walk executes, so alert decisions and the emitted
+    // pre-event EWMA hash-match bit-exactly.
+    Q(
+      "q174_streaming_anomalies",
+      (s, dir) => {
+        import s.implicits._
+        val id = anomRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_anom_${id - 1}")
+        val name = s"graft_stream_anom_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_anom_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_anom_sentinel")
+        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us",
+            "event_id", "value")
+          .as[EventStreams.ValueEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.ewmaAnomalies(stream)
+            .filter(col("user_id") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name).orderBy("event_id")
+      },
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id, event_id, value, epoch_us(ts) AS t,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS idx
+             |  FROM events),
+             |walk AS (
+             |  SELECT user_id, idx, event_id, value,
+             |    CAST(NULL AS DOUBLE) AS ewma_before, false AS alert,
+             |    value AS acc, CAST(1 AS BIGINT) AS n
+             |  FROM ev WHERE idx = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.idx, e.event_id, e.value,
+             |    w.acc, w.n >= 3 AND abs(e.value - w.acc) > 50.0,
+             |    w.acc * 0.5 + e.value * 0.5, w.n + 1
+             |  FROM walk w JOIN ev e ON e.user_id = w.user_id
+             |    AND e.idx = w.idx + 1)
+             |SELECT user_id, event_id, value,
+             |  floor(ewma_before * 1000000 + 0.5) / 1000000 AS ewma_before
+             |FROM walk WHERE alert
              |ORDER BY event_id""".stripMargin))
   )
 }

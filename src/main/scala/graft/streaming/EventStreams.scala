@@ -265,6 +265,68 @@ object EventStreams {
   case class RateEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
                        event_id: Long)
 
+  /** One valued event on the anomaly path. */
+  case class ValueEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                        event_id: Long, value: Double)
+
+  /** An anomaly alert: `value` deviated from the pre-event EWMA. */
+  case class AnomalyAlert(user_id: Long, event_id: Long, value: Double,
+                          ewma_before: Double)
+
+  /** Keyed EWMA state: `n` events folded, `acc` the running EWMA,
+    * `pending` the not-yet-decidable (ts_us, event_id, value) rows. */
+  case class EwmaState(n: Long, acc: Double,
+                       pending: Seq[(Long, Long, Double)])
+
+  /** Streaming EWMA anomaly detection — q105's α = 1/2 fold (exact
+    * halving, the identical IEEE op sequence the batch oracle replays)
+    * run continuously per user, emitting an alert whenever an event
+    * deviates from the PRE-event EWMA by more than `threshold` after a
+    * warm-up of `warmup` events. Same ordering discipline as
+    * [[rateLimit]]: arrivals buffer until the watermark proves nothing
+    * can precede them, then fold in (ts, id) order; carried state is
+    * (n, acc) — O(1) per key, pending bounded by the watermark horizon.
+    */
+  def ewmaAnomalies(events: Dataset[ValueEvent], threshold: Double = 50.0,
+                    warmup: Long = 3L): Dataset[AnomalyAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, AnomalyAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[ValueEvent], state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(0L, 0.0, Seq.empty))
+          val pend = prev.pending ++
+            batch.map(e => (e.ts_us, e.event_id, e.value))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pend.partition(_._1 < wmUs)
+          var n = prev.n
+          var acc = prev.acc
+          val out = ready.sortBy(e => (e._1, e._2)).flatMap {
+            case (_, id, v) =>
+              val alert =
+                if (n >= warmup && math.abs(v - acc) > threshold)
+                  Seq(AnomalyAlert(uid, id, v,
+                    math.floor(acc * 1e6 + 0.5) / 1e6))
+                else Nil
+              acc = if (n == 0L) v else acc * 0.5 + v * 0.5
+              n += 1
+              alert
+          }
+          if (rest.isEmpty && n == 0L) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(EwmaState(n, acc, rest))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                rest.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** The admit/deny decision for one event. */
   case class RateDecision(user_id: Long, event_id: Long, allowed: Boolean)
 
@@ -311,10 +373,11 @@ object EventStreams {
           val out = ready.sorted.map { case (ts, id) =>
             if (tokens == -1L) { tokens = cap; last = ts }
             else {
-              // clamp at 0: unlike aggregations, flatMapGroupsWithState
-              // does not auto-drop late rows — a beyond-watermark
-              // straggler folds as zero elapsed instead of rewinding
-              // the banked-credit clock
+              // defensive clamp at 0: Spark 4.1 drops beyond-watermark
+              // rows before flatMapGroupsWithState (Extension13Spec
+              // demonstrates it), but that filter is version-sensitive —
+              // if a straggler ever reaches the fold it must read as
+              // zero elapsed, not rewind the banked-credit clock
               val k = math.max(0L, (ts - last) / periodUs)
               tokens = math.min(cap, tokens + k)
               last += k * periodUs
