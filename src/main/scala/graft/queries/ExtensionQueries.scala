@@ -34,7 +34,7 @@ object ExtensionQueries {
       |          / 1000000 * 5.0, 1.0)) * 1000000 + 0.5) / 1000000""".stripMargin
 
   /** DuckDB replay of Dedup.shingles (distinct word 3-grams). */
-  private val ShingleCtes =
+  private[queries] val ShingleCtes =
     s"""toks AS (SELECT doc_id, $DuckToks AS arr FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, s FROM (
