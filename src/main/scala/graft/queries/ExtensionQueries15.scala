@@ -227,6 +227,59 @@ object ExtensionQueries15 {
              |SELECT 'orders', CAST((SELECT count(*) FROM delo) AS BIGINT)
              |UNION ALL
              |SELECT 'lineitem', CAST((SELECT count(*) FROM dell) AS BIGINT)
-             |ORDER BY table_name""".stripMargin))
+             |ORDER BY table_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q183: Pareto frontier selection — the documents not strictly
+    // dominated in (token count, quality score): multi-objective data
+    // selection ("longest AND cleanest") where a single weighted score
+    // would hide the trade-off curve. A doc is dominated iff another
+    // doc beats it on BOTH axes strictly; kept iff its quality ≥ M(t)
+    // = max quality over docs with MORE tokens. The scale trick: M is
+    // computed on the DISTINCT-token-count frame (value-domain-sized,
+    // not corpus-sized) — per-count max quality, then a running max
+    // over counts in descending order shifted by one (strictly
+    // greater) — so the only window runs over a tiny frame (q94's
+    // vocab-window discipline) and the corpus is touched by exactly
+    // one scoring scan, one keyed agg, and one join back on the token
+    // count. Quality compares on the stableRound6 grid — dominance
+    // decisions are engine-exact.
+    Q(
+      "q183_pareto_frontier",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(Text.words(Text.clean(col("text")))).cast("long").as("tok"),
+            Rounding.stableRound6(
+              size(array_distinct(Text.words(Text.clean(col("text")))))
+                .cast("double") /
+                size(Text.words(Text.clean(col("text")))))
+              .as("quality"))
+        val counts = scored.groupBy("tok").agg(max("quality").as("maxq"))
+        val w = Window.orderBy(desc("tok"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val m = counts.withColumn("m", max("maxq").over(w))
+        scored.join(m.select("tok", "m"), "tok")
+          .where(col("m").isNull || col("quality") >= col("m"))
+          .select(col("doc_id"), col("tok"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+             |  SELECT doc_id, len(ws)::BIGINT AS tok,
+             |    ${Rounding.duckSql(
+                  "len(list_distinct(ws))::DOUBLE / len(ws)")} AS quality
+             |  FROM (SELECT doc_id, list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '') AS ws FROM documents)),
+             |counts AS (SELECT tok, max(quality) AS maxq FROM scored
+             |           GROUP BY tok),
+             |m AS (
+             |  SELECT tok, max(maxq) OVER (ORDER BY tok DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+             |  FROM counts)
+             |SELECT doc_id, tok, quality
+             |FROM scored JOIN m USING (tok)
+             |WHERE m IS NULL OR quality >= m
+             |ORDER BY doc_id""".stripMargin))
   )
 }

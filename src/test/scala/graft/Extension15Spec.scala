@@ -63,4 +63,24 @@ class Extension15Spec extends SparkSpec {
       "orders" -> orders.length.toLong, "lineitem" -> lines.toLong))
     assert(out("customer") > 0, "fixture must request deletions")
   }
+
+  test("pareto frontier: kept set equals a naive O(n^2) dominance " +
+    "recompute on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val ws = r.getString(1).replaceAll("[^a-zA-Z0-9 ]", "")
+          .split(" ").filter(_.nonEmpty)
+        val q = math.floor(
+          ws.distinct.length.toDouble / ws.length * 1e6 + 0.5) / 1e6
+        (r.getLong(0), ws.length.toLong, q)
+      }
+    val expected = docs.filter { case (_, t, q) =>
+      !docs.exists { case (_, t2, q2) => t2 > t && q2 > q }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q183_pareto_frontier")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < docs.length)
+  }
 }
