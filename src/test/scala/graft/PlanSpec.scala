@@ -268,4 +268,60 @@ class PlanSpec extends SparkSpec {
         s"$name regressed to a window operator:\n${plan.take(800)}")
     }
   }
+
+  test("q165: CDC argmax pre-aggregates BEFORE the key exchange (shuffle " +
+    "carries winners, not the changelog)") {
+    // executedPlan (not formatted) keeps "Exchange hashpartitioning"
+    // inline with its tree position
+    val plan = SparkEntry.queries("q165_cdc_compaction")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    // partial SortAggregate below the exchange, final above — the
+    // max(struct) two-phase shape; a row_number regression would show a
+    // Window and shuffle every changelog row
+    val lines = plan.linesIterator.toSeq
+    val aggIdxs = lines.zipWithIndex.filter(_._1.contains("SortAggregate")).map(_._2)
+    val exIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning"))
+    assert(aggIdxs.size >= 2 && exIdx >= 0, plan.take(600))
+    // tree prints top-down: the FINAL agg appears above (index <) the
+    // exchange, the PARTIAL agg below it
+    assert(aggIdxs.exists(_ > exIdx) && aggIdxs.exists(_ < exIdx),
+      "lost the partial/final aggregate split around the exchange")
+    assert(!plan.contains("Window"), "argmax regressed to a window sort")
+  }
+
+  test("q168: prefix containment has NO join — one blocked window") {
+    val p = planOf("q168_prefix_containment")
+    assert(!p.contains("Join"), s"sorted-neighborhood gained a join:\n${p.take(600)}")
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("q161/q183: single-scan shapes stay explode-free") {
+    // token counts come from array size, never explode: a Generate node
+    // means the corpus got row-multiplied for a per-doc scalar
+    Seq("q161_padding_waste", "q183_pareto_frontier").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Generate"), s"$name explodes the corpus:\n${p.take(600)}")
+    }
+  }
+
+  test("q180: fused top-k keeps the WindowGroupLimit pushdown on every rank") {
+    val p = planOf("q180_hybrid_rrf")
+    // three ranked cuts (lex, sem, fused) — each must push the limit
+    // below the full sort; count the group-limit nodes
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 3, s"expected >=3 WindowGroupLimit nodes, got $n:\n${p.take(800)}")
+  }
+
+  test("q182: deletion cascade hops are semi joins (no payload fanout)") {
+    val p = planOf("q182_deletion_cascade")
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(!p.contains("SortMergeJoin FullOuter"), p.take(400))
+  }
+
+  test("q158: the LM pipeline broadcasts the vocab to the token stream") {
+    // (q173 shares the scoring subplan but its FINAL plan is an RDD scan
+    // by design — Ranking's two-pass materializes upstream lineage)
+    val p = planOf("q158_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n${p.take(600)}")
+  }
 }
