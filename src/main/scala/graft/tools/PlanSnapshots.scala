@@ -37,7 +37,12 @@ object PlanSnapshots {
       "q124_repeated_spans",
       // round 6: the pair self-join, the BFS composition, and the
       // running-total primitive's consumer
-      "q135_association_rules", "q136_taint_bfs", "q148_pareto_cut")
+      "q135_association_rules", "q136_taint_bfs", "q148_pareto_cut",
+      // round 7: the argmax compaction (partial SortAggregate shape),
+      // the sorted-neighborhood window, the triple-ranked RRF fusion,
+      // the LM-pipeline broadcast, and the composed curation report
+      "q165_cdc_compaction", "q168_prefix_containment", "q180_hybrid_rrf",
+      "q158_dsir_weights", "q176_curation_impact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
