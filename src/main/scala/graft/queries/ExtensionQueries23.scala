@@ -44,9 +44,17 @@ object ExtensionQueries23 {
               (col("n") * col("n")).cast("double")))
           .withColumn("w", col("n").cast("double") * col("sd"))
         val g = Window.partitionBy()
+        // degenerate fallback (Round7EdgeSpec): if EVERY stratum has zero
+        // spread the Neyman weights vanish and the seat share is 0/0 —
+        // fall back to count-proportional allocation (the classical
+        // degenerate of the formula itself: equal σ ⟹ proportional)
         val seats = stats
           .withColumn("tw", sum("w").over(g))
-          .withColumn("ideal", col("w") * budget / col("tw"))
+          .withColumn("w2", when(col("tw") === 0.0, col("n").cast("double"))
+            .otherwise(col("w")))
+          .withColumn("tw2", when(col("tw") === 0.0,
+            sum("n").over(g).cast("double")).otherwise(col("tw")))
+          .withColumn("ideal", col("w2") * budget / col("tw2"))
           .withColumn("base", floor(col("ideal")).cast("long"))
           .withColumn("rem", col("ideal") - col("base"))
           .withColumn("assigned", sum("base").over(g))
@@ -75,7 +83,9 @@ object ExtensionQueries23 {
              |  FROM stats),
              |seats AS (
              |  SELECT source, n, sd,
-             |    w * 1000 / sum(w) OVER () AS ideal
+             |    CASE WHEN sum(w) OVER () = 0
+             |      THEN n::DOUBLE * 1000 / sum(n) OVER ()
+             |      ELSE w * 1000 / sum(w) OVER () END AS ideal
              |  FROM w),
              |based AS (
              |  SELECT source, n, sd, floor(ideal) AS base,
