@@ -28,6 +28,7 @@ object StreamingQueries {
   private val dauRunId = new AtomicInteger(0)
   private val rateRunId = new AtomicInteger(0)
   private val anomRunId = new AtomicInteger(0)
+  private val histRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -805,6 +806,91 @@ object StreamingQueries {
              |SELECT user_id, event_id, value,
              |  floor(ewma_before * 1000000 + 0.5) / 1000000 AS ewma_before
              |FROM walk WHERE alert
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q202: streaming histogram maintenance — per 6-hour window and
+    // event type, the fixed-width value-bin counts accumulate as a
+    // watermarked windowed aggregation (append mode emits a window's
+    // bins only once the watermark CLOSES it — the streaming twin of
+    // q164's mergeable histogram state: #(window, type, bin) rows,
+    // never raw values), then p50/p90 read off each closed window's
+    // bins batch-side (the walk runs over the tiny sink frame — the
+    // streaming operator owns the scale-relevant state). Oracle =
+    // the full batch replay of binning + walk.
+    Q(
+      "q202_streaming_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val id = histRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_hist_${id - 1}")
+        val name = s"graft_stream_hist_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_hist_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_hist_sentinel")
+        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val q = withRocksDbState(s) {
+          EventStreams
+            .readStream(s, dir, globFilter = Some("events.parquet"))
+            .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+              globFilter = Some("*.parquet")))
+            .withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"),
+              floor(col("value") / 50.0).cast("long").as("bin"))
+            .agg(count(lit(1)).as("c"))
+            .select(col("w.start").as("win_start"), col("event_type"),
+              col("bin"), col("c"))
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        val bins = s.table(name).where(col("event_type") =!= "__flush")
+        val byBin = org.apache.spark.sql.expressions.Window
+          .partitionBy("win_start", "event_type").orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val all = org.apache.spark.sql.expressions.Window
+          .partitionBy("win_start", "event_type")
+        val cum = bins
+          .withColumn("cum", sum("c").over(byBin))
+          .withColumn("total", sum("c").over(all))
+        broadcast(Seq(0.5, 0.9).toDF("q"))
+          .crossJoin(cum)
+          .where(col("cum") >= col("q") * col("total"))
+          .groupBy("win_start", "event_type", "q")
+          .agg(min("bin").as("bin"))
+          .select(col("win_start"), col("event_type"), col("q"),
+            col("bin"), ((col("bin") + 0.5) * 50.0).as("est"))
+          .orderBy("win_start", "event_type", "q")
+      },
+      Some("""WITH bins AS (
+             |  SELECT time_bucket(INTERVAL 6 HOURS, ts) AS win_start,
+             |    event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2, 3),
+             |cum AS (
+             |  SELECT win_start, event_type, bin, c,
+             |    sum(c) OVER (PARTITION BY win_start, event_type
+             |      ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(c) OVER (PARTITION BY win_start, event_type) AS total
+             |  FROM bins),
+             |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+             |SELECT win_start, event_type, q, min(bin) AS bin,
+             |  (min(bin) + 0.5) * 50.0 AS est
+             |FROM cum CROSS JOIN qs
+             |WHERE cum >= q * total
+             |GROUP BY 1, 2, 3
+             |ORDER BY win_start, event_type, q""".stripMargin))
   )
 }
