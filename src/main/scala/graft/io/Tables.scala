@@ -25,10 +25,34 @@ object Tables {
   val requiredConfs: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
+  /** Epoch longs at or above this magnitude are nanoseconds; below,
+    * microseconds. 3e17 nanos ≈ 1979-07; 3e17 micros ≈ year 11,476 — any
+    * real event time lands unambiguously on one side. The guard exists
+    * because the UNIT of an epoch long read from parquet is a property of
+    * the reader path, not the file: the batch reader (nanosAsLong flag)
+    * surfaces the fixture's TIMESTAMP(NANOS) column as nanos, while the
+    * streaming file source under an explicit LongType schema surfaces the
+    * SAME column already down-converted to micros (observed on Spark
+    * 4.1.2 — assuming nanos there collapsed 2024 event times to 1970 and
+    * broke every streaming gate in round 7). Deriving the unit per value
+    * makes both paths, plus raw-INT64 sentinel files, converge on the
+    * same instant.
+    */
+  val NanosGuard: Long = 300000000000000000L
+
+  /** SQL for the shared unit-guarded epoch-long → TimestampType(micros)
+    * conversion. Both the batch ([[load]]) and streaming
+    * (graft.streaming.EventStreams.readStream) readers MUST route their
+    * `ts` conversion through this one expression.
+    */
+  def epochLongToTsSql(colName: String): String =
+    s"timestamp_micros(CASE WHEN abs($colName) >= ${NanosGuard}L " +
+      s"THEN $colName div 1000 ELSE $colName END)"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      df.withColumn("ts", expr(epochLongToTsSql("ts")).cast("timestamp_ntz"))
     else df
   }
 }

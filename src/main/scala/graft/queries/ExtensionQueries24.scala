@@ -82,11 +82,17 @@ object ExtensionQueries24 {
     // p = n_chars/(n_chars+1000) predicting lang='en', binned into 10
     // equal-width bins. Per bin: count, mean predicted, observed rate,
     // |gap|; plus the bin-weighted ECE repeated per row. Numerics: p is
-    // one exact double division (identical bits in both engines), the
-    // bin id is floor(p·10) on that exact value, and every reported
-    // ratio is stableRound6'd; ECE is computed FROM the rounded gaps so
-    // its inputs are engine-identical. Scale shape: one shuffle-free
-    // scoring scan, one 10-key hash agg, window over the 10-row frame.
+    // one exact double division (identical bits in both engines) and the
+    // bin id is floor(p·10) on that exact value — but sum(p) as a
+    // distributed DOUBLE sum is ORDER-DEPENDENT (r7 verdict: a value
+    // near a 1e-6 rounding boundary can flip across partition counts),
+    // so each p is first scaled to integer 1e-9 units with the same
+    // floor(x·1e9+0.5) IEEE sequence both engines run, and the
+    // accumulation is an exact LONG sum — associative, partition-count-
+    // invariant (Extension24Spec pins it). Every downstream ratio/gap/
+    // ECE derives from those exact longs through single-division double
+    // ops, then stableRound6. Scale shape: one shuffle-free scoring
+    // scan, one 10-key hash agg, window over the 10-row frame.
     Q(
       "q204_calibration_bins",
       (s, dir) => {
@@ -96,22 +102,26 @@ object ExtensionQueries24 {
               (col("n_chars").cast("double") + 1000.0)).as("p"),
             when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
           .withColumn("bin", least(floor(col("p") * 10), lit(9L)))
+          .withColumn("p9",
+            floor(col("p") * lit(1000000000.0) + lit(0.5)).cast("long"))
         val g = Window.partitionBy()
+        val avgP = col("sp9").cast("double") / lit(1000000000.0) /
+          col("n").cast("double")
         scored.groupBy("bin")
           .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
-            sum("p").as("sp"))
-          .withColumn("gap", Rounding.stableRound6(
-            abs(col("sp") / col("n").cast("double") -
-              col("n_pos").cast("double") / col("n").cast("double"))))
+            sum("p9").as("sp9"))
+          .withColumn("gap_u", floor(abs(
+            avgP - col("n_pos").cast("double") / col("n").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
           .withColumn("ece", Rounding.stableRound6(
-            sum(col("n").cast("double") * col("gap")).over(g) /
-              sum(col("n")).over(g).cast("double")))
+            sum(col("n") * col("gap_u")).over(g).cast("double") /
+              (sum(col("n")).over(g).cast("double") * lit(1000000.0))))
           .select(col("bin"), col("n"), col("n_pos"),
-            Rounding.stableRound6(col("sp") / col("n").cast("double"))
-              .as("avg_p"),
+            Rounding.stableRound6(avgP).as("avg_p"),
             Rounding.stableRound6(col("n_pos").cast("double") /
               col("n").cast("double")).as("obs_rate"),
-            col("gap"), col("ece"))
+            (col("gap_u").cast("double") / lit(1000000.0)).as("gap"),
+            col("ece"))
           .orderBy("bin")
       },
       Some(s"""WITH scored AS (
@@ -120,25 +130,27 @@ object ExtensionQueries24 {
              |  FROM documents),
              |binned AS (
              |  SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
-             |    p, pos
+             |    pos,
+             |    CAST(floor(p * 1000000000 + 0.5) AS BIGINT) AS p9
              |  FROM scored),
              |b AS (
              |  SELECT bin, count(*) AS n, sum(pos) AS n_pos,
-             |    sum(p) AS sp
+             |    CAST(sum(p9) AS BIGINT) AS sp9
              |  FROM binned GROUP BY bin),
              |gapped AS (
-             |  SELECT bin, n, n_pos, sp,
-             |    ${Rounding.duckSql(
-               "abs(sp / n::DOUBLE - n_pos::DOUBLE / n::DOUBLE)")} AS gap
+             |  SELECT bin, n, n_pos, sp9,
+             |    CAST(floor(abs(sp9::DOUBLE / 1000000000 / n::DOUBLE
+             |      - n_pos::DOUBLE / n::DOUBLE) * 1000000 + 0.5)
+             |      AS BIGINT) AS gap_u
              |  FROM b)
              |SELECT bin, CAST(n AS BIGINT) AS n,
              |  CAST(n_pos AS BIGINT) AS n_pos,
-             |  ${Rounding.duckSql("sp / n::DOUBLE")} AS avg_p,
+             |  ${Rounding.duckSql("sp9::DOUBLE / 1000000000 / n::DOUBLE")}
+             |    AS avg_p,
              |  ${Rounding.duckSql("n_pos::DOUBLE / n::DOUBLE")} AS obs_rate,
-             |  gap,
-             |  ${Rounding.duckSql(
-               "sum(n::DOUBLE * gap) OVER () / sum(n) OVER ()::DOUBLE")}
-             |    AS ece
+             |  gap_u::DOUBLE / 1000000 AS gap,
+             |  ${Rounding.duckSql("sum(n * gap_u) OVER ()::DOUBLE " +
+               "/ (sum(n) OVER ()::DOUBLE * 1000000)")} AS ece
              |FROM gapped
              |ORDER BY bin""".stripMargin)),
 

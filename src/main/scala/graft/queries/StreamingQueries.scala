@@ -28,7 +28,6 @@ object StreamingQueries {
   private val dauRunId = new AtomicInteger(0)
   private val rateRunId = new AtomicInteger(0)
   private val anomRunId = new AtomicInteger(0)
-  private val histRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -192,7 +191,7 @@ object StreamingQueries {
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sess_sentinel")
         // raw-schema sentinel parquet: ts in NANOS like the fixture
         // (2100-01-01 — far past any fixture event + watermark delay)
-        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
         val stream = EventStreams
@@ -320,8 +319,8 @@ object StreamingQueries {
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_sso_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sso_sentinel")
         Seq(
-          (-1L, 4102444800000000000L, -1L, "click", 0.0, "{}"),
-          (-2L, 4102444800000000000L, -2L, "purchase", 0.0, "{}"))
+          (-1L, EventStreams.FlushSentinelNanos, -1L, "click", 0.0, "{}"),
+          (-2L, EventStreams.FlushSentinelNanos, -2L, "purchase", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
         def side(eventType: String) = EventStreams
@@ -394,7 +393,7 @@ object StreamingQueries {
         val name = s"graft_stream_sw_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_sw_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sw_sentinel")
-        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
         val stream = EventStreams
@@ -563,7 +562,7 @@ object StreamingQueries {
         val name = s"graft_stream_conv_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_conv_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_conv_sentinel")
-        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
         val stream = EventStreams
@@ -627,7 +626,7 @@ object StreamingQueries {
         val name = s"graft_stream_dau_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_dau_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_dau_sentinel")
-        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
         val q = withRocksDbState(s) {
@@ -685,7 +684,7 @@ object StreamingQueries {
         val name = s"graft_stream_rate_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_rate_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_rate_sentinel")
-        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
         val stream = EventStreams
@@ -757,7 +756,7 @@ object StreamingQueries {
         val name = s"graft_stream_anom_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_anom_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_anom_sentinel")
-        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
         val stream = EventStreams
@@ -814,22 +813,30 @@ object StreamingQueries {
     // watermarked windowed aggregation (append mode emits a window's
     // bins only once the watermark CLOSES it — the streaming twin of
     // q164's mergeable histogram state: #(window, type, bin) rows,
-    // never raw values), then p50/p90 read off each closed window's
-    // bins batch-side (the walk runs over the tiny sink frame — the
-    // streaming operator owns the scale-relevant state). Oracle =
-    // the full batch replay of binning + walk.
+    // never raw values). The p50/p90 walk runs INSIDE the streaming job
+    // (r7 directive 6): a foreachBatch sink receives each micro-batch of
+    // closed windows — append mode emits every bin of a (window, type)
+    // group in the SAME micro-batch, because all its bins share the one
+    // window-close instant — and walks the cumulative counts right
+    // there, so the operator is usable without any batch-side postlude.
+    // The walked frame per batch is #closed-windows × #types × #bins —
+    // histogram-sized, never data-sized; the streaming agg still owns
+    // the scale-relevant state. Oracle = the full batch replay of
+    // binning + walk (unchanged from r7).
     Q(
       "q202_streaming_histogram",
       (s, dir) => {
         import s.implicits._
-        val id = histRunId.incrementAndGet()
-        if (id > 1) s.catalog.dropTempView(s"graft_stream_hist_${id - 1}")
-        val name = s"graft_stream_hist_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_hist_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_hist_sentinel")
-        Seq((-1L, 4102444800000000000L, -1L, "__flush", 0.0, "{}"))
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // quantiles land here as (win_start, type, q, bin, est), appended
+        // by the foreachBatch walk each time windows close; tiny by
+        // construction (2 rows per closed (window, type))
+        val acc = new scala.collection.mutable.ArrayBuffer[
+          (java.sql.Timestamp, String, Double, Long, Double)]()
         val q = withRocksDbState(s) {
           EventStreams
             .readStream(s, dir, globFilter = Some("events.parquet"))
@@ -842,8 +849,33 @@ object StreamingQueries {
             .select(col("w.start").as("win_start"), col("event_type"),
               col("bin"), col("c"))
             .writeStream
-            .format("memory")
-            .queryName(name)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              // runs on the driver per micro-batch; the collect is the
+              // closed windows' bin counts only (sentinel's own window
+              // never closes, filtered defensively)
+              val rows = batch.where(col("event_type") =!= "__flush")
+                .collect()
+              val walked = rows
+                .groupBy(r => (r.getTimestamp(0), r.getString(1)))
+                .toSeq
+                .flatMap { case ((w, et), rs) =>
+                  val bins = rs.map(r => (r.getLong(2), r.getLong(3)))
+                    .sortBy(_._1)
+                  val total = bins.map(_._2).sum
+                  Seq(0.5, 0.9).map { qq =>
+                    // same comparison the oracle runs: first bin whose
+                    // cumulative count reaches q·total
+                    var cum = 0L
+                    val bin = bins.find { case (_, c) =>
+                      cum += c; cum.toDouble >= qq * total.toDouble
+                    }.get._1
+                    (w, et, qq, bin, (bin + 0.5) * 50.0)
+                  }
+                }
+              acc.synchronized { acc ++= walked }
+              ()
+            }
             .outputMode("append")
             .option("checkpointLocation", ckptDir.toString)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -856,22 +888,9 @@ object StreamingQueries {
           deleteRecursively(ckptDir)
           deleteRecursively(sentinelDir)
         }
-        val bins = s.table(name).where(col("event_type") =!= "__flush")
-        val byBin = org.apache.spark.sql.expressions.Window
-          .partitionBy("win_start", "event_type").orderBy("bin")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val all = org.apache.spark.sql.expressions.Window
-          .partitionBy("win_start", "event_type")
-        val cum = bins
-          .withColumn("cum", sum("c").over(byBin))
-          .withColumn("total", sum("c").over(all))
-        broadcast(Seq(0.5, 0.9).toDF("q"))
-          .crossJoin(cum)
-          .where(col("cum") >= col("q") * col("total"))
-          .groupBy("win_start", "event_type", "q")
-          .agg(min("bin").as("bin"))
-          .select(col("win_start"), col("event_type"), col("q"),
-            col("bin"), ((col("bin") + 0.5) * 50.0).as("est"))
+        acc.synchronized { acc.toSeq }
+          .toDF("win_start", "event_type", "q", "bin", "est")
+          .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
           .orderBy("win_start", "event_type", "q")
       },
       Some("""WITH bins AS (

@@ -36,10 +36,29 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Far-future (2100-01-01) event time in epoch NANOS — the sentinel
+    * planted by finite-stream queries to push the watermark past every
+    * real event and flush pending state. Written to raw-INT64 sentinel
+    * parquet files, so it re-enters [[readStream]] as a literal long and
+    * the shared unit guard (magnitude ≥ Tables.NanosGuard ⇒ nanos)
+    * converts it to the 2100 instant regardless of which unit the REAL
+    * fixture column surfaces as.
+    */
+  val FlushSentinelNanos: Long = 4102444800000000000L
+
   /** Streaming read of an events parquet directory. `ts` becomes
     * TimestampType (not NTZ): watermarks require an event-time column of
     * TIMESTAMP type; with the UTC session timezone the wall-clock values
     * match the batch path's timestamp_ntz reads.
+    *
+    * The epoch-long → timestamp conversion is the SAME unit-guarded
+    * expression the batch reader uses (graft.io.Tables.epochLongToTsSql):
+    * the streaming file source under this explicit LongType schema
+    * surfaces the fixture's TIMESTAMP(NANOS) column already in MICROS on
+    * Spark 4.1.2, while sentinel files written as raw INT64 carry nanos —
+    * a fixed `div 1000` is wrong for one of them no matter which you
+    * pick (round 7 shipped the nanos assumption and every 2024 event
+    * time collapsed to 1970-01-20, breaking 10 streaming gates).
     *
     * `globFilter` selects files inside `path` (the streaming file source
     * requires a directory — a bare file path fails with "basePath must
@@ -51,7 +70,7 @@ object EventStreams {
     globFilter.foreach(g => reader.option("pathGlobFilter", g))
     reader
       .parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(graft.io.Tables.epochLongToTsSql("ts")))
   }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark — the

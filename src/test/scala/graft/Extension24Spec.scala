@@ -58,6 +58,31 @@ class Extension24Spec extends SparkSpec {
       "ece must equal the count-weighted mean of the rounded gaps")
   }
 
+  test("calibration bins: result is partition-count-invariant (exact " +
+    "1e-9-grid accumulation, r7 verdict item 3)") {
+    // the r7 hazard: sum(p) as an unordered distributed DOUBLE sum could
+    // flip a 1e-6 rounding boundary across partition counts; the
+    // integer-grid fix makes the accumulation exact, so ANY partitioning
+    // of the same corpus must produce byte-identical rows
+    def run(parts: Int): Seq[(Long, Long, Long, Double, Double, Double, Double)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try SparkEntry.queries("q204_calibration_bins")(
+          spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run(1)
+    val b = run(7)
+    val c = run(32)
+    assert(a.nonEmpty)
+    assert(a == b && b == c,
+      s"q204 must be partition-count-invariant:\n1: $a\n7: $b\n32: $c")
+  }
+
   test("rfm quintiles: tiles balanced over 10 customers, every segment " +
     "digit in 1..5, customer counts cover the population") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rfm")

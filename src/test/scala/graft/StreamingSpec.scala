@@ -26,6 +26,22 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  test("TRIPWIRE: streaming and batch readers agree on the events ts envelope") {
+    // Round 7 post-mortem: the streaming reader's assumed epoch unit went
+    // stale when the environment's Spark changed how an explicit-LONG
+    // schema surfaces a TIMESTAMP(NANOS) column, and 10 oracle gates went
+    // red at once. Any future unit divergence is a 1000× min/max
+    // disagreement — this probe turns it into a seconds-fast failure.
+    val env = graft.tools.StreamBatchTripwire.probe(spark, eventsDir, sf0001)
+    assert(env.consistent,
+      s"stream/batch ts divergence — a reader path's epoch unit is wrong: $env")
+    // and neither path may be consistently wrong: the fixture's event
+    // times are 2024 wall-clock (micros ~1.7e15), not 1970 or year-54k
+    val yr = java.time.Instant.ofEpochMilli(env.streamMinUs / 1000L)
+      .atZone(java.time.ZoneOffset.UTC).getYear
+    assert(yr >= 2020 && yr <= 2030, s"implausible event-time year $yr: $env")
+  }
+
   test("streaming hourly counts == batch hourly counts (complete mode)") {
     val q = EventStreams.hourlyCounts(EventStreams.readStream(spark, eventsDir))
       .writeStream
