@@ -303,4 +303,92 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
+
+  /** Build and PERSIST the IVF-PQ index — the 100 TB serving shape that
+    * [[ivfPqTopK]]'s in-session index only simulates. Layout under
+    * `path`:
+    *  - `codes/` — (id, codes) hive-partitioned BY CELL, so a probe's
+    *    scan prunes to its `nProbe` cells' directories before any I/O
+    *    (PlanSpec pins the `PartitionFilters` pushdown);
+    *  - `centroids/` — (cid, v), `nCentroids` rows;
+    *  - `codebook/` — (j, i, cv), m·ksub rows.
+    * The sidecars are constant-size (independent of corpus rows); the
+    * codes table is the corpus at ~(8 + 4·m) bytes/vector. One corpus
+    * scan computes (cell, codes) — both codegen'd projections.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      nCentroids: Int = 16, m: Int = 8,
+                      ksub: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = hashPickedCentroids(corpus, idCol, vecCol, nCentroids)
+    val cb = pqCodebook(corpus, idCol, vecCol, m, ksub)
+    require(cents.nonEmpty && cb.nonEmpty,
+      "cannot build an IVF-PQ index over an empty corpus")
+    val codes = corpus.select(col(idCol).cast("long").as("id"),
+      element_at(VectorFunctions.centroidRanks(col(vecCol), cents, 1), 1)
+        .as("cell"),
+      graft.functions.PqFunctions.encode(col(vecCol), cb).as("codes"))
+    graft.io.Sources.writePartitionedParquet(codes, s"$path/codes", "cell")
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cb.zipWithIndex.flatMap { case (words, j) =>
+      words.zipWithIndex.map { case (cv, i) => (j, i, cv) }
+    }.toDF("j", "i", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Serve ANN probes from a PERSISTED [[writeIvfPqIndex]] index — the
+    * round-trip proves the on-disk form is complete (no in-session state
+    * needed). The constant-size sidecars are collected to the driver;
+    * the probe set's cells (≤ |queries|·nProbe values — query-batch-
+    * bounded, never corpus-bounded) become LITERAL partition predicates
+    * on the codes read, so the scan plans only the probed cells'
+    * directories — at 1000 executors each probe batch reads nProbe/C of
+    * the index, no matter how many cells the corpus has. Scoring is the
+    * same broadcast-LUT ADC join as [[ivfPqTopK]], so results are
+    * byte-identical to the in-session path (q111's oracle gates both).
+    */
+  def ivfPqTopKFromIndex(queries: DataFrame, path: String, k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = cbRows.map(_._1).max + 1
+    val ksub = cbRows.map(_._2).max + 1
+    val cb = Seq.tabulate(m) { j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.PqFunctions.lut(col(vecCol), cb).as("lut"),
+      explode(VectorFunctions.centroidRanks(col(vecCol), cents, nProbe))
+        .as("cell"))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(probed.map(Int.box): _*))
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("neighbor_id"))
+    broadcast(q).join(codes, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", Rounding.stableRound6(
+        graft.functions.PqFunctions.adc(col("lut"), col("codes"), ksub)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** The pruned codes read [[ivfPqTopKFromIndex]] plans, exposed for
+    * PlanSpec to pin the `PartitionFilters` pushdown on.
+    */
+  def prunedCodesScan(spark: org.apache.spark.sql.SparkSession,
+                      path: String, cells: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(cells.map(Int.box): _*))
 }

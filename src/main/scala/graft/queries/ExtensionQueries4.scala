@@ -19,24 +19,13 @@ object ExtensionQueries4 {
 
   private val P = PolyHash.Mod
 
-  val queries: Seq[Q] = Seq(
-
-    // ------------------------------------------------------------------
-    // q111: IVF-PQ — the big-corpus ANN composition: IVF's cell
-    // equi-join prunes WHICH vectors a query touches (nProbe/C of the
-    // corpus), PQ codes shrink WHAT each touched vector costs (8 bytes +
-    // m LUT lookups). One corpus scan computes (cell, codes); at 100 TB
-    // that table IS the persisted index, partitioned by cell. The oracle
-    // composes q64's cell CTEs with q104's encode/ADC CTEs.
-    Q(
-      "q111_ivfpq",
-      (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-        SimilaritySearch.ivfPqTopK(e.filter(col("vec_id") < 5), e, 5,
-            nCentroids = 16, nProbe = 4, m = 8, ksub = 16)
-          .orderBy("query_id", "rank")
-      },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** q111's oracle — the full IVF-PQ replay (hash-pick centroids, cell
+    * assign, codebook pick+slice, encode, probe, ADC). Shared with q207,
+    * which serves the SAME probes from the PERSISTED index and must
+    * produce byte-identical rows.
+    */
+  private[queries] lazy val ivfPqOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |ipick AS (
              |  SELECT vec_id, v FROM (
              |    SELECT vec_id, v,
@@ -97,7 +86,27 @@ object ExtensionQueries4 {
              |  FROM scored)
              |SELECT query_id, rank, neighbor_id, score
              |FROM ranked WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)),
+             |ORDER BY query_id, rank""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q111: IVF-PQ — the big-corpus ANN composition: IVF's cell
+    // equi-join prunes WHICH vectors a query touches (nProbe/C of the
+    // corpus), PQ codes shrink WHAT each touched vector costs (8 bytes +
+    // m LUT lookups). One corpus scan computes (cell, codes); at 100 TB
+    // that table IS the persisted index, partitioned by cell (q207
+    // round-trips exactly that persisted form). The oracle composes
+    // q64's cell CTEs with q104's encode/ADC CTEs.
+    Q(
+      "q111_ivfpq",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        SimilaritySearch.ivfPqTopK(e.filter(col("vec_id") < 5), e, 5,
+            nCentroids = 16, nProbe = 4, m = 8, ksub = 16)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqOracleSql)),
 
     // ------------------------------------------------------------------
     // q112: int8 scalar quantization (SQ8) — the cheap vector

@@ -100,6 +100,25 @@ object PlanSnapshots {
     streamPlans.foreach { case (name, df) =>
       write(name, df.queryExecution.analyzed.toString())
     }
+
+    // round 8: the persisted IVF-PQ index's pruned codes scan — q207's
+    // serving read (the registered fn returns a checkpointed result
+    // whose own plan is a trivial scan, so the prunable read is
+    // snapshotted directly; `PartitionFilters` with the probed cells is
+    // the property that must never regress)
+    val idx = Files.createTempDirectory("graft_plansnap_idx")
+    try {
+      val emb = graft.io.Tables.load(spark, sfDir, "embeddings")
+      graft.ext.SimilaritySearch.writeIvfPqIndex(emb, idx.toString)
+      write("q207_ivfpq_pruned_scan",
+        graft.ext.SimilaritySearch
+          .prunedCodesScan(spark, idx.toString, Seq(1, 3, 5))
+          .queryExecution.explainString(mode))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
     spark.stop()
   }
 }

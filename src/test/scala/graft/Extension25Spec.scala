@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.SimilaritySearch
+import graft.io.Tables
+
+/** Semantics tests for the round-8 wave (q206–q207): sketch-merge
+  * equivalence and the persisted-ANN-index round-trip — the properties
+  * the DuckDB oracle can't see (it replays exact counts / the in-session
+  * formula, not the sketch or the on-disk form).
+  */
+class Extension25Spec extends SparkSpec {
+
+  test("hll merge: union of per-shard sketches == full-recompute sketch, " +
+    "and the gate's within_tol self-audit holds") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // full recompute: one sketch over all rows per type
+    val full = e.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merged: five hash shards folded independently, then unioned —
+    // the q206 shape
+    val merged = e
+      .withColumn("shard", col("event_id") % 5)
+      .groupBy("event_type", "shard")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.keySet == merged.keySet && full.nonEmpty)
+    full.foreach { case (t, est) =>
+      val m = merged(t)
+      assert(math.abs(m.toDouble / est.toDouble - 1.0) < 0.005,
+        s"merged sketch estimate diverged from full recompute for $t: " +
+          s"$m vs $est")
+    }
+    // the registered gate's self-audit: every within_tol row true
+    val out = SparkEntry.queries("q206_hll_merge")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(3)),
+      s"hll estimate left the documented 5% envelope: ${out.mkString(",")}")
+    // base 4 shards + delta shard all contributed partials
+    assert(out.forall(_.getLong(2) == 5L),
+      s"expected 5 merged partials per type: ${out.mkString(",")}")
+  }
+
+  test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = e.filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val inSession = canon(SimilaritySearch.ivfPqTopK(probes, e, 5,
+      nCentroids = 16, nProbe = 4, m = 8, ksub = 16))
+    val idx = java.nio.file.Files.createTempDirectory("graft_rt_idx")
+    try {
+      SimilaritySearch.writeIvfPqIndex(e, idx.toString,
+        nCentroids = 16, m = 8, ksub = 16)
+      val fromDisk = canon(SimilaritySearch.ivfPqTopKFromIndex(
+        probes, idx.toString, 5, nProbe = 4))
+      assert(fromDisk.nonEmpty)
+      assert(fromDisk == inSession,
+        "the persisted index must serve byte-identical results")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+}

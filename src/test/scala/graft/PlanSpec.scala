@@ -318,6 +318,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin FullOuter"), p.take(400))
   }
 
+  test("q207: persisted IVF-PQ codes read prunes to the probed cells' " +
+    "partitions") {
+    // the 100 TB serving property: a probe batch's scan must plan only
+    // its nProbe cells' hive directories, never the whole index
+    val idx = java.nio.file.Files.createTempDirectory("graft_planspec_idx")
+    try {
+      val emb = Tables.load(spark, sf0001, "embeddings")
+      graft.ext.SimilaritySearch.writeIvfPqIndex(emb, idx.toString)
+      val scan = graft.ext.SimilaritySearch
+        .prunedCodesScan(spark, idx.toString, Seq(1, 3, 5))
+      val p = scan.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+        .getOrElse("")
+      assert(pf.contains("cell") && pf.toUpperCase.contains(" IN "),
+        s"probed cells not pushed as partition filters:\n$p")
+      // and the pruning is REAL: the pruned scan must touch strictly
+      // fewer files than the full index read
+      val full = spark.read.parquet(s"$idx/codes")
+      val prunedFiles = scan.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numFiles") }.flatten
+      scan.collect() // populate metrics
+      val fullCount = full.inputFiles.length
+      assert(prunedFiles.nonEmpty &&
+        prunedFiles.head.value < fullCount,
+        s"pruned scan read ${prunedFiles.map(_.value)} of $fullCount files")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("q158: the LM pipeline broadcasts the vocab to the token stream") {
     // (q173 shares the scoring subplan but its FINAL plan is an RDD scan
     // by design — Ranking's two-pass materializes upstream lineage)
