@@ -3,6 +3,7 @@ package graft.ext
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
@@ -352,6 +353,50 @@ object Dedup {
     trainSh.join(broadcast(evalSh), "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
+  /** Winnowed document fingerprints — the MOSS algorithm (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03): hash every word k-gram, slide a
+    * window of `w` consecutive hashes, select each window's MINIMUM hash
+    * (rightmost position on ties), and keep the distinct selected
+    * (hash, position) pairs. The guarantee: any shared run of at least
+    * w+k−1 words between two documents shares at least one fingerprint,
+    * at a stored density of ~2/(w+1) of the gram count — the robust
+    * middle ground between exact n-gram decontamination
+    * ([[contaminationReport]]: every gram) and MinHash (whole-doc
+    * similarity only, no locality).
+    *
+    * Scale shape: posexplode + two windows PARTITIONED BY DOC (state is
+    * one doc's grams, never cross-doc), then a distinct — all map-side
+    * except the per-doc window sort; matching downstream is an equi-join
+    * on the winnowed hash, i.e. posting lists ~(w+1)/2× shorter than the
+    * full gram index, never pairwise text comparison.
+    *
+    * The tie rule is encoded arithmetically so one `min` does both
+    * comparisons: key = h·2²⁰ + (2²⁰−1−pos) orders by hash then by
+    * DESCENDING position; positions per document must fit in 2²⁰ (1M
+    * grams — documents, not corpora; chunk longer inputs upstream).
+    */
+  def winnowedFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 5, w: Int = 4): DataFrame = {
+    val C = 1L << 20
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.WordNgrams(col(textCol), k,
+          distinct = false)))
+      .select(col("doc_id"), col("pos"),
+        (graft.functions.PolyHash(col("col")) * C +
+          (lit(C - 1) - col("pos"))).as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    val whole = Window.partitionBy("doc_id")
+    grams
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("sel", min("key").over(win))
+      .where(col("pos") <= col("n") - w) // full windows only
+      .selectExpr("doc_id", s"sel div $C AS h",
+        s"${C - 1} - (sel % $C) AS fp_pos")
+      .distinct()
   }
 
   /** Connected components over a near-dup pair graph: every node gets its

@@ -104,6 +104,81 @@ object ExtensionQueries25 {
             .localCheckpoint()
         } finally deleteRecursively(idx)
       },
-      Some(ExtensionQueries4.ivfPqOracleSql))
+      Some(ExtensionQueries4.ivfPqOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q208: winnowing-fingerprint contamination — the MOSS selection
+    // (Dedup.winnowedFingerprints: word-5-gram hashes, window-of-4 min,
+    // rightmost tie) over every document, then train docs (hash bucket
+    // >= 2000, q78's split discipline under a fresh salt) are flagged by
+    // sharing any winnowed hash with the eval slice. Robustness vs q78's
+    // exact 8-grams: any shared run of >= w+k-1 = 8 words is still
+    // caught, but the posting index carries only ~2/(w+1) of the grams —
+    // the storage/recall trade production decontamination ships. The
+    // oracle replays tokenize, hash, the arithmetic tie-encoding window
+    // min, the full-window filter, and the split.
+    Q(
+      "q208_winnowing_contamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val fps = graft.ext.Dedup.winnowedFingerprints(
+          docs, "text", "doc_id", k = 5, w = 4)
+        val bucketed = docs.select(col("doc_id"),
+          graft.ext.Sampling.bucket(col("doc_id"), "winnow1").as("bucket"))
+        val fb = fps.join(bucketed, "doc_id")
+        val evalH = fb.where(col("bucket") < 2000)
+          .select(col("h")).distinct().withColumn("hit", lit(1L))
+        fb.where(col("bucket") >= 2000)
+          .join(broadcast(evalH), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_prints"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_shared"))
+          .withColumn("flagged", col("n_shared") > 0)
+          .orderBy("doc_id")
+      },
+      Some {
+        val gram5 = (1 to 5).map(j => s"arr[i+$j]").mkString(" || ' ' || ")
+        val C = 1L << 20
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(text, ' '), t -> t <> '') AS arr
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, i AS pos,
+           |    ${graft.functions.PolyHash.duckSql(gram5)} AS h
+           |  FROM (SELECT doc_id, arr, unnest(range(len(arr) - 4)) AS i
+           |        FROM toks WHERE len(arr) >= 5)),
+           |keys AS (
+           |  SELECT doc_id, pos, h * $C + (${C - 1} - pos) AS key,
+           |    count(*) OVER (PARTITION BY doc_id) AS n
+           |  FROM grams),
+           |sel AS (
+           |  SELECT DISTINCT doc_id, sel // $C AS h,
+           |    ${C - 1} - (sel % $C) AS fp_pos
+           |  FROM (
+           |    SELECT doc_id, pos, n,
+           |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+           |    FROM keys)
+           |  WHERE pos <= n - 4),
+           |bucketed AS (
+           |  SELECT doc_id,
+           |    ${graft.ext.Sampling.bucketDuckSql("winnow1", "doc_id")}
+           |      AS bucket
+           |  FROM documents),
+           |fb AS (
+           |  SELECT s.doc_id, s.h, b.bucket
+           |  FROM sel s JOIN bucketed b USING (doc_id)),
+           |ev AS (SELECT DISTINCT h FROM fb WHERE bucket < 2000)
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_prints,
+           |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_shared,
+           |  sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+           |    AS flagged
+           |FROM (SELECT * FROM fb WHERE bucket >= 2000) t
+           |LEFT JOIN ev ON ev.h = t.h
+           |GROUP BY t.doc_id
+           |ORDER BY t.doc_id""".stripMargin
+      })
   )
 }

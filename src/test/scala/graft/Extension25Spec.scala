@@ -46,6 +46,33 @@ class Extension25Spec extends SparkSpec {
       s"expected 5 merged partials per type: ${out.mkString(",")}")
   }
 
+  test("winnowing: a shared run of w+k-1 words is always caught, " +
+    "density is sub-gram, disjoint docs are not flagged") {
+    import spark.implicits._
+    val common = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 = w+k-1 words
+    val docs = Seq(
+      // doc 1 embeds the run mid-text; doc 2 (the "eval" side by
+      // bucket assignment below) shares it verbatim
+      (1L, s"zero one two $common nine ten eleven twelve thirteen"),
+      (2L, s"$common completely different tail words here okay"),
+      // doc 3 shares nothing with anyone
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"))
+      .toDF("doc_id", "text")
+    val fps = graft.ext.Dedup.winnowedFingerprints(docs, "text", "doc_id",
+      k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // MOSS guarantee: >= w+k-1 shared words => >= 1 shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      s"shared 8-word run produced no shared winnowed fingerprint: $byDoc")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint docs must not share fingerprints")
+    // winnowing stores FEWER prints than grams (density ~2/(w+1))
+    val grams1 = 16 - 4 // doc 1: 16 words -> 12 5-grams
+    assert(byDoc(1L).size < grams1,
+      s"winnowing kept ${byDoc(1L).size} of $grams1 grams — no compression")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
