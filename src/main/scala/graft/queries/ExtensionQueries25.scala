@@ -179,6 +179,59 @@ object ExtensionQueries25 {
            |LEFT JOIN ev ON ev.h = t.h
            |GROUP BY t.doc_id
            |ORDER BY t.doc_id""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q210: approximate-quantile rank audit — percentile_approx (Spark's
+    // mergeable quantile sketch, the 100 TB path when an exact
+    // distributed sort per group is too expensive) audited against its
+    // OWN guarantee: at accuracy a the returned value's rank must lie
+    // within n/a of q·n. The sketch estimate itself is not
+    // oracle-replayable, so the GATE follows the q206/q189
+    // measure-your-own-sketch discipline: emit the exact rank bracket of
+    // the estimate (count of values <= est — an exact join-back the
+    // oracle CAN'T see, so it is re-derived engine-side) and a
+    // within-guarantee boolean the oracle pins true, plus the exact
+    // group count. One agg pass builds the sketches; the audit join is
+    // per-(group, q) — 10 rows — broadcast back over one more scan.
+    Q(
+      "q210_approx_quantile_audit",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("value"))
+        val acc = 1000 // rank error guarantee: n/acc
+        val est = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            percentile_approx(col("value"), lit(0.5), lit(acc)).as("p50"),
+            percentile_approx(col("value"), lit(0.9), lit(acc)).as("p90"))
+        val qs = est.select(col("event_type"), col("n"),
+          explode(map(lit(0.5), col("p50"), lit(0.9), col("p90"))))
+          .withColumnRenamed("key", "q").withColumnRenamed("value", "est")
+        val ranked = e.join(broadcast(qs), "event_type")
+          .groupBy("event_type", "q", "n", "est")
+          .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L))
+            .as("rank_le"))
+        // the estimate (and so its exact rank) can shift with the
+        // sketch's partition merge order, so neither belongs in a
+        // hash-gated output; the GUARANTEE boolean is invariant to that
+        // drift — it is exactly what the sketch promises regardless of
+        // merge order — and is what the oracle pins
+        ranked
+          .select(col("event_type"), col("q"), col("n").cast("long").as("n"),
+            (abs(col("rank_le").cast("double") -
+              col("q") * col("n").cast("double")) <=
+              col("n").cast("double") / acc + 1.0).as("within_guarantee"))
+          .orderBy("event_type", "q")
+      },
+      // the oracle replays the EXACT half of the audit — group counts
+      // and the pinned-true guarantee verdict; the sketch estimate is
+      // engine-internal and deliberately not emitted (see above)
+      Some("""WITH g AS (
+             |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+             |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+             |SELECT event_type, q, CAST(n AS BIGINT) AS n,
+             |  true AS within_guarantee
+             |FROM g CROSS JOIN qs
+             |ORDER BY event_type, q""".stripMargin))
   )
 }

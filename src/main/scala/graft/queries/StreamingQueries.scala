@@ -808,6 +808,83 @@ object StreamingQueries {
              |ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q209: streaming per-day top-k — the heavy-hitters report (q93's
+    // family) as a continuous streaming operator: per-(1-day window,
+    // user) counts accumulate as watermarked keyed state (exact, not
+    // sketched — the count is per-window, so state is bounded by active
+    // users per open window, the q140 argument), and when the watermark
+    // closes a window its top-10 users by (count DESC, user_id) emit
+    // from the SAME foreachBatch discipline as q202: append mode
+    // delivers every (day, user) count of a closed window in one
+    // micro-batch, the rank runs as a Spark window over that batch
+    // (partitioned by day — never the stream's history), and only the
+    // top-10 rows are collected. Oracle = the batch per-day rank.
+    Q(
+      "q209_streaming_topk",
+      (s, dir) => {
+        import s.implicits._
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_topk_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_topk_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val acc = new scala.collection.mutable.ArrayBuffer[
+          (java.sql.Date, Long, Long, Long)]()
+        val q = withRocksDbState(s) {
+          EventStreams
+            .readStream(s, dir, globFilter = Some("events.parquet"))
+            .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+              globFilter = Some("*.parquet")))
+            .withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("w.start").cast("date").as("day"),
+              col("user_id"), col("n"))
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              val byDay = org.apache.spark.sql.expressions.Window
+                .partitionBy("day").orderBy(desc("n"), col("user_id"))
+              val top = batch.where(col("user_id") >= 0)
+                .withColumn("rank", row_number().over(byDay))
+                .where(col("rank") <= 10)
+                .select("day", "rank", "user_id", "n")
+                .collect()
+                .map(r => (r.getDate(0), r.getInt(1).toLong, r.getLong(2),
+                  r.getLong(3)))
+              acc.synchronized { acc ++= top }
+              ()
+            }
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        acc.synchronized { acc.toSeq }
+          .toDF("day", "rank", "user_id", "n")
+          .orderBy("day", "rank")
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT day, user_id, n,
+             |    row_number() OVER (PARTITION BY day
+             |      ORDER BY n DESC, user_id) AS rank
+             |  FROM c)
+             |SELECT day, CAST(rank AS BIGINT) AS rank, user_id,
+             |  CAST(n AS BIGINT) AS n
+             |FROM r WHERE rank <= 10
+             |ORDER BY day, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q202: streaming histogram maintenance — per 6-hour window and
     // event type, the fixed-width value-bin counts accumulate as a
     // watermarked windowed aggregation (append mode emits a window's

@@ -73,6 +73,63 @@ class Extension25Spec extends SparkSpec {
       s"winnowing kept ${byDoc(1L).size} of $grams1 grams — no compression")
   }
 
+  test("streaming top-k: tie on count resolves by user_id, late window " +
+    "emission covers every fixture day") {
+    import spark.implicits._
+    def nanos(s: String): Long =
+      java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_fix")
+    val staging = java.nio.file.Files.createTempDirectory("graft_topk_stage")
+    // day one: users 7 and 3 tie at 2 events, user 5 has 1 -> rank order
+    // must be (3, 7, 5) by the (n DESC, user_id) rule
+    Seq(
+      (1L, nanos("2024-03-01T01:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, nanos("2024-03-01T02:00:00"), 7L, "view", 0.0, "{}"),
+      (3L, nanos("2024-03-01T03:00:00"), 3L, "view", 0.0, "{}"),
+      (4L, nanos("2024-03-01T04:00:00"), 3L, "view", 0.0, "{}"),
+      (5L, nanos("2024-03-01T05:00:00"), 5L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    // the streaming source globs leaf FILES named events.parquet — stage
+    // the single part file under that name (the fixture layout)
+    val part = staging.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, dir.resolve("events.parquet"))
+    val out = SparkEntry.queries("q209_streaming_topk")(spark, dir.toString)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 3L, 2L), (2L, 7L, 2L), (3L, 5L, 1L)),
+      s"tie-break/emission wrong: $out")
+  }
+
+  test("approx-quantile audit: result is partition-count-invariant and " +
+    "the guarantee verdict holds under direct recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    def run(parts: Int) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try SparkEntry.queries("q210_approx_quantile_audit")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run(2)
+    val b = run(17)
+    assert(a.nonEmpty && a == b,
+      s"sketch merge-order drift leaked into the gated output:\n$a\n$b")
+    assert(a.forall(_._4), s"guarantee violated: $a")
+    // direct recomputation of the guarantee for one group
+    val e = Tables.load(spark, sf, "events").select("event_type", "value")
+    val row = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("est"))
+      .collect().head
+    val (et, n, est) = (row.getString(0), row.getLong(1), row.getDouble(2))
+    val rankLe = e.where(col("event_type") === et && col("value") <= est)
+      .count()
+    assert(math.abs(rankLe - 0.5 * n) <= n / 1000.0 + 1.0,
+      s"percentile_approx rank guarantee broken: $et rank $rankLe of $n")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
