@@ -232,6 +232,48 @@ object ExtensionQueries25 {
              |SELECT event_type, q, CAST(n AS BIGINT) AS n,
              |  true AS within_guarantee
              |FROM g CROSS JOIN qs
-             |ORDER BY event_type, q""".stripMargin))
+             |ORDER BY event_type, q""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q211: l-diversity audit — q177's k-anonymity counts group SIZES;
+    // this closes the privacy pair by auditing group CONTENTS: every
+    // (nation, segment) quasi-identifier class must contain >= l
+    // distinct sensitive values (account-balance band) or a member's
+    // sensitive attribute is inferable from the class alone (the
+    // homogeneity attack k-anonymity does not stop). One grouped
+    // distinct-count then a single-row rollup — same two-agg shape as
+    // q177, nothing data-sized crosses the second shuffle. The band
+    // boundary (floor of an exact-multiple division) lands identically
+    // in both engines.
+    Q(
+      "q211_l_diversity",
+      (s, dir) => {
+        val l = 3L
+        Tables.load(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("band")).as("n_vals"))
+          .groupBy()
+          .agg(count(lit(1)).cast("long").as("n_groups"),
+            sum(when(col("n_vals") < l, 1L).otherwise(0L)).cast("long")
+              .as("n_risky_groups"),
+            sum(when(col("n_vals") < l, col("n")).otherwise(0L))
+              .cast("long").as("rows_at_risk"),
+            min("n_vals").cast("long").as("min_diversity"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             |    count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+             |      AS n_vals
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN n_vals < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_risky_groups,
+             |  CAST(sum(CASE WHEN n_vals < 3 THEN n ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk,
+             |  CAST(min(n_vals) AS BIGINT) AS min_diversity
+             |FROM g""".stripMargin))
   )
 }

@@ -130,6 +130,26 @@ class Extension25Spec extends SparkSpec {
       s"percentile_approx rank guarantee broken: $et rank $rankLe of $n")
   }
 
+  test("l-diversity: homogeneous group flagged, diverse group passes, " +
+    "rows_at_risk counts only risky-group members") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ldiv")
+    // group (1, A): 4 members all in band 0 -> risky (1 < 3 bands)
+    // group (2, B): 3 members in bands 0/1/2 -> diverse
+    Seq(
+      (1L, "A", 100.0), (1L, "A", 200.0), (1L, "A", 300.0), (1L, "A", 400.0),
+      (2L, "B", 100.0), (2L, "B", 2100.0), (2L, "B", 4100.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    val r = SparkEntry.queries("q211_l_diversity")(spark, dir.toString)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 4L, 1L)),
+      s"expected 2 groups / 1 risky / 4 rows at risk / min diversity 1, " +
+        s"got $r")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
