@@ -274,6 +274,100 @@ object ExtensionQueries25 {
              |  CAST(sum(CASE WHEN n_vals < 3 THEN n ELSE 0 END) AS BIGINT)
              |    AS rows_at_risk,
              |  CAST(min(n_vals) AS BIGINT) AS min_diversity
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q212: NDCG@10 of the ANN ranking — q189 measures set recall; this
+    // measures ORDER quality: the LSH-bucketed top-10 (q49) scored as a
+    // ranked run against brute-force graded relevance (grade 11−r for
+    // brute rank r, 0 outside the exact top-10) with standard log2
+    // position discounts. Getting the right neighbors in the wrong
+    // order now costs — the retrieval-eval lens on the same trade q189
+    // audits. Numerics: the irrational 1/log2(r+1) discounts are
+    // pre-scaled to integer 1e-12 units as LITERALS shared by both
+    // engines, so DCG is an exact LONG dot product (order-independent
+    // sum) and IDCG a precomputed LONG — one double division at the
+    // end, then stableRound6. Scale shape: both runs are probe-keyed;
+    // one (probe, neighbor) equi-join, one probe-keyed agg; probes with
+    // an empty bucket surface as ndcg 0 (q189's lonely-probe rule).
+    Q(
+      "q212_ann_ndcg",
+      (s, dir) => {
+        // discount(r) = 1/log2(r+1), scaled to 1e-12 integer units
+        val d = (1 to 10).map(r =>
+          Math.round(1.0 / (math.log(r + 1.0) / math.log(2.0)) * 1e12))
+        val idcg = (1 to 10).map(r => (11L - r) * d(r - 1)).sum
+        val e = Tables.load(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 20)
+        val brute = SimilaritySearch.bruteTopK(probes, e, 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("b_rank"))
+        val lsh = SimilaritySearch.lshTopK(probes, e, 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("s_rank"))
+        val dArr = array(d.map(lit): _*)
+        val scored = lsh
+          .join(brute, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("gain",
+            coalesce(lit(11) - col("b_rank"), lit(0)).cast("long"))
+          .withColumn("contrib",
+            col("gain") * element_at(dArr, col("s_rank")))
+          .groupBy("query_id")
+          .agg(count(lit(1)).cast("long").as("n_sys"),
+            sum("contrib").as("dcg_s"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(scored, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_sys"), lit(0L)).as("n_sys"),
+            graft.functions.Rounding.stableRound6(
+              coalesce(col("dcg_s"), lit(0L)).cast("double") /
+                lit(idcg.toDouble)).as("ndcg"))
+          .orderBy("query_id")
+      },
+      Some {
+        val d = (1 to 10).map(r =>
+          Math.round(1.0 / (math.log(r + 1.0) / math.log(2.0)) * 1e12))
+        val idcg = (1 to 10).map(r => (11L - r) * d(r - 1)).sum
+        val ps = SimilaritySearch.planes()
+        val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+          val lits = p.map(v => String.format(java.util.Locale.ROOT, "%.6f",
+            Double.box(v))).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("\n             |    + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v,
+           |    $bucketExpr AS bkt
+           |  FROM e),
+           |q AS (SELECT * FROM b WHERE vec_id < 20),
+           |bs AS (
+           |  SELECT query_id, neighbor_id, rank FROM (
+           |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        floor(list_cosine_similarity(q.v, e2.v) * 1000000 + 0.5)
+           |          / 1000000 DESC, e2.vec_id) AS rank
+           |    FROM q JOIN e e2 ON e2.vec_id <> q.vec_id)
+           |  WHERE rank <= 10),
+           |ls AS (
+           |  SELECT query_id, neighbor_id, rank FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        floor(list_cosine_similarity(q.v, c.v) * 1000000 + 0.5)
+           |          / 1000000 DESC, c.vec_id) AS rank
+           |    FROM q JOIN b c ON c.bkt = q.bkt AND c.vec_id <> q.vec_id)
+           |  WHERE rank <= 10),
+           |scored AS (
+           |  SELECT l.query_id, count(*) AS n_sys,
+           |    sum(coalesce(11 - b2.rank, 0) *
+           |      list_extract([${d.mkString(",")}], l.rank)) AS dcg_s
+           |  FROM ls l LEFT JOIN bs b2
+           |    ON b2.query_id = l.query_id AND b2.neighbor_id = l.neighbor_id
+           |  GROUP BY 1)
+           |SELECT q.vec_id AS query_id,
+           |  CAST(coalesce(s.n_sys, 0) AS BIGINT) AS n_sys,
+           |  floor((coalesce(s.dcg_s, 0)::DOUBLE / $idcg.0) * 1000000 + 0.5)
+           |    / 1000000 AS ndcg
+           |FROM q LEFT JOIN scored s ON s.query_id = q.vec_id
+           |ORDER BY query_id""".stripMargin
+      })
   )
 }

@@ -150,6 +150,25 @@ class Extension25Spec extends SparkSpec {
         s"got $r")
   }
 
+  test("ann ndcg: identical-direction corpus makes LSH == brute, " +
+    "ndcg exactly 1.0 for every probe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndcg")
+    // 12 colinear vectors (same direction, different scales): cosine is
+    // 1 for every pair so both rankings are the pure id tiebreak, and
+    // one LSH bucket holds everyone -> the system run IS the ideal run
+    (0 until 12).map { i =>
+      (i.toLong, Array.fill(64)(((i % 3) + 1) * 0.125f))
+    }.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q212_ann_ndcg")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 12)
+    assert(out.forall(t => t._2 == 10L && t._3 == 1.0),
+      s"expected full top-10 and ndcg 1.0 everywhere: ${out.mkString(",")}")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
