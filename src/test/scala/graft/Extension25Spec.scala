@@ -169,6 +169,34 @@ class Extension25Spec extends SparkSpec {
       s"expected full top-10 and ndcg 1.0 everywhere: ${out.mkString(",")}")
   }
 
+  test("degenerate inputs: winnowing on short docs is empty not crashed, " +
+    "empty-corpus index build refuses loudly") {
+    import spark.implicits._
+    // every doc shorter than k words, plus one with exactly k (one gram
+    // but no full w-window): winnowing yields NO fingerprints — and must
+    // not throw
+    val docs = Seq((1L, "two words"), (2L, ""),
+      (3L, "exactly five words right here")).toDF("doc_id", "text")
+    val fps = graft.ext.Dedup.winnowedFingerprints(docs, "text", "doc_id",
+      k = 5, w = 4)
+    assert(fps.count() == 0L)
+    // empty corpus: the index builder must refuse (a silently empty
+    // index would serve zero neighbors forever)
+    val idx = java.nio.file.Files.createTempDirectory("graft_empty_idx")
+    try {
+      val empty = spark.emptyDataFrame
+        .withColumn("vec_id", lit(0L)).withColumn("embedding",
+          lit(null).cast("array<float>")).limit(0)
+      intercept[IllegalArgumentException] {
+        SimilaritySearch.writeIvfPqIndex(empty, idx.toString)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
