@@ -262,6 +262,7 @@ object ExtensionQueries25 {
             sum(when(col("n_vals") < l, col("n")).otherwise(0L))
               .cast("long").as("rows_at_risk"),
             min("n_vals").cast("long").as("min_diversity"))
+          .orderBy("n_groups")
       },
       Some("""WITH g AS (
              |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
@@ -274,7 +275,8 @@ object ExtensionQueries25 {
              |  CAST(sum(CASE WHEN n_vals < 3 THEN n ELSE 0 END) AS BIGINT)
              |    AS rows_at_risk,
              |  CAST(min(n_vals) AS BIGINT) AS min_diversity
-             |FROM g""".stripMargin)),
+             |FROM g
+             |ORDER BY n_groups""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q212: NDCG@10 of the ANN ranking — q189 measures set recall; this
