@@ -59,6 +59,8 @@ object Engine {
       graft.ext.SimilaritySearch.lshBucketBuilder)
     Bridge.registerFunction(spark, "word_ngrams", WordNgrams.builder)
     Bridge.registerFunction(spark, "nfc_normalize", es => NfcNormalize(es.head))
+    Bridge.registerFunction(spark, "winnowed_fingerprints",
+      WinnowedFingerprints.builder)
   }
 
   /** Register every fixture table as a temp view so plain

@@ -52,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_ngrams",
         "word_ngrams(str, n[, distinct]) - word n-grams, compiled (literal n/distinct)"),
       (es: Seq[Expression]) => WordNgrams.builder(es)))
+    e.injectFunction((FunctionIdentifier("winnowed_fingerprints"),
+      info("winnowed_fingerprints",
+        "winnowed_fingerprints(str, k, w) - MOSS winnowed (hash, pos) fingerprints (literal k/w)"),
+      (es: Seq[Expression]) => WinnowedFingerprints.builder(es)))
   }
 }

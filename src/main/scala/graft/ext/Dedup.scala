@@ -3,7 +3,6 @@ package graft.ext
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
@@ -366,38 +365,29 @@ object Dedup {
     * ([[contaminationReport]]: every gram) and MinHash (whole-doc
     * similarity only, no locality).
     *
-    * Scale shape: posexplode + two windows PARTITIONED BY DOC (state is
-    * one doc's grams, never cross-doc), then a distinct — all map-side
-    * except the per-doc window sort; matching downstream is an equi-join
-    * on the winnowed hash, i.e. posting lists ~(w+1)/2× shorter than the
-    * full gram index, never pairwise text comparison.
-    *
-    * The tie rule is encoded arithmetically so one `min` does both
-    * comparisons: key = h·2²⁰ + (2²⁰−1−pos) orders by hash then by
-    * DESCENDING position; positions per document must fit in 2²⁰ (1M
-    * grams — documents, not corpora; chunk longer inputs upstream).
+    * Scale shape (r8, second iteration): winnowing state is DOC-LOCAL
+    * by definition, so the first formulation's posexplode → hash
+    * partition by doc → per-doc window min paid a full shuffle + sort
+    * for what one compiled pass computes in O(#grams) per row —
+    * [[graft.functions.WinnowedFingerprints]] (monotonic deque, same
+    * rightmost tie rule) now emits each doc's fingerprint set as a
+    * shuffle-free codegen projection (PlanSpec pins the no-Window,
+    * no-pre-join-Exchange shape; the DuckDB oracle still replays the
+    * window-min formulation with the arithmetic h·2²⁰+(2²⁰−1−pos) tie
+    * encoding, so the q208 gate IS the equivalence proof — valid for
+    * positions < 2²⁰, i.e. documents, not corpora; chunk longer inputs
+    * upstream). Matching downstream is an equi-join on the winnowed
+    * hash — posting lists ~2/(w+1) the full gram index's size, never
+    * pairwise text comparison.
     */
   def winnowedFingerprints(docs: DataFrame, textCol: String, idCol: String,
-                           k: Int = 5, w: Int = 4): DataFrame = {
-    val C = 1L << 20
-    val grams = docs
+                           k: Int = 5, w: Int = 4): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.WordNgrams(col(textCol), k,
-          distinct = false)))
-      .select(col("doc_id"), col("pos"),
-        (graft.functions.PolyHash(col("col")) * C +
-          (lit(C - 1) - col("pos"))).as("key"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(0, w - 1)
-    val whole = Window.partitionBy("doc_id")
-    grams
-      .withColumn("n", count(lit(1)).over(whole))
-      .withColumn("sel", min("key").over(win))
-      .where(col("pos") <= col("n") - w) // full windows only
-      .selectExpr("doc_id", s"sel div $C AS h",
-        s"${C - 1} - (sel % $C) AS fp_pos")
-      .distinct()
-  }
+        explode(graft.functions.WinnowedFingerprints(col(textCol), k, w))
+          .as("fp"))
+      .select(col("doc_id"), col("fp.h").as("h"),
+        col("fp.fp_pos").as("fp_pos"))
 
   /** Connected components over a near-dup pair graph: every node gets its
     * component's minimum id as `label` — the cluster-canonical assignment

@@ -364,3 +364,97 @@ object NfcNormalize {
   def apply(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
 }
+
+/** Winnowed document fingerprints (the MOSS window-min selection) in ONE
+  * compiled pass per document — the operator-shaped twin of
+  * graft.ext.Dedup's original formulation (posexplode the gram hashes →
+  * hash-partition by doc → per-doc window min): winnowing state is
+  * doc-local by definition, so distributing it as a window function paid
+  * a full shuffle + sort for what a per-row monotonic-deque scan computes
+  * in O(#grams). Emits the distinct selected (hash, position) pairs as
+  * `array<struct<h bigint, fp_pos bigint>>`; the rightmost-on-ties rule
+  * is the deque's pop-back-on->= invariant (an equal hash entering from
+  * the right evicts the older occurrence), and consecutive dedup equals
+  * global dedup because a displaced selection can never be re-selected
+  * (its displacer is righter and ≤, and outlives it in every later
+  * window). Bit-identical to the window formulation for positions
+  * < 2²⁰ (the arithmetic tie-encoding the DuckDB oracle replays);
+  * results are gram hashes via [[PolyHash]] over [[WordNgrams]] strings,
+  * so the q208 oracle is unchanged.
+  */
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowedFingerprints.compute($c.toString(), $k, $w);")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("fp_pos", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "winnowed_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnowed_fingerprints expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowedFingerprints.compute(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowedFingerprints {
+
+  def compute(s: String, k: Int, w: Int): ArrayData = {
+    val grams = WordNgrams.compute(s, k, distinct = false)
+    val n = grams.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = PolyHash.hash(grams.getUTF8String(i).toString)
+      i += 1
+    }
+    // monotonic deque of indices: hs strictly increasing front→back;
+    // >= on the pop keeps the RIGHTMOST occurrence of equal hashes
+    val dq = new java.util.ArrayDeque[Integer]()
+    val out = new ArrayBuffer[Any]()
+    var lastSel = -1
+    i = 0
+    while (i < n) {
+      while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+      dq.addLast(i)
+      val wStart = i - w + 1
+      if (wStart >= 0) { // full windows only
+        while (dq.peekFirst < wStart) dq.pollFirst()
+        val sel: Int = dq.peekFirst
+        if (sel != lastSel) {
+          out += new GenericInternalRow(Array[Any](hs(sel), sel.toLong))
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(c: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowedFingerprints(Bridge.expression(c), k, w))
+
+  /** SQL-registry builder: `winnowed_fingerprints(str, k, w)` with
+    * literal k/w args (the `lsh_bucket` literal-arg convention).
+    */
+  def builder(es: Seq[Expression]): Expression = {
+    def intArg(i: Int): Int = es(i).eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"winnowed_fingerprints arg $i must be an integer literal, got $other")
+    }
+    WinnowedFingerprints(es.head, intArg(1), intArg(2))
+  }
+}

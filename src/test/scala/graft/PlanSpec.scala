@@ -115,10 +115,29 @@ class PlanSpec extends SparkSpec {
       // (q80) variants
       assert(docs.select(explode(graft.ext.Dedup.shingles(col("text"), 8))).count() > 0)
       assert(graft.ext.TextAnalysis.repetitionStats(docs, "text", "doc_id").count() > 0)
+      // r8: the one-pass winnowing expression (q208's fingerprint side)
+      assert(graft.ext.Dedup.winnowedFingerprints(
+        docs, "text", "doc_id").count() > 0)
     } finally prior match {
       case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")
     }
+  }
+
+  test("q208: winnowing fingerprint side is one compiled projection — " +
+    "no Window operator, no exchange below the fingerprint explode") {
+    // the r8 second iteration: winnowing state is doc-local, so the
+    // per-doc selection must NOT appear as a window function (that shape
+    // paid a full shuffle + per-doc sort); the only exchanges allowed in
+    // the whole query are the downstream groupBy/join ones
+    val p = planOf("q208_winnowing_contamination")
+    assert(!p.contains("Window"),
+      s"winnowing regressed to a window formulation:\n${p.take(800)}")
+    val fps = graft.ext.Dedup.winnowedFingerprints(
+      Tables.load(spark, sf0001, "documents"), "text", "doc_id")
+    val fpPlan = fps.queryExecution.executedPlan.toString()
+    assert(!fpPlan.contains("Exchange"),
+      s"fingerprint extraction should be shuffle-free:\n${fpPlan.take(800)}")
   }
 
   test("vector expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
