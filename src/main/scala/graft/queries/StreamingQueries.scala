@@ -28,6 +28,7 @@ object StreamingQueries {
   private val dauRunId = new AtomicInteger(0)
   private val rateRunId = new AtomicInteger(0)
   private val anomRunId = new AtomicInteger(0)
+  private val ingestRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -883,6 +884,117 @@ object StreamingQueries {
              |  CAST(n AS BIGINT) AS n
              |FROM r WHERE rank <= 10
              |ORDER BY day, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q213: streaming ingest-time decontamination — curation AT THE
+    // DOOR: documents arrive as a file stream and every in-flight row
+    // is fingerprinted by the compiled winnowing expression
+    // (functions.WinnowedFingerprints — the same operator the batch
+    // path q208 uses) and checked against a STATIC eval fingerprint
+    // set, entirely STATELESS: no watermark, no keyed state, a pure
+    // per-row decision — the ingest shape that scales to any stream
+    // rate because each executor needs only the (benchmark-sized) eval
+    // set. Here the set rides in as an array literal; at production
+    // scale it is a broadcast variable or bloom handoff (q92's
+    // discipline). n_shared counts DISTINCT shared hashes (vs q208's
+    // per-print count — the at-the-door decision only needs set
+    // overlap). Oracle = the full batch winnowing + split replay.
+    Q(
+      "q213_streaming_ingest_curation",
+      (s, dir) => {
+        val id = ingestRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_ingest_${id - 1}")
+        val name = s"graft_stream_ingest_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt")
+        // static side: the eval slice's distinct winnowed hashes
+        val evalHashes = graft.ext.Dedup.winnowedFingerprints(
+            graft.io.Tables.load(s, dir, "documents")
+              .where(graft.ext.Sampling.bucket(col("doc_id"), "winnow1") < 2000),
+            "text", "doc_id")
+          .select("h").distinct().collect().map(_.getLong(0)).sorted
+        val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        val q = s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .where(graft.ext.Sampling.bucket(col("doc_id"), "winnow1") >= 2000)
+          .withColumn("fps",
+            graft.functions.WinnowedFingerprints(col("text"), 5, 4))
+          .withColumn("hs", expr("transform(fps, fp -> fp.h)"))
+          .select(col("doc_id"),
+            size(col("fps")).cast("long").as("n_prints"),
+            size(array_intersect(col("hs"),
+              typedLit(evalHashes.toSeq))).cast("long").as("n_shared"),
+            (size(array_intersect(col("hs"),
+              typedLit(evalHashes.toSeq))) > 0).as("flagged"))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+        }
+        s.table(name).where(col("n_prints") > 0).orderBy("doc_id")
+      },
+      Some {
+        val gram5 = (1 to 5).map(j => s"arr[i+$j]").mkString(" || ' ' || ")
+        val C = 1L << 20
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(text, ' '), t -> t <> '') AS arr
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, i AS pos,
+           |    ${graft.functions.PolyHash.duckSql(gram5)} AS h
+           |  FROM (SELECT doc_id, arr, unnest(range(len(arr) - 4)) AS i
+           |        FROM toks WHERE len(arr) >= 5)),
+           |keys AS (
+           |  SELECT doc_id, pos, h * $C + (${C - 1} - pos) AS key,
+           |    count(*) OVER (PARTITION BY doc_id) AS n
+           |  FROM grams),
+           |sel AS (
+           |  SELECT DISTINCT doc_id, sel // $C AS h,
+           |    ${C - 1} - (sel % $C) AS fp_pos
+           |  FROM (
+           |    SELECT doc_id, pos, n,
+           |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+           |    FROM keys)
+           |  WHERE pos <= n - 4),
+           |bucketed AS (
+           |  SELECT doc_id,
+           |    ${graft.ext.Sampling.bucketDuckSql("winnow1", "doc_id")}
+           |      AS bucket
+           |  FROM documents),
+           |fb AS (
+           |  SELECT s.doc_id, s.h, b.bucket
+           |  FROM sel s JOIN bucketed b USING (doc_id)),
+           |ev AS (SELECT DISTINCT h FROM fb WHERE bucket < 2000)
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_prints,
+           |  CAST(count(DISTINCT CASE WHEN ev.h IS NOT NULL THEN t.h END)
+           |    AS BIGINT) AS n_shared,
+           |  count(DISTINCT CASE WHEN ev.h IS NOT NULL THEN t.h END) > 0
+           |    AS flagged
+           |FROM (SELECT * FROM fb WHERE bucket >= 2000) t
+           |LEFT JOIN ev ON ev.h = t.h
+           |GROUP BY t.doc_id
+           |ORDER BY t.doc_id""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // q202: streaming histogram maintenance — per 6-hour window and
