@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ext.SimilaritySearch
+import graft.functions.Rounding
 import graft.io.Tables
 
 /** Round-8 wave: the two r7-verdict follow-ups that complete existing
@@ -370,6 +371,78 @@ object ExtensionQueries25 {
            |    / 1000000 AS ndcg
            |FROM q LEFT JOIN scored s ON s.query_id = q.vec_id
            |ORDER BY query_id""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q214: source-centroid similarity matrix — the corpus redundancy
+    // map: pairwise cosine between per-source embedding centroids
+    // (vec_id = doc_id pairing, q190's convention) says which sources
+    // say the same thing — the signal behind source-level mixture cuts
+    // (q114/q146) and cross-source dedup priorities (q159). Numerics:
+    // cosine is scale-invariant, so the centroid division is SKIPPED
+    // entirely — each source's SUM vector stands in — and every sum is
+    // exact: components are rounded to a 1e-4 grid first (floor(v·1e4
+    // + 0.5), the same IEEE sequence both engines run), making
+    // per-(source, dim) sums, norms (Σ s², ≤ 4e14) and dots exact LONGs
+    // — order-independent by construction (the q204 discipline applied
+    // to vectors). One double op chain at the end: dot / sqrt(n1·n2)
+    // with the product taken in double (the long·long would overflow),
+    // then stableRound6. Scale shape: explode to (source, dim) — 64
+    // rows per doc, one hash agg to #sources·64 rows — then all
+    // pairwise work happens on the source-count-sized frame (S·64 and
+    // S²/2 rows), never on data.
+    Q(
+      "q214_source_similarity",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val dims = Tables.load(s, dir, "embeddings")
+          .join(docs, col("vec_id") === col("doc_id"))
+          .select(col("source"), posexplode(col("embedding")))
+          .select(col("source"), col("pos").as("d"),
+            floor(col("col").cast("double") * 10000.0 + lit(0.5))
+              .cast("long").as("q"))
+          .groupBy("source", "d")
+          .agg(sum("q").as("ssum"))
+        val norms = dims.groupBy("source")
+          .agg(sum(col("ssum") * col("ssum")).as("nrm"))
+        val a = dims.select(col("source").as("s1"), col("d"),
+          col("ssum").as("v1"))
+        val b = dims.select(col("source").as("s2"), col("d"),
+          col("ssum").as("v2"))
+        a.join(b, "d").where(col("s1") < col("s2"))
+          .groupBy("s1", "s2")
+          .agg(sum(col("v1") * col("v2")).as("dot"))
+          .join(norms.select(col("source").as("s1"), col("nrm").as("n1")), "s1")
+          .join(norms.select(col("source").as("s2"), col("nrm").as("n2")), "s2")
+          .select(col("s1"), col("s2"),
+            Rounding.stableRound6(col("dot").cast("double") /
+              sqrt(col("n1").cast("double") * col("n2").cast("double")))
+              .as("cos"))
+          .orderBy("s1", "s2")
+      },
+      Some(s"""WITH dims AS (
+             |  SELECT d.source, i.d,
+             |    CAST(sum(CAST(floor(e.embedding[i.d + 1]::DOUBLE * 10000
+             |      + 0.5) AS BIGINT)) AS BIGINT) AS ssum
+             |  FROM embeddings e
+             |  JOIN documents d ON e.vec_id = d.doc_id
+             |  CROSS JOIN (SELECT unnest(range(64)) AS d) i
+             |  GROUP BY 1, 2),
+             |norms AS (
+             |  SELECT source, CAST(sum(ssum * ssum) AS BIGINT) AS nrm
+             |  FROM dims GROUP BY 1),
+             |dots AS (
+             |  SELECT a.source AS s1, b.source AS s2,
+             |    CAST(sum(a.ssum * b.ssum) AS BIGINT) AS dot
+             |  FROM dims a JOIN dims b ON a.d = b.d AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT s1, s2,
+             |  ${Rounding.duckSql(
+               "dot::DOUBLE / sqrt(n1.nrm::DOUBLE * n2.nrm::DOUBLE)")} AS cos
+             |FROM dots
+             |JOIN norms n1 ON n1.source = dots.s1
+             |JOIN norms n2 ON n2.source = dots.s2
+             |ORDER BY s1, s2""".stripMargin))
   )
 }

@@ -197,6 +197,31 @@ class Extension25Spec extends SparkSpec {
     }
   }
 
+  test("source similarity: colinear sources score 1, orthogonal score 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcsim")
+    def vec(hot: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(hot) = scale; a
+    }
+    // sources A and B point the same way (different magnitudes), C is
+    // orthogonal to both
+    Seq((0L, vec(0, 0.5f)), (1L, vec(0, 0.25f)), (2L, vec(0, 1.0f)),
+      (3L, vec(1, 0.75f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    Seq((0L, "t", "en", "A", 1L), (1L, "t", "en", "A", 1L),
+      (2L, "t", "en", "B", 1L), (3L, "t", "en", "C", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q214_source_similarity")(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(out == Seq(("A", "B", 1.0), ("A", "C", 0.0), ("B", "C", 0.0)),
+      s"got $out")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
