@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.SimilaritySearch
@@ -443,6 +444,84 @@ object ExtensionQueries25 {
              |FROM dots
              |JOIN norms n1 ON n1.source = dots.s1
              |JOIN norms n2 ON n2.source = dots.s2
-             |ORDER BY s1, s2""".stripMargin))
+             |ORDER BY s1, s2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q215: capped token allocation (water-filling) — the mixture
+    // planner's core op, q201's sibling: split a token budget B evenly
+    // across sources, except a source can't give more than it HAS —
+    // x_s = min(a_s, L) with the water level L solving Σ x_s = B.
+    // Everything is exact integers: with sources sorted by availability,
+    // source r is fully drained iff a_r·(S−r) ≤ B − prefix(r) (the
+    // integer form of a_r ≤ L — the flags are prefix-monotone so the
+    // drained set is the first k), and the residual splits across the
+    // S−k surviving sources by floor + first-`extra` (uniform weights
+    // make every largest-remainder tie equal, so the tie rule is the
+    // sort order — q201's seat discipline). Σ allocated == min(B, Σa)
+    // EXACTLY. Scale shape: one corpus agg to the source frame; every
+    // window runs over that S-row frame, never data.
+    Q(
+      "q215_capped_allocation",
+      (s, dir) => {
+        val B = 20000L
+        val av = Tables.load(s, dir, "documents")
+          .groupBy("source")
+          .agg(expr("sum(n_chars) div 4").as("a"))
+        val bySize = Window.orderBy("a", "source")
+        val all = Window.partitionBy()
+        av
+          .withColumn("r", row_number().over(bySize).cast("long"))
+          .withColumn("prefix", sum("a").over(
+            bySize.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cnt", count(lit(1)).over(all))
+          .withColumn("drained",
+            col("a") * (col("cnt") - col("r")) <= lit(B) - col("prefix"))
+          .withColumn("k", coalesce(max(when(col("drained"), col("r")))
+            .over(all), lit(0L)))
+          .withColumn("pk", coalesce(max(when(col("drained"), col("prefix")))
+            .over(all), lit(0L)))
+          .withColumn("m", col("cnt") - col("k"))
+          .withColumn("resid", lit(B) - col("pk"))
+          .withColumn("allocated", when(col("drained"), col("a"))
+            .otherwise(expr("resid div greatest(m, 1)") +
+              when(col("r") - col("k") <= col("resid") % greatest(col("m"),
+                lit(1L)), 1L).otherwise(0L)))
+          .select(col("source"), col("a").as("available"),
+            col("allocated").cast("long").as("allocated"),
+            (col("allocated") === col("a")).as("at_cap"))
+          .orderBy("source")
+      },
+      Some(s"""WITH av AS (
+             |  SELECT source, CAST(sum(n_chars) // 4 AS BIGINT) AS a
+             |  FROM documents GROUP BY 1),
+             |ranked AS (
+             |  SELECT source, a,
+             |    row_number() OVER (ORDER BY a, source) AS r,
+             |    sum(a) OVER (ORDER BY a, source
+             |      ROWS UNBOUNDED PRECEDING) AS prefix,
+             |    count(*) OVER () AS cnt
+             |  FROM av),
+             |flagged AS (
+             |  SELECT *, a * (cnt - r) <= 20000 - prefix AS drained
+             |  FROM ranked),
+             |lvl AS (
+             |  SELECT *,
+             |    coalesce(max(CASE WHEN drained THEN r END) OVER (), 0) AS k,
+             |    coalesce(max(CASE WHEN drained THEN prefix END) OVER (), 0)
+             |      AS pk
+             |  FROM flagged),
+             |alloc AS (
+             |  SELECT source, a,
+             |    CASE WHEN drained THEN a
+             |      ELSE (20000 - pk) // greatest(cnt - k, 1)
+             |        + CASE WHEN r - k <= (20000 - pk) % greatest(cnt - k, 1)
+             |            THEN 1 ELSE 0 END
+             |    END AS allocated
+             |  FROM lvl)
+             |SELECT source, CAST(a AS BIGINT) AS available,
+             |  CAST(allocated AS BIGINT) AS allocated,
+             |  allocated = a AS at_cap
+             |FROM alloc
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -222,6 +222,27 @@ class Extension25Spec extends SparkSpec {
       s"got $out")
   }
 
+  test("capped allocation: hand-checked water level, budget exactly " +
+    "spent, nobody over availability") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wfill")
+    // availabilities (tokens = n_chars div 4): A=100, B1=10000, B2=10000
+    // budget 20000: A drains (100), residual 19900 splits 9950/9950
+    Seq((1L, "t", "en", "A", 400L), (2L, "t", "en", "B1", 20000L),
+      (3L, "t", "en", "B1", 20000L), (4L, "t", "en", "B2", 40000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q215_capped_allocation")(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(out == Seq(("A", 100L, 100L, true), ("B1", 10000L, 9950L, false),
+      ("B2", 10000L, 9950L, false)), s"got $out")
+    assert(out.map(_._3).sum == 20000L, "budget must be spent exactly")
+    assert(out.forall(t => t._3 <= t._2), "nobody gives more than they have")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
