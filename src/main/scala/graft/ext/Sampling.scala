@@ -233,4 +233,51 @@ object Sampling {
       StructField("cum_tokens", LongType, nullable = false))))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: the shard of
+    * `id` under an `n`-shard layout is the candidate with the maximum
+    * `PolyHash("hrw#" || s || "#" || id)` (smallest shard index on
+    * ties). The property that makes HRW the resharding scheme for a
+    * 100 TB corpus: growing n → n+1 moves ONLY the ~1/(n+1) of keys
+    * whose new-shard weight wins — every moved key moves TO the new
+    * shard, nothing reshuffles among survivors (q216 measures it; the
+    * spec asserts the moved-to-new-shard invariant). One codegen'd
+    * projection of n struct comparisons — shuffle-free, like [[bucket]].
+    */
+  def rendezvousShard(id: Column, n: Int): Column = {
+    require(n >= 1, s"need at least one shard, got $n")
+    if (n == 1) return lit(0L)
+    val cands = (0 until n).map { s =>
+      // square-mix like [[bucket]]: raw PolyHash is affine in the id
+      // suffix, so for same-length ids the candidate ORDER would be
+      // id-independent and one shard would win everything (observed:
+      // 500 docs → 2 shards before the fix); h² mod p breaks it
+      val h = PolyHash(concat(lit(s"hrw#$s#"), id.cast("string")))
+      struct((h * h % PolyHash.Mod).as("w"), lit(-s.toLong).as("ns"))
+    }
+    (greatest(cands: _*).getField("ns") * -1L).cast("long")
+  }
+
+  /** DuckDB replay of [[rendezvousShard]] for oracle SQL: two CTEs
+    * (`cand<name>`, `<name>`) computing the per-doc argmax over the
+    * unnested shard range as a cross join + window — structurally
+    * different from the engine's greatest() fold, same result (DuckDB
+    * can't correlate a window, so the candidate frame is materialized).
+    * `<name>` has columns (doc_id, s).
+    */
+  def rendezvousDuckCtes(n: Int, name: String, table: String = "documents",
+                         idCol: String = "doc_id"): String = {
+    val h = PolyHash.duckSql(
+      s"'hrw#' || u.s::VARCHAR || '#' || d.$idCol::VARCHAR")
+    s"""cand$name AS (
+       |  SELECT d.$idCol AS doc_id, u.s,
+       |    ($h) * ($h) % ${PolyHash.Mod} AS w
+       |  FROM $table d CROSS JOIN (SELECT unnest(range($n)) AS s) u),
+       |$name AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY w DESC, s) AS rk
+       |    FROM cand$name)
+       |  WHERE rk = 1)""".stripMargin
+  }
 }

@@ -522,6 +522,77 @@ object ExtensionQueries25 {
              |  CAST(allocated AS BIGINT) AS allocated,
              |  allocated = a AS at_cap
              |FROM alloc
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q216: rendezvous resharding audit — highest-random-weight shard
+    // assignment (Sampling.rendezvousShard: argmax over per-shard
+    // hashes, one codegen'd projection) measured across a layout change
+    // 8 → 9 shards: per shard, the population before and after, plus
+    // the corpus-wide moved count/fraction (expected ≈ 1/9 — mod-N
+    // hashing would move ~8/9). The property that makes HRW the
+    // resharding scheme at 100 TB: every moved key moves TO the new
+    // shard, nothing reshuffles among survivors (Extension25Spec
+    // asserts it directly). Shuffle shape: two shuffle-free assignment
+    // projections, one 9-key agg; the oracle replays both argmaxes as
+    // cross-join windows (a structurally different formulation of the
+    // same rule).
+    Q(
+      "q216_rendezvous_resharding",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ext.Sampling.rendezvousShard(col("doc_id"), 8).as("a8"),
+            graft.ext.Sampling.rendezvousShard(col("doc_id"), 9).as("a9"))
+        val all = Window.partitionBy()
+        val perShard = docs
+          .groupBy(col("a9").as("shard"))
+          .agg(count(lit(1)).cast("long").as("n_after"),
+            sum(when(col("a8") =!= col("a9"), 1L).otherwise(0L))
+              .cast("long").as("n_moved_in"))
+          .join(docs.groupBy(col("a8").as("shard"))
+            .agg(count(lit(1)).cast("long").as("n_before")), Seq("shard"),
+            "full_outer")
+          .select(col("shard"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"),
+            coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+        perShard
+          .withColumn("n_moved", sum("n_moved_in").over(all))
+          .withColumn("frac_moved", Rounding.stableRound6(
+            col("n_moved").cast("double") /
+              sum(col("n_before")).over(all).cast("double")))
+          .select("shard", "n_before", "n_after", "n_moved_in",
+            "n_moved", "frac_moved")
+          .orderBy("shard")
+      },
+      Some(s"""WITH ${graft.ext.Sampling.rendezvousDuckCtes(8, "a8")},
+             |${graft.ext.Sampling.rendezvousDuckCtes(9, "a9")},
+             |assign AS (
+             |  SELECT a8.doc_id, a8.s AS a8, a9.s AS a9
+             |  FROM a8 JOIN a9 USING (doc_id)),
+             |after AS (
+             |  SELECT a9 AS shard, count(*) AS n_after,
+             |    sum(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS n_moved_in
+             |  FROM assign GROUP BY 1),
+             |before AS (
+             |  SELECT a8 AS shard, count(*) AS n_before
+             |  FROM assign GROUP BY 1),
+             |per AS (
+             |  SELECT coalesce(a.shard, b.shard) AS shard,
+             |    coalesce(b.n_before, 0) AS n_before,
+             |    coalesce(a.n_after, 0) AS n_after,
+             |    coalesce(a.n_moved_in, 0) AS n_moved_in
+             |  FROM after a FULL JOIN before b ON a.shard = b.shard)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(n_before AS BIGINT) AS n_before,
+             |  CAST(n_after AS BIGINT) AS n_after,
+             |  CAST(n_moved_in AS BIGINT) AS n_moved_in,
+             |  CAST(sum(n_moved_in) OVER () AS BIGINT) AS n_moved,
+             |  ${Rounding.duckSql(
+               "sum(n_moved_in) OVER ()::DOUBLE / sum(n_before) OVER ()::DOUBLE")}
+             |    AS frac_moved
+             |FROM per
+             |ORDER BY shard""".stripMargin))
   )
 }

@@ -243,6 +243,24 @@ class Extension25Spec extends SparkSpec {
     assert(out.forall(t => t._3 <= t._2), "nobody gives more than they have")
   }
 
+  test("rendezvous resharding: every moved key moves TO the new shard, " +
+    "assignments are id-dependent (no affine collapse)") {
+    val ids = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        graft.ext.Sampling.rendezvousShard(col("doc_id"), 8).as("a8"),
+        graft.ext.Sampling.rendezvousShard(col("doc_id"), 9).as("a9"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // HRW minimality: growing 8 -> 9 only ever moves INTO shard 8
+    val moved = ids.filter(t => t._1 != t._2)
+    assert(moved.nonEmpty && moved.forall(_._2 == 8L),
+      s"a key moved between surviving shards: ${moved.take(5).mkString(",")}")
+    // the affine trap (caught by this spec's first run): raw PolyHash
+    // made the candidate order id-independent and 500 docs landed on 2
+    // shards; square-mixed weights must spread over all 8
+    assert(ids.map(_._1).distinct.length == 8,
+      s"8-shard layout left shards empty: ${ids.map(_._1).distinct.sorted}")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
