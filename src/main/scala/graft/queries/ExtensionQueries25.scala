@@ -593,6 +593,66 @@ object ExtensionQueries25 {
                "sum(n_moved_in) OVER ()::DOUBLE / sum(n_before) OVER ()::DOUBLE")}
              |    AS frac_moved
              |FROM per
-             |ORDER BY shard""".stripMargin))
+             |ORDER BY shard""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q217: DYNAMIC-gap session windows — Catalyst's native
+    // session_window with a PER-EVENT gap expression (purchases hold a
+    // session open 2 h, everything else 30 min — different engagement
+    // types have different idle thresholds, the real-world form of
+    // q88/q102's fixed gap). Each event extends its session to
+    // ts + gap(event); sessions merge while the next event starts at or
+    // before the running maximum of those ends (the q88 equality rule:
+    // exactly-at-the-boundary MERGES). The oracle replays that exact
+    // rule as a running-max window over integer micros: new session iff
+    // ts_us > max(prev ends); session_end = max(end) over the session.
+    // Same mergeable keyed-state scale shape as q88.
+    Q(
+      "q217_dynamic_gap_sessions",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        // make_interval, not INTERVAL literals: the dynamic-gap overload
+        // requires CalendarIntervalType and Spark 4's literals parse as
+        // DayTimeIntervalType
+        val gap = when(col("event_type") === "purchase",
+          expr("make_interval(0, 0, 0, 0, 2, 0, 0)"))
+          .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+        e.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            round(sum("value"), 2).as("session_value"))
+          .select(col("user_id"),
+            col("sw.start").cast("timestamp_ntz").as("session_start"),
+            col("sw.end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), col("session_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    epoch_us(ts) AS t_us,
+             |    epoch_us(ts) + CASE WHEN event_type = 'purchase'
+             |      THEN 7200000000 ELSE 1800000000 END AS end_us
+             |  FROM events),
+             |m AS (
+             |  SELECT *, max(end_us) OVER (PARTITION BY user_id
+             |    ORDER BY t_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS prev_end
+             |  FROM ev),
+             |marked AS (
+             |  SELECT *, CASE WHEN prev_end IS NULL OR t_us > prev_end
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM m),
+             |sess AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id,
+             |  min(ts) AS session_start,
+             |  make_timestamp(max(end_us)) AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS session_value
+             |FROM sess
+             |GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

@@ -261,6 +261,31 @@ class Extension25Spec extends SparkSpec {
       s"8-shard layout left shards empty: ${ids.map(_._1).distinct.sorted}")
   }
 
+  test("dynamic-gap sessions: a purchase holds the session open 2h " +
+    "(boundary merges), a view only 30min (boundary+1us splits)") {
+    import spark.implicits._
+    def nanos(s: String): Long =
+      java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyngap")
+    Seq(
+      // user 1: purchase at 10:00 (2h hold) + view at exactly 12:00 ->
+      // ONE session (the q88 equality-merges rule, dynamic edition)
+      (1L, nanos("2024-05-01T10:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, nanos("2024-05-01T12:00:00"), 1L, "view", 1.0, "{}"),
+      // user 2: view at 10:00 (30min hold) + view at 12:00 -> TWO
+      // sessions (same spacing, smaller gap)
+      (3L, nanos("2024-05-01T10:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, nanos("2024-05-01T12:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q217_dynamic_gap_sessions")(
+        spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (2L, 1L)),
+      s"expected one 2-event session for user 1 and two singletons for " +
+        s"user 2, got $out")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
