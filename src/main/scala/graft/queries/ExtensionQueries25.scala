@@ -653,6 +653,68 @@ object ExtensionQueries25 {
              |  round(sum(value), 2) AS session_value
              |FROM sess
              |GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q218: Gopher quality rules — the canonical pretraining filter set
+    // (Rae et al. 2021 §A1.1) as a per-rule attribution bitmap, not one
+    // opaque score (q170's sweep thresholds a scalar; production triage
+    // needs to know WHICH rule fired). Four rules over one shuffle-free
+    // projection: word count in [20, 1000]; mean word length in [3, 10]
+    // — tested as 3·n ≤ Σlen ≤ 10·n, integer cross-multiplication, so
+    // the whole query computes NO float anywhere; ≥ 2 distinct common
+    // stopwords (the "symbol soup" guard); longest word ≤ 25 chars
+    // (lorem-URL/hash blobs). keep = conjunction.
+    Q(
+      "q218_gopher_rules",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
+          .withColumn("n_words", size(col("ws")).cast("long"))
+          .withColumn("sum_len", expr(
+            "aggregate(ws, 0L, (a, w) -> a + length(w))"))
+          .withColumn("max_len", coalesce(expr(
+            "array_max(transform(ws, w -> length(w)))"), lit(0)))
+          .withColumn("n_stop", size(array_intersect(
+            expr("array_distinct(ws)"),
+            array(Seq("the", "and", "of", "to", "a", "in", "is", "that")
+              .map(lit): _*))))
+          .select(col("doc_id"), col("n_words"),
+            col("n_words").between(20, 1000).as("r_word_count"),
+            (col("sum_len") >= col("n_words") * 3 &&
+              col("sum_len") <= col("n_words") * 10).as("r_mean_word_len"),
+            (col("n_stop") >= 2).as("r_stopwords"),
+            (col("max_len") <= 25).as("r_max_word_len"))
+          .withColumn("keep",
+            col("r_word_count") && col("r_mean_word_len") &&
+              col("r_stopwords") && col("r_max_word_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n_words,
+             |    coalesce(list_aggregate(list_transform(ws,
+             |      w -> length(w)), 'sum'), 0) AS sum_len,
+             |    coalesce(list_aggregate(list_transform(ws,
+             |      w -> length(w)), 'max'), 0) AS max_len,
+             |    len(list_intersect(list_distinct(ws),
+             |      ['the', 'and', 'of', 'to', 'a', 'in', 'is', 'that']))
+             |      AS n_stop
+             |  FROM d)
+             |SELECT doc_id, n_words,
+             |  n_words BETWEEN 20 AND 1000 AS r_word_count,
+             |  sum_len >= n_words * 3 AND sum_len <= n_words * 10
+             |    AS r_mean_word_len,
+             |  n_stop >= 2 AS r_stopwords,
+             |  max_len <= 25 AS r_max_word_len,
+             |  (n_words BETWEEN 20 AND 1000)
+             |    AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+             |    AND n_stop >= 2 AND max_len <= 25 AS keep
+             |FROM m
+             |ORDER BY doc_id""".stripMargin))
   )
 }

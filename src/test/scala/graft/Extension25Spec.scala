@@ -286,6 +286,32 @@ class Extension25Spec extends SparkSpec {
         s"user 2, got $out")
   }
 
+  test("gopher rules: each rule fires independently on a crafted doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher")
+    val good = ("the quick brown fox jumps over the lazy dog and runs " +
+      "to a big field in the sun that shines bright every day now then")
+    Seq(
+      (1L, good),                               // passes everything
+      (2L, "the and of to"),                    // too short
+      (3L, good.replace("quick", "q" * 30)),    // max word length
+      (4L, Seq.fill(25)("zx qv wk jm").mkString(" ")), // no stopwords
+      (5L, Seq.fill(30)("a").mkString(" "))     // mean word len < 3
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q218_gopher_rules")(spark, dir.toString)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(out(1L) == ((true, true, true, true, true)), s"doc1 ${out(1L)}")
+    assert(!out(2L)._1 && !out(2L)._5, s"doc2 ${out(2L)}")
+    assert(!out(3L)._4 && !out(3L)._5, s"doc3 ${out(3L)}")
+    assert(!out(4L)._3 && !out(4L)._5, s"doc4 ${out(4L)}")
+    assert(!out(5L)._2 && !out(5L)._5, s"doc5 ${out(5L)}")
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
