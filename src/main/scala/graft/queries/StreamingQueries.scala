@@ -29,6 +29,7 @@ object StreamingQueries {
   private val rateRunId = new AtomicInteger(0)
   private val anomRunId = new AtomicInteger(0)
   private val ingestRunId = new AtomicInteger(0)
+  private val convRateRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -884,6 +885,85 @@ object StreamingQueries {
              |  CAST(n AS BIGINT) AS n
              |FROM r WHERE rank <= 10
              |ORDER BY day, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q219: CHAINED stateful streaming — a stream-stream time-bounded
+    // join (q81's clicks⋈purchases-within-1h) feeding a tumbling-window
+    // aggregation, both stateful operators under one pipeline (the
+    // Spark ≥3.5 multi-stateful capability q140 exercises for
+    // dedup→agg, here for join→agg): per hour of PURCHASE time, the
+    // conversion count and the exact summed click→purchase latency.
+    // The q82 dual sentinels advance both sides' watermarks (they join
+    // nothing — different sentinel users — so they contribute no rows,
+    // but watermark movement is metadata, not data) which first evicts
+    // the join state and then closes the downstream windows. Output is
+    // integer-exact (count + summed micros), no float anywhere.
+    Q(
+      "q219_streaming_conversion_rate",
+      (s, dir) => {
+        import s.implicits._
+        val id = convRateRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_convrate_${id - 1}")
+        val name = s"graft_stream_convrate_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_cvr_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_cvr_sentinel")
+        Seq(
+          (-1L, EventStreams.FlushSentinelNanos, -1L, "click", 0.0, "{}"),
+          (-2L, EventStreams.FlushSentinelNanos, -2L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        def side(eventType: String) = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .where(col("event_type") === eventType)
+        val clicks = side("click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val purchases = side("purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val q = withRocksDbState(s) {
+          clicks.join(purchases,
+              col("user_id") === col("p_user")
+                && col("p_ts") >= col("c_ts")
+                && col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+            .withColumn("gap_us",
+              unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .groupBy(window(col("p_ts"), "1 hour").as("w"))
+            .agg(count(lit(1)).cast("long").as("n_conversions"),
+              sum("gap_us").cast("long").as("sum_gap_us"))
+            .select(col("w.start").cast("timestamp_ntz").as("hour"),
+              col("n_conversions"), col("sum_gap_us"))
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name).orderBy("hour")
+      },
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, p.ts) AS hour,
+             |  CAST(count(*) AS BIGINT) AS n_conversions,
+             |  CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+             |    AS sum_gap_us
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |GROUP BY 1
+             |ORDER BY hour""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q213: streaming ingest-time decontamination — curation AT THE
