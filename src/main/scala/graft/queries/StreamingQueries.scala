@@ -30,6 +30,7 @@ object StreamingQueries {
   private val anomRunId = new AtomicInteger(0)
   private val ingestRunId = new AtomicInteger(0)
   private val convRateRunId = new AtomicInteger(0)
+  private val hllDauRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -964,6 +965,85 @@ object StreamingQueries {
              |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
              |GROUP BY 1
              |ORDER BY hour""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q220: streaming approx-distinct — DataSketches HLL as STREAMING
+    // aggregation state: per (1-day window, type), hll_sketch_agg folds
+    // user ids into a constant-size sketch (vs q140's exact
+    // dedup→count chain whose state is bounded by distinct users per
+    // open window — at 1e9 users/day the sketch is the only shape that
+    // holds), emitted when the watermark closes the window. The
+    // estimate is approximate, so the gate is the q206 self-audit: the
+    // exact count (computed by q140's own chain in a second streaming
+    // run — everything here flows through real streaming machinery)
+    // plus a within-5%-of-exact boolean the oracle pins true.
+    Q(
+      "q220_streaming_hll_dau",
+      (s, dir) => {
+        import s.implicits._
+        val id = hllDauRunId.incrementAndGet()
+        if (id > 1) {
+          s.catalog.dropTempView(s"graft_stream_hlldau_ex_${id - 1}")
+          s.catalog.dropTempView(s"graft_stream_hlldau_es_${id - 1}")
+        }
+        val exName = s"graft_stream_hlldau_ex_$id"
+        val esName = s"graft_stream_hlldau_es_$id"
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_hlldau_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        def source() = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+        def run(sink: String)(build: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): Unit = {
+          val ckpt = java.nio.file.Files.createTempDirectory("graft_hlldau_ckpt")
+          val q = withRocksDbState(s) {
+            build(source())
+              .writeStream.format("memory").queryName(sink)
+              .outputMode("append")
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          }
+          try q.awaitTermination()
+          finally { q.stop(); deleteRecursively(ckpt) }
+        }
+        // exact chain (q140's shape)
+        run(exName) { src =>
+          src.withColumn("day", to_date(col("ts")))
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+            .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+            .agg(count(lit(1)).cast("long").as("active_users"))
+            .select(col("w.start").cast("date").as("day"),
+              col("event_type"), col("active_users"))
+        }
+        // sketch chain: constant-size state per (window, type)
+        run(esName) { src =>
+          src.withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+            .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+              .as("est"))
+            .select(col("w.start").cast("date").as("day"),
+              col("event_type"), col("est"))
+        }
+        deleteRecursively(sentinelDir)
+        s.table(exName).where(col("event_type") =!= "__flush")
+          .join(s.table(esName), Seq("day", "event_type"))
+          .select(col("day"), col("event_type"), col("active_users"),
+            (abs(col("est").cast("double") /
+              col("active_users").cast("double") - 1.0) <= 0.05)
+              .as("within_tol"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+             |  true AS within_tol
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY day, event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q213: streaming ingest-time decontamination — curation AT THE
