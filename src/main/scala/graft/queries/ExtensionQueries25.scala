@@ -715,6 +715,57 @@ object ExtensionQueries25 {
              |    AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
              |    AND n_stop >= 2 AND max_len <= 25 AS keep
              |FROM m
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q221: context-length sweep — the planning table for choosing a
+    // training sequence length: for each candidate L, every document
+    // costs ceil(tokens/L)·L padded slots when chunked without packing
+    // (q75's packer and q161's waste audit are the per-L deep dives;
+    // this is the cross-L comparison that picks L in the first place).
+    // All integer: token counts, ceil via (t + L − 1) div L, exact LONG
+    // sums; utilization is the one division, stableRound6'd. One corpus
+    // scan aggregated per candidate (the candidate frame is 5 rows —
+    // explode on the SMALL side only).
+    Q(
+      "q221_context_length_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select(expr("n_chars div 4").as("t"))
+          .where(col("t") > 0)
+        val cands = Seq(128L, 256L, 512L, 1024L, 2048L)
+        toks
+          .crossJoin(broadcast(cands.toDF("seq_len")))
+          .withColumn("chunks", expr("(t + seq_len - 1) div seq_len"))
+          .groupBy("seq_len")
+          .agg(sum("t").cast("long").as("total_tokens"),
+            sum(col("chunks") * col("seq_len")).cast("long")
+              .as("padded_tokens"),
+            sum("chunks").cast("long").as("n_chunks"))
+          .select(col("seq_len"), col("total_tokens"), col("padded_tokens"),
+            col("n_chunks"),
+            Rounding.stableRound6(col("total_tokens").cast("double") /
+              col("padded_tokens").cast("double")).as("utilization"))
+          .orderBy("seq_len")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT n_chars // 4 AS t FROM documents WHERE n_chars // 4 > 0),
+             |cands AS (SELECT unnest([128, 256, 512, 1024, 2048]) AS seq_len),
+             |agg AS (
+             |  SELECT seq_len,
+             |    CAST(sum(t) AS BIGINT) AS total_tokens,
+             |    CAST(sum(((t + seq_len - 1) // seq_len) * seq_len)
+             |      AS BIGINT) AS padded_tokens,
+             |    CAST(sum((t + seq_len - 1) // seq_len) AS BIGINT)
+             |      AS n_chunks
+             |  FROM toks CROSS JOIN cands GROUP BY 1)
+             |SELECT CAST(seq_len AS BIGINT) AS seq_len, total_tokens,
+             |  padded_tokens, n_chunks,
+             |  ${Rounding.duckSql(
+               "total_tokens::DOUBLE / padded_tokens::DOUBLE")}
+             |    AS utilization
+             |FROM agg
+             |ORDER BY seq_len""".stripMargin))
   )
 }
