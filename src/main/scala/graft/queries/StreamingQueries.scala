@@ -1083,19 +1083,26 @@ object StreamingQueries {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("n_chars",
             org.apache.spark.sql.types.LongType)))
+        // membership via a broadcast set + tiny UDF, NOT a typedLit
+        // array: a several-thousand-element literal embedded in the plan
+        // made analysis/planning dominate the run (measured 5.4s vs
+        // q54's 0.85s for the same streaming machinery); the broadcast
+        // keeps the plan constant-size — the q92 discipline (a UDF that
+        // replaces data movement, not hot-path compute)
+        val evalSet = s.sparkContext.broadcast(evalHashes.toSet)
+        val nShared = udf((hs: Seq[Long]) =>
+          if (hs == null) 0L else hs.toSet.count(evalSet.value.contains).toLong)
         val q = s.readStream.schema(docsSchema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(dir)
           .where(graft.ext.Sampling.bucket(col("doc_id"), "winnow1") >= 2000)
           .withColumn("fps",
             graft.functions.WinnowedFingerprints(col("text"), 5, 4))
-          .withColumn("hs", expr("transform(fps, fp -> fp.h)"))
+          .withColumn("shared", nShared(expr("transform(fps, fp -> fp.h)")))
           .select(col("doc_id"),
             size(col("fps")).cast("long").as("n_prints"),
-            size(array_intersect(col("hs"),
-              typedLit(evalHashes.toSeq))).cast("long").as("n_shared"),
-            (size(array_intersect(col("hs"),
-              typedLit(evalHashes.toSeq))) > 0).as("flagged"))
+            col("shared").as("n_shared"),
+            (col("shared") > 0).as("flagged"))
           .writeStream
           .format("memory")
           .queryName(name)
