@@ -766,6 +766,59 @@ object ExtensionQueries25 {
                "total_tokens::DOUBLE / padded_tokens::DOUBLE")}
              |    AS utilization
              |FROM agg
-             |ORDER BY seq_len""".stripMargin))
+             |ORDER BY seq_len""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q222: net token contribution per source — gross tokens vs the
+    // tokens a source ACTUALLY adds once exact duplicates collapse to
+    // their canonical copy (q43's normalized-md5 fingerprint, min-id
+    // survivorship): the number the mixture planner (q215) should run
+    // on, since a syndicated source's gross count double-pays for text
+    // some other source already contributes. A canonical doc's tokens
+    // credit the canonical copy's OWN source (min doc_id — the q118
+    // survivorship rule). One fp agg + join back + source agg; net ≤
+    // gross per source, Σnet = deduped corpus tokens.
+    Q(
+      "q222_net_source_tokens",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("n_chars div 4").as("t"),
+            md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+              .as("fp"))
+        val canon = d.groupBy("fp").agg(min("doc_id").as("canonical_id"))
+        d.join(canon, "fp")
+          .groupBy("source")
+          .agg(sum("t").cast("long").as("gross_tokens"),
+            sum(when(col("doc_id") === col("canonical_id"), col("t"))
+              .otherwise(0L)).cast("long").as("net_tokens"),
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("doc_id") =!= col("canonical_id"), 1L)
+              .otherwise(0L)).cast("long").as("n_dups"))
+          .withColumn("net_ratio", Rounding.stableRound6(
+            col("net_tokens").cast("double") /
+              col("gross_tokens").cast("double")))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, source, n_chars // 4 AS t,
+             |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+             |      AS fp
+             |  FROM documents),
+             |canon AS (
+             |  SELECT fp, min(doc_id) AS canonical_id FROM d GROUP BY fp)
+             |SELECT source,
+             |  CAST(sum(t) AS BIGINT) AS gross_tokens,
+             |  CAST(sum(CASE WHEN doc_id = canonical_id THEN t ELSE 0 END)
+             |    AS BIGINT) AS net_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dups,
+             |  ${Rounding.duckSql(
+               "sum(CASE WHEN doc_id = canonical_id THEN t ELSE 0 END)" +
+                 "::DOUBLE / sum(t)::DOUBLE")} AS net_ratio
+             |FROM d JOIN canon USING (fp)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }
