@@ -99,4 +99,44 @@ class TextPropertySpec extends SparkSpec {
       .flatMap(t => Option(t.getMessage)).toSeq
     assert(messages.exists(_.contains("not strictly ascending")), messages.mkString(" | "))
   }
+
+  /** Brute-force winnowing reference: for every FULL window of w
+    * consecutive gram hashes, select (min hash, rightmost position among
+    * equal minima), dedup globally — the arithmetic-key formulation the
+    * DuckDB oracle replays, independently re-implemented.
+    */
+  private def bruteWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.split(" ", -1).toSeq.filter(_.nonEmpty)
+    if (toks.length < k) return Set.empty
+    val hs = toks.sliding(k).map(g =>
+      graft.functions.PolyHash.hash(g.mkString(" "))).toArray
+    if (hs.length < w) return Set.empty
+    (0 to hs.length - w).map { p =>
+      val win = (p until p + w).map(i => (hs(i), i))
+      val mn = win.map(_._1).min
+      val pos = win.filter(_._1 == mn).map(_._2).max
+      (mn, pos.toLong)
+    }.toSet
+  }
+
+  test("winnowed_fingerprints matches the brute-force window-min spec " +
+    "on random token streams (incl. heavy hash ties)") {
+    // small vocab forces repeated grams -> repeated hashes -> the tie
+    // rule and the monotonic deque's >= pop get exercised hard
+    val tokGen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "ab", "ba"))
+      .map(_.mkString(" "))
+    (1L to 40L).foreach { seed =>
+      val text = sample(tokGen, seed)
+      val got = graft.functions.WinnowedFingerprints
+        .compute(text, 5, 4) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map { i =>
+              val r = a.getStruct(i, 2)
+              (r.getLong(0), r.getLong(1))
+            }.toSet
+        }
+      assert(got == bruteWinnow(text, 5, 4),
+        s"seed $seed diverged on: $text")
+    }
+  }
 }
