@@ -184,6 +184,55 @@ class StreamingSpec extends SparkSpec {
       s"expected restarted numbering after tombstone drop, got $got")
   }
 
+  test("RECOVERY: restart from checkpoint restores dedup state — " +
+    "exactly-once output across a stop/start (file sink)") {
+    import spark.implicits._
+    def nanos(s: String): Long =
+      java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val dir = Files.createTempDirectory("graft_rec_src")
+    val staging = Files.createTempDirectory("graft_rec_stage")
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt")
+    val out = Files.createTempDirectory("graft_rec_out")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = staging.resolve(name)
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val q = EventStreams.readStream(spark, dir.toString, globFilter = Some("*.parquet"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "user_id", "event_type")
+        .writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // run 1: events 1 and 2 flow through, dedup state remembers them
+    writeBatch("b1", Seq(
+      (1L, nanos("2024-05-01T10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, nanos("2024-05-01T10:30:00"), 1L, "view", 1.0, "{}")))
+    runOnce() // terminates — simulates the job stopping
+    // run 2, SAME checkpoint: a duplicate of event 1 (within the 2h
+    // horizon) plus a genuinely new event 3; only restored state can
+    // suppress the duplicate
+    writeBatch("b2", Seq(
+      (1L, nanos("2024-05-01T10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, nanos("2024-05-01T11:00:00"), 1L, "view", 1.0, "{}")))
+    runOnce()
+    val ids = spark.read.parquet(out.toString)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"restart broke exactly-once (state not restored?): $ids")
+  }
+
   test("rateLimit: bucket state carries across micro-batches, pending " +
     "buffer re-orders within-horizon arrivals") {
     def nanos(epochS: Long): Long = epochS * 1000000000L
