@@ -819,6 +819,82 @@ object ExtensionQueries25 {
                  "::DOUBLE / sum(t)::DOUBLE")} AS net_ratio
              |FROM d JOIN canon USING (fp)
              |GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q223: shared-opening cluster histogram — documents grouped by
+    // their first-10-word OPENING (the boilerplate-lede / truncated-
+    // syndication signal q168's prefix containment localizes pairwise;
+    // full-text exact dedup finds NOTHING on this corpus, so the
+    // opening fingerprint is the relation with real cluster structure):
+    // per cluster size s, how many clusters, docs, and redundant copies
+    // (docs − clusters). The histogram says whether lede duplication is
+    // a few big template blobs (large-s tail) or pairwise noise (s=2
+    // mass). Two aggs, opening-keyed then size-keyed; nothing
+    // data-sized past the first shuffle.
+    Q(
+      "q223_opening_cluster_histogram",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(expr(
+            "array_join(slice(filter(split(text, ' '), w -> w <> ''), 1, 10), ' ')")
+            .as("pre"))
+          .groupBy("pre").agg(count(lit(1)).as("sz"))
+          .groupBy("sz")
+          .agg(count(lit(1)).cast("long").as("n_clusters"),
+            (count(lit(1)) * col("sz")).cast("long").as("n_docs"),
+            (count(lit(1)) * (col("sz") - 1)).cast("long").as("n_redundant"))
+          .select(col("sz").cast("long").as("cluster_size"),
+            col("n_clusters"), col("n_docs"), col("n_redundant"))
+          .orderBy("cluster_size")
+      },
+      Some("""WITH p AS (
+             |  SELECT array_to_string(
+             |    (list_filter(string_split(text, ' '), w -> w <> ''))[1:10],
+             |    ' ') AS pre
+             |  FROM documents),
+             |cl AS (SELECT pre, count(*) AS sz FROM p GROUP BY pre)
+             |SELECT CAST(sz AS BIGINT) AS cluster_size,
+             |  CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(count(*) * sz AS BIGINT) AS n_docs,
+             |  CAST(count(*) * (sz - 1) AS BIGINT) AS n_redundant
+             |FROM cl
+             |GROUP BY sz
+             |ORDER BY cluster_size""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q224: cross-source syndication matrix — for source pairs, the
+    // count of shared OPENINGS (first-10-word fingerprints both carry):
+    // q214 maps semantic closeness, this maps literal lede copying —
+    // the pair evidence behind q159's per-source flags and q222's
+    // net-token discounts. opening → distinct source set → pair join:
+    // pairwise work is bounded by Σ (sources-per-opening choose 2) —
+    // syndication breadth, never corpus²; only pairs with ≥1 shared
+    // opening emit.
+    Q(
+      "q224_syndication_matrix",
+      (s, dir) => {
+        val fs = Tables.load(s, dir, "documents")
+          .select(expr(
+            "array_join(slice(filter(split(text, ' '), w -> w <> ''), 1, 10), ' ')")
+            .as("pre"), col("source"))
+          .distinct()
+        fs.as("a").join(fs.as("b"),
+            col("a.pre") === col("b.pre") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).cast("long").as("n_shared_openings"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH fs AS (
+             |  SELECT DISTINCT array_to_string(
+             |    (list_filter(string_split(text, ' '), w -> w <> ''))[1:10],
+             |    ' ') AS pre,
+             |    source
+             |  FROM documents)
+             |SELECT a.source AS s1, b.source AS s2,
+             |  CAST(count(*) AS BIGINT) AS n_shared_openings
+             |FROM fs a JOIN fs b ON a.pre = b.pre AND a.source < b.source
+             |GROUP BY 1, 2
+             |ORDER BY s1, s2""".stripMargin))
   )
 }
