@@ -42,7 +42,12 @@ object PlanSnapshots {
       // the sorted-neighborhood window, the triple-ranked RRF fusion,
       // the LM-pipeline broadcast, and the composed curation report
       "q165_cdc_compaction", "q168_prefix_containment", "q180_hybrid_rrf",
-      "q158_dsir_weights", "q176_curation_impact")
+      "q158_dsir_weights", "q176_curation_impact",
+      // round 8: the shuffle-free winnowing contamination join, the
+      // exact-integer source-similarity pair frame, and the HRW
+      // resharding double-projection
+      "q208_winnowing_contamination", "q214_source_similarity",
+      "q216_rendezvous_resharding")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

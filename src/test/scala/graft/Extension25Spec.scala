@@ -312,6 +312,31 @@ class Extension25Spec extends SparkSpec {
     assert(!out(5L)._2 && !out(5L)._5, s"doc5 ${out(5L)}")
   }
 
+  test("capped allocation, everything-fits branch: budget >= total " +
+    "availability drains every source exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wfill2")
+    // availabilities 25 + 50 tokens, far under the 20000 budget: the
+    // drain test must mark every source (k = S) and allocated == a
+    Seq((1L, "t", "en", "A", 100L), (2L, "t", "en", "B", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q215_capped_allocation")(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(out == Seq(("A", 25L, 25L, true), ("B", 50L, 50L, true)),
+      s"got $out")
+  }
+
+  test("rendezvous shard: n=1 degenerates to shard 0 for every id") {
+    val ids = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(graft.ext.Sampling.rendezvousShard(col("doc_id"), 1).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L))
+  }
+
   test("persisted ivf-pq index round-trip == in-session ivfPqTopK") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = e.filter(col("vec_id") < 5)
