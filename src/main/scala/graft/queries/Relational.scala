@@ -44,8 +44,21 @@ object Relational {
             round(sum("l_extendedprice"), 2).as("sum_base_price"),
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
               .as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-              * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
+            // r8 sf0.1 sweep find: round(sum, 6) on a ~4e9 total is
+            // SUB-ULP — the 1e-6 grid (5e-7 half-step) is finer than the
+            // double's ulp at that magnitude (~4.8e-7), so the engines'
+            // last-ulp accumulation drift becomes visible in the output.
+            // Re-minted on the integer-cents discipline: every factor is
+            // 2-dec-exact, so price¢·(100−disc¢)·(100+tax¢) is the exact
+            // charge in 1e-6 units; DECIMAL(38,0) summation is exact at
+            // any scale (LONG would overflow past ~6e17), and both
+            // engines cast the SAME exact integer to double before one
+            // shared division
+            (sum((round(col("l_extendedprice") * 100).cast("long") *
+              round((lit(1) - col("l_discount")) * 100).cast("long") *
+              round((lit(1) + col("l_tax")) * 100).cast("long"))
+              .cast("decimal(38,0)")).cast("double") / 1000000.0)
+              .as("sum_charge"),
             // r7 money audit: the avg columns are arbitrary rationals
             // (sum/count), where round() itself is the cross-engine
             // hazard — and avg(2-dec price) also accumulates doubles in
@@ -67,7 +80,10 @@ object Relational {
              |  sum(l_quantity) AS sum_qty,
              |  round(sum(l_extendedprice), 2) AS sum_base_price,
              |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+             |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |    * CAST(round((1 - l_discount) * 100) AS BIGINT)
+             |    * CAST(round((1 + l_tax) * 100) AS BIGINT))::DOUBLE
+             |    / 1000000.0 AS sum_charge,
              |  ${Rounding.duckSql("sum(l_quantity) / count(*)", 4)} AS avg_qty,
              |  ${Rounding.duckSql(
                   "sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE" +
