@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventStreams
+import graft.streaming.{CdcUpsert, EventStreams}
 
 /** Oracle-gated streaming entries: the query fn drives a REAL
   * Structured Streaming run (readStream → watermark+window agg → memory
@@ -31,6 +31,7 @@ object StreamingQueries {
   private val ingestRunId = new AtomicInteger(0)
   private val convRateRunId = new AtomicInteger(0)
   private val hllDauRunId = new AtomicInteger(0)
+  private val funnelRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1266,6 +1267,132 @@ object StreamingQueries {
              |FROM cum CROSS JOIN qs
              |WHERE cum >= q * total
              |GROUP BY 1, 2, 3
-             |ORDER BY win_start, event_type, q""".stripMargin))
+             |ORDER BY win_start, event_type, q""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q231: streaming ordered funnel — batch q72's three-stage rule run
+    // as per-user incremental state (EventStreams.funnelStages): events
+    // buffer until the watermark proves completeness, fold in (ts, id)
+    // order, and each stage transition emits exactly once, so the
+    // memory sink holds one row per (user, reached stage) and the
+    // stage-count rollup is a histogram-sized batch agg over final
+    // per-row streaming decisions. Oracle = q72's batch three-join SQL
+    // verbatim — the stream and the batch compute the same funnel.
+    Q(
+      "q231_streaming_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val id = funnelRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_funnel_${id - 1}")
+        val name = s"graft_stream_funnel_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_funnel_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .where(col("event_type").isin("view", "click", "purchase") ||
+            col("user_id") < 0)
+          .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us",
+            "event_id", "event_type")
+          .as[EventStreams.FlowEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.funnelStages(stream)
+            .filter(col("user_id") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name).groupBy("stage")
+          .agg(count(lit(1)).cast("long").as("users"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+             |          WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+             |      JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+             |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+             |      JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+             |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT stage, users FROM (
+             |  SELECT '1_view' AS stage, count(*) AS users FROM v
+             |  UNION ALL SELECT '2_click', count(*) FROM c
+             |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+             |ORDER BY stage""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q232: streaming CDC upsert — a change stream continuously
+    // maintained as a bucket-partitioned latest-state snapshot
+    // (graft.streaming.CdcUpsert): each micro-batch folds to
+    // latest-per-key and read-modify-writes ONLY the hash buckets its
+    // keys fall in (partition-pruned read, dynamic-partition
+    // overwrite) — the MERGE-INTO shape on plain parquet, where rewrite
+    // cost scales with the change set, not the table. The fixture is
+    // staged as TWO files and streamed with maxFilesPerTrigger=1, so
+    // the second micro-batch genuinely merges against batch one's
+    // snapshot. Oracle = batch argmax by (ts, event_id) per user —
+    // q165's compaction rule, here maintained incrementally.
+    Q(
+      "q232_streaming_cdc_upsert",
+      (s, dir) => {
+        val stagedDir = java.nio.file.Files.createTempDirectory("graft_cdc_staged")
+        val snapDir = java.nio.file.Files.createTempDirectory("graft_cdc_snap")
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt")
+        try {
+          val events = graft.io.Tables.load(s, dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value",
+              "props")
+          events.where(col("event_id") % 2 === 0)
+            .coalesce(1).write.mode("overwrite").parquet(stagedDir.toString)
+          events.where(col("event_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stagedDir.toString)
+          val stagedSchema = events.schema
+          val q = s.readStream.schema(stagedSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stagedDir.toString)
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+                CdcUpsert.mergeBatch(s, batch.toDF(), snapDir.toString)
+            }
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally q.stop()
+          CdcUpsert.readSnapshot(s, snapDir.toString)
+            .orderBy("user_id")
+            .localCheckpoint()
+        } finally {
+          deleteRecursively(stagedDir)
+          deleteRecursively(snapDir)
+          deleteRecursively(ckptDir)
+        }
+      },
+      Some("""SELECT user_id, CAST(user_id % 8 AS BIGINT) AS bucket,
+             |  event_id AS last_event_id, event_type AS last_type,
+             |  value AS last_value, ts AS last_ts
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -229,6 +229,71 @@ object EventStreams {
       }
   }
 
+  /** One reached funnel stage for one user (emitted at most once per
+    * (user, stage) — stage decisions are final by construction). */
+  case class FunnelOut(user_id: Long, stage: String)
+
+  /** Keyed funnel state: the decided stage timestamps (−1 = not yet
+    * reached; micros) plus the watermark-pending buffer. The decided
+    * triple is 3 longs per user forever (the same bounded carry-over
+    * class as [[rateLimit]]'s token bucket; an idle-key TTL is the
+    * deployment eviction knob); pending is watermark-horizon-bounded.
+    */
+  case class FunnelState(vTs: Long, cTs: Long, pTs: Long,
+                         pending: Seq[(Long, Long, String)])
+
+  /** Streaming ordered funnel — batch q72's rule ("first view, first
+    * click after that view, first purchase after that click") run as
+    * per-user incremental state. A later-arriving EARLIER view can
+    * change which clicks qualify, so events buffer until the watermark
+    * proves nothing can precede them and fold in (ts, id) order (the
+    * [[rateLimit]] secondary-sort discipline); each fold step advances
+    * the 3-long stage triple and emits the stage transition exactly
+    * once. Folding in complete ts order makes every decision final:
+    * vTs is the true min view ts, cTs the min click ts strictly after
+    * it, pTs the min purchase ts strictly after that — identical to
+    * the batch three-join.
+    */
+  def funnelStages(events: Dataset[FlowEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FlowEvent], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(-1L, -1L, -1L, Seq.empty))
+          val pend = prev.pending ++
+            batch.map(e => (e.ts_us, e.event_id, e.event_type))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // same-ts arrivals may still precede a row at ts == watermark
+          val (ready, rest) = pend.partition(_._1 < wmUs)
+          var v = prev.vTs; var c = prev.cTs; var p = prev.pTs
+          val out = ready.sortBy(e => (e._1, e._2)).flatMap {
+            case (ts, _, tpe) => tpe match {
+              case "view" if v == -1L =>
+                v = ts; Seq(FunnelOut(uid, "1_view"))
+              case "click" if v != -1L && c == -1L && ts > v =>
+                c = ts; Seq(FunnelOut(uid, "2_click"))
+              case "purchase" if c != -1L && p == -1L && ts > c =>
+                p = ts; Seq(FunnelOut(uid, "3_purchase"))
+              case _ => Nil
+            }
+          }
+          if (rest.isEmpty && v == -1L && c == -1L && p == -1L) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(FunnelState(v, c, p, rest))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                rest.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   def gapSessions(events: Dataset[SessionEvent],
                   gap: java.time.Duration = java.time.Duration.ofHours(1),
                   dropIdleTombstones: Boolean = false): Dataset[SessionOut] = {
