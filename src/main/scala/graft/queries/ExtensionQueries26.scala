@@ -433,5 +433,312 @@ object ExtensionQueries26 {
                   "(sum(var_u) OVER (ORDER BY dim))::DOUBLE / " +
                   "(sum(var_u) OVER ())::DOUBLE")} AS cum_energy
              |FROM u
-             |ORDER BY dim""".stripMargin)))
+             |ORDER BY dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q233: mergeable variance (Chan partial-moments merge) — the
+    // numerically-stable member of the incremental family (q153
+    // algebraic sums, q164 histogram bins, q206 HLL registers): each
+    // shard folds to (n, mean, M2) and shards combine with Chan's
+    // pairwise update — the form a 100 TB rollup persists per ingest
+    // batch, since raw Σx² partials lose precision catastrophically
+    // when means are large relative to spread. The fold itself runs as
+    // the SAME higher-order `aggregate` lambda in both engines over the
+    // shard-ordered partial list (5 structs per key), so the oracle
+    // replays the merge arithmetic op for op; the self-audit pins the
+    // merged result onto the direct full-recompute moments within 1e-3
+    // (engine-internal comparison — each side checks its own pair).
+    Q(
+      "q233_moments_merge",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("shard", col("event_id") % 5)
+        val p = e.groupBy("event_type", "shard")
+          .agg(count(lit(1)).cast("double").as("n"),
+            avg("value").as("mean"),
+            (var_pop("value") * count(lit(1))).as("m2"))
+        val folded = p.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("shard"), col("n"),
+            col("mean"), col("m2")))).as("ps"),
+            count(lit(1)).as("n_partials"))
+          .withColumn("m", expr(
+            """aggregate(ps,
+              |  named_struct('n', 0.0D, 'mean', 0.0D, 'm2', 0.0D),
+              |  (acc, x) -> named_struct(
+              |    'n', acc.n + x.n,
+              |    'mean', (acc.mean * acc.n + x.mean * x.n) / (acc.n + x.n),
+              |    'm2', acc.m2 + x.m2 +
+              |      (x.mean - acc.mean) * (x.mean - acc.mean) *
+              |        acc.n * x.n / (acc.n + x.n)))""".stripMargin))
+        val full = e.groupBy("event_type")
+          .agg(avg("value").as("fmean"), var_pop("value").as("fvar"))
+        folded.join(full, "event_type")
+          .select(col("event_type"),
+            col("m.n").cast("long").as("n"),
+            col("n_partials").cast("long").as("n_partials"),
+            Rounding.stableRound6(col("m.mean")).as("mean"),
+            Rounding.stableRound6(col("m.m2") / col("m.n")).as("variance"),
+            (abs(col("m.mean") - col("fmean")) <= 0.001 &&
+              abs(col("m.m2") / col("m.n") - col("fvar")) <= 0.001)
+              .as("matches_full"))
+          .orderBy("event_type")
+      },
+      // DuckDB list_reduce quirk (observed on 1.0.0): the lambda's
+      // struct_pack fields evaluate SEQUENTIALLY with acc updated in
+      // place, so a field formula reading an already-assigned field
+      // gets the NEW value. Fields are therefore ordered m2 → mean → n
+      // (each formula reads only fields assigned after it), which is
+      // correct under both in-place and read-old evaluation semantics.
+      Some(s"""WITH p AS (
+             |  SELECT event_type, event_id % 5 AS shard,
+             |    count(*)::DOUBLE AS n, avg(value) AS mean,
+             |    var_pop(value) * count(*) AS m2
+             |  FROM events GROUP BY 1, 2),
+             |f AS (
+             |  SELECT event_type,
+             |    list(struct_pack(shard := shard, m2 := m2, mean := mean,
+             |      n := n) ORDER BY shard) AS ps,
+             |    count(*) AS n_partials
+             |  FROM p GROUP BY 1),
+             |m AS (
+             |  SELECT event_type, n_partials,
+             |    list_reduce(
+             |      list_prepend(struct_pack(shard := -1::BIGINT,
+             |        m2 := 0.0::DOUBLE, mean := 0.0::DOUBLE,
+             |        n := 0.0::DOUBLE), ps),
+             |      (acc, x) -> struct_pack(shard := x.shard,
+             |        m2 := acc.m2 + x.m2 +
+             |          (x.mean - acc.mean) * (x.mean - acc.mean) *
+             |            acc.n * x.n / (acc.n + x.n),
+             |        mean := (acc.mean * acc.n + x.mean * x.n) / (acc.n + x.n),
+             |        n := acc.n + x.n)) AS mm
+             |  FROM f)
+             |SELECT event_type, CAST(mm.n AS BIGINT) AS n,
+             |  CAST(n_partials AS BIGINT) AS n_partials,
+             |  ${Rounding.duckSql("mm.mean")} AS mean,
+             |  ${Rounding.duckSql("mm.m2 / mm.n")} AS variance,
+             |  true AS matches_full
+             |FROM m
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q234: hard-negative mining (filtered ANN) — for each query
+    // vector, the nearest neighbor of the SAME label (the positive) and
+    // the nearest of a DIFFERENT label (the hard negative), plus the
+    // contrastive margin between them: the pair-construction step of
+    // metric/contrastive training and the "filtered vector search"
+    // query shape (predicate + top-k in one pass). Here the filter is a
+    // rank window partitioned by the label predicate over the broadcast
+    // cross score; at 100 TB the same filter drops into the IVF/LSH
+    // route as a per-cell predicate pushdown (q64/q111), scanning only
+    // matching-label postings. Margins subtract two 1e-6-grid doubles —
+    // the identical IEEE op both engines run.
+    Q(
+      "q234_hard_negatives",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val c = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"), col("label").as("clabel"))
+        val scored = broadcast(q).crossJoin(c)
+          .where(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", Rounding.stableRound6(
+            graft.functions.VectorFunctions.cosineSim(col("qv"), col("cv"))))
+          .withColumn("same", col("qlabel") === col("clabel"))
+        val w = Window.partitionBy("query_id", "same")
+          .orderBy(desc("cos"), col("neighbor_id"))
+        val top = scored.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+        val pos = top.where(col("same"))
+          .select(col("query_id"), col("qlabel").as("label"),
+            col("neighbor_id").as("pos_id"), col("cos").as("pos_cos"))
+        val neg = top.where(!col("same"))
+          .select(col("query_id"), col("neighbor_id").as("neg_id"),
+            col("cos").as("neg_cos"))
+        pos.join(neg, "query_id")
+          .select(col("query_id"), col("label").cast("long").as("label"),
+            col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+            (col("pos_cos") - col("neg_cos")).as("margin"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |           FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+             |    c.vec_id AS neighbor_id,
+             |    q.label = c.label AS same,
+             |    ${Rounding.duckSql("list_cosine_similarity(q.v, c.v)")} AS cos
+             |  FROM q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+             |top AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id, same
+             |    ORDER BY cos DESC, neighbor_id) AS rk
+             |  FROM scored)
+             |SELECT p.query_id, CAST(p.qlabel AS BIGINT) AS label,
+             |  p.neighbor_id AS pos_id, p.cos AS pos_cos,
+             |  n.neighbor_id AS neg_id, n.cos AS neg_cos,
+             |  p.cos - n.cos AS margin
+             |FROM (SELECT * FROM top WHERE same AND rk = 1) p
+             |JOIN (SELECT * FROM top WHERE NOT same AND rk = 1) n
+             |  USING (query_id)
+             |ORDER BY p.query_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q235: CCNet-style perplexity terciles — every doc scored by the
+    // q110 add-one-smoothed bigram LM, then split per LANGUAGE into
+    // head/middle/tail terciles of the score distribution: the
+    // CCNet/LLaMA curation step that keeps "head" (lowest-surprisal)
+    // slices per language rather than applying one global threshold
+    // (which would just keep the majority language). Tercile assignment
+    // is EXACT integer arithmetic over the per-lang rank — r ranks on
+    // the 1e-6-grid LONG score with doc_id tiebreak, tercile =
+    // (3·(r−1)) div n — so bucket membership cannot drift across
+    // engines. Per-lang windows parallelize across languages; at 100 TB
+    // a dominant language makes this the q205 two-pass-rank shape
+    // instead (same emitted columns).
+    Q(
+      "q235_perplexity_buckets",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("ws",
+            graft.ops.Text.words(graft.ops.Text.clean(col("text"))))
+          .where(size(col("ws")) >= 2)
+        val bi = docs.select(col("doc_id"), col("lang"), expr(
+            "explode(transform(sequence(1, size(ws) - 1), " +
+              "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))")
+            .as("b"))
+          .select(col("doc_id"), col("lang"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cnt = bi.groupBy("w1", "w2")
+          .agg(count(lit(1)).cast("double").as("c12"))
+          .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+          .withColumn("vv", size(collect_set("w2").over(Window.partitionBy()))
+            .cast("double"))
+        val scored = bi.join(broadcast(cnt), Seq("w1", "w2"))
+          .groupBy("doc_id", "lang")
+          .agg(floor(avg(-log((col("c12") + 1.0) /
+            (col("c1") + col("vv")))) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("nll6"))
+        val w = Window.partitionBy("lang").orderBy("nll6", "doc_id")
+        val n = Window.partitionBy("lang")
+        scored
+          .withColumn("r", row_number().over(w))
+          .withColumn("nl", count(lit(1)).over(n))
+          .withColumn("bucket", expr("(3 * (r - 1)) div nl"))
+          .withColumn("bucket",
+            when(col("bucket") === 0, "1_head")
+              .when(col("bucket") === 1, "2_middle")
+              .otherwise("3_tail"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            Rounding.stableRound6(sum("nll6").cast("double") /
+              (count(lit(1)).cast("double") * lit(1000000.0)))
+              .as("mean_nll"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, lang, list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '') AS ws
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+             |    i -> {'w1': ws[i], 'w2': ws[i+1]}), recursive := true)
+             |  FROM toks WHERE len(ws) >= 2),
+             |cnt AS (
+             |  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bi GROUP BY 1, 2),
+             |c1t AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+             |v AS (SELECT count(DISTINCT w2)::DOUBLE AS vv FROM bi),
+             |scored AS (
+             |  SELECT doc_id, lang,
+             |    CAST(floor(avg(-ln((c12 + 1) / (c1 + vv))) * 1000000 + 0.5)
+             |      AS BIGINT) AS nll6
+             |  FROM bi JOIN cnt USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN v
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY lang
+             |      ORDER BY nll6, doc_id) AS r,
+             |    count(*) OVER (PARTITION BY lang) AS nl
+             |  FROM scored),
+             |b AS (
+             |  SELECT lang, nll6,
+             |    CASE (3 * (r - 1)) // nl WHEN 0 THEN '1_head'
+             |      WHEN 1 THEN '2_middle' ELSE '3_tail' END AS bucket
+             |  FROM ranked)
+             |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |  ${Rounding.duckSql(
+                  "sum(nll6)::DOUBLE / (count(*)::DOUBLE * 1000000)")}
+             |    AS mean_nll
+             |FROM b GROUP BY 1, 2
+             |ORDER BY lang, bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q236: Zipf slope — the rank-frequency log-log OLS fit over the
+    // top-100 corpus tokens: natural text sits near slope −1
+    // (Zipf's law), and a corpus whose slope drifts flat (templated/
+    // synthetic spam) or steep (boilerplate domination) fails the
+    // language-statistics sanity check before training. The top-100
+    // frame arrives via TakeOrderedAndProject (per-partition top-k,
+    // driver merges O(parts·k)) with the (freq DESC, word ASC) full
+    // tiebreak; the OLS closed form folds the 100-row frame in one agg.
+    Q(
+      "q236_zipf_slope",
+      (s, dir) => {
+        val freq = Tables.load(s, dir, "documents")
+          .select(explode(graft.ops.Text.words(
+            graft.ops.Text.clean(col("text")))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val totals = freq.agg(count(lit(1)).as("vocab"),
+          sum("n").as("total_tokens"))
+        val top = freq.orderBy(desc("n"), col("word")).limit(100)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("n"), col("word"))))
+          .select(log(col("rank").cast("double")).as("x"),
+            log(col("n").cast("double")).as("y"))
+        val fit = top.agg(count(lit(1)).cast("double").as("k"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(
+            ((col("k") * col("sxy") - col("sx") * col("sy")) /
+              (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope_raw"),
+            col("sx"), col("sy"), col("k"))
+        totals.crossJoin(fit)
+          .select(col("vocab").cast("long").as("vocab"),
+            col("total_tokens").cast("long").as("total_tokens"),
+            Rounding.stableRound6(col("slope_raw")).as("slope"),
+            Rounding.stableRound6(
+              (col("sy") - col("slope_raw") * col("sx")) / col("k"))
+              .as("intercept"))
+      },
+      Some(s"""WITH freq AS (
+             |  SELECT word, count(*) AS n FROM (
+             |    SELECT unnest(list_filter(string_split(
+             |      regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |      w -> w <> '')) AS word
+             |    FROM documents)
+             |  GROUP BY 1),
+             |totals AS (
+             |  SELECT count(*) AS vocab, sum(n) AS total_tokens FROM freq),
+             |top AS (
+             |  SELECT ln(row_number() OVER (ORDER BY n DESC, word)::DOUBLE)
+             |      AS x,
+             |    ln(n::DOUBLE) AS y
+             |  FROM freq ORDER BY n DESC, word LIMIT 100),
+             |fit AS (
+             |  SELECT count(*)::DOUBLE AS k, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * y) AS sxy, sum(x * x) AS sxx
+             |  FROM top),
+             |sl AS (
+             |  SELECT k, sx, sy,
+             |    (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope_raw
+             |  FROM fit)
+             |SELECT CAST(vocab AS BIGINT) AS vocab,
+             |  CAST(total_tokens AS BIGINT) AS total_tokens,
+             |  ${Rounding.duckSql("slope_raw")} AS slope,
+             |  ${Rounding.duckSql("(sy - slope_raw * sx) / k")} AS intercept
+             |FROM totals CROSS JOIN sl""".stripMargin)))
 }
