@@ -549,15 +549,17 @@ object ExtensionQueries26 {
           .withColumn("same", col("qlabel") === col("clabel"))
         val w = Window.partitionBy("query_id", "same")
           .orderBy(desc("cos"), col("neighbor_id"))
-        val top = scored.withColumn("rk", row_number().over(w))
+        // one rank pass, then a conditional pivot — the pos/neg halves
+        // come out of ONE scored scan (a pos-frame ⋈ neg-frame self-join
+        // would re-derive the whole cross score twice)
+        scored.withColumn("rk", row_number().over(w))
           .where(col("rk") === 1)
-        val pos = top.where(col("same"))
-          .select(col("query_id"), col("qlabel").as("label"),
-            col("neighbor_id").as("pos_id"), col("cos").as("pos_cos"))
-        val neg = top.where(!col("same"))
-          .select(col("query_id"), col("neighbor_id").as("neg_id"),
-            col("cos").as("neg_cos"))
-        pos.join(neg, "query_id")
+          .groupBy("query_id")
+          .agg(first("qlabel").as("label"),
+            max(when(col("same"), col("neighbor_id"))).as("pos_id"),
+            max(when(col("same"), col("cos"))).as("pos_cos"),
+            max(when(!col("same"), col("neighbor_id"))).as("neg_id"),
+            max(when(!col("same"), col("cos"))).as("neg_cos"))
           .select(col("query_id"), col("label").cast("long").as("label"),
             col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
             (col("pos_cos") - col("neg_cos")).as("margin"))

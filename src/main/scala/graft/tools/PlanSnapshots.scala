@@ -47,7 +47,11 @@ object PlanSnapshots {
       // exact-integer source-similarity pair frame, and the HRW
       // resharding double-projection
       "q208_winnowing_contamination", "q214_source_similarity",
-      "q216_rendezvous_resharding")
+      "q216_rendezvous_resharding",
+      // round 8 continuation: the sketch set-algebra pair frame, the
+      // one-pass filtered-ANN pivot, and the per-lang LM tercile split
+      "q225_vocab_overlap_sketch", "q234_hard_negatives",
+      "q235_perplexity_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

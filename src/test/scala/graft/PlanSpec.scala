@@ -377,4 +377,38 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q158_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n${p.take(600)}")
   }
+
+  test("q225: pairwise sketch algebra runs on a broadcast frame, no " +
+    "cartesian product") {
+    // the P×P pair merge must be the broadcast of the P-row sketch frame
+    // (KB-sized registers), never a CartesianProduct of data
+    val p = planOf("q225_vocab_overlap_sketch")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      s"sketch pair frame planned as cartesian:\n${p.take(600)}")
+  }
+
+  test("q234: hard-negative mining scores the corpus cross product ONCE") {
+    // the pos/neg halves pivot out of one ranked scan — a pos⋈neg
+    // self-join would re-derive the broadcast score twice (two Cross
+    // joins in the plan)
+    val p = planOf("q234_hard_negatives")
+    val crosses = p.linesIterator.count(l =>
+      l.contains("Join type: Cross"))
+    assert(crosses == 1, s"expected exactly 1 cross score, got $crosses")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q235: the bigram count table meets the token stream via broadcast") {
+    val p = planOf("q235_perplexity_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bigram LM join not broadcast:\n${p.take(600)}")
+  }
+
+  test("q236: the top-100 token frame plans as TakeOrderedAndProject") {
+    val p = planOf("q236_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"zipf top-k is a global sort:\n${p.take(600)}")
+  }
 }
