@@ -742,5 +742,128 @@ object ExtensionQueries26 {
              |  CAST(total_tokens AS BIGINT) AS total_tokens,
              |  ${Rounding.duckSql("slope_raw")} AS slope,
              |  ${Rounding.duckSql("(sy - slope_raw * sx) / k")} AS intercept
-             |FROM totals CROSS JOIN sl""".stripMargin)))
+             |FROM totals CROSS JOIN sl""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q238: multi-horizon feature backfill — the point-in-time feature-
+    // store shape: per (user, horizon ∈ {0, 7, 14} days before the
+    // anchor) the activity features as-of that cutoff (event count,
+    // revenue cents, purchase count). ONE corpus scan computes every
+    // horizon via conditional aggregation (9 filtered sums in a single
+    // user-keyed agg) and `stack` unpivots to (user, horizon) rows —
+    // vs the naive H as-of joins (H scans + H shuffles). Zero-activity
+    // horizons stay as rows with zeros: a training join needs the row
+    // to exist. All-integer outputs (cents discipline).
+    Q(
+      "q238_feature_backfill",
+      (s, dir) => {
+        val anchor = lit("2024-01-28").cast("date")
+        val e = Tables.load(s, dir, "events")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("cents",
+            floor(col("value") * 100 + lit(0.5)).cast("long"))
+        def h(d: Int, c: String) = sum(
+          when(col("day") <= date_sub(anchor, d),
+            c match {
+              case "one" => lit(1L)
+              case "cents" => col("cents")
+              case _ =>
+                when(col("event_type") === "purchase", 1L).otherwise(0L)
+            }).otherwise(lit(0L))).as(s"${c}_$d")
+        e.groupBy("user_id")
+          .agg(h(0, "one"), h(0, "cents"), h(0, "purch"),
+            h(7, "one"), h(7, "cents"), h(7, "purch"),
+            h(14, "one"), h(14, "cents"), h(14, "purch"))
+          .select(col("user_id"), expr(
+            """stack(3,
+              |  0L, one_0, cents_0, purch_0,
+              |  7L, one_7, cents_7, purch_7,
+              |  14L, one_14, cents_14, purch_14)
+              |AS (horizon, n_events, cents, n_purchases)""".stripMargin))
+          .orderBy("user_id", "horizon")
+      },
+      Some(s"""SELECT user_id, h.horizon,
+             |  CAST(count(*) FILTER (ts::DATE <= DATE '2024-01-28'
+             |    - h.horizon::INTEGER) AS BIGINT) AS n_events,
+             |  CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |    FILTER (ts::DATE <= DATE '2024-01-28' - h.horizon::INTEGER),
+             |    0) AS BIGINT) AS cents,
+             |  CAST(count(*) FILTER (event_type = 'purchase' AND
+             |    ts::DATE <= DATE '2024-01-28' - h.horizon::INTEGER)
+             |    AS BIGINT) AS n_purchases
+             |FROM events
+             |CROSS JOIN (VALUES (0::BIGINT), (7::BIGINT), (14::BIGINT))
+             |  AS h(horizon)
+             |GROUP BY user_id, h.horizon
+             |ORDER BY user_id, h.horizon""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q239: token co-occurrence PMI — pointwise mutual information of
+    // top-token pairs over document co-occurrence (the PPMI statistic
+    // word-vector methods factorize, and the collocation detector for
+    // curation): for the 50 highest-document-frequency tokens, every
+    // pair's ln(c_ab·D / (df_a·df_b)) over >= 5 shared docs. The pair
+    // space is VOCABULARY-bounded (50·49/2), never corpus-bounded: the
+    // top-50 frame arrives via TakeOrderedAndProject, broadcasts into
+    // the distinct (doc, token) stream, and the pair join runs on the
+    // top-token postings only. Tie-broken ordering on the rounded grid.
+    Q(
+      "q239_token_pmi",
+      (s, dir) => {
+        val dw = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Text.words(Text.clean(col("text")))).as("w"))
+          .distinct().localCheckpoint()
+        val nDocs = Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).cast("double").as("d"))
+        val top = dw.groupBy("w").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), col("w")).limit(50)
+        val tw = dw.join(broadcast(top), "w")
+        val pairs = tw.select(col("doc_id"), col("w").as("w1"),
+            col("df").as("df1"))
+          .join(tw.select(col("doc_id"), col("w").as("w2"),
+            col("df").as("df2")), "doc_id")
+          .where(col("w1") < col("w2"))
+          .groupBy("w1", "w2")
+          .agg(count(lit(1)).as("c_ab"),
+            first("df1").as("df_a"), first("df2").as("df_b"))
+          .where(col("c_ab") >= 5)
+        pairs.crossJoin(broadcast(nDocs))
+          .select(col("w1"), col("w2"), col("c_ab").cast("long").as("c_ab"),
+            col("df_a").cast("long").as("df_a"),
+            col("df_b").cast("long").as("df_b"),
+            Rounding.stableRound6(log(
+              col("c_ab").cast("double") * col("d") /
+                (col("df_a").cast("double") * col("df_b").cast("double"))))
+              .as("pmi"))
+          .orderBy(desc("pmi"), col("w1"), col("w2"))
+          .limit(100)
+      },
+      Some(s"""WITH dw AS (
+             |  SELECT DISTINCT doc_id, word FROM (
+             |    SELECT doc_id, unnest(list_filter(string_split(
+             |      regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |      w -> w <> '')) AS word
+             |    FROM documents)),
+             |d AS (SELECT count(*)::DOUBLE AS d FROM documents),
+             |top AS (
+             |  SELECT word, count(*) AS df FROM dw GROUP BY 1
+             |  ORDER BY df DESC, word LIMIT 50),
+             |tw AS (SELECT dw.doc_id, dw.word, top.df
+             |       FROM dw JOIN top ON dw.word = top.word),
+             |pairs AS (
+             |  SELECT a.word AS w1, b.word AS w2, count(*) AS c_ab,
+             |    any_value(a.df) AS df_a, any_value(b.df) AS df_b
+             |  FROM tw a JOIN tw b ON a.doc_id = b.doc_id
+             |    AND a.word < b.word
+             |  GROUP BY 1, 2
+             |  HAVING count(*) >= 5)
+             |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+             |  CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+             |  ${Rounding.duckSql(
+                  "ln(c_ab::DOUBLE * (SELECT d FROM d) / (df_a::DOUBLE * df_b::DOUBLE))")}
+             |    AS pmi
+             |FROM pairs
+             |ORDER BY pmi DESC, w1, w2
+             |LIMIT 100""".stripMargin)))
 }

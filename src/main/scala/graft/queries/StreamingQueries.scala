@@ -32,6 +32,7 @@ object StreamingQueries {
   private val convRateRunId = new AtomicInteger(0)
   private val hllDauRunId = new AtomicInteger(0)
   private val funnelRunId = new AtomicInteger(0)
+  private val momentsRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1393,6 +1394,67 @@ object StreamingQueries {
              |    ORDER BY ts DESC, event_id DESC) AS rn
              |  FROM events)
              |WHERE rn = 1
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q237: streaming running moments — q233's Chan-mergeable variance
+    // run as continuous per-key state (EventStreams.runningMoments):
+    // every event folds into the carried (n, mean, M2) triple in
+    // watermark-proven (ts, id) order, and the final triple emits when
+    // the flush sentinel pushes the watermark past the stream. State is
+    // O(1) per key FOREVER (three doubles), vs per-(key, window) for a
+    // windowed agg — the all-time profile shape at 100 TB. Oracle =
+    // batch avg/var_pop (the sequential Chan fold and the engines'
+    // aggregates agree to ~1e-12 relative; stableRound6 absorbs it).
+    Q(
+      "q237_streaming_moments",
+      (s, dir) => {
+        import s.implicits._
+        val id = momentsRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_mom_${id - 1}")
+        val name = s"graft_stream_mom_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_mom_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_mom_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .selectExpr("event_type AS etype", "ts",
+            "unix_micros(ts) AS ts_us", "event_id", "value")
+          .as[EventStreams.MomentsEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.runningMoments(stream)
+            .filter(col("event_type") =!= "__flush")
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name)
+          .select(col("event_type"), col("n"),
+            graft.functions.Rounding.stableRound6(col("mean")).as("mean"),
+            graft.functions.Rounding.stableRound6(col("m2") / col("n"))
+              .as("variance"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  ${graft.functions.Rounding.duckSql("avg(value)")} AS mean,
+             |  ${graft.functions.Rounding.duckSql("var_pop(value)")} AS variance
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

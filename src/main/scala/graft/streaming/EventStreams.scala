@@ -229,6 +229,71 @@ object EventStreams {
       }
   }
 
+  /** One valued event keyed by event type (running-moments path). */
+  case class MomentsEvent(etype: String, ts: java.sql.Timestamp, ts_us: Long,
+                          event_id: Long, value: Double)
+
+  /** Final running moments for one key at stream flush. */
+  case class MomentsOut(event_type: String, n: Long, mean: Double, m2: Double)
+
+  /** Keyed moments state: the carried (n, mean, M2) triple — O(1) per
+    * key forever — plus the watermark-pending buffer. */
+  case class MomentsState(n: Double, mean: Double, m2: Double,
+                          pending: Seq[(Long, Long, Double)])
+
+  /** Event-time micros past which a key treats the stream as flushed
+    * (the 2100 sentinel minus its 2 h watermark lag is far beyond this
+    * 2090-01-01 mark, every real event far below). */
+  val FlushedThresholdUs: Long = 3786912000000000L
+
+  /** Streaming running moments — q233's Chan merge run continuously:
+    * each event folds into the carried (n, mean, M2) triple as a
+    * single-element Chan merge (δ = x − mean; mean' = (mean·n + x)/
+    * (n+1); M2' = M2 + δ²·n/(n+1)), in watermark-proven (ts, id) order
+    * (the [[rateLimit]] buffer discipline), and the final triple emits
+    * once the watermark passes [[FlushedThresholdUs]] (the flush
+    * sentinel's doing). This is the per-key streaming aggregate whose
+    * state never grows with history — the shape a 100 TB stream keeps
+    * per key where a windowed agg would keep per (key, window).
+    */
+  def runningMoments(events: Dataset[MomentsEvent]): Dataset[MomentsOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState[MomentsState, MomentsOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[MomentsEvent], state: GroupState[MomentsState]) =>
+          val prev = state.getOption.getOrElse(
+            MomentsState(0.0, 0.0, 0.0, Seq.empty))
+          val pend = prev.pending ++
+            batch.map(e => (e.ts_us, e.event_id, e.value))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pend.partition(_._1 < wmUs)
+          var n = prev.n; var mean = prev.mean; var m2 = prev.m2
+          ready.sortBy(e => (e._1, e._2)).foreach { case (_, _, x) =>
+            // the SAME op sequence as q233's merge lambda with nb = 1,
+            // so batch-merged and stream-folded moments agree to ulps
+            val d = x - mean
+            m2 = m2 + d * d * n / (n + 1.0)
+            mean = (mean * n + x) / (n + 1.0)
+            n = n + 1.0
+          }
+          val out =
+            if (wmUs > FlushedThresholdUs && rest.isEmpty && n > 0.0) {
+              if (state.exists) state.remove()
+              Seq(MomentsOut(key, n.toLong, mean, m2))
+            } else {
+              state.update(MomentsState(n, mean, m2, rest))
+              state.setTimeoutTimestamp(math.max(
+                if (rest.nonEmpty) rest.map(_._1).min / 1000L + 1L else 0L,
+                state.getCurrentWatermarkMs() + 1L))
+              Nil
+            }
+          out.iterator
+      }
+  }
+
   /** One reached funnel stage for one user (emitted at most once per
     * (user, stage) — stage decisions are final by construction). */
   case class FunnelOut(user_id: Long, stage: String)

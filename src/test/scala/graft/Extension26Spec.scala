@@ -97,6 +97,33 @@ class Extension26Spec extends SparkSpec {
     } finally deleteRecursively(snap)
   }
 
+  test("streaming moments: scrambled arrival folds to the batch moments") {
+    val dir = Files.createTempDirectory("graft_moments_fixture")
+    try {
+      val base = 1705276800L * 1000000000L
+      def ns(min: Long): Long = base + min * 60L * 1000000000L
+      val rows = Seq(
+        (3L, ns(30), 1L, "a", 9.0, "{}"), (1L, ns(10), 1L, "a", 1.0, "{}"),
+        (2L, ns(20), 2L, "a", 5.0, "{}"), (6L, ns(25), 3L, "b", 2.0, "{}"),
+        (5L, ns(15), 1L, "b", 4.0, "{}"), (4L, ns(5), 2L, "b", 6.0, "{}"))
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+      val part = new java.io.File(s"$dir/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve("events.parquet"))
+      deleteRecursively(java.nio.file.Paths.get(s"$dir/stage"))
+      val got = SparkEntry.queries("q237_streaming_moments")(spark, dir.toString)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      // a: {1,5,9} → mean 5, var_pop 32/3; b: {2,4,6} → mean 4, var 8/3
+      assert(got("a") == ((3L, 5.0, math.floor(32.0 / 3.0 * 1e6 + 0.5) / 1e6)),
+        s"type a moments diverged: $got")
+      assert(got("b") == ((3L, 4.0, math.floor(8.0 / 3.0 * 1e6 + 0.5) / 1e6)),
+        s"type b moments diverged: $got")
+    } finally deleteRecursively(dir)
+  }
+
   test("q225 sketch Jaccard sits at least 2x inside the gate tolerance") {
     import graft.io.Tables
     import graft.ops.Text
