@@ -865,5 +865,141 @@ object ExtensionQueries26 {
              |    AS pmi
              |FROM pairs
              |ORDER BY pmi DESC, w1, w2
-             |LIMIT 100""".stripMargin)))
+             |LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q242: IVF cell-balance audit — the index-health check run before
+    // serving from q64/q111/q207's IVF layout: per-cell vector counts,
+    // share, and the balance factor (cell size ÷ ideal N/C). A hot cell
+    // (factor ≫ 1) is the ANN tail-latency driver — every probe landing
+    // there scans a data-sized posting list — and the signal to re-pick
+    // centroids or split cells. Densified over ALL C cells (an empty
+    // cell is the other failure: wasted probe budget). One corpus scan
+    // to assign cells (broadcast constant-size codebook), one C-row agg.
+    Q(
+      "q242_ivf_cell_balance",
+      (s, dir) => {
+        import graft.functions.VectorFunctions
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = graft.ext.SimilaritySearch
+          .hashPickedCentroids(e, "vec_id", "embedding", 16)
+        val sizes = e.select(element_at(
+            VectorFunctions.centroidRanks(col("embedding"), cents, 1), 1)
+            .cast("long").as("cid"))
+          .groupBy("cid").agg(count(lit(1)).as("n"))
+        val total = Window.partitionBy()
+        s.range(16).select(col("id").as("cid"))
+          .join(sizes, Seq("cid"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .select(col("cid"), col("n").cast("long").as("n"),
+            Rounding.stableRound6(col("n").cast("double") /
+              sum("n").over(total).cast("double")).as("share"),
+            Rounding.stableRound6(col("n").cast("double") * 16.0 /
+              sum("n").over(total).cast("double")).as("balance_factor"))
+          .withColumn("hot", col("balance_factor") > 2.0)
+          .orderBy("cid")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |ipick AS (
+             |  SELECT vec_id, v FROM (
+             |    SELECT vec_id, v,
+             |      ${graft.functions.PolyHash.duckSql("'ivf#' || vec_id::VARCHAR")} AS h
+             |    FROM e)
+             |  ORDER BY h, vec_id LIMIT 16),
+             |cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+             |  FROM ipick),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rnk
+             |    FROM e CROSS JOIN cents c)
+             |  WHERE rnk = 1),
+             |sizes AS (SELECT cid, count(*) AS n FROM assign GROUP BY 1),
+             |dense AS (
+             |  SELECT g.cid, coalesce(sizes.n, 0) AS n
+             |  FROM (SELECT unnest(range(16)) AS cid) g
+             |  LEFT JOIN sizes ON sizes.cid = g.cid)
+             |SELECT cid, CAST(n AS BIGINT) AS n,
+             |  ${Rounding.duckSql("n::DOUBLE / (sum(n) OVER ())::DOUBLE")} AS share,
+             |  ${Rounding.duckSql("n::DOUBLE * 16.0 / (sum(n) OVER ())::DOUBLE")}
+             |    AS balance_factor,
+             |  ${Rounding.duckSql("n::DOUBLE * 16.0 / (sum(n) OVER ())::DOUBLE")}
+             |    > 2.0 AS hot
+             |FROM dense
+             |ORDER BY cid""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q243: novelty scoring — the curation VALUE signal dual to the
+    // q78/q92/q156 contamination family: those flag targets that
+    // OVERLAP a reference; this scores how much of each candidate doc
+    // is NEW relative to the already-collected reference slice
+    // (fraction of its distinct 5-gram hashes absent from the reference
+    // gram set) — the dedup-aware acquisition metric ("is this crawl
+    // batch worth ingesting"). Same 8-byte poly-hash discipline as
+    // q124: gram strings never shuffle, the membership check is a LEFT
+    // ANTI against the reference gram set on the hash key, and the
+    // oracle replays the identical hash so collisions bind both
+    // engines the same way.
+    Q(
+      "q243_novelty_score",
+      (s, dir) => {
+        val grams = Tables.load(s, dir, "documents")
+          .withColumn("ws",
+            graft.ops.Text.words(graft.ops.Text.clean(col("text"))))
+          .where(size(col("ws")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws) - 5), " +
+              "i -> array_join(slice(ws, i + 1, 5), ' '))")).as("g"))
+          .select(col("doc_id"),
+            graft.functions.PolyHash(col("g")).as("gh"))
+          .distinct()
+          .withColumn("is_ref",
+            Sampling.bucket(col("doc_id"), "novel26") < 8000)
+          .localCheckpoint()
+        val refSet = grams.where(col("is_ref")).select("gh").distinct()
+        val tgt = grams.where(!col("is_ref"))
+        val novel = tgt.join(refSet.hint("shuffle_hash"), Seq("gh"),
+            "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+        tgt.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(novel, Seq("doc_id"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+            col("n_new").cast("long").as("n_new"),
+            Rounding.stableRound6(col("n_new").cast("double") /
+              col("n_grams").cast("double")).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(
+             |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |    w -> w <> '') AS ws
+             |  FROM documents),
+             |grams0 AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, len(ws) - 4),
+             |    i -> array_to_string(ws[i+1:i+5], ' '))) AS g
+             |  FROM toks WHERE len(ws) >= 5),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, ${graft.functions.PolyHash.duckSql("g")} AS gh
+             |  FROM grams0),
+             |split AS (
+             |  SELECT doc_id, gh,
+             |    ${Sampling.bucketDuckSql("novel26", "doc_id")} < 8000 AS is_ref
+             |  FROM grams),
+             |ref AS (SELECT DISTINCT gh FROM split WHERE is_ref),
+             |tgt AS (SELECT doc_id, gh FROM split WHERE NOT is_ref),
+             |novel AS (
+             |  SELECT t.doc_id, count(*) AS n_new
+             |  FROM tgt t ANTI JOIN ref ON t.gh = ref.gh
+             |  GROUP BY 1)
+             |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(any_value(novel.n_new), 0) AS BIGINT) AS n_new,
+             |  ${Rounding.duckSql(
+                  "coalesce(any_value(novel.n_new), 0)::DOUBLE / count(*)::DOUBLE")}
+             |    AS novelty
+             |FROM tgt t LEFT JOIN novel ON t.doc_id = novel.doc_id
+             |GROUP BY t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)))
 }

@@ -33,6 +33,7 @@ object StreamingQueries {
   private val hllDauRunId = new AtomicInteger(0)
   private val funnelRunId = new AtomicInteger(0)
   private val momentsRunId = new AtomicInteger(0)
+  private val scd2RunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1455,6 +1456,147 @@ object StreamingQueries {
              |  ${graft.functions.Rounding.duckSql("var_pop(value)")} AS variance
              |FROM events
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q240: streaming SCD-2 enrich — batch q179's point-in-time lookup
+    // as a STREAM-STATIC INTERVAL JOIN: the balance dimension is
+    // versioned batch-side into [valid_from, valid_to) rows (running
+    // purchase sum + lead(), the SCD-2 build), broadcast, and each
+    // streaming click matches the ONE version whose interval covers its
+    // event time — stateless, no watermark, no state store; the
+    // feature-serving join shape (training q179 vs serving THIS must
+    // agree, which sharing the oracle proves). A zero-width version
+    // (two purchases at one instant) can match no click, so the
+    // later-event wins exactly as q179's max_by tiebreak. Oracle =
+    // q179's batch SQL verbatim.
+    Q(
+      "q240_streaming_scd2_enrich",
+      (s, dir) => {
+        val id = scd2RunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_scd2_${id - 1}")
+        val name = s"graft_stream_scd2_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt")
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy("du").orderBy("t", "event_id")
+        val dim = broadcast(graft.io.Tables.load(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .select(col("user_id").as("du"), col("event_id"), col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("t"))
+          .withColumn("balance", sum("value").over(wu.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("version_no", row_number().over(wu).cast("long"))
+          .withColumn("valid_to", lead("t", 1).over(wu))
+          .select(col("du"), col("t").as("valid_from"), col("valid_to"),
+            col("version_no"), col("balance")))
+        val q = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .where(col("event_type") === "click")
+          .selectExpr("user_id", "event_id AS click_id",
+            "unix_micros(ts) AS ct")
+          .join(dim, col("user_id") === col("du") &&
+            col("ct") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ct") < col("valid_to")))
+          .select(col("user_id"), col("click_id"),
+            col("valid_from").as("asof_time"),
+            col("version_no").as("n_prior"),
+            graft.functions.Rounding.stableRound6(col("balance"))
+              .as("balance"))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+        }
+        s.table(name).orderBy("click_id")
+      },
+      Some(s"""WITH hist AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id,
+             |    sum(value) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id
+             |      ROWS UNBOUNDED PRECEDING) AS balance
+             |  FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+             |  FROM events WHERE event_type = 'click'),
+             |m AS (
+             |  SELECT c.user_id, c.click_id, max(h.t) AS asof_time,
+             |    count(*) AS n_prior
+             |  FROM clicks c JOIN hist h
+             |    ON h.user_id = c.user_id AND h.t <= c.ct
+             |  GROUP BY 1, 2)
+             |SELECT m.user_id, m.click_id, m.asof_time,
+             |  CAST(m.n_prior AS BIGINT) AS n_prior,
+             |  ${graft.functions.Rounding.duckSql("max(h2.balance)")} AS balance
+             |FROM m JOIN hist h2
+             |  ON h2.user_id = m.user_id AND h2.t = m.asof_time
+             |GROUP BY m.user_id, m.click_id, m.asof_time, m.n_prior
+             |ORDER BY m.click_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q241: CDC tombstone compaction — q232's maintained snapshot under
+    // DELETE semantics: a key whose LATEST change is an 'error' is
+    // soft-deleted (q165's tombstone rule), remains as a marker through
+    // the streaming merges (dynamic overwrite cannot write an absence),
+    // and CdcUpsert.compact then physically drops the markers by
+    // rewriting ONLY the buckets containing tombstones (a bucket left
+    // empty is removed at the directory level). The served snapshot
+    // afterwards is the active-keys-only view; compaction cost scales
+    // with the delete set, not the table. Oracle = per-user argmax with
+    // latest-error users excluded.
+    Q(
+      "q241_cdc_tombstone_compaction",
+      (s, dir) => {
+        val stagedDir = java.nio.file.Files.createTempDirectory("graft_cdc2_staged")
+        val snapDir = java.nio.file.Files.createTempDirectory("graft_cdc2_snap")
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_cdc2_ckpt")
+        try {
+          val events = graft.io.Tables.load(s, dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value",
+              "props")
+          events.where(col("event_id") % 2 === 0)
+            .coalesce(1).write.mode("overwrite").parquet(stagedDir.toString)
+          events.where(col("event_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stagedDir.toString)
+          val q = s.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stagedDir.toString)
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+                CdcUpsert.mergeBatch(s, batch.toDF(), snapDir.toString)
+            }
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally q.stop()
+          CdcUpsert.compact(s, snapDir.toString)
+          CdcUpsert.readSnapshot(s, snapDir.toString)
+            .orderBy("user_id")
+            .localCheckpoint()
+        } finally {
+          deleteRecursively(stagedDir)
+          deleteRecursively(snapDir)
+          deleteRecursively(ckptDir)
+        }
+      },
+      Some("""SELECT user_id, CAST(user_id % 8 AS BIGINT) AS bucket,
+             |  event_id AS last_event_id, event_type AS last_type,
+             |  value AS last_value, ts AS last_ts
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -70,6 +70,41 @@ object CdcUpsert {
       .parquet(snapDir)
   }
 
+  /** Physically drop soft-deleted rows — keys whose LATEST change is a
+    * tombstone (`last_type = 'error'`, q165's CDC rule) stay in the
+    * snapshot as markers until this runs, because dynamic partition
+    * overwrite can only replace partitions PRESENT in the written frame
+    * (an upsert batch can't "write an absence"). Compaction rewrites
+    * ONLY the buckets that contain tombstones; a bucket left with no
+    * survivors is removed at the directory level (the one case a
+    * write-side overwrite cannot express). Tombstone-free buckets are
+    * untouched — cost scales with the delete set, not the table.
+    */
+  def compact(spark: SparkSession, snapDir: String): Unit = {
+    val snap = spark.read.parquet(snapDir)
+    val tomb = snap.where(col("last_type") === "error")
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (tomb.isEmpty) return
+    val kept = snap.where(col("bucket").isin(tomb.toSeq: _*))
+      .where(col("last_type") =!= "error")
+      .select(col("user_id"), col("bucket").cast("long").as("bucket"),
+        col("last_ts"), col("last_event_id"), col("last_type"),
+        col("last_value"))
+      .localCheckpoint()
+    val keptBuckets = kept.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(snapDir)
+    tomb.filterNot(keptBuckets).foreach { b =>
+      val d = new java.io.File(s"$snapDir/bucket=$b")
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
+    }
+  }
+
   /** Read the maintained snapshot back in its serving column order. */
   def readSnapshot(spark: SparkSession, snapDir: String): DataFrame =
     spark.read.parquet(snapDir)

@@ -97,6 +97,38 @@ class Extension26Spec extends SparkSpec {
     } finally deleteRecursively(snap)
   }
 
+  test("cdc compaction: drops tombstoned keys, removes a fully-deleted " +
+    "bucket's directory, leaves clean buckets untouched") {
+    val snap = Files.createTempDirectory("graft_cdc_compact_snap")
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // bucket 0: user 0 live, user 8 tombstoned; bucket 1: user 1
+      // tombstoned, user 9 tombstoned (fully deleted); bucket 2: clean
+      val batch = Seq(
+          (0L, ts("2024-01-01 00:00:00"), 10L, "view", 1.0),
+          (8L, ts("2024-01-01 00:00:00"), 11L, "error", 0.0),
+          (1L, ts("2024-01-01 00:00:00"), 12L, "error", 0.0),
+          (9L, ts("2024-01-01 00:00:00"), 13L, "error", 0.0),
+          (2L, ts("2024-01-01 00:00:00"), 14L, "click", 2.0))
+        .toDF("user_id", "ts", "event_id", "event_type", "value")
+      CdcUpsert.mergeBatch(spark, batch, snap.toString)
+      def files(b: Long): Set[String] = {
+        val d = new java.io.File(s"$snap/bucket=$b")
+        if (!d.exists()) Set.empty
+        else d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getName}:${f.lastModified}").toSet
+      }
+      val clean2 = files(2L)
+      CdcUpsert.compact(spark, snap.toString)
+      assert(!new java.io.File(s"$snap/bucket=1").exists(),
+        "fully-tombstoned bucket directory not removed")
+      assert(files(2L) == clean2, "tombstone-free bucket was rewritten")
+      val out = CdcUpsert.readSnapshot(spark, snap.toString)
+        .collect().map(_.getLong(0)).toSet
+      assert(out == Set(0L, 2L), s"post-compaction keys wrong: $out")
+    } finally deleteRecursively(snap)
+  }
+
   test("streaming moments: scrambled arrival folds to the batch moments") {
     val dir = Files.createTempDirectory("graft_moments_fixture")
     try {
