@@ -1001,5 +1001,241 @@ object ExtensionQueries26 {
              |    AS novelty
              |FROM tgt t LEFT JOIN novel ON t.doc_id = novel.doc_id
              |GROUP BY t.doc_id
-             |ORDER BY t.doc_id""".stripMargin)))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q244: CUSUM changepoint — for each event type's daily revenue
+    // series, the cumulative-sum-of-deviations statistic and its argmax
+    // |S_t| (the classic level-shift locator): S_t = Σ_{i≤t}(x_i − x̄)
+    // is kept EXACT by scaling out the rational mean — n·S_t =
+    // n·prefix_t − t·total is pure LONG arithmetic on integer cents —
+    // so the changepoint day and the statistic cannot drift across
+    // engines; the single display division lands on the stableRound6
+    // grid. Shape: one day rollup, one per-type 30-row ordered window,
+    // one argmax (max_by on the exact key with earliest-day tiebreak).
+    Q(
+      "q244_cusum_changepoint",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val tw = Window.partitionBy("event_type")
+        val cu = daily
+          .withColumn("t", row_number().over(w).cast("long"))
+          .withColumn("prefix", sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("n", count(lit(1)).over(tw))
+          .withColumn("total", sum("cents").over(tw))
+          // n·S_t in cent units — exact LONG
+          .withColumn("ns", col("n") * col("prefix") - col("t") * col("total"))
+        cu.groupBy("event_type")
+          .agg(max_by(struct(col("day").as("cp_day"),
+              col("ns").as("ns_at_cp")),
+            struct(abs(col("ns")), col("ns"), lit(-1L) * col("t"))).as("m"),
+            first("n").as("n_days"), first("n").as("n2"),
+            first("total").as("tt"))
+          .select(col("event_type"), col("m.cp_day").as("cp_day"),
+            col("n_days").cast("long").as("n_days"),
+            Rounding.stableRound6(col("m.ns_at_cp").cast("double") /
+              (col("n2").cast("double") * 100.0)).as("s_at_cp"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day,
+             |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |cu AS (
+             |  SELECT event_type, day,
+             |    row_number() OVER w AS t,
+             |    sum(cents) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS prefix,
+             |    count(*) OVER (PARTITION BY event_type) AS n,
+             |    sum(cents) OVER (PARTITION BY event_type) AS total
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             |ns AS (
+             |  SELECT event_type, day, t, n,
+             |    n * prefix - t * total AS ns
+             |  FROM cu),
+             |pick AS (
+             |  SELECT event_type, day AS cp_day, n AS n_days, ns,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(ns) DESC, ns DESC, t ASC) AS rk
+             |  FROM ns)
+             |SELECT event_type, cp_day, CAST(n_days AS BIGINT) AS n_days,
+             |  ${Rounding.duckSql("ns::DOUBLE / (n_days::DOUBLE * 100.0)")}
+             |    AS s_at_cp
+             |FROM pick WHERE rk = 1
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q245: Brier score decomposition — the Murphy three-way split of
+    // q204's calibration setup: Brier = REL − RES + UNC over the same
+    // 10 probability bins (reliability = how far bin confidence sits
+    // from bin outcome; resolution = how much bins separate from the
+    // base rate; uncertainty = base-rate variance). Every term derives
+    // from exact LONG sums (p on the 1e-9 grid, outcomes as counts), so
+    // both engines evaluate identical IEEE expressions; one final
+    // stableRound6 per term. The identity check (brier ==
+    // rel − res + unc on the rounded grid) ships as a pinned-true
+    // column — the decomposition's own self-audit.
+    Q(
+      "q245_brier_decomposition",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select((col("n_chars").cast("double") /
+            (col("n_chars").cast("double") + 1000.0)).as("p"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .withColumn("p9",
+            floor(col("p") * lit(1000000000.0) + lit(0.5)).cast("long"))
+          .withColumn("bin", least(floor(col("p") * 10), lit(9L)))
+        val bins = scored.groupBy("bin")
+          .agg(count(lit(1)).as("nb"), sum("y").as("yb"), sum("p9").as("pb9"))
+        val g = Window.partitionBy()
+        val N = sum("nb").over(g).cast("double")
+        val ybar = sum("yb").over(g).cast("double") / N
+        val pbbar = col("pb9").cast("double") / 1e9 / col("nb").cast("double")
+        val obbar = col("yb").cast("double") / col("nb").cast("double")
+        val res = bins
+          .withColumn("rel_t", col("nb").cast("double") *
+            (pbbar - obbar) * (pbbar - obbar))
+          .withColumn("res_t", col("nb").cast("double") *
+            (obbar - ybar) * (obbar - ybar))
+          .agg(sum("rel_t").as("srel"), sum("res_t").as("sres"),
+            sum("nb").cast("double").as("n"),
+            sum("yb").cast("double").as("sy"))
+          .select(
+            Rounding.stableRound6(col("srel") / col("n")).as("reliability"),
+            Rounding.stableRound6(col("sres") / col("n")).as("resolution"),
+            Rounding.stableRound6((col("sy") / col("n")) *
+              (lit(1.0) - col("sy") / col("n"))).as("uncertainty"))
+        val brier = scored
+          .agg(Rounding.stableRound6(
+            avg((col("p9").cast("double") / 1e9 - col("y").cast("double")) *
+              (col("p9").cast("double") / 1e9 - col("y").cast("double"))))
+            .as("brier"))
+        res.crossJoin(brier)
+          .withColumn("identity_ok",
+            abs(col("brier") - (col("reliability") - col("resolution") +
+              col("uncertainty"))) <= 0.0001)
+      },
+      Some(s"""WITH scored AS (
+             |  SELECT CAST(floor(n_chars::DOUBLE /
+             |      (n_chars::DOUBLE + 1000.0) * 1000000000 + 0.5) AS BIGINT)
+             |      AS p9,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    least(CAST(floor(n_chars::DOUBLE /
+             |      (n_chars::DOUBLE + 1000.0) * 10) AS BIGINT), 9) AS bin
+             |  FROM documents),
+             |bins AS (
+             |  SELECT bin, count(*) AS nb, sum(y) AS yb, sum(p9) AS pb9
+             |  FROM scored GROUP BY 1),
+             |tot AS (SELECT sum(nb)::DOUBLE AS n, sum(yb)::DOUBLE AS sy
+             |        FROM bins),
+             |terms AS (
+             |  SELECT
+             |    sum(nb::DOUBLE * (pb9::DOUBLE / 1e9 / nb::DOUBLE
+             |      - yb::DOUBLE / nb::DOUBLE)
+             |      * (pb9::DOUBLE / 1e9 / nb::DOUBLE
+             |      - yb::DOUBLE / nb::DOUBLE)) AS srel,
+             |    sum(nb::DOUBLE * (yb::DOUBLE / nb::DOUBLE
+             |      - (SELECT sy / n FROM tot))
+             |      * (yb::DOUBLE / nb::DOUBLE
+             |      - (SELECT sy / n FROM tot))) AS sres
+             |  FROM bins),
+             |parts AS (
+             |  SELECT
+             |    ${Rounding.duckSql("srel / (SELECT n FROM tot)")} AS reliability,
+             |    ${Rounding.duckSql("sres / (SELECT n FROM tot)")} AS resolution,
+             |    ${Rounding.duckSql(
+                  "((SELECT sy FROM tot) / (SELECT n FROM tot)) * " +
+                  "(1.0 - (SELECT sy FROM tot) / (SELECT n FROM tot))")}
+             |      AS uncertainty
+             |  FROM terms),
+             |b AS (
+             |  SELECT ${Rounding.duckSql(
+                  "avg((p9::DOUBLE / 1e9 - y::DOUBLE) * " +
+                  "(p9::DOUBLE / 1e9 - y::DOUBLE))")} AS brier
+             |  FROM scored)
+             |SELECT reliability, resolution, uncertainty, brier,
+             |  abs(brier - (reliability - resolution + uncertainty))
+             |    <= 0.0001 AS identity_ok
+             |FROM parts CROSS JOIN b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q246: Horvitz-Thompson estimation audit — the ESTIMATOR side of
+    // the q57 stratified hash sample: inverse-inclusion-probability
+    // weighting recovers the population total from the thinned stream
+    // (est = Σ_sampled cents / rate), compared per stratum against the
+    // exact total the sample never saw. Both engines replay the SAME
+    // deterministic sample and the same weighting, so the gate is
+    // EXACT — no tolerance — while the rel_err column shows the
+    // statistical error the estimator actually makes at each rate
+    // (purchases at 100% are exact by construction). This is the
+    // query you run to size sampling rates before trusting sampled
+    // dashboards at 100 TB.
+    Q(
+      "q246_ht_estimator",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("cents",
+            floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .withColumn("rate_bp",
+            when(col("event_type") === "purchase", 10000L)
+              .when(col("event_type") === "click", 1000L)
+              .when(col("event_type") === "view", 100L)
+              .otherwise(0L))
+          .where(col("rate_bp") > 0)
+        // the rates divide 10000 evenly, so the HT weight 10000/rate is
+        // an exact LONG and the estimate is integer cents — zero drift
+        val sampled = e
+          .where(Sampling.bucket(col("event_id"), "mix7") < col("rate_bp"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("cents") * expr("10000L div rate_bp"))
+              .cast("double").as("est"))
+        val truth = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n_true"), sum("cents").as("true_cents"))
+        truth.join(sampled, Seq("event_type"), "left")
+          .select(col("event_type"),
+            col("n_true").cast("long").as("n_true"),
+            coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+            col("true_cents").cast("long").as("true_cents"),
+            Rounding.stableRound6(
+              coalesce(col("est"), lit(0.0)) / 100.0).as("est_dollars"),
+            Rounding.stableRound6(
+              (coalesce(col("est"), lit(0.0)) -
+                col("true_cents").cast("double")) /
+                col("true_cents").cast("double")).as("rel_err"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_type, event_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             |    CASE event_type WHEN 'purchase' THEN 10000
+             |      WHEN 'click' THEN 1000 WHEN 'view' THEN 100
+             |      ELSE 0 END AS rate_bp
+             |  FROM events),
+             |pop AS (SELECT * FROM e WHERE rate_bp > 0),
+             |samp AS (
+             |  SELECT event_type, count(*) AS n_sampled,
+             |    sum(cents * (10000 // rate_bp))::DOUBLE AS est
+             |  FROM pop
+             |  WHERE ${Sampling.bucketDuckSql("mix7", "event_id")} < rate_bp
+             |  GROUP BY 1),
+             |truth AS (
+             |  SELECT event_type, count(*) AS n_true,
+             |    sum(cents) AS true_cents
+             |  FROM pop GROUP BY 1)
+             |SELECT t.event_type, CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
+             |  CAST(true_cents AS BIGINT) AS true_cents,
+             |  ${Rounding.duckSql("coalesce(est, 0.0) / 100.0")} AS est_dollars,
+             |  ${Rounding.duckSql(
+                  "(coalesce(est, 0.0) - true_cents::DOUBLE) / true_cents::DOUBLE")}
+             |    AS rel_err
+             |FROM truth t LEFT JOIN samp ON t.event_type = samp.event_type
+             |ORDER BY t.event_type""".stripMargin)))
 }
