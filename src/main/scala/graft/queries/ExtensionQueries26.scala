@@ -1237,5 +1237,108 @@ object ExtensionQueries26 {
                   "(coalesce(est, 0.0) - true_cents::DOUBLE) / true_cents::DOUBLE")}
              |    AS rel_err
              |FROM truth t LEFT JOIN samp ON t.event_type = samp.event_type
-             |ORDER BY t.event_type""".stripMargin)))
+             |ORDER BY t.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q247: video frame-sampling plumbing, oracle-gated — the byte-range
+    // arithmetic of Multimodal.sampleFramesStub (uniform k-way split of
+    // an opaque binary column into frame offsets/lengths) verified
+    // against DuckDB's replay on octet_length: the Spark-side plumbing
+    // (schema, mapPartitions batch shape, range math) is the REAL part
+    // of the multimodal contract — the decode behind it is stubbed per
+    // the container's constraints, and the per-frame checksums stay
+    // spec-pinned (ExtensionSpec) since the oracle can't fold bytes.
+    // UTF-8 matters: the fixture is multilingual, so frame offsets are
+    // in BYTES, not characters, in both engines.
+    Q(
+      "q247_frame_ranges",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val media = graft.ext.Multimodal
+          .withBinaryContent(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("content"))
+          .as[graft.ext.Multimodal.MediaRecord]
+        graft.ext.Multimodal.sampleFramesStub(media, 4)
+          .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+            explode(col("frames")).as("f"))
+          .select(col("doc_id"), col("n_frames"),
+            col("f.idx").cast("long").as("frame_id"),
+            col("f.offset").as("start"), col("f.length").as("n_bytes"))
+          .orderBy("doc_id", "frame_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |    least(4, greatest(octet_length(encode(text)), 1)) AS k
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, CAST(k AS BIGINT) AS n_frames,
+             |    unnest(range(k)) AS frame_id, n, k
+             |  FROM m)
+             |SELECT doc_id, n_frames, CAST(frame_id AS BIGINT) AS frame_id,
+             |  CAST(frame_id * n // k AS BIGINT) AS start,
+             |  CAST((frame_id + 1) * n // k - frame_id * n // k AS BIGINT)
+             |    AS n_bytes
+             |FROM f
+             |ORDER BY doc_id, frame_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q248: order-to-ship SLA percentiles — per order priority, the
+    // late rate (shipped > 60 days after ordering) and RANK-BASED
+    // p50/p90 of the ship latency in whole days (the fixture carries
+    // one fulfillment stage: o_orderdate → l_shipdate). Percentiles
+    // are exact order statistics on integer day counts — row_number
+    // against ceil(q·n) picks the identical element in both engines;
+    // quantile_cont/percentile INTERPOLATION formulas differ between
+    // engines and are banned here (the q210 lesson applied to exact
+    // quantiles). Tiebreak inside equal day values is irrelevant: the
+    // picked value is the day count itself, identical across any
+    // ordering of ties. One scan, one per-priority day-valued window.
+    Q(
+      "q248_order_cycle_sla",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("ship_days"))
+        val wS = Window.partitionBy("priority").orderBy("ship_days")
+        val n = Window.partitionBy("priority")
+        val ranked = li
+          .withColumn("n", count(lit(1)).over(n))
+          .withColumn("rs", row_number().over(wS))
+        ranked.groupBy("priority")
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(when(col("ship_days") > 60, 1L).otherwise(0L)).as("n_late"),
+            max(when(col("rs") === ceil(col("n") * 0.5), col("ship_days")))
+              .as("p50_ship_days"),
+            max(when(col("rs") === ceil(col("n") * 0.9), col("ship_days")))
+              .as("p90_ship_days"))
+          .select(col("priority"), col("n_lines"),
+            Rounding.stableRound6(col("n_late").cast("double") /
+              col("n_lines").cast("double")).as("late_rate"),
+            col("p50_ship_days"), col("p90_ship_days"))
+          .orderBy("priority")
+      },
+      Some(s"""WITH li AS (
+             |  SELECT o.o_orderpriority AS priority,
+             |    date_diff('day', o.o_orderdate, l.l_shipdate) AS ship_days
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+             |ranked AS (
+             |  SELECT *, count(*) OVER (PARTITION BY priority) AS n,
+             |    row_number() OVER (PARTITION BY priority
+             |      ORDER BY ship_days) AS rs
+             |  FROM li)
+             |SELECT priority, CAST(count(*) AS BIGINT) AS n_lines,
+             |  ${Rounding.duckSql(
+                  "sum(CASE WHEN ship_days > 60 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE")}
+             |    AS late_rate,
+             |  CAST(max(CASE WHEN rs = ceil(n * 0.5) THEN ship_days END)
+             |    AS BIGINT) AS p50_ship_days,
+             |  CAST(max(CASE WHEN rs = ceil(n * 0.9) THEN ship_days END)
+             |    AS BIGINT) AS p90_ship_days
+             |FROM ranked
+             |GROUP BY priority
+             |ORDER BY priority""".stripMargin)))
 }
