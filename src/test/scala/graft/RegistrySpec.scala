@@ -31,7 +31,9 @@ class RegistrySpec extends SparkSpec {
     // single-row global aggregates where order is vacuous; adding a name
     // here requires the query to provably emit exactly one row
     val singleRow = Set("q06_forecast_revenue", "q14_promo_revenue",
-      "q17_small_quantity_revenue", "q73_triangles", "q181_lsh_quality")
+      "q17_small_quantity_revenue", "q73_triangles", "q181_lsh_quality",
+      // 1-row × 1-row cross joins of global aggregates
+      "q236_zipf_slope", "q245_brier_decomposition")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
