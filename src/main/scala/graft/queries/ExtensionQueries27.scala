@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+import graft.functions.Rounding
+import graft.io.Tables
+import graft.ops.Text
+
+/** Round-8 second continuation wave: ingestion-lateness watermark audit
+  * (q249), split-conformal coverage calibration (q250), and held-out
+  * cross-entropy language-model evaluation (q251). Same contract as
+  * every other module: each Spark pipeline pairs with DuckDB oracle SQL
+  * replaying it.
+  */
+object ExtensionQueries27 {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q249: ingestion-lateness audit — the measurement that SIZES every
+    // watermark in the streaming surface (the 2-hour delay in
+    // EventStreams is an assumption; this query is how you'd check it).
+    // Arrival is modeled as K=4 ingestion shards (user_id mod 4), each
+    // delivering its own events in event-time order but lagging the
+    // fastest shard by shard*30 s — the Kafka-partition-skew shape that
+    // actually produces late data. An event's lateness is then
+    // running_max(event time) over ARRIVAL order minus its own event
+    // time: exactly the quantity a watermark must exceed to admit it.
+    // The running max over a global order is NOT a single-partition
+    // window: the q35 two-pass prefix discipline — per-hour-block
+    // running max (blocks partition and distribute) plus a prefix max
+    // over the bounded block frame, combined per row. Output per shard:
+    // max/p99 lateness (p99 EXACT via the cumulative-count walk over
+    // the bounded lateness-seconds grid, the q228 discipline) and the
+    // admit/drop split a 60 s watermark would produce.
+    Q(
+      "q249_lateness_audit",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            (col("user_id") % 4).as("shard"))
+          .withColumn("arr_us", col("ts_us") + col("shard") * lit(30000000L))
+          .withColumn("blk", expr("arr_us div 3600000000"))
+        val wIn = Window.partitionBy("blk").orderBy("arr_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // prefix max over STRICTLY earlier blocks — the block frame is
+        // hours-of-history-sized, never data-sized
+        val wPrev = Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prev = e.groupBy("blk").agg(max("ts_us").as("bmax"))
+          .withColumn("pmax", max("bmax").over(wPrev))
+          .select(col("blk"), col("pmax"))
+        val late = e
+          .withColumn("rin", max("ts_us").over(wIn))
+          .join(broadcast(prev), Seq("blk"))
+          .withColumn("runmax",
+            greatest(col("rin"), coalesce(col("pmax"), lit(Long.MinValue))))
+          .withColumn("late_us", col("runmax") - col("ts_us"))
+          .withColumn("late_s", expr("late_us div 1000000"))
+        val grid = late.groupBy("shard", "late_s").agg(count(lit(1)).as("c"))
+        val wg = Window.partitionBy("shard").orderBy("late_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("shard")
+        val p99 = grid.withColumn("cum", sum("c").over(wg))
+          .withColumn("n", sum("c").over(wt))
+          .where(col("cum") * 100 >= col("n") * 99)
+          .groupBy("shard").agg(min("late_s").as("p99_late_s"))
+        late.groupBy("shard")
+          .agg(count(lit(1)).as("n_events"),
+            max("late_s").as("max_late_s"),
+            sum(when(col("late_us") > 60000000L, 1L).otherwise(0L))
+              .as("n_drop_60s"))
+          .join(p99, "shard")
+          .select(col("shard").cast("long").as("shard"),
+            col("n_events").cast("long").as("n_events"),
+            col("max_late_s").cast("long").as("max_late_s"),
+            col("p99_late_s").cast("long").as("p99_late_s"),
+            col("n_drop_60s").cast("long").as("n_drop_60s"),
+            Rounding.stableRound6(col("n_drop_60s").cast("double") /
+              col("n_events").cast("double")).as("drop_rate_60s"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_id, user_id % 4 AS shard, epoch_us(ts) AS ts_us,
+             |    epoch_us(ts) + (user_id % 4) * 30000000 AS arr_us
+             |  FROM events),
+             |l AS (
+             |  SELECT shard,
+             |    max(ts_us) OVER (ORDER BY arr_us, event_id) - ts_us
+             |      AS late_us
+             |  FROM e),
+             |d AS (SELECT shard, late_us, late_us // 1000000 AS late_s FROM l),
+             |grid AS (SELECT shard, late_s, count(*) AS c FROM d GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT shard, late_s,
+             |    sum(c) OVER (PARTITION BY shard ORDER BY late_s) AS cum,
+             |    sum(c) OVER (PARTITION BY shard) AS n
+             |  FROM grid),
+             |p99 AS (
+             |  SELECT shard, min(late_s) AS p99_late_s FROM cum
+             |  WHERE cum * 100 >= n * 99 GROUP BY 1),
+             |agg AS (
+             |  SELECT shard, count(*) AS n_events, max(late_s) AS max_late_s,
+             |    sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+             |      AS n_drop_60s
+             |  FROM d GROUP BY 1)
+             |SELECT agg.shard, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(max_late_s AS BIGINT) AS max_late_s,
+             |  CAST(p99_late_s AS BIGINT) AS p99_late_s,
+             |  CAST(n_drop_60s AS BIGINT) AS n_drop_60s,
+             |  ${Rounding.duckSql("n_drop_60s::DOUBLE / n_events::DOUBLE")}
+             |    AS drop_rate_60s
+             |FROM agg JOIN p99 ON agg.shard = p99.shard
+             |ORDER BY agg.shard""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q250: split-conformal coverage — the distribution-free prediction-
+    // interval recipe (Vovk; Angelopoulos & Bates' gentle-introduction
+    // form): hash-split a calibration slice, take the k-th smallest
+    // calibration nonconformity score with k = ceil((n+1)(1−α)) as the
+    // threshold, and audit the guaranteed ≥1−α coverage on the disjoint
+    // test slice. Score here is the doc's n_chars (a one-sided upper
+    // interval on document size — the same machinery carries any model
+    // score). The order statistic is EXACT and distributed: cumulative
+    // counts over the DISTINCT score grid (domain-bounded, the q228
+    // discipline), never a global sort of the data; membership is the
+    // q55 salted-hash split, a pure function of doc_id. All outputs
+    // integer except the one audited ratio.
+    Q(
+      "q250_conformal_coverage",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("calib", Sampling.bucket(col("doc_id"), "conf27") < 2000)
+        val cal = d.where(col("calib"))
+        val nCal = cal.agg(count(lit(1)).as("n_calib"))
+        val wg = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // cum ≥ ceil(0.9·(n+1)) ⟺ 10·cum ≥ 9·(n+1) for integer cum
+        val thr = cal.groupBy("n_chars").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wg))
+          .crossJoin(broadcast(nCal))
+          .where(col("cum") * 10 >= (col("n_calib") + 1) * 9)
+          .agg(min("n_chars").as("threshold"))
+        d.where(!col("calib"))
+          .crossJoin(broadcast(thr))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("n_chars") <= col("threshold"), 1L).otherwise(0L))
+              .as("n_covered"),
+            first("threshold").as("threshold"))
+          .crossJoin(broadcast(nCal))
+          .select(col("n_calib").cast("long").as("n_calib"),
+            expr("(9 * (n_calib + 1) + 9) div 10").as("k"),
+            col("threshold").cast("long").as("threshold"),
+            col("n_test").cast("long").as("n_test"),
+            col("n_covered").cast("long").as("n_covered"),
+            Rounding.stableRound6(col("n_covered").cast("double") /
+              col("n_test").cast("double")).as("coverage"))
+          .orderBy("n_calib")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, n_chars,
+             |    ${Sampling.bucketDuckSql("conf27", "doc_id")} < 2000 AS calib
+             |  FROM documents),
+             |nc AS (SELECT count(*) AS n_calib FROM d WHERE calib),
+             |grid AS (
+             |  SELECT n_chars, count(*) AS c FROM d WHERE calib GROUP BY 1),
+             |cum AS (
+             |  SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum
+             |  FROM grid),
+             |thr AS (
+             |  SELECT min(n_chars) AS threshold
+             |  FROM cum CROSS JOIN nc WHERE cum * 10 >= (n_calib + 1) * 9),
+             |tst AS (
+             |  SELECT count(*) AS n_test,
+             |    sum(CASE WHEN n_chars <= threshold THEN 1 ELSE 0 END)
+             |      AS n_covered,
+             |    any_value(threshold) AS threshold
+             |  FROM d CROSS JOIN thr WHERE NOT calib)
+             |SELECT CAST(n_calib AS BIGINT) AS n_calib,
+             |  (9 * (n_calib + 1) + 9) // 10 AS k,
+             |  CAST(threshold AS BIGINT) AS threshold,
+             |  CAST(n_test AS BIGINT) AS n_test,
+             |  CAST(n_covered AS BIGINT) AS n_covered,
+             |  ${Rounding.duckSql("n_covered::DOUBLE / n_test::DOUBLE")}
+             |    AS coverage
+             |FROM tst CROSS JOIN nc
+             |ORDER BY n_calib""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q251: held-out cross-entropy — the EVALUATION twin of the q94/q110
+    // scoring queries (those score docs under a model fit on the whole
+    // corpus; an eval needs the model fit on a disjoint split): per
+    // language, an add-one-smoothed unigram LM is trained on the 80%
+    // hash-split and evaluated on the held-out 20% — mean NLL per token
+    // with unseen words folded into a single UNK class, p(w) =
+    // (c_w + 1) / (N_l + V_l + 1), plus the OOV rate (the tokenizer/
+    // coverage health signal). Per-token NLL snaps to the 1e-6 LONG grid
+    // BEFORE summation (the q235 discipline — exact integer sums, one
+    // final division), so distributed sum order cannot drift the mean.
+    // Scale shape: the count table is vocabulary-sized; the held-out
+    // join builds its hash side from that vocab table (shuffle-hash,
+    // never a data-sized sort), and the per-lang totals broadcast.
+    Q(
+      "q251_heldout_xent",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .withColumn("train", Sampling.bucket(col("doc_id"), "xent27") < 8000)
+          .select(col("lang"), col("train"),
+            explode(Text.words(Text.clean(col("text")))).as("w"))
+          .localCheckpoint()
+        val cnt = toks.where(col("train")).groupBy("lang", "w")
+          .agg(count(lit(1)).as("c"))
+        val tr = cnt.groupBy("lang")
+          .agg(sum("c").as("n_train"), count(lit(1)).as("vocab"))
+        toks.where(!col("train"))
+          .join(cnt.hint("shuffle_hash"), Seq("lang", "w"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .join(broadcast(tr), "lang")
+          .withColumn("nll6", floor(-log((col("c") + lit(1L)).cast("double") /
+            (col("n_train") + col("vocab") + lit(1L)).cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+          .groupBy("lang")
+          .agg(first("n_train").as("n_train_tokens"),
+            first("vocab").as("vocab"),
+            count(lit(1)).as("n_heldout_tokens"),
+            sum(when(col("c") === 0L, 1L).otherwise(0L)).as("n_oov"),
+            sum("nll6").as("snll"))
+          .select(col("lang"),
+            col("n_train_tokens").cast("long").as("n_train_tokens"),
+            col("vocab").cast("long").as("vocab"),
+            col("n_heldout_tokens").cast("long").as("n_heldout_tokens"),
+            col("n_oov").cast("long").as("n_oov"),
+            Rounding.stableRound6(col("n_oov").cast("double") /
+              col("n_heldout_tokens").cast("double")).as("oov_rate"),
+            Rounding.stableRound6(col("snll").cast("double") /
+              (col("n_heldout_tokens").cast("double") * lit(1000000.0)))
+              .as("mean_nll"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT lang,
+             |    ${Sampling.bucketDuckSql("xent27", "doc_id")} < 8000 AS train,
+             |    unnest(list_filter(string_split(
+             |      regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |      w -> w <> '')) AS w
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT lang, w, count(*) AS c FROM toks WHERE train
+             |  GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT lang, sum(c) AS n_train, count(*) AS vocab
+             |  FROM cnt GROUP BY 1),
+             |held AS (
+             |  SELECT t.lang, coalesce(cnt.c, 0) AS c, tr.n_train, tr.vocab
+             |  FROM toks t
+             |  LEFT JOIN cnt ON cnt.lang = t.lang AND cnt.w = t.w
+             |  JOIN tr ON tr.lang = t.lang
+             |  WHERE NOT t.train),
+             |scored AS (
+             |  SELECT lang, c,  n_train, vocab,
+             |    CAST(floor(-ln((c + 1)::DOUBLE /
+             |      (n_train + vocab + 1)::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |      AS nll6
+             |  FROM held)
+             |SELECT lang,
+             |  CAST(any_value(n_train) AS BIGINT) AS n_train_tokens,
+             |  CAST(any_value(vocab) AS BIGINT) AS vocab,
+             |  CAST(count(*) AS BIGINT) AS n_heldout_tokens,
+             |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov,
+             |  ${Rounding.duckSql(
+                  "sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::DOUBLE / " +
+                  "count(*)::DOUBLE")} AS oov_rate,
+             |  ${Rounding.duckSql(
+                  "sum(nll6)::DOUBLE / (count(*)::DOUBLE * 1000000)")}
+             |    AS mean_nll
+             |FROM scored GROUP BY lang
+             |ORDER BY lang""".stripMargin)))
+}
