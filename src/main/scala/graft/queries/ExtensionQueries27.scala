@@ -278,5 +278,179 @@ object ExtensionQueries27 {
                   "sum(nll6)::DOUBLE / (count(*)::DOUBLE * 1000000)")}
              |    AS mean_nll
              |FROM scored GROUP BY lang
-             |ORDER BY lang""".stripMargin)))
+             |ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q252: tokenizer fertility by language — the multilingual tokenizer
+    // audit (chars per token, BYTES per token, tokens per doc) that
+    // decides whether a tokenizer under-serves a language: CJK text
+    // yields few whitespace tokens of many bytes each, so its
+    // bytes-per-token fertility blows up exactly where BPE vocabularies
+    // underallocate. Tokens here are WHITESPACE splits of the raw text
+    // (not Text.words' ASCII-only cleaner, which would zero out zh and
+    // poison the ratio); bytes are UTF-8 octets. One shuffle-free scan
+    // folding to a languages-sized frame; every ratio is a division of
+    // exact integer sums on the stableRound6 grid.
+    Q(
+      "q252_tokenizer_fertility",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("n_chars"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            size(filter(split(col("text"), "\\s+"),
+              t => t =!= lit(""))).cast("long").as("n_tokens"))
+          .where(col("n_tokens") > 0)
+        d.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("tokens"),
+            sum("n_chars").as("chars"),
+            sum("n_bytes").as("bytes"))
+          .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+            col("tokens").cast("long").as("tokens"),
+            col("chars").cast("long").as("chars"),
+            col("bytes").cast("long").as("bytes"),
+            Rounding.stableRound6(col("chars").cast("double") /
+              col("tokens").cast("double")).as("chars_per_token"),
+            Rounding.stableRound6(col("bytes").cast("double") /
+              col("tokens").cast("double")).as("bytes_per_token"),
+            Rounding.stableRound6(col("tokens").cast("double") /
+              col("n_docs").cast("double")).as("tokens_per_doc"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT lang, n_chars,
+             |    octet_length(encode(text))::BIGINT AS n_bytes,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |      t -> t <> ''))::BIGINT AS n_tokens
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  CAST(sum(n_bytes) AS BIGINT) AS bytes,
+             |  ${Rounding.duckSql("sum(n_chars)::DOUBLE / sum(n_tokens)::DOUBLE")}
+             |    AS chars_per_token,
+             |  ${Rounding.duckSql("sum(n_bytes)::DOUBLE / sum(n_tokens)::DOUBLE")}
+             |    AS bytes_per_token,
+             |  ${Rounding.duckSql("sum(n_tokens)::DOUBLE / count(*)::DOUBLE")}
+             |    AS tokens_per_doc
+             |FROM d WHERE n_tokens > 0
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q253: Benford first-digit audit — the fraud/synthetic-data check
+    // on the money column: naturally-occurring multiplicative amounts
+    // follow P(d) = log10(1 + 1/d); a generator that draws uniforms (or
+    // a pipeline bug that truncates) shows up as a flat or spiked digit
+    // histogram. First digit extracted in EXACT integer arithmetic
+    // (leading char of the integer-cents decimal string — never float
+    // log10 on data), counts densified over all 9 digits; the only
+    // doubles are the observed share, the closed-form expectation, and
+    // their gap, all on the stableRound6 grid. One scan to a 9-row
+    // frame.
+    Q(
+      "q253_benford_audit",
+      (s, dir) => {
+        val digits = Tables.load(s, dir, "orders")
+          .select(substring(floor(col("o_totalprice") * 100 + lit(0.5))
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("c"))
+        val tot = Window.partitionBy()
+        val s9 = s.range(1, 10).select(col("id").as("digit"))
+        s9.join(digits, Seq("digit"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("share_raw",
+            col("c").cast("double") / sum("c").over(tot).cast("double"))
+          .withColumn("expected_raw",
+            log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+              log(lit(10.0)))
+          .select(col("digit"), col("c").cast("long").as("n"),
+            Rounding.stableRound6(col("share_raw")).as("share"),
+            Rounding.stableRound6(col("expected_raw")).as("expected"),
+            Rounding.stableRound6(abs(col("share_raw") -
+              col("expected_raw"))).as("abs_gap"))
+          .orderBy("digit")
+      },
+      Some(s"""WITH digits AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             |    count(*) AS c
+             |  FROM orders GROUP BY 1),
+             |dense AS (
+             |  SELECT g.digit, coalesce(digits.c, 0) AS c
+             |  FROM (SELECT unnest(range(1, 10)) AS digit) g
+             |  LEFT JOIN digits ON digits.digit = g.digit),
+             |sh AS (
+             |  SELECT digit, c,
+             |    c::DOUBLE / (sum(c) OVER ())::DOUBLE AS share_raw,
+             |    ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0) AS expected_raw
+             |  FROM dense)
+             |SELECT digit, CAST(c AS BIGINT) AS n,
+             |  ${Rounding.duckSql("share_raw")} AS share,
+             |  ${Rounding.duckSql("expected_raw")} AS expected,
+             |  ${Rounding.duckSql("abs(share_raw - expected_raw)")} AS abs_gap
+             |FROM sh
+             |ORDER BY digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q254: byte-weighted quantiles — "half the BYTES live in docs
+    // larger than X" is a different (and for storage/packing planning,
+    // the right) question than "half the DOCS are larger than X": the
+    // weighted median/p90 of document size with the doc's own size as
+    // weight, next to the unweighted median for contrast. Exact order
+    // statistics via cumulative weight over the per-source DISTINCT
+    // size grid (domain-bounded, the q228/q250 discipline) — integer
+    // comparisons 2·cum ≥ W and 10·cum ≥ 9·W, no interpolation, no
+    // data-sized sort. Per-source windows distribute across sources.
+    Q(
+      "q254_weighted_quantiles",
+      (s, dir) => {
+        val grid = Tables.load(s, dir, "documents")
+          .groupBy("source", "n_chars")
+          .agg(count(lit(1)).as("cnt"),
+            sum("n_chars").as("w"))
+        val wg = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("source")
+        val cum = grid
+          .withColumn("cumc", sum("cnt").over(wg))
+          .withColumn("cumw", sum("w").over(wg))
+          .withColumn("n", sum("cnt").over(wt))
+          .withColumn("tw", sum("w").over(wt))
+        cum.groupBy("source")
+          .agg(first("n").as("n_docs"), first("tw").as("total_chars"),
+            min(when(col("cumc") * 2 >= col("n"), col("n_chars")))
+              .as("median_chars"),
+            min(when(col("cumw") * 2 >= col("tw"), col("n_chars")))
+              .as("wmedian_chars"),
+            min(when(col("cumw") * 10 >= col("tw") * 9, col("n_chars")))
+              .as("wp90_chars"))
+          .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+            col("total_chars").cast("long").as("total_chars"),
+            col("median_chars").cast("long").as("median_chars"),
+            col("wmedian_chars").cast("long").as("wmedian_chars"),
+            col("wp90_chars").cast("long").as("wp90_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH grid AS (
+             |  SELECT source, n_chars, count(*) AS cnt,
+             |    sum(n_chars) AS w
+             |  FROM documents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT source, n_chars,
+             |    sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cumc,
+             |    sum(w) OVER (PARTITION BY source ORDER BY n_chars) AS cumw,
+             |    sum(cnt) OVER (PARTITION BY source) AS n,
+             |    sum(w) OVER (PARTITION BY source) AS tw
+             |  FROM grid)
+             |SELECT source, CAST(any_value(n) AS BIGINT) AS n_docs,
+             |  CAST(any_value(tw) AS BIGINT) AS total_chars,
+             |  CAST(min(CASE WHEN cumc * 2 >= n THEN n_chars END) AS BIGINT)
+             |    AS median_chars,
+             |  CAST(min(CASE WHEN cumw * 2 >= tw THEN n_chars END) AS BIGINT)
+             |    AS wmedian_chars,
+             |  CAST(min(CASE WHEN cumw * 10 >= tw * 9 THEN n_chars END)
+             |    AS BIGINT) AS wp90_chars
+             |FROM cum GROUP BY source
+             |ORDER BY source""".stripMargin)))
 }
