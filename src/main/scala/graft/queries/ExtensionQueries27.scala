@@ -452,5 +452,333 @@ object ExtensionQueries27 {
              |  CAST(min(CASE WHEN cumw * 10 >= tw * 9 THEN n_chars END)
              |    AS BIGINT) AS wp90_chars
              |FROM cum GROUP BY source
-             |ORDER BY source""".stripMargin)))
+             |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q255: Spearman rank correlation — the robust (monotone-invariant)
+    // complement to the Pearson members of the correlation family (q127
+    // per-group OLS, q191 lag correlation): per language, rho between
+    // document size and vocabulary richness (distinct words). Ranks are
+    // MIDRANKS with exact tie handling, kept integer by doubling:
+    // 2·midrank = 2·cum_before + cnt + 1, computed over the per-lang
+    // DISTINCT value grid (the q250/q254 discipline — never a
+    // data-sized sort); the doc stream then joins its two rank columns
+    // back on (lang, value). Closed-form Pearson on the integer 2·rank
+    // sums: every aggregate is an exact LONG, one final double formula
+    // on the stableRound6 grid. (Integer headroom: Σ(2r)² ≤ 4n³ —
+    // exact in int64 up to ~10^6 rows per group; past that the sums
+    // promote to DECIMAL(38) with the same plan shape.)
+    Q(
+      "q255_spearman",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars").as("x"),
+            size(array_distinct(Text.words(Text.clean(col("text")))))
+              .cast("long").as("y"))
+          .localCheckpoint()
+        def ranks(vcol: String, rcol: String) = {
+          val wg = Window.partitionBy("lang").orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          docs.groupBy("lang", vcol).agg(count(lit(1)).as("cnt"))
+            .withColumn("cum", sum("cnt").over(wg))
+            .select(col("lang"), col(vcol),
+              (col("cum") * 2 - col("cnt") + 1).as(rcol))
+        }
+        docs
+          .join(ranks("x", "rx2"), Seq("lang", "x"))
+          .join(ranks("y", "ry2"), Seq("lang", "y"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("rx2").as("sx"), sum("ry2").as("sy"),
+            sum(col("rx2") * col("ry2")).as("sxy"),
+            sum(col("rx2") * col("rx2")).as("sxx"),
+            sum(col("ry2") * col("ry2")).as("syy"))
+          .select(col("lang"), col("n").cast("long").as("n"),
+            Rounding.stableRound6(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") *
+                  (col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))).as("rho"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH docs AS (
+             |  SELECT lang, doc_id, n_chars AS x,
+             |    len(list_distinct(list_filter(string_split(
+             |      regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |      w -> w <> '')))::BIGINT AS y
+             |  FROM documents),
+             |rx AS (
+             |  SELECT lang, x,
+             |    2 * sum(cnt) OVER (PARTITION BY lang ORDER BY x)
+             |      - cnt + 1 AS rx2
+             |  FROM (SELECT lang, x, count(*) AS cnt FROM docs GROUP BY 1, 2)),
+             |ry AS (
+             |  SELECT lang, y,
+             |    2 * sum(cnt) OVER (PARTITION BY lang ORDER BY y)
+             |      - cnt + 1 AS ry2
+             |  FROM (SELECT lang, y, count(*) AS cnt FROM docs GROUP BY 1, 2)),
+             |j AS (
+             |  SELECT d.lang, rx.rx2, ry.ry2
+             |  FROM docs d
+             |  JOIN rx ON rx.lang = d.lang AND rx.x = d.x
+             |  JOIN ry ON ry.lang = d.lang AND ry.y = d.y),
+             |agg AS (
+             |  SELECT lang, count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+             |    sum(rx2 * ry2) AS sxy, sum(rx2 * rx2) AS sxx,
+             |    sum(ry2 * ry2) AS syy
+             |  FROM j GROUP BY 1)
+             |SELECT lang, CAST(n AS BIGINT) AS n,
+             |  ${Rounding.duckSql(
+                  "(n * sxy - sx * sy)::DOUBLE / " +
+                  "sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)")}
+             |    AS rho
+             |FROM agg
+             |ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q256: Count-Min sketch — completes the frequency-sketch trio
+    // (q93 Misra-Gries tracks the heavy SET, q206/q220 HLL counts
+    // distincts; CM answers point frequency queries for ANY key in
+    // w·d counters). d=4 rows × w=1024 columns, cell = squared-PolyHash
+    // (the Sampling mixing rule) of 'cm<row>#'||word; the sketch is ONE
+    // map-side-combined aggregate to a 4096-cell frame — the mergeable,
+    // fixed-size state a 100 TB stream keeps where exact counts need
+    // vocabulary-sized state. Estimates (min over the 4 row cells) are
+    // audited for the 20 highest-df words against their exact counts;
+    // the sketch is fully deterministic, so the ORACLE REPLAYS the
+    // whole construction and the gate compares estimates EXACTLY — no
+    // tolerance booleans (overestimate = same-cell collision mass,
+    // identical in both engines by construction).
+    Q(
+      "q256_count_min",
+      (s, dir) => {
+        val P = graft.functions.PolyHash.Mod
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(Text.words(Text.clean(col("text")))).as("w"))
+          .localCheckpoint()
+        def cell(w: org.apache.spark.sql.Column,
+                 j: org.apache.spark.sql.Column) = {
+          val h = graft.functions.PolyHash(
+            concat(lit("cm"), j.cast("string"), lit("#"), w))
+          h * h % P % 1024
+        }
+        val sketch = toks
+          .select(col("w"), explode(sequence(lit(0), lit(3))).as("j"))
+          .select(col("j"), cell(col("w"), col("j")).as("cell"))
+          .groupBy("j", "cell").agg(count(lit(1)).as("c"))
+        val top = toks.groupBy("w").agg(count(lit(1)).as("exact"))
+          .orderBy(desc("exact"), col("w")).limit(20)
+        top.select(col("w"), col("exact"),
+            explode(sequence(lit(0), lit(3))).as("j"))
+          .withColumn("cell", cell(col("w"), col("j")))
+          .join(broadcast(sketch), Seq("j", "cell"))
+          .groupBy("w")
+          .agg(first("exact").as("exact"), min("c").as("est"))
+          .select(col("w"), col("exact").cast("long").as("exact"),
+            col("est").cast("long").as("est"),
+            (col("est") - col("exact")).cast("long").as("overcount"))
+          .orderBy(desc("exact"), col("w"))
+      },
+      Some({
+        val P = graft.functions.PolyHash.Mod
+        def cellSql(wExpr: String) = {
+          val h = graft.functions.PolyHash.duckSql(
+            s"'cm' || j::VARCHAR || '#' || $wExpr")
+          s"(($h) * ($h) % $P) % 1024"
+        }
+        s"""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split(
+           |    regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+           |    w -> w <> '')) AS w
+           |  FROM documents),
+           |cells AS (
+           |  SELECT j, ${cellSql("w")} AS cell
+           |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS j)),
+           |sketch AS (
+           |  SELECT j, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+           |top AS (
+           |  SELECT w, count(*) AS exact FROM toks GROUP BY 1
+           |  ORDER BY exact DESC, w LIMIT 20),
+           |probe AS (
+           |  SELECT w, exact, j, ${cellSql("w")} AS cell
+           |  FROM top CROSS JOIN (SELECT unnest(range(4)) AS j)),
+           |est AS (
+           |  SELECT probe.w, any_value(probe.exact) AS exact,
+           |    min(sketch.c) AS est
+           |  FROM probe JOIN sketch
+           |    ON sketch.j = probe.j AND sketch.cell = probe.cell
+           |  GROUP BY probe.w)
+           |SELECT w, CAST(exact AS BIGINT) AS exact,
+           |  CAST(est AS BIGINT) AS est,
+           |  CAST(est - exact AS BIGINT) AS overcount
+           |FROM est
+           |ORDER BY exact DESC, w""".stripMargin
+      })),
+
+    // ------------------------------------------------------------------
+    // q257: Poisson bootstrap — uncertainty for corpus-level statistics
+    // WITHOUT resampling passes: the classic multinomial bootstrap needs
+    // B full resamples; the Poisson approximation gives each row an
+    // independent pseudo-Poisson(1) weight per replicate, so all B=32
+    // replicate estimates fold out of ONE scan (explode + map-side
+    // partial aggregation — the shuffle carries 32 rows per partition,
+    // never 32× the data). Weights are DETERMINISTIC: the squared-
+    // PolyHash bucket of ('boot<b>#'||doc_id) inverse-CDF-mapped through
+    // the Poisson(1) pmf on a 1/10000 grid, so both engines draw
+    // identical weights. Replicate means snap to the 1e-6 LONG grid
+    // before the spread statistics (exact integer arithmetic over the
+    // 32-row frame): bootstrap SE plus the percentile interval at
+    // ranks ceil(0.025·B)=1 and B.
+    Q(
+      "q257_poisson_bootstrap",
+      (s, dir) => {
+        val P = graft.functions.PolyHash.Mod
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            explode(sequence(lit(0), lit(31))).as("b"))
+        val h = graft.functions.PolyHash(
+          concat(lit("boot"), col("b").cast("string"), lit("#"),
+            col("doc_id").cast("string")))
+        val u = h * h % P % 10000
+        // inverse CDF of Poisson(1) on the 1/10000 grid:
+        // cum pmf·10000 = 3679, 7358, 9197, 9810, 9963, 9994, 9999
+        val wgt = when(u < 3679, 0L).when(u < 7358, 1L).when(u < 9197, 2L)
+          .when(u < 9810, 3L).when(u < 9963, 4L).when(u < 9994, 5L)
+          .when(u < 9999, 6L).otherwise(7L)
+        val reps = d.withColumn("wgt", wgt)
+          .groupBy("b")
+          .agg(sum(col("wgt") * col("n_chars")).as("sw"),
+            sum("wgt").as("w"))
+          .withColumn("est6", floor(col("sw").cast("double") /
+            col("w").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long"))
+        val point = Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sc"))
+        // est6 ~ 3e8, so Σest6² ~ 3e18 fits int64 but (Σest6)² ~ 9e19
+        // does not — the spread arithmetic runs in decimal(38,0)
+        // (DuckDB's integer sums are HUGEINT already)
+        val e6d = col("est6").cast("decimal(38,0)")
+        reps.agg(count(lit(1)).as("b_reps"),
+            sum(e6d).as("se1"), sum(e6d * e6d).as("se2"),
+            min("est6").as("lo6"), max("est6").as("hi6"))
+          .crossJoin(broadcast(point))
+          .select(col("n_docs").cast("long").as("n_docs"),
+            Rounding.stableRound6(col("sc").cast("double") /
+              col("n_docs").cast("double")).as("mean_chars"),
+            col("b_reps").cast("long").as("b_reps"),
+            Rounding.stableRound6(
+              sqrt((col("b_reps").cast("decimal(38,0)") * col("se2") -
+                col("se1") * col("se1")).cast("double") /
+                (col("b_reps") * (col("b_reps") - 1)).cast("double")) /
+                lit(1000000.0)).as("boot_se"),
+            (col("lo6").cast("double") / lit(1000000.0)).as("ci_lo"),
+            (col("hi6").cast("double") / lit(1000000.0)).as("ci_hi"))
+          .orderBy("n_docs")
+      },
+      Some({
+        val P = graft.functions.PolyHash.Mod
+        val h = graft.functions.PolyHash.duckSql(
+          "'boot' || b::VARCHAR || '#' || doc_id::VARCHAR")
+        s"""WITH d AS (
+           |  SELECT doc_id, n_chars, b,
+           |    (($h) * ($h) % $P) % 10000 AS u
+           |  FROM documents CROSS JOIN (SELECT unnest(range(32)) AS b)),
+           |wts AS (
+           |  SELECT b, n_chars,
+           |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+           |      WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+           |      WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5
+           |      WHEN u < 9999 THEN 6 ELSE 7 END AS wgt
+           |  FROM d),
+           |reps AS (
+           |  SELECT b,
+           |    CAST(floor(sum(wgt * n_chars)::DOUBLE / sum(wgt)::DOUBLE
+           |      * 1000000 + 0.5) AS BIGINT) AS est6
+           |  FROM wts GROUP BY b),
+           |sp AS (
+           |  SELECT count(*) AS b_reps, sum(est6) AS se1,
+           |    sum(est6 * est6) AS se2, min(est6) AS lo6, max(est6) AS hi6
+           |  FROM reps),
+           |pt AS (SELECT count(*) AS n_docs, sum(n_chars) AS sc
+           |       FROM documents)
+           |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           |  ${Rounding.duckSql("sc::DOUBLE / n_docs::DOUBLE")} AS mean_chars,
+           |  CAST(b_reps AS BIGINT) AS b_reps,
+           |  ${Rounding.duckSql(
+                "sqrt((b_reps * se2 - se1 * se1)::DOUBLE / " +
+                "(b_reps * (b_reps - 1))::DOUBLE) / 1000000")} AS boot_se,
+           |  lo6::DOUBLE / 1000000 AS ci_lo,
+           |  hi6::DOUBLE / 1000000 AS ci_hi
+           |FROM sp CROSS JOIN pt
+           |ORDER BY n_docs""".stripMargin
+      })),
+
+    // ------------------------------------------------------------------
+    // q258: burstiness (Fano factor) — the dispersion diagnostic over
+    // hourly event counts: a Poisson-like arrival process has
+    // var/mean ≈ 1; heavy burstiness (Fano ≫ 1) means rate-limit and
+    // capacity knobs must size for peaks, not means (q194 profiles
+    // inter-arrival gaps; this profiles the COUNT process). The hour
+    // grid is densified from the corpus min/max hour — silent zero
+    // hours are exactly the evidence a sparse groupBy would drop —
+    // and the variance runs as exact integer sums over integer counts
+    // (H·Σc² − (Σc)², the q100 discipline), one final division per
+    // statistic on the stableRound6 grid.
+    Q(
+      "q258_fano_burstiness",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("hr", expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"))
+        val span = e.agg(min("hr").as("h0"), max("hr").as("h1"))
+        val hours = span.select(explode(sequence(col("h0"), col("h1")))
+          .as("hr"))
+        val types = e.select("event_type").distinct()
+        val counts = e.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("c"))
+        hours.crossJoin(broadcast(types))
+          .join(counts, Seq("event_type", "hr"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("hours"), sum("c").as("total"),
+            sum(col("c") * col("c")).as("sc2"),
+            sum(when(col("c") === 0L, 1L).otherwise(0L)).as("zero_hours"))
+          .select(col("event_type"), col("hours").cast("long").as("hours"),
+            col("total").cast("long").as("total"),
+            col("zero_hours").cast("long").as("zero_hours"),
+            Rounding.stableRound6(col("total").cast("double") /
+              col("hours").cast("double")).as("mean_per_hour"),
+            Rounding.stableRound6(
+              (col("hours") * col("sc2") - col("total") * col("total"))
+                .cast("double") /
+                (col("hours") * col("total")).cast("double")).as("fano"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+             |  FROM events),
+             |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+             |hours AS (
+             |  SELECT unnest(range(h0, h1 + 1)) AS hr FROM span),
+             |types AS (SELECT DISTINCT event_type FROM e),
+             |counts AS (
+             |  SELECT event_type, hr, count(*) AS c FROM e GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT t.event_type, h.hr, coalesce(c.c, 0) AS c
+             |  FROM hours h CROSS JOIN types t
+             |  LEFT JOIN counts c
+             |    ON c.event_type = t.event_type AND c.hr = h.hr)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS hours,
+             |  CAST(sum(c) AS BIGINT) AS total,
+             |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zero_hours,
+             |  ${Rounding.duckSql("sum(c)::DOUBLE / count(*)::DOUBLE")}
+             |    AS mean_per_hour,
+             |  ${Rounding.duckSql(
+                  "(count(*) * sum(c * c) - sum(c) * sum(c))::DOUBLE / " +
+                  "(count(*) * sum(c))::DOUBLE")} AS fano
+             |FROM dense GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)))
 }
