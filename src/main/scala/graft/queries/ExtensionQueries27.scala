@@ -780,5 +780,321 @@ object ExtensionQueries27 {
                   "(count(*) * sum(c * c) - sum(c) * sum(c))::DOUBLE / " +
                   "(count(*) * sum(c))::DOUBLE")} AS fano
              |FROM dense GROUP BY event_type
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q259: Mondrian (group-conditional) conformal — q250's guarantee is
+    // MARGINAL: averaged over the whole test slice, so a minority
+    // language can sit far below 1−α while the aggregate looks fine
+    // (the same failure mode q235 fixes for perplexity thresholds and
+    // q195 audits for splits). The Mondrian fix calibrates the order
+    // statistic PER GROUP: each language gets its own
+    // k_g = ceil((n_g+1)(1−α))-th smallest calibration score and its
+    // own coverage audit. Same distributed shape as q250 — cumulative
+    // counts over per-lang distinct score grids — with every window
+    // partitioned by lang, so groups parallelize.
+    Q(
+      "q259_mondrian_conformal",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("calib", Sampling.bucket(col("doc_id"), "conf27") < 2000)
+        val cal = d.where(col("calib"))
+        val nCal = cal.groupBy("lang").agg(count(lit(1)).as("n_calib"))
+        val wg = Window.partitionBy("lang").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val thr = cal.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wg))
+          .join(broadcast(nCal), "lang")
+          .where(col("cum") * 10 >= (col("n_calib") + 1) * 9)
+          .groupBy("lang").agg(min("n_chars").as("threshold"))
+        d.where(!col("calib"))
+          .join(broadcast(thr), "lang")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("n_chars") <= col("threshold"), 1L).otherwise(0L))
+              .as("n_covered"),
+            first("threshold").as("threshold"))
+          .join(broadcast(nCal), "lang")
+          .select(col("lang"), col("n_calib").cast("long").as("n_calib"),
+            expr("(9 * (n_calib + 1) + 9) div 10").as("k"),
+            col("threshold").cast("long").as("threshold"),
+            col("n_test").cast("long").as("n_test"),
+            col("n_covered").cast("long").as("n_covered"),
+            Rounding.stableRound6(col("n_covered").cast("double") /
+              col("n_test").cast("double")).as("coverage"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    ${Sampling.bucketDuckSql("conf27", "doc_id")} < 2000 AS calib
+             |  FROM documents),
+             |nc AS (
+             |  SELECT lang, count(*) AS n_calib FROM d WHERE calib
+             |  GROUP BY 1),
+             |grid AS (
+             |  SELECT lang, n_chars, count(*) AS c FROM d WHERE calib
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT lang, n_chars,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+             |  FROM grid),
+             |thr AS (
+             |  SELECT cum.lang, min(n_chars) AS threshold
+             |  FROM cum JOIN nc ON nc.lang = cum.lang
+             |  WHERE cum * 10 >= (n_calib + 1) * 9 GROUP BY 1),
+             |tst AS (
+             |  SELECT d.lang, count(*) AS n_test,
+             |    sum(CASE WHEN n_chars <= threshold THEN 1 ELSE 0 END)
+             |      AS n_covered,
+             |    any_value(threshold) AS threshold
+             |  FROM d JOIN thr ON thr.lang = d.lang
+             |  WHERE NOT calib GROUP BY 1)
+             |SELECT tst.lang, CAST(n_calib AS BIGINT) AS n_calib,
+             |  (9 * (n_calib + 1) + 9) // 10 AS k,
+             |  CAST(threshold AS BIGINT) AS threshold,
+             |  CAST(n_test AS BIGINT) AS n_test,
+             |  CAST(n_covered AS BIGINT) AS n_covered,
+             |  ${Rounding.duckSql("n_covered::DOUBLE / n_test::DOUBLE")}
+             |    AS coverage
+             |FROM tst JOIN nc ON nc.lang = tst.lang
+             |ORDER BY tst.lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q260: DP-style noisy count release (calibration audit) — the
+    // privacy family's RELEASE op next to its audit trio (q177
+    // k-anonymity, q211 l-diversity, q227 t-closeness): per-source doc
+    // counts perturbed by two-sided-geometric noise (the discrete
+    // Laplace mechanism) at ε = ln 2. The noise here is DETERMINISTIC —
+    // inverse-CDF of P(k) ∝ (1−α)·α^|k|, α = e^(−ε) = 1/2, on the
+    // squared-PolyHash 1/10000 grid, tail clipped at |k| = 9 (0.27%
+    // mass) — which is exactly what makes this an oracle-checkable
+    // CALIBRATION AUDIT of the channel (true count, noisy count, and
+    // error side by side) rather than a release: a production release
+    // swaps the hash for a real RNG and drops the true columns, keeping
+    // the identical plan. One source-sized rollup; noise is a pure
+    // function of the group key.
+    Q(
+      "q260_dp_noisy_counts",
+      (s, dir) => {
+        val P = graft.functions.PolyHash.Mod
+        val h = graft.functions.PolyHash(concat(lit("dp27#"), col("source")))
+        val u = h * h % P % 10000
+        // two-sided geometric at alpha=1/2: P(0)=1/3, P(±k)=(1/3)/2^k;
+        // integer thresholds = cumulative pmf on the 1/10000 grid
+        val noise = when(u < 3333, 0L).when(u < 5000, 1L).when(u < 6667, -1L)
+          .when(u < 7500, 2L).when(u < 8333, -2L)
+          .when(u < 8750, 3L).when(u < 9167, -3L)
+          .when(u < 9375, 4L).when(u < 9583, -4L)
+          .when(u < 9687, 5L).when(u < 9791, -5L)
+          .when(u < 9843, 6L).when(u < 9895, -6L)
+          .when(u < 9921, 7L).when(u < 9947, -7L)
+          .when(u < 9960, 8L).when(u < 9973, -8L)
+          .when(u < 9987, 9L).otherwise(-9L)
+        Tables.load(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_true"))
+          .withColumn("noise", noise)
+          .select(col("source"), col("n_true").cast("long").as("n_true"),
+            col("noise").cast("long").as("noise"),
+            greatest(col("n_true") + col("noise"), lit(0L)).as("n_noisy"),
+            Rounding.stableRound6(abs(col("noise")).cast("double") /
+              col("n_true").cast("double")).as("rel_err"))
+          .orderBy("source")
+      },
+      Some({
+        val P = graft.functions.PolyHash.Mod
+        val h = graft.functions.PolyHash.duckSql("'dp27#' || source")
+        s"""WITH c AS (
+           |  SELECT source, count(*) AS n_true,
+           |    (($h) * ($h) % $P) % 10000 AS u
+           |  FROM documents GROUP BY source),
+           |n AS (
+           |  SELECT source, n_true,
+           |    CASE WHEN u < 3333 THEN 0 WHEN u < 5000 THEN 1
+           |      WHEN u < 6667 THEN -1 WHEN u < 7500 THEN 2
+           |      WHEN u < 8333 THEN -2 WHEN u < 8750 THEN 3
+           |      WHEN u < 9167 THEN -3 WHEN u < 9375 THEN 4
+           |      WHEN u < 9583 THEN -4 WHEN u < 9687 THEN 5
+           |      WHEN u < 9791 THEN -5 WHEN u < 9843 THEN 6
+           |      WHEN u < 9895 THEN -6 WHEN u < 9921 THEN 7
+           |      WHEN u < 9947 THEN -7 WHEN u < 9960 THEN 8
+           |      WHEN u < 9973 THEN -8 WHEN u < 9987 THEN 9
+           |      ELSE -9 END AS noise
+           |  FROM c)
+           |SELECT source, CAST(n_true AS BIGINT) AS n_true,
+           |  CAST(noise AS BIGINT) AS noise,
+           |  CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_noisy,
+           |  ${Rounding.duckSql("abs(noise)::DOUBLE / n_true::DOUBLE")}
+           |    AS rel_err
+           |FROM n
+           |ORDER BY source""".stripMargin
+      })),
+
+    // ------------------------------------------------------------------
+    // q261: Kaplan-Meier survival — view→purchase conversion-time
+    // analysis WITH censoring, which the plain funnel/retention members
+    // (q72, q70, q132) throw away: a user who viewed but hasn't
+    // purchased by their last observed event is CENSORED at that point,
+    // not a failure, and dropping them biases conversion time low. Per
+    // user: duration (days) from first view to first subsequent
+    // purchase, else censored at the last event. The KM estimator runs
+    // on the distinct-day grid: at-risk n(t) = total − cum_before(t)
+    // (exact integers), survival S(t) = Π(1 − d_i/n_i) computed as
+    // exp of the cumulative sum of per-factor ln values snapped to the
+    // 1e-9 LONG grid — exact integer window arithmetic between two
+    // identical-IEEE endpoints, the q204 discipline.
+    Q(
+      "q261_kaplan_meier",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("t"))
+        val perUser = e.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("t"))).as("tv"),
+            max("t").as("tlast"))
+          .where(col("tv").isNotNull)
+        // first purchase AT OR AFTER the first view: user-keyed join +
+        // conditional min — never a per-user event list in state
+        val durs = perUser
+          .join(e.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("t").as("pt")),
+            Seq("user_id"), "left")
+          .groupBy("user_id")
+          .agg(first("tv").as("tv"), first("tlast").as("tlast"),
+            min(when(col("pt") >= col("tv"), col("pt"))).as("tp"))
+          .select(col("user_id"),
+            when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L))
+              .as("event"),
+            (coalesce(col("tp"), col("tlast")) - col("tv")).as("dur_us"))
+          .withColumn("t_days", expr("dur_us div 86400000000"))
+        val grid = durs.groupBy("t_days")
+          .agg(sum("event").as("d"),
+            sum(lit(1L) - col("event")).as("cens"),
+            count(lit(1)).as("cnt"))
+        val wPrev = Window.orderBy("t_days")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("t_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        grid
+          .withColumn("n_risk",
+            sum("cnt").over(tot) - coalesce(sum("cnt").over(wPrev), lit(0L)))
+          .where(col("d") > 0)
+          // d == n_risk is the factor (1 − d/n) = 0: survival drops to
+          // EXACTLY 0 from that point on — kept out of the log walk
+          .withColumn("zf", when(col("d") === col("n_risk"), 1L)
+            .otherwise(0L))
+          .withColumn("lnf9", when(col("zf") === 1L, lit(0L))
+            .otherwise(floor(log(lit(1.0) -
+              col("d").cast("double") / col("n_risk").cast("double")) *
+              lit(1000000000.0) + lit(0.5)).cast("long")))
+          .withColumn("survival",
+            when(sum("zf").over(wCum) > 0, lit(0.0))
+              .otherwise(Rounding.stableRound6(
+                exp(sum("lnf9").over(wCum).cast("double") /
+                  lit(1000000000.0)))))
+          .select(col("t_days").cast("long").as("t_days"),
+            col("n_risk").cast("long").as("n_risk"),
+            col("d").cast("long").as("d_events"),
+            col("cens").cast("long").as("n_censored"),
+            col("survival"))
+          .orderBy("t_days")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+             |pu AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN t END) AS tv,
+             |    max(t) AS tlast
+             |  FROM e GROUP BY 1 HAVING tv IS NOT NULL),
+             |fp AS (
+             |  SELECT pu.user_id,
+             |    min(CASE WHEN e.event_type = 'purchase' AND e.t >= pu.tv
+             |      THEN e.t END) AS tp,
+             |    any_value(pu.tv) AS tv, any_value(pu.tlast) AS tlast
+             |  FROM pu JOIN e ON e.user_id = pu.user_id
+             |  GROUP BY 1),
+             |durs AS (
+             |  SELECT user_id,
+             |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event,
+             |    (coalesce(tp, tlast) - tv) // 86400000000 AS t_days
+             |  FROM fp),
+             |grid AS (
+             |  SELECT t_days, sum(event) AS d,
+             |    sum(1 - event) AS cens, count(*) AS cnt
+             |  FROM durs GROUP BY 1),
+             |risk AS (
+             |  SELECT t_days, d, cens,
+             |    (sum(cnt) OVER ()) -
+             |      coalesce(sum(cnt) OVER (ORDER BY t_days
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n_risk
+             |  FROM grid),
+             |f AS (
+             |  SELECT t_days, n_risk, d, cens,
+             |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zf,
+             |    CASE WHEN d = n_risk THEN 0
+             |      ELSE CAST(floor(ln(1.0 - d::DOUBLE / n_risk::DOUBLE)
+             |        * 1000000000 + 0.5) AS BIGINT) END AS lnf9
+             |  FROM risk WHERE d > 0)
+             |SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(d AS BIGINT) AS d_events,
+             |  CAST(cens AS BIGINT) AS n_censored,
+             |  CASE WHEN sum(zf) OVER (ORDER BY t_days) > 0 THEN 0.0
+             |    ELSE ${Rounding.duckSql(
+                  "exp((sum(lnf9) OVER (ORDER BY t_days))::DOUBLE / " +
+                  "1000000000)")} END AS survival
+             |FROM f
+             |ORDER BY t_days""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q262: Hill tail-index — the heavy-tail diagnostic for the size
+    // distribution (is doc length power-law, and how heavy): the Hill
+    // estimator α = k / Σ_{i≤k} ln(x_(i) / x_(k+1)) over the k = 200
+    // largest n_chars. α near 1–2 means storage/packing planning must
+    // budget for giant documents (truncation policy, q83 chunking);
+    // α ≫ 3 means means-based sizing is safe. The top-(k+1) frame
+    // arrives via TakeOrderedAndProject (per-partition top-k, the q236
+    // discipline) with doc_id tiebreak; the log-ratio sum runs on the
+    // 1e-9 LONG grid over the 200-row frame, one final division.
+    Q(
+      "q262_hill_tail_index",
+      (s, dir) => {
+        val topk = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(desc("n_chars"), col("doc_id")).limit(201)
+        val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+        val ranked = topk.withColumn("rk", row_number().over(w))
+        val ref = ranked.where(col("rk") === 201)
+          .select(col("n_chars").as("x_ref"))
+        ranked.where(col("rk") <= 200)
+          .crossJoin(broadcast(ref))
+          .withColumn("lr9", floor(log(col("n_chars").cast("double") /
+            col("x_ref").cast("double")) * lit(1000000000.0) + lit(0.5))
+            .cast("long"))
+          .groupBy("x_ref")
+          .agg(count(lit(1)).as("k"), sum("lr9").as("slr9"))
+          .select(col("k").cast("long").as("k"),
+            col("x_ref").cast("long").as("x_ref"),
+            Rounding.stableRound6(col("k").cast("double") * lit(1000000000.0) /
+              col("slr9").cast("double")).as("alpha"))
+          .orderBy("k")
+      },
+      Some(s"""WITH ranked AS (
+             |  SELECT doc_id, n_chars,
+             |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents
+             |  ORDER BY n_chars DESC, doc_id LIMIT 201),
+             |ref AS (SELECT n_chars AS x_ref FROM ranked WHERE rk = 201),
+             |lr AS (
+             |  SELECT x_ref,
+             |    CAST(floor(ln(n_chars::DOUBLE / x_ref::DOUBLE)
+             |      * 1000000000 + 0.5) AS BIGINT) AS lr9
+             |  FROM ranked CROSS JOIN ref WHERE rk <= 200)
+             |SELECT CAST(count(*) AS BIGINT) AS k,
+             |  CAST(any_value(x_ref) AS BIGINT) AS x_ref,
+             |  ${Rounding.duckSql(
+                  "count(*)::DOUBLE * 1000000000 / sum(lr9)::DOUBLE")}
+             |    AS alpha
+             |FROM lr
+             |ORDER BY k""".stripMargin)))
 }
