@@ -1597,6 +1597,124 @@ object StreamingQueries {
              |    ORDER BY ts DESC, event_id DESC) AS rn
              |  FROM events)
              |WHERE rn = 1 AND event_type <> 'error'
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q263: streaming windowed Count-Min — q256's point-frequency sketch
+    // run IN the stream: per 6-hour window the 4×256 cell counts
+    // accumulate as an ordinary windowed streaming aggregate (the
+    // sketch IS a grouped count — mergeable, fixed-size state per
+    // window, the same state-shape argument as the q202 histogram), and
+    // when the watermark closes a window the foreachBatch hook probes
+    // the sketch for a FIXED key set (users 0–9) with the min-over-rows
+    // estimate. This is the streaming shape for "how often did key X
+    // occur per window" over a key domain too large for exact per-key
+    // counts: state is windows × 1024 cells regardless of the key
+    // cardinality. The sketch is deterministic (squared PolyHash), so
+    // the oracle replays window bucketing, cell hashing, and the
+    // min-probe exactly; absent cells read 0 on both sides.
+    Q(
+      "q263_streaming_count_min",
+      (s, dir) => {
+        import s.implicits._
+        val P = graft.functions.PolyHash.Mod
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_scm_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_scm_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        def cellOf(j: Int, uid: Long): Long = {
+          val h = graft.functions.PolyHash.hash(s"cm$j#$uid")
+          h * h % P % 256
+        }
+        val acc = new scala.collection.mutable.ArrayBuffer[
+          (java.sql.Timestamp, Long, Long)]()
+        val cellExpr = {
+          val h = graft.functions.PolyHash(concat(lit("cm"),
+            col("j").cast("string"), lit("#"), col("user_id").cast("string")))
+          h * h % P % 256
+        }
+        val q = withRocksDbState(s) {
+          EventStreams
+            .readStream(s, dir, globFilter = Some("events.parquet"))
+            .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+              globFilter = Some("*.parquet")))
+            .withWatermark("ts", "2 hours")
+            .select(col("ts"), col("user_id"),
+              explode(sequence(lit(0), lit(3))).as("j"))
+            .withColumn("cell", cellExpr)
+            .groupBy(window(col("ts"), "6 hours").as("w"), col("j"),
+              col("cell"))
+            .agg(count(lit(1)).as("c"))
+            .select(col("w.start").as("win_start"), col("j"), col("cell"),
+              col("c"))
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              // closed windows only reach append output; the sentinel's
+              // own 2100 window never closes (filtered defensively)
+              val rows = batch
+                .where(col("win_start") <
+                  lit("2090-01-01 00:00:00").cast("timestamp"))
+                .collect()
+              val sketch = rows.map(r => (r.getTimestamp(0), r.getInt(1),
+                r.getLong(2)) -> r.getLong(3)).toMap
+              val probed = rows.map(_.getTimestamp(0)).distinct.flatMap {
+                win =>
+                  (0L until 10L).map { uid =>
+                    val est = (0 until 4).map(j =>
+                      sketch.getOrElse((win, j, cellOf(j, uid)), 0L)).min
+                    (win, uid, est)
+                  }
+              }
+              acc.synchronized { acc ++= probed }
+              ()
+            }
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        acc.synchronized { acc.toSeq }
+          .toDF("win_start", "user_id", "est")
+          .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+          .orderBy("win_start", "user_id")
+      },
+      Some({
+        val P = graft.functions.PolyHash.Mod
+        def cellSql(uExpr: String) = {
+          val h = graft.functions.PolyHash.duckSql(
+            s"'cm' || j::VARCHAR || '#' || $uExpr")
+          s"(($h) * ($h) % $P) % 256"
+        }
+        s"""WITH e AS (
+           |  SELECT time_bucket(INTERVAL 6 HOURS, ts) AS win_start, user_id
+           |  FROM events),
+           |cells AS (
+           |  SELECT win_start, j, ${cellSql("user_id::VARCHAR")} AS cell,
+           |    count(*) AS c
+           |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS j)
+           |  GROUP BY 1, 2, 3),
+           |probes AS (
+           |  SELECT w.win_start, u.u AS user_id, j.j,
+           |    ${cellSql("u.u::VARCHAR")} AS cell
+           |  FROM (SELECT DISTINCT win_start FROM e) w
+           |  CROSS JOIN (SELECT unnest(range(10)) AS u) u
+           |  CROSS JOIN (SELECT unnest(range(4)) AS j) j)
+           |SELECT p.win_start, CAST(p.user_id AS BIGINT) AS user_id,
+           |  CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+           |FROM probes p
+           |LEFT JOIN cells c ON c.win_start = p.win_start AND c.j = p.j
+           |  AND c.cell = p.cell
+           |GROUP BY 1, 2
+           |ORDER BY p.win_start, user_id""".stripMargin
+      }))
   )
 }
