@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+import graft.functions.Rounding
+import graft.io.Tables
+
+/** Round-8 third continuation wave: sequential A/B testing (SPRT,
+  * q264), kNN-graph hubness (q265), and day-of-week seasonality
+  * strength (q266). Same contract as every other module: each Spark
+  * pipeline pairs with DuckDB oracle SQL replaying it.
+  */
+object ExtensionQueries28 {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q264: SPRT sequential A/B test — Wald's sequential probability
+    // ratio test over each variant's event stream: the
+    // early-stopping decision procedure (accept H1: conversion ≥ p1,
+    // accept H0: ≤ p0, or keep collecting) that a streaming experiment
+    // framework runs instead of fixed-horizon tests. Per event the LLR
+    // steps by ln(p1/p0) on conversion, ln((1−p1)/(1−p0)) otherwise —
+    // both snapped once to the 1e-9 LONG grid, so the whole walk is
+    // cum9 = k·a9 + (i−k)·b9: EXACT integer arithmetic on two prefix
+    // counts. The prefix counts come from the q249 two-pass block
+    // discipline (per-block window + bounded block-frame prefix),
+    // never a per-variant single-partition window; the decision
+    // thresholds ±ln((1−β)/α) (α = β = 0.05) live on the same grid.
+    Q(
+      "q264_sprt_ab_test",
+      (s, dir) => {
+        val a9 = floor(log(lit(0.20) / lit(0.10)) * lit(1000000000.0) +
+          lit(0.5)).cast("long")
+        val b9 = floor(log(lit(0.80) / lit(0.90)) * lit(1000000000.0) +
+          lit(0.5)).cast("long")
+        val t9 = floor(log(lit(0.95) / lit(0.05)) * lit(1000000000.0) +
+          lit(0.5)).cast("long")
+        val e = Tables.load(s, dir, "events")
+          .select((col("user_id") % 2).as("variant"), col("event_id"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("p"))
+          .withColumn("blk", expr("event_id div 8192"))
+        val wIn = Window.partitionBy("variant", "blk").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wRn = Window.partitionBy("variant", "blk").orderBy("event_id")
+        val wPrev = Window.partitionBy("variant").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pref = e.groupBy("variant", "blk")
+          .agg(sum("p").as("bk"), count(lit(1)).as("bn"))
+          .withColumn("pk", coalesce(sum("bk").over(wPrev), lit(0L)))
+          .withColumn("pn", coalesce(sum("bn").over(wPrev), lit(0L)))
+          .select(col("variant"), col("blk"), col("pk"), col("pn"))
+        val walk = e
+          .withColumn("kin", sum("p").over(wIn))
+          .withColumn("iin", row_number().over(wRn).cast("long"))
+          .join(broadcast(pref), Seq("variant", "blk"))
+          .withColumn("k", col("pk") + col("kin"))
+          .withColumn("i", col("pn") + col("iin"))
+          .withColumn("cum9", col("k") * a9 + (col("i") - col("k")) * b9)
+          .withColumn("crossed",
+            col("cum9") >= t9 || col("cum9") <= -t9)
+        val firstCross = walk.where(col("crossed"))
+          .groupBy("variant").agg(min("i").as("n_at_decision"))
+          .withColumnRenamed("variant", "v2")
+        val atCross = walk.join(broadcast(firstCross),
+            col("variant") === col("v2") &&
+              col("i") === col("n_at_decision"))
+          .select(col("variant"), col("n_at_decision"),
+            col("cum9").as("cum9_dec"))
+        walk.groupBy("variant")
+          .agg(count(lit(1)).as("n_total"), sum("p").as("n_purchases"),
+            max("cum9").as("maxc"), min("cum9").as("minc"))
+          .join(atCross, Seq("variant"), "left")
+          .select(col("variant").cast("long").as("variant"),
+            col("n_total").cast("long").as("n_total"),
+            col("n_purchases").cast("long").as("n_purchases"),
+            coalesce(col("n_at_decision"), lit(-1L)).cast("long")
+              .as("n_at_decision"),
+            when(col("cum9_dec").isNull, "continue")
+              .when(col("cum9_dec") >= t9, "accept_h1")
+              .otherwise("accept_h0").as("decision"),
+            Rounding.stableRound6(coalesce(col("cum9_dec"), lit(0L))
+              .cast("double") / lit(1000000000.0)).as("llr_at_decision"))
+          .orderBy("variant")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT CAST(floor(ln(0.20 / 0.10) * 1000000000 + 0.5)
+             |      AS BIGINT) AS a9,
+             |    CAST(floor(ln(0.80 / 0.90) * 1000000000 + 0.5)
+             |      AS BIGINT) AS b9,
+             |    CAST(floor(ln(0.95 / 0.05) * 1000000000 + 0.5)
+             |      AS BIGINT) AS t9),
+             |e AS (
+             |  SELECT user_id % 2 AS variant, event_id,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |  FROM events),
+             |walk AS (
+             |  SELECT variant, p,
+             |    sum(p) OVER (PARTITION BY variant ORDER BY event_id) AS k,
+             |    row_number() OVER (PARTITION BY variant ORDER BY event_id)
+             |      AS i
+             |  FROM e),
+             |c AS (
+             |  SELECT variant, p, k, i, k * a9 + (i - k) * b9 AS cum9,
+             |    (k * a9 + (i - k) * b9 >= t9 OR
+             |     k * a9 + (i - k) * b9 <= -t9) AS crossed
+             |  FROM walk CROSS JOIN g),
+             |fc AS (
+             |  SELECT variant, min(i) AS n_at_decision FROM c
+             |  WHERE crossed GROUP BY 1),
+             |ac AS (
+             |  SELECT c.variant, fc.n_at_decision, c.cum9 AS cum9_dec
+             |  FROM c JOIN fc ON fc.variant = c.variant
+             |    AND c.i = fc.n_at_decision),
+             |tot AS (
+             |  SELECT variant, count(*) AS n_total, sum(p) AS n_purchases
+             |  FROM c GROUP BY 1)
+             |SELECT CAST(tot.variant AS BIGINT) AS variant,
+             |  CAST(n_total AS BIGINT) AS n_total,
+             |  CAST(n_purchases AS BIGINT) AS n_purchases,
+             |  CAST(coalesce(n_at_decision, -1) AS BIGINT)
+             |    AS n_at_decision,
+             |  CASE WHEN cum9_dec IS NULL THEN 'continue'
+             |    WHEN cum9_dec >= (SELECT t9 FROM g) THEN 'accept_h1'
+             |    ELSE 'accept_h0' END AS decision,
+             |  ${Rounding.duckSql(
+                  "coalesce(cum9_dec, 0)::DOUBLE / 1000000000")}
+             |    AS llr_at_decision
+             |FROM tot LEFT JOIN ac ON ac.variant = tot.variant
+             |ORDER BY tot.variant""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q265: kNN-graph hubness — the ANN index health check the recall
+    // audits (q189, q212) don't see: in high dimensions a few "hub"
+    // vectors appear in a disproportionate share of other points'
+    // k-NN lists, degrading graph-based indexes (HNSW) and
+    // nearest-neighbor classification alike. Over a deterministic 10%
+    // hash sample, build the exact k=5 cosine NN graph (scores snapped
+    // to the stableRound6 grid BEFORE ranking, neighbor-id tiebreak —
+    // the q234 discipline) and report the in-degree histogram,
+    // densified from 0 (anti-hubs — never anyone's neighbor — are the
+    // other half of the diagnosis). The sample bound makes the cross
+    // score quadratic in the SAMPLE, constant in the corpus; at 100 TB
+    // the same audit runs per IVF cell (q242's frame) instead.
+    Q(
+      "q265_knn_hubness",
+      (s, dir) => {
+        import graft.functions.VectorFunctions
+        val smp = Tables.load(s, dir, "embeddings")
+          .where(Sampling.bucket(col("vec_id"), "hub27") < 1000)
+          .select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val scored = broadcast(smp.select(col("vec_id").as("qid"),
+            col("embedding").as("qv")))
+          .crossJoin(smp.select(col("vec_id").as("nid"),
+            col("embedding").as("nv")))
+          .where(col("qid") =!= col("nid"))
+          .withColumn("cos", Rounding.stableRound6(
+            VectorFunctions.cosineSim(col("qv"), col("nv"))))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), col("nid"))
+        val inDeg = scored.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .groupBy("nid").agg(count(lit(1)).as("deg"))
+        val nodes = smp.select(col("vec_id").as("nid"))
+          .join(inDeg, Seq("nid"), "left")
+          .withColumn("deg", coalesce(col("deg"), lit(0L)))
+        val maxDeg = nodes.agg(max("deg").as("md"))
+        maxDeg.select(explode(sequence(lit(0L), col("md"))).as("deg"))
+          .join(nodes.groupBy("deg").agg(count(lit(1)).as("n_nodes")),
+            Seq("deg"), "left")
+          .select(col("deg").cast("long").as("in_deg"),
+            coalesce(col("n_nodes"), lit(0L)).cast("long").as("n_nodes"))
+          .orderBy("in_deg")
+      },
+      Some(s"""WITH smp AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |  WHERE ${Sampling.bucketDuckSql("hub27", "vec_id")} < 1000),
+             |scored AS (
+             |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+             |    ${Rounding.duckSql("list_cosine_similarity(a.v, b.v)")}
+             |      AS cos
+             |  FROM smp a CROSS JOIN smp b WHERE a.vec_id <> b.vec_id),
+             |top AS (
+             |  SELECT nid FROM (
+             |    SELECT nid, row_number() OVER (PARTITION BY qid
+             |      ORDER BY cos DESC, nid) AS rk
+             |    FROM scored)
+             |  WHERE rk <= 5),
+             |deg AS (
+             |  SELECT smp.vec_id AS nid, coalesce(d.deg, 0) AS deg
+             |  FROM smp LEFT JOIN (
+             |    SELECT nid, count(*) AS deg FROM top GROUP BY 1) d
+             |    ON d.nid = smp.vec_id),
+             |hist AS (
+             |  SELECT g.deg, coalesce(h.n_nodes, 0) AS n_nodes
+             |  FROM (SELECT unnest(range((SELECT max(deg) + 1 FROM deg)))
+             |      AS deg) g
+             |  LEFT JOIN (SELECT deg, count(*) AS n_nodes FROM deg
+             |    GROUP BY 1) h ON h.deg = g.deg)
+             |SELECT CAST(deg AS BIGINT) AS in_deg,
+             |  CAST(n_nodes AS BIGINT) AS n_nodes
+             |FROM hist
+             |ORDER BY in_deg""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q266: day-of-week seasonality strength — the time-series
+    // decomposition audit behind the q229 MASE choice of a lag-7
+    // forecast: how much of daily revenue variance the weekly profile
+    // explains, as the between-group share R² = SS_dow / SS_total over
+    // daily integer-cents totals. Both sums of squares reduce to EXACT
+    // integer aggregates (Σc², group sums, counts — in decimal(38,0)
+    // for headroom; DuckDB's integer sums are HUGEINT already); the
+    // strength and peak-day mean are single divisions on the rounding
+    // grid, with the peak day chosen by an exact integer mean6
+    // comparison over the 7-row dow frame.
+    Q(
+      "q266_dow_seasonality",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("c"))
+          .withColumn("dow", weekday(col("day")) + lit(1))
+          .localCheckpoint()
+        val cd = col("c").cast("decimal(38,0)")
+        val byDow = daily.groupBy("event_type", "dow")
+          .agg(sum("c").as("sg"), count(lit(1)).as("ng"))
+          .withColumn("mean6", expr("(sg * 1000000) div ng"))
+        val wPk = Window.partitionBy("event_type")
+          .orderBy(desc("mean6"), col("dow"))
+        val peak = byDow.withColumn("rk", row_number().over(wPk))
+          .where(col("rk") === 1)
+          .select(col("event_type"), col("dow").as("peak_dow"),
+            col("mean6"))
+        // Σ floor(S_g²/n_g) — exact LONG in both engines (identical
+        // floors, so gate-stable; the <1-per-group floor loss is 1e-15
+        // relative at these magnitudes). A float division inside a
+        // distributed sum is the q204 bug class; Spark's `div` returns
+        // LONG, so the 1e-6-grid variant overflowed at sf0.1 — the
+        // unscaled quotient keeps every intermediate below 2^63 (a
+        // larger corpus promotes sg² to decimal with the same shape).
+        val ssb = byDow.groupBy("event_type")
+          .agg(sum(expr("(sg * sg) div ng")).as("sb"))
+        val tot = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("c").as("s"),
+            sum(cd * cd).as("q"))
+        tot.join(ssb, "event_type").join(peak, "event_type")
+          .withColumn("sst", col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n_days").cast("double"))
+          .withColumn("ssbv", col("sb").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n_days").cast("double"))
+          .select(col("event_type"), col("n_days").cast("long").as("n_days"),
+            col("peak_dow").cast("long").as("peak_dow"),
+            Rounding.stableRound6(col("mean6").cast("double") /
+              lit(1000000.0) / lit(100.0)).as("peak_daily_mean"),
+            Rounding.stableRound6(col("ssbv") / col("sst"))
+              .as("dow_strength"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day,
+             |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c,
+             |    isodow(ts::DATE) AS dow
+             |  FROM events GROUP BY 1, 2, 4),
+             |bydow AS (
+             |  SELECT event_type, dow, sum(c) AS sg, count(*) AS ng,
+             |    (sum(c) * 1000000) // count(*) AS mean6
+             |  FROM daily GROUP BY 1, 2),
+             |peak AS (
+             |  SELECT event_type, dow AS peak_dow, mean6 FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY mean6 DESC, dow) AS rk
+             |    FROM bydow)
+             |  WHERE rk = 1),
+             |ssb AS (
+             |  SELECT event_type, sum((sg * sg) // ng) AS sb
+             |  FROM bydow GROUP BY 1),
+             |tot AS (
+             |  SELECT event_type, count(*) AS n_days, sum(c) AS s,
+             |    sum(c * c) AS q
+             |  FROM daily GROUP BY 1)
+             |SELECT tot.event_type, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(peak_dow AS BIGINT) AS peak_dow,
+             |  ${Rounding.duckSql("mean6::DOUBLE / 1000000 / 100.0")}
+             |    AS peak_daily_mean,
+             |  ${Rounding.duckSql(
+                  "(sb::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE) / " +
+                  "(q::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE)")}
+             |    AS dow_strength
+             |FROM tot
+             |JOIN ssb ON ssb.event_type = tot.event_type
+             |JOIN peak ON peak.event_type = tot.event_type
+             |ORDER BY tot.event_type""".stripMargin)))
+}
