@@ -295,5 +295,185 @@ object ExtensionQueries28 {
              |FROM tot
              |JOIN ssb ON ssb.event_type = tot.event_type
              |JOIN peak ON peak.event_type = tot.event_type
-             |ORDER BY tot.event_type""".stripMargin)))
+             |ORDER BY tot.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q267: IVF recall/probe sweep — q189 audits recall at ONE setting;
+    // index tuning needs the CURVE: for nProbe ∈ {1, 2, 4, 8} against
+    // the 16-cell IVF layout, mean recall@10 vs the brute-force
+    // ground truth next to the scan cost (candidate postings touched,
+    // as an exact share of n_queries × corpus — the latency proxy a
+    // probe setting is chosen by). One cell-assignment pass feeds all
+    // four settings (the probe list is the rank ≤ 8 prefix filtered
+    // per setting); everything downstream is joins on the bounded
+    // probe frame. Deterministic end to end (hash-picked centroids,
+    // grid-rounded scores, id tiebreaks), so the oracle replays the
+    // full sweep.
+    Q(
+      "q267_ivf_probe_sweep",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ext.SimilaritySearch
+        import graft.functions.VectorFunctions
+        val e = Tables.load(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 20)
+        val brute = SimilaritySearch.bruteTopK(probes, e, 10)
+          .select("query_id", "neighbor_id")
+        val settings = Seq(1, 2, 4, 8)
+        val sweep = settings.map { np =>
+          SimilaritySearch.ivfTopK(probes, e, 10, nCentroids = 16,
+              nProbe = np)
+            .select(col("query_id"), col("neighbor_id"))
+            .withColumn("np", lit(np))
+        }.reduce(_ unionByName _)
+        val hits = sweep
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("np").agg(count(lit(1)).as("n_hits"))
+        val cents = SimilaritySearch.hashPickedCentroids(e, "vec_id",
+          "embedding", 16)
+        val sizes = e.select(element_at(
+            VectorFunctions.centroidRanks(col("embedding"), cents, 1), 1)
+            .as("cell"))
+          .groupBy("cell").agg(count(lit(1)).as("csz"))
+        val npDf = settings.toDF("np")
+        val scanned = probes.select(col("vec_id").as("query_id"),
+            posexplode(VectorFunctions.centroidRanks(col("embedding"),
+              cents, 8)).as(Seq("pos", "cell")))
+          .crossJoin(broadcast(npDf))
+          .where(col("pos") < col("np"))
+          .join(broadcast(sizes), "cell")
+          .groupBy("np").agg(sum("csz").as("scanned"))
+        val counts = probes.agg(count(lit(1)).as("nq"))
+          .crossJoin(e.agg(count(lit(1)).as("n_corpus")))
+        npDf.join(hits, Seq("np"), "left")
+          .join(scanned, Seq("np"), "left")
+          .crossJoin(broadcast(counts))
+          .select(col("np").cast("long").as("np"),
+            col("nq").cast("long").as("n_queries"),
+            coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+            Rounding.stableRound6(coalesce(col("n_hits"), lit(0L))
+              .cast("double") / (col("nq") * 10).cast("double"))
+              .as("recall_at_10"),
+            coalesce(col("scanned"), lit(0L)).cast("long").as("scanned"),
+            Rounding.stableRound6(coalesce(col("scanned"), lit(0L))
+              .cast("double") /
+              (col("nq") * col("n_corpus")).cast("double"))
+              .as("scan_share"))
+          .orderBy("np")
+      },
+      Some({
+        val hashSql = graft.functions.PolyHash.duckSql(
+          "'ivf#' || vec_id::VARCHAR")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |picked AS (
+           |  SELECT vec_id, v FROM (
+           |    SELECT vec_id, v, $hashSql AS h FROM e)
+           |  ORDER BY h, vec_id LIMIT 16),
+           |cents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           |  FROM picked),
+           |cell_ranks AS (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rnk
+           |  FROM e CROSS JOIN cents c),
+           |assign AS (SELECT vec_id, cid FROM cell_ranks WHERE rnk = 1),
+           |sizes AS (SELECT cid, count(*) AS csz FROM assign GROUP BY 1),
+           |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+           |probes AS (
+           |  SELECT np, vec_id, cid FROM cell_ranks CROSS JOIN nps
+           |  WHERE rnk <= np AND vec_id < 20),
+           |scanned AS (
+           |  SELECT np, sum(csz) AS scanned
+           |  FROM probes JOIN sizes USING (cid) GROUP BY 1),
+           |brute AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        floor(list_cosine_similarity(q.v, c.v) * 1000000 + 0.5)
+           |          / 1000000 DESC, c.vec_id) AS rk
+           |    FROM e q CROSS JOIN e c
+           |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+           |  WHERE rk <= 10),
+           |ivf AS (
+           |  SELECT np, query_id, neighbor_id FROM (
+           |    SELECT p.np, p.vec_id AS query_id, a.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY p.np, p.vec_id ORDER BY
+           |        floor(list_cosine_similarity(eq.v, en.v) * 1000000 + 0.5)
+           |          / 1000000 DESC, a.vec_id) AS rank
+           |    FROM probes p
+           |    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+           |    JOIN e eq ON eq.vec_id = p.vec_id
+           |    JOIN e en ON en.vec_id = a.vec_id)
+           |  WHERE rank <= 10),
+           |hits AS (
+           |  SELECT np, count(*) AS n_hits
+           |  FROM ivf JOIN brute USING (query_id, neighbor_id)
+           |  GROUP BY 1),
+           |nq AS (SELECT count(*) AS nq FROM e WHERE vec_id < 20),
+           |cn AS (SELECT count(*) AS n_corpus FROM e)
+           |SELECT CAST(nps.np AS BIGINT) AS np,
+           |  CAST(nq AS BIGINT) AS n_queries,
+           |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           |  ${Rounding.duckSql(
+                "coalesce(n_hits, 0)::DOUBLE / (nq * 10)::DOUBLE")}
+           |    AS recall_at_10,
+           |  CAST(coalesce(scanned, 0) AS BIGINT) AS scanned,
+           |  ${Rounding.duckSql(
+                "coalesce(scanned, 0)::DOUBLE / (nq * n_corpus)::DOUBLE")}
+           |    AS scan_share
+           |FROM nps
+           |LEFT JOIN hits ON hits.np = nps.np
+           |LEFT JOIN scanned ON scanned.np = nps.np
+           |CROSS JOIN nq CROSS JOIN cn
+           |ORDER BY nps.np""".stripMargin
+      })),
+
+    // ------------------------------------------------------------------
+    // q269: lexical diversity — type-token ratio and hapax-legomenon
+    // share per source: the vocabulary-concentration signals next to
+    // q163's entropy (a source whose TTR collapses is templated text;
+    // a hapax share near 1 is OCR noise or ID-like garbage — both
+    // curation red flags the length/punct stats of q40 can't see).
+    // One token scan to a (source, word) count frame (vocab-bounded),
+    // then a source-sized rollup; ratios are single divisions of exact
+    // counts on the rounding grid.
+    Q(
+      "q269_ttr_hapax",
+      (s, dir) => {
+        val wc = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.ops.Text.words(
+              graft.ops.Text.clean(col("text")))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source")
+          .agg(sum("c").as("tokens"), count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("source"), col("tokens").cast("long").as("tokens"),
+            col("vocab").cast("long").as("vocab"),
+            col("n_hapax").cast("long").as("n_hapax"),
+            Rounding.stableRound6(col("vocab").cast("double") /
+              col("tokens").cast("double")).as("ttr"),
+            Rounding.stableRound6(col("n_hapax").cast("double") /
+              col("vocab").cast("double")).as("hapax_share"))
+          .orderBy("source")
+      },
+      Some(s"""WITH wc AS (
+             |  SELECT source, word, count(*) AS c FROM (
+             |    SELECT source, unnest(list_filter(string_split(
+             |      regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+             |      w -> w <> '')) AS word
+             |    FROM documents)
+             |  GROUP BY 1, 2)
+             |SELECT source, CAST(sum(c) AS BIGINT) AS tokens,
+             |  CAST(count(*) AS BIGINT) AS vocab,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hapax,
+             |  ${Rounding.duckSql("count(*)::DOUBLE / sum(c)::DOUBLE")}
+             |    AS ttr,
+             |  ${Rounding.duckSql(
+                  "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / " +
+                  "count(*)::DOUBLE")} AS hapax_share
+             |FROM wc GROUP BY source
+             |ORDER BY source""".stripMargin)))
 }

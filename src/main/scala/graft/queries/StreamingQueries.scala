@@ -34,6 +34,7 @@ object StreamingQueries {
   private val funnelRunId = new AtomicInteger(0)
   private val momentsRunId = new AtomicInteger(0)
   private val scd2RunId = new AtomicInteger(0)
+  private val sprtRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1715,6 +1716,113 @@ object StreamingQueries {
            |  AND c.cell = p.cell
            |GROUP BY 1, 2
            |ORDER BY p.win_start, user_id""".stripMargin
-      }))
+      })),
+
+    // ------------------------------------------------------------------
+    // q268: streaming SPRT — batch q264's sequential test as per-variant
+    // O(1) stateful streaming (EventStreams.sprtWalk): the LLR walk
+    // folds in watermark-proven (ts, id) order, the first threshold
+    // crossing freezes the decision, and one report per variant emits
+    // at sentinel flush. Oracle = the q264 SQL with the walk ordered by
+    // (event time, id) — the order a stream actually observes.
+    Q(
+      "q268_streaming_sprt",
+      (s, dir) => {
+        import s.implicits._
+        val id = sprtRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_sprt_${id - 1}")
+        val name = s"graft_stream_sprt_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_sprt_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sprt_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // the same grid constants the batch twin derives in-plan
+        val a9 = math.floor(math.log(0.20 / 0.10) * 1e9 + 0.5).toLong
+        val b9 = math.floor(math.log(0.80 / 0.90) * 1e9 + 0.5).toLong
+        val t9 = math.floor(math.log(0.95 / 0.05) * 1e9 + 0.5).toLong
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .selectExpr(
+            "CASE WHEN user_id < 0 THEN user_id ELSE user_id % 2 END AS variant",
+            "ts", "unix_micros(ts) AS ts_us", "event_id",
+            "event_type = 'purchase' AS success")
+          .as[EventStreams.SprtEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.sprtWalk(stream, a9, b9, t9)
+            .filter(col("variant") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name)
+          .select(col("variant"), col("n_total").as("n_total"),
+            col("n_success").as("n_purchases"), col("n_at_decision"),
+            col("decision"),
+            graft.functions.Rounding.stableRound6(
+              col("llr9").cast("double") / lit(1000000000.0))
+              .as("llr_at_decision"))
+          .orderBy("variant")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT CAST(floor(ln(0.20 / 0.10) * 1000000000 + 0.5)
+             |      AS BIGINT) AS a9,
+             |    CAST(floor(ln(0.80 / 0.90) * 1000000000 + 0.5)
+             |      AS BIGINT) AS b9,
+             |    CAST(floor(ln(0.95 / 0.05) * 1000000000 + 0.5)
+             |      AS BIGINT) AS t9),
+             |e AS (
+             |  SELECT user_id % 2 AS variant, epoch_us(ts) AS ts_us,
+             |    event_id,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |  FROM events),
+             |walk AS (
+             |  SELECT variant, p,
+             |    sum(p) OVER (PARTITION BY variant
+             |      ORDER BY ts_us, event_id) AS k,
+             |    row_number() OVER (PARTITION BY variant
+             |      ORDER BY ts_us, event_id) AS i
+             |  FROM e),
+             |c AS (
+             |  SELECT variant, p, k, i, k * a9 + (i - k) * b9 AS cum9,
+             |    (k * a9 + (i - k) * b9 >= t9 OR
+             |     k * a9 + (i - k) * b9 <= -t9) AS crossed
+             |  FROM walk CROSS JOIN g),
+             |fc AS (
+             |  SELECT variant, min(i) AS n_at_decision FROM c
+             |  WHERE crossed GROUP BY 1),
+             |ac AS (
+             |  SELECT c.variant, fc.n_at_decision, c.cum9 AS cum9_dec
+             |  FROM c JOIN fc ON fc.variant = c.variant
+             |    AND c.i = fc.n_at_decision),
+             |tot AS (
+             |  SELECT variant, count(*) AS n_total, sum(p) AS n_purchases
+             |  FROM c GROUP BY 1)
+             |SELECT CAST(tot.variant AS BIGINT) AS variant,
+             |  CAST(n_total AS BIGINT) AS n_total,
+             |  CAST(n_purchases AS BIGINT) AS n_purchases,
+             |  CAST(coalesce(n_at_decision, -1) AS BIGINT)
+             |    AS n_at_decision,
+             |  CASE WHEN cum9_dec IS NULL THEN 'continue'
+             |    WHEN cum9_dec >= (SELECT t9 FROM g) THEN 'accept_h1'
+             |    ELSE 'accept_h0' END AS decision,
+             |  ${graft.functions.Rounding.duckSql(
+                  "coalesce(cum9_dec, 0)::DOUBLE / 1000000000")}
+             |    AS llr_at_decision
+             |FROM tot LEFT JOIN ac ON ac.variant = tot.variant
+             |ORDER BY tot.variant""".stripMargin))
   )
 }

@@ -476,6 +476,80 @@ object EventStreams {
       }
   }
 
+  /** One Bernoulli observation on the sequential-test path. */
+  case class SprtEvent(variant: Long, ts: java.sql.Timestamp, ts_us: Long,
+                       event_id: Long, success: Boolean)
+
+  /** Final SPRT report for one variant at stream flush: `llr9` is the
+    * 1e-9-grid LONG log-likelihood ratio at the decision point (0 when
+    * the walk never crossed). */
+  case class SprtOut(variant: Long, n_total: Long, n_success: Long,
+                     n_at_decision: Long, decision: String, llr9: Long)
+
+  /** Keyed SPRT state: observations folded (n), successes (k), the
+    * decision point if crossed (nDec = −1 until then, cumDec the LLR
+    * there) — O(1) per key forever — plus the watermark-pending buffer.
+    */
+  case class SprtState(n: Long, k: Long, nDec: Long, cumDec: Long,
+                       pending: Seq[(Long, Long, Boolean)])
+
+  /** Streaming SPRT — batch q264's sequential probability ratio walk
+    * run as per-variant incremental state: each observation folds in
+    * watermark-proven (ts, id) order (the [[rateLimit]] buffer
+    * discipline) stepping the integer-grid LLR cum9 = k·a9 + (n−k)·b9;
+    * the FIRST threshold crossing freezes the decision (exactly the
+    * early-stopping semantics — later drift cannot un-decide), and the
+    * final report emits once at sentinel flush. This is the shape an
+    * experimentation platform actually runs: O(1) live state per
+    * variant, decisions available the moment the watermark passes the
+    * crossing, here read out at flush so the finite gate has one row
+    * per variant.
+    */
+  def sprtWalk(events: Dataset[SprtEvent], a9: Long, b9: Long,
+               t9: Long): Dataset[SprtOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.variant)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (variant: Long, batch: Iterator[SprtEvent], state: GroupState[SprtState]) =>
+          val prev = state.getOption.getOrElse(
+            SprtState(0L, 0L, -1L, 0L, Seq.empty))
+          val pend = prev.pending ++
+            batch.map(e => (e.ts_us, e.event_id, e.success))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pend.partition(_._1 < wmUs)
+          var n = prev.n; var k = prev.k
+          var nDec = prev.nDec; var cumDec = prev.cumDec
+          ready.sortBy(e => (e._1, e._2)).foreach { case (_, _, succ) =>
+            n += 1L
+            if (succ) k += 1L
+            if (nDec == -1L) {
+              val cum = k * a9 + (n - k) * b9
+              if (cum >= t9 || cum <= -t9) { nDec = n; cumDec = cum }
+            }
+          }
+          val out =
+            if (wmUs > FlushedThresholdUs && rest.isEmpty && n > 0L) {
+              if (state.exists) state.remove()
+              val dec =
+                if (nDec == -1L) "continue"
+                else if (cumDec >= t9) "accept_h1"
+                else "accept_h0"
+              Seq(SprtOut(variant, n, k, nDec, dec,
+                if (nDec == -1L) 0L else cumDec))
+            } else {
+              state.update(SprtState(n, k, nDec, cumDec, rest))
+              state.setTimeoutTimestamp(math.max(
+                if (rest.nonEmpty) rest.map(_._1).min / 1000L + 1L else 0L,
+                state.getCurrentWatermarkMs() + 1L))
+              Nil
+            }
+          out.iterator
+      }
+  }
+
   /** The admit/deny decision for one event. */
   case class RateDecision(user_id: Long, event_id: Long, allowed: Boolean)
 
