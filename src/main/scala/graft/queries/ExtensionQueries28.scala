@@ -475,5 +475,157 @@ object ExtensionQueries28 {
                   "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / " +
                   "count(*)::DOUBLE")} AS hapax_share
              |FROM wc GROUP BY source
-             |ORDER BY source""".stripMargin)))
+             |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q270: character-bigram entropy rate — H(c₂|c₁) = H(pairs) −
+    // H(first chars) per language: the character-statistics fingerprint
+    // under the word-level members of the information family (q163
+    // word entropy, q151 MI, q94 surprisal). Natural language sits in a
+    // narrow band (~2.3–3.3 bits); encrypted/compressed/base64 payloads
+    // masquerading as text push toward ln(alphabet), repeated
+    // boilerplate collapses toward 0 — a cheap scanner-level content
+    // filter. Each Σ n·ln(n) term snaps to the 1e-9 LONG grid BEFORE
+    // the (alphabet²-bounded) sum, one final assembly per language on
+    // the rounding grid. The fixture corpus is ASCII (max codepoint
+    // 121, checked), so UTF-16 `split` and codepoint extraction agree
+    // across engines.
+    Q(
+      "q270_char_entropy_rate",
+      (s, dir) => {
+        val chars = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), expr(
+            "filter(transform(sequence(1, length(text) - 1), " +
+              "i -> substring(text, i, 2)), p -> length(p) = 2)")
+            .as("ps"))
+          .select(col("lang"), explode(col("ps")).as("pair"))
+        val pairCnt = chars.groupBy("lang", "pair")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("t9", floor(col("n").cast("double") *
+            log(col("n").cast("double")) * lit(1000000000.0) + lit(0.5))
+            .cast("long"))
+        val firstCnt = chars
+          .select(col("lang"), substring(col("pair"), 1, 1).as("c1"))
+          .groupBy("lang", "c1").agg(count(lit(1)).as("n"))
+          .withColumn("t9", floor(col("n").cast("double") *
+            log(col("n").cast("double")) * lit(1000000000.0) + lit(0.5))
+            .cast("long"))
+        val hp = pairCnt.groupBy("lang")
+          .agg(sum("n").as("total"), count(lit(1)).as("n_pairs"),
+            sum("t9").as("sp9"))
+        val h1 = firstCnt.groupBy("lang")
+          .agg(count(lit(1)).as("alphabet"), sum("t9").as("s19"))
+        hp.join(h1, "lang")
+          .withColumn("h_pair", log(col("total").cast("double")) -
+            col("sp9").cast("double") /
+              (col("total").cast("double") * lit(1000000000.0)))
+          .withColumn("h_first", log(col("total").cast("double")) -
+            col("s19").cast("double") /
+              (col("total").cast("double") * lit(1000000000.0)))
+          .select(col("lang"), col("total").cast("long").as("n_bigrams"),
+            col("alphabet").cast("long").as("alphabet"),
+            col("n_pairs").cast("long").as("n_distinct_bigrams"),
+            Rounding.stableRound6(col("h_pair") - col("h_first"))
+              .as("entropy_rate_nats"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH pairs AS (
+             |  SELECT lang, unnest(list_filter(list_transform(
+             |    range(1, length(text)), i -> substr(text, i, 2)),
+             |    p -> length(p) = 2)) AS pair
+             |  FROM documents),
+             |pc AS (
+             |  SELECT lang, pair, count(*) AS n,
+             |    CAST(floor(count(*)::DOUBLE * ln(count(*)::DOUBLE)
+             |      * 1000000000 + 0.5) AS BIGINT) AS t9
+             |  FROM pairs GROUP BY 1, 2),
+             |fc AS (
+             |  SELECT lang, substr(pair, 1, 1) AS c1, count(*) AS n,
+             |    CAST(floor(count(*)::DOUBLE * ln(count(*)::DOUBLE)
+             |      * 1000000000 + 0.5) AS BIGINT) AS t9
+             |  FROM pairs GROUP BY 1, 2),
+             |hp AS (
+             |  SELECT lang, sum(n) AS total, count(*) AS n_pairs,
+             |    sum(t9) AS sp9
+             |  FROM pc GROUP BY 1),
+             |h1 AS (
+             |  SELECT lang, count(*) AS alphabet, sum(t9) AS s19
+             |  FROM fc GROUP BY 1)
+             |SELECT hp.lang, CAST(total AS BIGINT) AS n_bigrams,
+             |  CAST(alphabet AS BIGINT) AS alphabet,
+             |  CAST(n_pairs AS BIGINT) AS n_distinct_bigrams,
+             |  ${Rounding.duckSql(
+                  "(ln(total::DOUBLE) - sp9::DOUBLE / (total::DOUBLE * 1000000000)) - " +
+                  "(ln(total::DOUBLE) - s19::DOUBLE / (total::DOUBLE * 1000000000))")}
+             |    AS entropy_rate_nats
+             |FROM hp JOIN h1 ON h1.lang = hp.lang
+             |ORDER BY hp.lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q271: session path mining — the top user journeys: per gap
+    // session (q29's strict 1-hour rule), the ordered sequence of the
+    // first three event types as a path string, counted corpus-wide
+    // with the top 10 reported. This is the ordered-SEQUENCE view the
+    // pairwise members can't give (q98's Markov transitions lose
+    // position; q135's association rules lose order entirely). Session
+    // assignment is the per-user lag/cumsum walk (user-keyed windows
+    // distribute); the step pivot is conditional aggregation (never a
+    // collect_list whose order the engine doesn't define), and the
+    // top-10 arrives via TakeOrderedAndProject with (count desc, path)
+    // tiebreak.
+    Q(
+      "q271_session_paths",
+      (s, dir) => {
+        val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .withColumn("new_s",
+            when(col("ts_us") - lag("ts_us", 1).over(wU) > 3600000000L ||
+              lag("ts_us", 1).over(wU).isNull, 1L).otherwise(0L))
+          .withColumn("sess", sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wS = Window.partitionBy("user_id", "sess")
+          .orderBy("ts_us", "event_id")
+        e.withColumn("rn", row_number().over(wS))
+          .where(col("rn") <= 3)
+          .groupBy("user_id", "sess")
+          .agg(concat_ws(">",
+            max(when(col("rn") === 1, col("event_type"))),
+            max(when(col("rn") === 2, col("event_type"))),
+            max(when(col("rn") === 3, col("event_type")))).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(desc("n_sessions"), col("path"))
+          .limit(10)
+          .select(col("path"),
+            col("n_sessions").cast("long").as("n_sessions"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+             |  FROM events),
+             |m AS (
+             |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+             |      OR ts_us - lag(ts_us) OVER w > 3600000000
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |sess AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM m),
+             |steps AS (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+             |    ORDER BY ts_us, event_id) AS rn
+             |  FROM sess),
+             |paths AS (
+             |  SELECT user_id, sess, concat_ws('>',
+             |    max(CASE WHEN rn = 1 THEN event_type END),
+             |    max(CASE WHEN rn = 2 THEN event_type END),
+             |    max(CASE WHEN rn = 3 THEN event_type END)) AS path
+             |  FROM steps WHERE rn <= 3 GROUP BY 1, 2)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM paths GROUP BY path
+             |ORDER BY n_sessions DESC, path
+             |LIMIT 10""".stripMargin)))
 }

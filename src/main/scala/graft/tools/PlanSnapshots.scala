@@ -51,7 +51,12 @@ object PlanSnapshots {
       // round 8 continuation: the sketch set-algebra pair frame, the
       // one-pass filtered-ANN pivot, and the per-lang LM tercile split
       "q225_vocab_overlap_sketch", "q234_hard_negatives",
-      "q235_perplexity_buckets")
+      "q235_perplexity_buckets",
+      // round 8 second continuation: the two-pass block-prefix running
+      // max, the map-side-combined Count-Min build, the integer-grid
+      // SPRT walk, and the four-setting IVF probe sweep
+      "q249_lateness_audit", "q256_count_min", "q264_sprt_ab_test",
+      "q267_ivf_probe_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -411,4 +411,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"zipf top-k is a global sort:\n${p.take(600)}")
   }
+
+  test("q249: the block-prefix frame reaches the data via broadcast — " +
+    "the data-sized side never exchanges for the prefix join") {
+    val p = planOf("q249_lateness_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"block-prefix join not broadcast:\n${p.take(600)}")
+  }
+
+  test("q256: the 4096-cell sketch meets the probe frame via broadcast " +
+    "and the top-20 exact frame is TakeOrderedAndProject") {
+    val p = planOf("q256_count_min")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch probe join not broadcast:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-word frame is a global sort:\n${p.take(600)}")
+  }
+
+  test("q264: the SPRT block-prefix frame broadcasts and the walk " +
+    "windows keep their (variant, blk) partition keys") {
+    val p = planOf("q264_sprt_ab_test")
+    assert(p.contains("BroadcastHashJoin"),
+      s"prefix join not broadcast:\n${p.take(600)}")
+    // the in-block walk must be a keyed window — partition spec renders
+    // as windowspecdefinition(variant…, blk…, …) in formatted mode
+    assert(p.contains("windowspecdefinition(variant"),
+      s"walk window lost its partition keys:\n${p.take(600)}")
+  }
+
+  test("q267: the sweep's probe/size frames broadcast; no cartesian " +
+    "over the corpus") {
+    // the centroid pick itself runs in hashPickedCentroids' own bounded
+    // TakeOrdered job (16 rows collected), so the registered plan only
+    // shows the assignment + sweep joins
+    val p = planOf("q267_ivf_probe_sweep")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      s"sweep planned a cartesian:\n${p.take(600)}")
+  }
 }
