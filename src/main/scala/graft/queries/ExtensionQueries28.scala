@@ -627,5 +627,161 @@ object ExtensionQueries28 {
              |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
              |FROM paths GROUP BY path
              |ORDER BY n_sessions DESC, path
-             |LIMIT 10""".stripMargin)))
+             |LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q272: rank-function surface — percent_rank, cume_dist, ntile, and
+    // nth_value in one gate, completing the window family's coverage
+    // (q7 rank/topk, q27 lag deltas, q43/q69/q70 rows/range frames,
+    // q108/q119 sliding, q88/q102 session windows). Per nation, the
+    // top-3 customers by integer-cents spend with their distribution
+    // position (percent_rank, cume_dist on the nation frame), spend
+    // quartile (ntile 4), and the nation's second-highest spend
+    // (nth_value over the full frame, frame EXPLICIT — engines differ
+    // on the default). Nation-keyed windows distribute; ties broken by
+    // custkey everywhere.
+    Q(
+      "q272_rank_functions",
+      (s, dir) => {
+        val spend = Tables.load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+            .cast("long")).as("cents"))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val j = spend.join(cust, col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(desc("cents"), col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        j.withColumn("rk", row_number().over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("second_highest", nth_value(col("cents"), 2).over(wf))
+          .where(col("rk") <= 3)
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("rk").cast("long").as("rk"),
+            col("c_custkey").cast("long").as("custkey"),
+            col("cents"),
+            Rounding.stableRound6(col("pct_rank")).as("pct_rank"),
+            Rounding.stableRound6(col("cume")).as("cume_dist"),
+            col("quartile").cast("long").as("quartile"),
+            col("second_highest").cast("long").as("second_highest"))
+          .orderBy("nation", "rk")
+      },
+      Some(s"""WITH spend AS (
+             |  SELECT o_custkey,
+             |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS cents
+             |  FROM orders GROUP BY 1),
+             |j AS (
+             |  SELECT c_nationkey, c_custkey, cents
+             |  FROM spend JOIN customer ON c_custkey = o_custkey),
+             |r AS (
+             |  SELECT c_nationkey, c_custkey, cents,
+             |    row_number() OVER w AS rk,
+             |    percent_rank() OVER w AS pct_rank,
+             |    cume_dist() OVER w AS cume,
+             |    ntile(4) OVER w AS quartile,
+             |    nth_value(cents, 2) OVER (PARTITION BY c_nationkey
+             |      ORDER BY cents DESC, c_custkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |      AS second_highest
+             |  FROM j
+             |  WINDOW w AS (PARTITION BY c_nationkey
+             |    ORDER BY cents DESC, c_custkey))
+             |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |  CAST(rk AS BIGINT) AS rk,
+             |  CAST(c_custkey AS BIGINT) AS custkey,
+             |  CAST(cents AS BIGINT) AS cents,
+             |  ${Rounding.duckSql("pct_rank")} AS pct_rank,
+             |  ${Rounding.duckSql("cume")} AS cume_dist,
+             |  CAST(quartile AS BIGINT) AS quartile,
+             |  CAST(second_highest AS BIGINT) AS second_highest
+             |FROM r WHERE rk <= 3
+             |ORDER BY nation, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q273: k-core peeling — the graph family's degeneracy member
+    // (q89 ranks, q136 reaches, q145 labels, q73/q152 count local
+    // structure; the 2-core strips pendant chains so those all run on
+    // the load-bearing subgraph). Three peel rounds over the near-dup
+    // edge set: each round recomputes degrees on the surviving graph
+    // and drops nodes below degree 2 — per-round node/edge census
+    // reported, fixed-point visible as unchanged counts. Rounds are
+    // bounded driver iterations over keyed joins (the q89/q95
+    // iterative discipline — semi-joins on the keep set, no
+    // driver-side graph); the oracle unrolls the same three rounds as
+    // chained CTEs over the shared NearDupPairs replay.
+    Q(
+      "q273_kcore_peel",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = graft.ext.Dedup.nearDupPairs(docs, "text", "doc_id", 0.5)
+          .select(col("da"), col("db"))
+        var cur = pairs.unionAll(
+            pairs.select(col("db").as("da"), col("da").as("db")))
+          .toDF("src", "dst")
+          .localCheckpoint()
+        val census = (1 to 3).map { r =>
+          val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= 2).select(col("src").as("v"))
+          cur = cur
+            .join(keep.select(col("v").as("src")).hint("shuffle_hash"),
+              Seq("src"), "left_semi")
+            .join(keep.select(col("v").as("dst")).hint("shuffle_hash"),
+              Seq("dst"), "left_semi")
+            .localCheckpoint()
+          val nodes = cur.select("src").distinct().count()
+          (r.toLong, nodes, cur.count() / 2)
+        }
+        census.toDF("round", "nodes_remaining", "edges_remaining")
+          .orderBy("round")
+      },
+      // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+      // reference, and the peel chain references each level several
+      // times — inlining re-runs the MinHash pair replay exponentially
+      // (observed: the un-materialized form ran minutes at sf0.001)
+      Some(s"""WITH pairs AS MATERIALIZED (
+             |${ExtensionQueries.NearDupPairsOracle}
+             |),
+             |e0 AS MATERIALIZED (
+             |       SELECT da AS src, db AS dst FROM pairs
+             |       UNION ALL SELECT db, da FROM pairs),
+             |k1 AS MATERIALIZED (
+             |       SELECT src AS v FROM e0 GROUP BY 1
+             |       HAVING count(*) >= 2),
+             |e1 AS MATERIALIZED (
+             |       SELECT src, dst FROM e0
+             |       WHERE src IN (SELECT v FROM k1)
+             |         AND dst IN (SELECT v FROM k1)),
+             |k2 AS MATERIALIZED (
+             |       SELECT src AS v FROM e1 GROUP BY 1
+             |       HAVING count(*) >= 2),
+             |e2 AS MATERIALIZED (
+             |       SELECT src, dst FROM e1
+             |       WHERE src IN (SELECT v FROM k2)
+             |         AND dst IN (SELECT v FROM k2)),
+             |k3 AS MATERIALIZED (
+             |       SELECT src AS v FROM e2 GROUP BY 1
+             |       HAVING count(*) >= 2),
+             |e3 AS MATERIALIZED (
+             |       SELECT src, dst FROM e2
+             |       WHERE src IN (SELECT v FROM k3)
+             |         AND dst IN (SELECT v FROM k3))
+             |SELECT * FROM (
+             |  SELECT 1::BIGINT AS round,
+             |    (SELECT count(DISTINCT src) FROM e1) AS nodes_remaining,
+             |    (SELECT count(*) // 2 FROM e1) AS edges_remaining
+             |  UNION ALL
+             |  SELECT 2::BIGINT,
+             |    (SELECT count(DISTINCT src) FROM e2),
+             |    (SELECT count(*) // 2 FROM e2)
+             |  UNION ALL
+             |  SELECT 3::BIGINT,
+             |    (SELECT count(DISTINCT src) FROM e3),
+             |    (SELECT count(*) // 2 FROM e3))
+             |ORDER BY round""".stripMargin)))
 }
