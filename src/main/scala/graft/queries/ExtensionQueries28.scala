@@ -783,5 +783,161 @@ object ExtensionQueries28 {
              |  SELECT 3::BIGINT,
              |    (SELECT count(DISTINCT src) FROM e3),
              |    (SELECT count(*) // 2 FROM e3))
-             |ORDER BY round""".stripMargin)))
+             |ORDER BY round""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q274: SAX motifs — symbolic aggregate approximation of the daily
+    // revenue series: z-normalize per type (mean/std assembled from
+    // EXACT integer cents sums, so both engines normalize against
+    // identical doubles), discretize against the standard 4-symbol
+    // N(0,1) breakpoints (−0.6745, 0, 0.6745), and count 3-day symbol
+    // motifs — the most frequent recurring shape per type is the
+    // series' behavioral signature (surveillance for "same dip every
+    // N days" patterns that spectral methods need far longer series
+    // to see). Day windows are type-keyed; motif assembly is two
+    // leads; a symbol lands exactly ON a breakpoint only if two exact
+    // integer expressions tie, which both engines resolve identically.
+    Q(
+      "q274_sax_motifs",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("c"))
+        val stats = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+            sum(col("c").cast("decimal(38,0)") *
+              col("c").cast("decimal(38,0)")).as("q"))
+        val z = daily.join(broadcast(stats), "event_type")
+          .withColumn("mean", col("sc").cast("double") /
+            col("n").cast("double"))
+          .withColumn("sd", sqrt((col("n").cast("double") *
+            col("q").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double"))))
+          .withColumn("zv", (col("c").cast("double") - col("mean")) /
+            col("sd"))
+          .withColumn("sym",
+            when(col("zv") < -0.6745, "a").when(col("zv") < 0.0, "b")
+              .when(col("zv") < 0.6745, "c").otherwise("d"))
+        val wD = Window.partitionBy("event_type").orderBy("day")
+        val motifs = z
+          .withColumn("m", concat(col("sym"), lead("sym", 1).over(wD),
+            lead("sym", 2).over(wD)))
+          .where(length(col("m")) === 3)
+          .groupBy("event_type", "m").agg(count(lit(1)).as("cnt"))
+        val wTop = Window.partitionBy("event_type")
+          .orderBy(desc("cnt"), col("m"))
+        motifs.withColumn("rk", row_number().over(wTop))
+          .where(col("rk") === 1)
+          .join(broadcast(stats.select(col("event_type"),
+            col("n").as("n_days"))), "event_type")
+          .select(col("event_type"), col("n_days").cast("long").as("n_days"),
+            col("m").as("top_motif"),
+            col("cnt").cast("long").as("n_occurrences"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day,
+             |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, count(*) AS n, sum(c) AS sc,
+             |    sum(c * c) AS q
+             |  FROM daily GROUP BY 1),
+             |z AS (
+             |  SELECT d.event_type, d.day,
+             |    (d.c::DOUBLE - sc::DOUBLE / n::DOUBLE) /
+             |      sqrt((n::DOUBLE * q::DOUBLE - sc::DOUBLE * sc::DOUBLE) /
+             |        (n::DOUBLE * n::DOUBLE)) AS zv
+             |  FROM daily d JOIN stats USING (event_type)),
+             |sym AS (
+             |  SELECT event_type, day,
+             |    CASE WHEN zv < -0.6745 THEN 'a' WHEN zv < 0.0 THEN 'b'
+             |      WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS sym
+             |  FROM z),
+             |m AS (
+             |  SELECT event_type,
+             |    sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w AS m
+             |  FROM sym
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             |cnts AS (
+             |  SELECT event_type, m, count(*) AS cnt FROM m
+             |  WHERE length(m) = 3 GROUP BY 1, 2),
+             |top AS (
+             |  SELECT event_type, m, cnt FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY cnt DESC, m) AS rk
+             |    FROM cnts)
+             |  WHERE rk = 1)
+             |SELECT top.event_type, CAST(n AS BIGINT) AS n_days,
+             |  m AS top_motif, CAST(cnt AS BIGINT) AS n_occurrences
+             |FROM top JOIN stats ON stats.event_type = top.event_type
+             |ORDER BY top.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q275: Theil-Sen robust trend — the median of all pairwise slopes
+    // of the daily revenue series per type: one outlier day drags an
+    // OLS fit (q127) arbitrarily far but moves the slope median by one
+    // rank (29.3% breakdown). The pair frame is DAYS², never
+    // data-sized (the q229/q266 day-frame discipline); each slope is
+    // the double division of two exact integers snapped once to the
+    // 1e-6 grid, and the median is an exact order statistic via
+    // cumulative counts over the per-type distinct slope grid (the
+    // q254 rule) — no interpolation, no engine median() semantics.
+    Q(
+      "q275_theil_sen",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("c"))
+          .localCheckpoint()
+        val b = daily.select(col("event_type"), col("day").as("day2"),
+          col("c").as("c2"))
+        val slopes = daily.join(b, "event_type")
+          .where(col("day") < col("day2"))
+          .withColumn("s6", floor((col("c2") - col("c")).cast("double") /
+            datediff(col("day2"), col("day")).cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        val grid = slopes.groupBy("event_type", "s6")
+          .agg(count(lit(1)).as("cnt"))
+        val wg = Window.partitionBy("event_type").orderBy("s6")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type")
+        grid.withColumn("cum", sum("cnt").over(wg))
+          .withColumn("np", sum("cnt").over(wt))
+          .where(col("cum") * 2 >= col("np"))
+          .groupBy("event_type")
+          .agg(first("np").as("n_pairs"), min("s6").as("med6"))
+          .select(col("event_type"), col("n_pairs").cast("long")
+            .as("n_pairs"),
+            (col("med6").cast("double") / lit(1000000.0))
+              .as("slope_cents_per_day"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day,
+             |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+             |  FROM events GROUP BY 1, 2),
+             |slopes AS (
+             |  SELECT a.event_type,
+             |    CAST(floor((b.c - a.c)::DOUBLE /
+             |      date_diff('day', a.day, b.day)::DOUBLE * 1000000 + 0.5)
+             |      AS BIGINT) AS s6
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.day < b.day),
+             |grid AS (
+             |  SELECT event_type, s6, count(*) AS cnt
+             |  FROM slopes GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT event_type, s6,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY s6) AS cum,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS np
+             |  FROM grid)
+             |SELECT event_type, CAST(any_value(np) AS BIGINT) AS n_pairs,
+             |  min(s6)::DOUBLE / 1000000 AS slope_cents_per_day
+             |FROM cum WHERE cum * 2 >= np
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)))
 }
