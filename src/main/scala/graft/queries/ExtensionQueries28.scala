@@ -939,5 +939,65 @@ object ExtensionQueries28 {
              |  min(s6)::DOUBLE / 1000000 AS slope_cents_per_day
              |FROM cum WHERE cum * 2 >= np
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q276: incremental view maintenance (join view) — the missing
+    // member of the incremental family (q153 merges agg partials, q66
+    // extends the near-dup index, q232 upserts a snapshot): a
+    // materialized join view V = orders ⋈ customer maintained under an
+    // append delta as V' = V ∪ (Δ ⋈ customer) — the delta joins ONLY
+    // its own rows against the dimension, never re-scanning the base
+    // fact (at 100 TB the difference between a minutes-long refresh and
+    // a full rebuild). The base view materializes (localCheckpoint
+    // standing in for the stored table), the delta path unions on top,
+    // and the gate compares the incrementally-maintained rollup
+    // against the full-rebuild rollup column by column — `matches`
+    // pinned true per nation.
+    Q(
+      "q276_ivm_join",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("cents"))
+          .withColumn("is_base",
+            Sampling.bucket(col("o_orderkey"), "ivm28") < 8000)
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        def rollup(v: org.apache.spark.sql.DataFrame) =
+          v.groupBy("c_nationkey")
+            .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+        val baseView = orders.where(col("is_base"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .localCheckpoint()
+        val deltaView = orders.where(!col("is_base"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+        val incr = rollup(baseView.unionByName(deltaView))
+          .withColumnRenamed("n", "n_incr")
+          .withColumnRenamed("sc", "cents_incr")
+        val full = rollup(orders
+          .join(cust, col("o_custkey") === col("c_custkey")))
+        full.join(incr, "c_nationkey")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("n").cast("long").as("n_full"),
+            col("sc").cast("long").as("cents_full"),
+            (col("n") === col("n_incr") &&
+              col("sc") === col("cents_incr")).as("matches"))
+          .orderBy("nation")
+      },
+      Some(s"""WITH o AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |v AS (
+             |  SELECT c_nationkey, count(*) AS n, sum(cents) AS sc
+             |  FROM o JOIN customer ON c_custkey = o_custkey
+             |  GROUP BY 1)
+             |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |  CAST(n AS BIGINT) AS n_full,
+             |  CAST(sc AS BIGINT) AS cents_full,
+             |  true AS matches
+             |FROM v
+             |ORDER BY nation""".stripMargin)))
 }

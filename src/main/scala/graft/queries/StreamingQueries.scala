@@ -1823,6 +1823,124 @@ object StreamingQueries {
                   "coalesce(cum9_dec, 0)::DOUBLE / 1000000000")}
              |    AS llr_at_decision
              |FROM tot LEFT JOIN ac ON ac.variant = tot.variant
-             |ORDER BY tot.variant""".stripMargin))
+             |ORDER BY tot.variant""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q277: streaming PSI drift monitor — the q143 population-stability
+    // index run as a continuous data-quality monitor: the reference
+    // value-bucket distribution comes from a batch read (the
+    // stream-static shape of q109/q240 — in production the frozen
+    // training-time profile), the stream folds 6-hour windows of
+    // bucket counts, and each CLOSED window scores its smoothed
+    // distribution against the reference. Per-bin PSI terms snap to
+    // the 1e-9 LONG grid and sum exactly (both engines), so the walk
+    // is deterministic; windows over the 0.2 alert threshold carry the
+    // drift flag. State per window is the bounded bin frame — the
+    // q202/q263 sketch-state argument.
+    Q(
+      "q277_streaming_psi",
+      (s, dir) => {
+        import s.implicits._
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_psi_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_psi_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // frozen reference profile: global value-bucket counts ordered
+        // by bin (bounded: value domain / 50)
+        val ref = graft.io.Tables.load(s, dir, "events")
+          .select(floor(col("value") / 50.0).cast("long").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val refN = ref.values.sum
+        val bins = ref.keys.toSeq.sorted
+        val acc = new scala.collection.mutable.ArrayBuffer[
+          (java.sql.Timestamp, Long, Double, Boolean)]()
+        val q = withRocksDbState(s) {
+          EventStreams
+            .readStream(s, dir, globFilter = Some("events.parquet"))
+            .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+              globFilter = Some("*.parquet")))
+            .withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "6 hours").as("w"),
+              floor(col("value") / 50.0).cast("long").as("bin"))
+            .agg(count(lit(1)).as("c"))
+            .select(col("w.start").as("win_start"), col("bin"), col("c"))
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              val rows = batch
+                .where(col("win_start") <
+                  lit("2090-01-01 00:00:00").cast("timestamp"))
+                .collect()
+              val walked = rows.groupBy(_.getTimestamp(0)).toSeq.map {
+                case (win, rs) =>
+                  val cnt = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+                  val n = cnt.values.sum
+                  // add-half smoothing over the REFERENCE bin set, bins
+                  // folded in sorted order — the exact op sequence the
+                  // oracle replays, term-gridded so sum order is moot
+                  val b = bins.size
+                  val psi9 = bins.map { bin =>
+                    val pw = (cnt.getOrElse(bin, 0L) + 0.5) /
+                      (n + 0.5 * b)
+                    val pr = (ref(bin) + 0.5) / (refN + 0.5 * b)
+                    math.floor((pw - pr) * math.log(pw / pr) * 1e9 + 0.5)
+                      .toLong
+                  }.sum
+                  val psi = math.floor(psi9.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+                  (win, n, psi, psi > 0.2)
+              }
+              acc.synchronized { acc ++= walked }
+              ()
+            }
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        acc.synchronized { acc.toSeq }
+          .toDF("win_start", "n_events", "psi", "drifted")
+          .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+          .orderBy("win_start")
+      },
+      Some("""WITH ref AS (
+             |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1),
+             |refn AS (SELECT sum(c) AS rn, count(*) AS b FROM ref),
+             |wins AS (
+             |  SELECT time_bucket(INTERVAL 6 HOURS, ts) AS win_start,
+             |    CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |wn AS (
+             |  SELECT win_start, sum(c) AS n FROM wins GROUP BY 1),
+             |terms AS (
+             |  SELECT wn.win_start, wn.n,
+             |    CAST(floor((
+             |      ((coalesce(wins.c, 0) + 0.5) / (wn.n + 0.5 * refn.b)) -
+             |      ((ref.c + 0.5) / (refn.rn + 0.5 * refn.b))
+             |    ) * ln(
+             |      ((coalesce(wins.c, 0) + 0.5) / (wn.n + 0.5 * refn.b)) /
+             |      ((ref.c + 0.5) / (refn.rn + 0.5 * refn.b))
+             |    ) * 1000000000 + 0.5) AS BIGINT) AS t9
+             |  FROM wn CROSS JOIN refn CROSS JOIN ref
+             |  LEFT JOIN wins ON wins.win_start = wn.win_start
+             |    AND wins.bin = ref.bin)
+             |SELECT win_start, CAST(any_value(n) AS BIGINT) AS n_events,
+             |  floor(sum(t9)::DOUBLE / 1000000000 * 1000000 + 0.5)
+             |    / 1000000 AS psi,
+             |  floor(sum(t9)::DOUBLE / 1000000000 * 1000000 + 0.5)
+             |    / 1000000 > 0.2 AS drifted
+             |FROM terms
+             |GROUP BY win_start
+             |ORDER BY win_start""".stripMargin))
   )
 }
