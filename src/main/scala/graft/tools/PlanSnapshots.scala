@@ -56,7 +56,12 @@ object PlanSnapshots {
       // max, the map-side-combined Count-Min build, the integer-grid
       // SPRT walk, and the four-setting IVF probe sweep
       "q249_lateness_audit", "q256_count_min", "q264_sprt_ab_test",
-      "q267_ivf_probe_sweep")
+      "q267_ivf_probe_sweep",
+      // round 8 fourth/fifth continuation: the blocked linkage pair
+      // frame, the co-occurrence-graph TextRank composition, and the
+      // broadcast pooled-quantile mapping
+      "q279_record_linkage", "q283_textrank_keywords",
+      "q286_quantile_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -449,4 +449,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"sweep planned a cartesian:\n${p.take(600)}")
   }
+
+  test("q279: linkage pairs come from a keyed block join, never a " +
+    "cartesian over documents") {
+    val p = planOf("q279_record_linkage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"linkage planned an all-pairs join:\n${p.take(600)}")
+  }
+
+  test("q284: IPS scoring stays shuffle-free up to the segment agg " +
+    "(exactly one exchange)") {
+    val p = planOf("q284_ips_offline_eval")
+    // count tree nodes ("Exchange (8)"), not the repeated detail
+    // headers ("(8) Exchange") formatted mode prints for each node
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    // one shuffle for the 4-key groupBy; the final orderBy on ≤4 rows
+    // may add a range exchange — anything beyond that is a regression
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+  }
+
+  test("q286: the 100-row pooled grid reaches the ranked docs via " +
+    "broadcast") {
+    val p = planOf("q286_quantile_normalize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pooled-grid join not broadcast:\n${p.take(600)}")
+  }
 }
