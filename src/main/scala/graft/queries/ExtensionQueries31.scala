@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+import graft.functions.Rounding
+import graft.io.Tables
+
+/** Round-8 sixth continuation wave: Kendall's tau-b over bounded grids
+  * (q287), Adamic-Adar link prediction (q288), T5-style span-corruption
+  * planning (q289), and leave-one-out target encoding (q290). Same
+  * contract as every other module: each Spark pipeline pairs with
+  * DuckDB oracle SQL replaying it.
+  */
+object ExtensionQueries31 {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q287: Kendall's tau-b — the third rank-correlation surface next
+    // to Spearman (q255, magnitude-of-rank based) and Theil-Sen (q275,
+    // slope-based): concordant-vs-discordant pair counting with full
+    // tie corrections, here between doc length (100-char buckets) and
+    // token count (10-token buckets) per source. The pair space is the
+    // CONTINGENCY-CELL pair space, not the row pair space: grid
+    // resolution bounds cells, so the O(cells²) per-source cell join
+    // is a few hundred × a few hundred regardless of corpus size (the
+    // 100 TB knob is the bucket width — same discipline as q151's MI
+    // grid). C, D, and all three tie terms are exact LONG sums; tau_b
+    // = (C−D)/√((n₀−tx)(n₀−ty)) is one double expression at the end.
+    Q(
+      "q287_kendall_tau",
+      (s, dir) => {
+        val cells = Tables.load(s, dir, "documents")
+          .select(col("source"), expr("n_chars div 100").as("x"),
+            expr("size(filter(split(text, ' '), t -> t != '')) div 10")
+              .as("y"))
+          .groupBy("source", "x", "y").agg(count(lit(1)).as("c"))
+        val a = cells.toDF("source", "x1", "y1", "c1")
+        val b = cells.toDF("source", "x2", "y2", "c2")
+        val pairs = a.join(b, "source").where(col("x1") < col("x2"))
+        val cd = pairs.groupBy("source")
+          .agg(
+            sum(when(col("y1") < col("y2"), col("c1") * col("c2"))
+              .otherwise(0L)).as("conc"),
+            sum(when(col("y1") > col("y2"), col("c1") * col("c2"))
+              .otherwise(0L)).as("disc"))
+        val ties = cells.groupBy("source")
+          .agg(sum("c").as("n"),
+            sum(col("c") * (col("c") - lit(1L))).as("txy2"))
+        val tx = cells.groupBy("source", "x").agg(sum("c").as("nx"))
+          .groupBy("source")
+          .agg(sum(col("nx") * (col("nx") - lit(1L))).as("tx2"))
+        val ty = cells.groupBy("source", "y").agg(sum("c").as("ny"))
+          .groupBy("source")
+          .agg(sum(col("ny") * (col("ny") - lit(1L))).as("ty2"))
+        cd.join(ties, "source").join(tx, "source").join(ty, "source")
+          .withColumn("n02", col("n") * (col("n") - lit(1L)))
+          .filter(col("n02") > col("tx2") && col("n02") > col("ty2"))
+          .select(col("source"), col("n"), col("conc").as("concordant"),
+            col("disc").as("discordant"),
+            Rounding.stableRound6(
+              (col("conc") - col("disc")).cast("double") /
+                (sqrt((col("n02") - col("tx2")).cast("double") *
+                  (col("n02") - col("ty2")).cast("double")) / lit(2.0)))
+              .as("tau_b"))
+          .orderBy("source")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT source, n_chars // 100 AS x,
+             |    len(list_filter(string_split(text, ' '), t -> t <> ''))
+             |      // 10 AS y,
+             |    count(*) AS c
+             |  FROM documents GROUP BY 1, 2, 3),
+             |cd AS (
+             |  SELECT a.source,
+             |    sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+             |      AS conc,
+             |    sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+             |      AS disc
+             |  FROM cells a JOIN cells b
+             |    ON a.source = b.source AND a.x < b.x
+             |  GROUP BY a.source),
+             |ties AS (
+             |  SELECT source, sum(c) AS n, sum(c * (c - 1)) AS txy2
+             |  FROM cells GROUP BY source),
+             |tx AS (
+             |  SELECT source, sum(nx * (nx - 1)) AS tx2
+             |  FROM (SELECT source, x, sum(c) AS nx FROM cells
+             |        GROUP BY source, x)
+             |  GROUP BY source),
+             |ty AS (
+             |  SELECT source, sum(ny * (ny - 1)) AS ty2
+             |  FROM (SELECT source, y, sum(c) AS ny FROM cells
+             |        GROUP BY source, y)
+             |  GROUP BY source),
+             |j AS (
+             |  SELECT cd.source, ties.n, cd.conc, cd.disc, tx.tx2,
+             |    ty.ty2, ties.n * (ties.n - 1) AS n02
+             |  FROM cd JOIN ties ON ties.source = cd.source
+             |  JOIN tx ON tx.source = cd.source
+             |  JOIN ty ON ty.source = cd.source)
+             |SELECT source, CAST(n AS BIGINT) AS n,
+             |  CAST(conc AS BIGINT) AS concordant,
+             |  CAST(disc AS BIGINT) AS discordant,
+             |  ${Rounding.duckSql(
+                  "(conc - disc)::DOUBLE / (sqrt((n02 - tx2)::DOUBLE" +
+                    " * (n02 - ty2)::DOUBLE) / 2.0)")} AS tau_b
+             |FROM j WHERE n02 > tx2 AND n02 > ty2
+             |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q288: Adamic-Adar link prediction — score NON-adjacent node
+    // pairs of the co-purchase graph (parts that appear in the same
+    // order; the q135/q224 co-occurrence shape, |items/order| bounded
+    // so edges grow linearly with orders) by Σ_z 1/ln(deg z) over
+    // common neighbors z: "bought alongside the same partners but
+    // never together yet" — the classic link-prediction
+    // recommendation. (The near-dup graph is the textbook graph for
+    // this but the fixture's dup clusters are CLOSED cliques — zero
+    // open wedges at every SF — so the gate would be a 0-row no-op
+    // there.) Shape is wedge-bounded like q152's triangles (two keyed
+    // joins through the shared neighbor + an anti-join on existing
+    // edges), never all-pairs; the 1/ln(deg) terms are snapped once
+    // per NODE to the 1e-9 LONG grid, so pair scores are exact integer
+    // sums and the top-20 cut (aa9 DESC, pair id) is integer-
+    // deterministic (TakeOrderedAndProject, no global sort).
+    Q(
+      "q288_adamic_adar",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val l2 = li.toDF("l_orderkey", "p2")
+        // support per co-pair; the GRAPH keeps only support>=2 edges
+        // (bounds Σdeg² — the wedge count — at scale), while the
+        // "already bought together" anti-join uses ALL co-pairs
+        val sup = li.join(l2, "l_orderkey")
+          .where(col("l_partkey") < col("p2"))
+          .groupBy(col("l_partkey").as("da"), col("p2").as("db"))
+          .agg(countDistinct("l_orderkey").as("sup"))
+          .localCheckpoint()
+        val pairs = sup.select(col("da"), col("db"))
+        val edges = sup.where(col("sup") >= 2).select(col("da"), col("db"))
+        val und = edges.select(col("da").as("src"), col("db").as("dst"))
+          .union(edges.select(col("db").as("src"), col("da").as("dst")))
+        // a common neighbor necessarily has deg >= 2, but w9 is computed
+        // for every node BEFORE the wedge join filters to common
+        // neighbors — guard deg=1 or ANSI mode raises DIVIDE_BY_ZERO
+        val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+          .withColumn("w9",
+            when(col("deg") > 1,
+              floor(lit(1000000000.0) / log(col("deg").cast("double")) +
+                lit(0.5)).cast("long")).otherwise(lit(0L)))
+        val cand = und.select(col("src").as("a"), col("dst").as("z"))
+          .join(und.select(col("src").as("z"), col("dst").as("b")), "z")
+          .where(col("a") < col("b"))
+          .join(pairs.select(col("da").as("a"), col("db").as("b")),
+            Seq("a", "b"), "left_anti")
+        cand.join(deg.select(col("src").as("z"), col("w9")), "z")
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("n_common"), sum("w9").as("aa9"))
+          .orderBy(desc("aa9"), col("a"), col("b"))
+          .limit(20)
+          .select(col("a").as("da"), col("b").as("db"), col("n_common"),
+            Rounding.stableRound6(col("aa9").cast("double") /
+              lit(1000000000.0)).as("aa_score"))
+      },
+      Some(s"""WITH sup AS (
+             |  SELECT a.l_partkey AS da, b.l_partkey AS db,
+             |    count(DISTINCT a.l_orderkey) AS sup
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT da, db FROM sup),
+             |edges AS (SELECT da, db FROM sup WHERE sup >= 2),
+             |und AS (SELECT da AS src, db AS dst FROM edges
+             |        UNION ALL SELECT db, da FROM edges),
+             |deg AS (
+             |  SELECT src, count(*) AS deg,
+             |    CASE WHEN count(*) > 1 THEN
+             |      CAST(floor(1000000000.0 / ln(count(*)::DOUBLE) + 0.5)
+             |        AS BIGINT)
+             |    ELSE 0 END AS w9
+             |  FROM und GROUP BY src),
+             |cand AS (
+             |  SELECT e1.src AS a, e1.dst AS z, e2.dst AS b
+             |  FROM und e1 JOIN und e2 ON e2.src = e1.dst
+             |  WHERE e1.src < e2.dst
+             |    AND NOT EXISTS (SELECT 1 FROM pairs p
+             |      WHERE p.da = e1.src AND p.db = e2.dst)),
+             |sc AS (
+             |  SELECT a, b, count(*) AS n_common, sum(d.w9) AS aa9
+             |  FROM cand JOIN deg d ON d.src = cand.z
+             |  GROUP BY a, b)
+             |SELECT a AS da, b AS db, CAST(n_common AS BIGINT)
+             |    AS n_common,
+             |  ${Rounding.duckSql("aa9::DOUBLE / 1000000000.0")}
+             |    AS aa_score
+             |FROM sc
+             |ORDER BY aa9 DESC, a, b
+             |LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q289: span-corruption planning — the deterministic mask layout a
+    // T5-style denoising objective needs from the data pipeline: fixed
+    // 5-token blocks, ~30% of blocks (hash-selected, q55 discipline)
+    // contribute a 3-token masked span at the block head, so spans can
+    // never overlap and the layout is a pure function of
+    // (doc_id, block) — reproducible across epochs, workers, and
+    // restarts, with no sequential scan. Reported per source: token/
+    // mask/span counts and the realized corruption ratio + mean span
+    // length (edge blocks shorter than 3 tokens truncate — the exact
+    // accounting an objective's token budget needs). One projection
+    // scan + one agg; the block id is derived from the position, so
+    // there is no per-doc window at all.
+    Q(
+      "q289_span_corruption",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            posexplode(expr("filter(split(text, ' '), t -> t != '')"))
+              .as(Seq("pos", "w")))
+          .withColumn("blk", expr("pos div 5"))
+          .withColumn("sel",
+            Sampling.bucket(concat(col("doc_id").cast("string"),
+              lit("_"), col("blk").cast("string")), "span1") < 3000)
+          .withColumn("masked",
+            when(col("sel") && col("pos") % 5 < 3, 1L).otherwise(0L))
+        val spans = toks.where(col("sel"))
+          .select(col("source"), col("doc_id"), col("blk")).distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_spans"))
+        toks.groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"), sum("masked").as("n_masked"))
+          .join(spans, "source")
+          .select(col("source"), col("n_tokens"), col("n_masked"),
+            col("n_spans"),
+            Rounding.stableRound6(col("n_masked").cast("double") /
+              col("n_tokens").cast("double")).as("corruption_ratio"),
+            Rounding.stableRound6(col("n_masked").cast("double") /
+              col("n_spans").cast("double")).as("mean_span_len"))
+          .orderBy("source")
+      },
+      Some {
+        val sel = Sampling.bucketDuckSql("span1",
+          "(doc_id::VARCHAR || '_' || (pos // 5)::VARCHAR)")
+        s"""WITH toks AS (
+           |  SELECT doc_id, source,
+           |    list_filter(string_split(text, ' '), t -> t <> '') AS arr
+           |  FROM documents),
+           |tok AS (
+           |  SELECT doc_id, source, i AS pos
+           |  FROM (SELECT doc_id, source, arr,
+           |          unnest(range(len(arr))) AS i
+           |        FROM toks WHERE len(arr) >= 1)),
+           |marked AS (
+           |  SELECT doc_id, source, pos, pos // 5 AS blk,
+           |    ($sel < 3000) AS sel,
+           |    CASE WHEN ($sel < 3000) AND pos % 5 < 3 THEN 1 ELSE 0 END
+           |      AS masked
+           |  FROM tok),
+           |spans AS (
+           |  SELECT source, count(*) AS n_spans
+           |  FROM (SELECT DISTINCT source, doc_id, blk FROM marked
+           |        WHERE sel)
+           |  GROUP BY source),
+           |agg AS (
+           |  SELECT source, count(*) AS n_tokens, sum(masked) AS n_masked
+           |  FROM marked GROUP BY source)
+           |SELECT agg.source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(n_masked AS BIGINT) AS n_masked,
+           |  CAST(n_spans AS BIGINT) AS n_spans,
+           |  ${Rounding.duckSql("n_masked::DOUBLE / n_tokens::DOUBLE")}
+           |    AS corruption_ratio,
+           |  ${Rounding.duckSql("n_masked::DOUBLE / n_spans::DOUBLE")}
+           |    AS mean_span_len
+           |FROM agg JOIN spans ON spans.source = agg.source
+           |ORDER BY agg.source""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q290: leave-one-out target encoding — the feature-engineering
+    // step that replaces a categorical column with the (smoothed)
+    // target mean of the OTHER rows in its category, the standard
+    // leakage-free encoding for tree/linear models: enc_i =
+    // (S_cat − y_i + m·prior)/(n_cat − 1 + m), m = 10, prior = the
+    // global rate. Because y is binary, every row's encoding is a pure
+    // function of (category, y), so the output is the distinct
+    // (category, y) frame with its exact-LONG counts and the one
+    // double expression deriving the encoding — two tiny aggs and a
+    // broadcast of the 1-row global frame; nothing data-sized moves.
+    Q(
+      "q290_target_encoding",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type").as("category"),
+            when(col("value") > 50.0, 1L).otherwise(0L).as("y"))
+        val glob = ev.agg(sum("y").as("sg"), count(lit(1)).as("n_total"))
+        val cat = ev.groupBy("category")
+          .agg(sum("y").as("s"), count(lit(1)).as("n"))
+        ev.groupBy("category", "y").agg(count(lit(1)).as("n_rows"))
+          .join(cat, "category").crossJoin(broadcast(glob))
+          .select(col("category"), col("y"), col("n_rows"),
+            Rounding.stableRound6(
+              ((col("s") - col("y")).cast("double") +
+                lit(10.0) * (col("sg").cast("double") /
+                  col("n_total").cast("double"))) /
+                (col("n") + lit(9L)).cast("double")).as("loo_encoding"))
+          .orderBy("category", "y")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type AS category,
+             |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |tot AS (SELECT sum(y) AS sg, count(*) AS n_total FROM ev),
+             |cat AS (
+             |  SELECT category, sum(y) AS s, count(*) AS n
+             |  FROM ev GROUP BY category),
+             |rows_ AS (
+             |  SELECT category, y, count(*) AS n_rows
+             |  FROM ev GROUP BY category, y)
+             |SELECT r.category, CAST(r.y AS BIGINT) AS y,
+             |  CAST(r.n_rows AS BIGINT) AS n_rows,
+             |  ${Rounding.duckSql(
+                  "((c.s - r.y)::DOUBLE + 10.0 * (g.sg::DOUBLE" +
+                    " / g.n_total::DOUBLE)) / (c.n + 9)::DOUBLE")}
+             |    AS loo_encoding
+             |FROM rows_ r JOIN cat c ON c.category = r.category
+             |CROSS JOIN tot g
+             |ORDER BY r.category, r.y""".stripMargin))
+  )
+}
