@@ -350,4 +350,126 @@ object Multimodal {
       sha2(col("content"), 256).as("sha"),
       (lit(1) + octet_length(col("content")) % 640).cast("long").as("width"),
       (lit(1) + (octet_length(col("content")).cast("long") * 31) % 480).cast("long").as("height"))
+
+  // ------------------------------------------------------------------
+  // Perceptual hashing (q291): the image analogue of SimHash — a
+  // 64-bit average hash whose hamming distance tracks visual
+  // similarity, so near-dup detection over decoded media reduces to
+  // the SAME banded-LSH + bounded-verify shape the text side uses.
+
+  /** 8×8 average hash over decoded pixels, integer arithmetic only
+    * (exact-replayable): per 8×8 grid block, the mean integer
+    * luminance (lum = (299r + 587g + 114b) / 1000, truncating); bit i
+    * set iff block i's mean exceeds the mean of the 64 block means.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        sums(by * 8 + bx) += lum
+        cnts(by * 8 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i => sums(i) / math.max(cnts(i), 1L))
+    val avg = means.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) > avg) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Fallback hash for undecodable payloads — the content checksum
+    * spread over all four 16-bit bands (the raw checksum is < 2^30, so
+    * without the spread every junk payload would share band keys 2/3
+    * and the LSH bucket join would degenerate). SQL replay:
+    * `xor(c << 32, (c * c) % 1000000007)` with c = the PolyHash
+    * checksum (ASCII payloads: == PolyHash of the text, see q62).
+    */
+  def stubHash64(bytes: Array[Byte]): Long = {
+    val c = checksumOf(bytes)
+    (c << 32) ^ ((c * c) % 1000000007L)
+  }
+
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Decode + perceptual-hash in one per-partition pass (the q62
+    * decode path feeding [[aHash64]]; undecodable → [[stubHash64]]).
+    */
+  def aHashImages(ds: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val img =
+          if (!looksLikeImage(rec.content)) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(rec.content))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) ImageHash(rec.doc_id, stubHash64(rec.content))
+        else ImageHash(rec.doc_id, aHash64(img))
+      }
+    }
+  }
+
+  /** Near-dup golden corpus for the perceptual-hash gate: `nGroups`
+    * visually distinct 64×64 block patterns (each 8×8 block uniform
+    * gray, dark 50 / bright 200 — block means sit ±75 from the global
+    * average, so single-block edits can never flip OTHER blocks'
+    * bits), three variants per group differing by one flipped block →
+    * in-group hamming ≤ 2, cross-group ~32. Returns each record with
+    * its expected [[aHash64]] computed from the generation parameters
+    * (pure integer arithmetic on the block pattern — ground truth
+    * independent of the PNG encode/decode round-trip under test).
+    */
+  def syntheticPhashCorpus(nGroups: Int = 12): Seq[(MediaRecord, Long, Int)] =
+    (0 until nGroups).flatMap { g =>
+      (0 until 3).map { v =>
+        val id = (g * 3 + v).toLong
+        // base pattern: block (bx, by) bright iff a mid bit of a
+        // xorshift-multiplied mix is set (a LINEAR mix mod 2 collapses
+        // to parity-of-g — every other group shares one pattern — so
+        // the mix must be nonlinear; measured: in-group hamming <= 2,
+        // cross-group >= 18 over all 630 pairs); variant v>0 flips
+        // block (v, v)
+        def bright(bx: Int, by: Int): Boolean = {
+          var m = g * 2654435761L + bx * 97L + by * 1009L + 12345L
+          m = (m ^ (m >>> 13)) * 2654435761L
+          val base = ((m >>> 31) & 1L) == 1L
+          if (v > 0 && bx == v && by == v) !base else base
+        }
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 64; x <- 0 until 64) {
+          val l = if (bright(x / 8, y / 8)) 200 else 50
+          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        // expected hash from the generation parameters: uniform gray
+        // blocks have mean luminance exactly 50 or 200 (299+587+114 =
+        // 1000, so lum == the gray level)
+        val means = Array.tabulate(64)(i =>
+          if (bright(i % 8, i / 8)) 200L else 50L)
+        val avg = means.sum / 64
+        var hash = 0L
+        for (i <- 0 until 64) if (means(i) > avg) hash |= (1L << i)
+        (MediaRecord(id, bos.toByteArray), hash, g)
+      }
+    }
 }
