@@ -35,6 +35,7 @@ object StreamingQueries {
   private val momentsRunId = new AtomicInteger(0)
   private val scd2RunId = new AtomicInteger(0)
   private val sprtRunId = new AtomicInteger(0)
+  private val lateRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1941,6 +1942,89 @@ object StreamingQueries {
              |    / 1000000 > 0.2 AS drifted
              |FROM terms
              |GROUP BY win_start
-             |ORDER BY win_start""".stripMargin))
+             |ORDER BY win_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q292: streaming lateness router — the q249 multi-shard lateness
+    // audit run as a LIVE admit/drop operator (EventStreams
+    // .latenessRouter): per user, an event arriving more than 60 s
+    // behind the key's maximum observed event time is dropped at the
+    // door. Arrival is modeled as ts + (event_id % 4)·30 s (the
+    // Kafka-partition-skew shape — within a user, arrival order
+    // genuinely differs from event-time order, which is what makes the
+    // decision non-trivial), the WATERMARK runs on the arrival column
+    // because decisions depend on arrival order, and events fold in
+    // watermark-proven (arr, id) order with O(1) counters + running
+    // max per key. One summary row per user at sentinel flush; oracle
+    // = the per-key window replay over the same integer micros.
+    Q(
+      "q292_streaming_lateness",
+      (s, dir) => {
+        import s.implicits._
+        val id = lateRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_late_${id - 1}")
+        val name = s"graft_stream_late_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_late_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_late_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .selectExpr("user_id",
+            "timestamp_micros(unix_micros(ts) + (event_id % 4) * 30000000)" +
+              " AS arr",
+            "unix_micros(ts) + (event_id % 4) * 30000000 AS arr_us",
+            "unix_micros(ts) AS ts_us", "event_id")
+          .as[EventStreams.LateEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.latenessRouter(stream)
+            .filter(col("user_id") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name)
+          .select(col("user_id"), col("n_events"), col("n_admit"),
+            col("n_drop"), col("max_late_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    epoch_us(ts) + (event_id % 4) * 30000000 AS arr_us
+             |  FROM events),
+             |w AS (
+             |  SELECT user_id, ts_us,
+             |    max(ts_us) OVER (PARTITION BY user_id
+             |      ORDER BY arr_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS runmax
+             |  FROM e),
+             |l AS (
+             |  SELECT user_id,
+             |    CASE WHEN runmax IS NULL OR runmax - ts_us < 0 THEN 0
+             |         ELSE runmax - ts_us END AS late
+             |  FROM w)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN late <= 60000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_admit,
+             |  CAST(sum(CASE WHEN late > 60000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_drop,
+             |  CAST(max(late) AS BIGINT) AS max_late_us
+             |FROM l GROUP BY user_id
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -626,4 +626,71 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** One event of a multi-shard ingest, keyed by user: `arr_us` is the
+    * modeled ARRIVAL instant (event time + the shard's transport lag —
+    * the q249 Kafka-partition-skew model), `ts_us` the event time. The
+    * watermark runs on `arr` because the router's decisions depend on
+    * arrival order, not event-time order. */
+  case class LateEvent(user_id: Long, arr: java.sql.Timestamp,
+                       arr_us: Long, ts_us: Long, event_id: Long)
+  case class LateState(runmax: Long, nEv: Long, nAdmit: Long,
+                       maxLate: Long, pending: Seq[(Long, Long, Long)])
+  case class LateOut(user_id: Long, n_events: Long, n_admit: Long,
+                     n_drop: Long, max_late_us: Long)
+
+  /** Streaming lateness router — the admit/drop decision an ingest
+    * stage makes per event under a bounded-lateness contract: an event
+    * is DROPPED when it arrives more than `toleranceUs` behind the
+    * maximum event time already observed for its key (the per-key
+    * watermark proxy), the q249 audit run as a live operator instead
+    * of a post-hoc report. Decisions depend on arrival order, so
+    * events buffer until the ARRIVAL watermark proves their position
+    * (the [[rateLimit]] discipline, ordered by (arr_us, event_id));
+    * live state per key is three counters + a running max + the
+    * watermark-bounded pending buffer. One summary row per key at
+    * sentinel flush. All arithmetic is integer micros — bit-identical
+    * to the batch oracle's per-key window replay.
+    */
+  def latenessRouter(events: Dataset[LateEvent],
+                     toleranceUs: Long = 60000000L): Dataset[LateOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("arr", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LateState, LateOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[LateEvent], state: GroupState[LateState]) =>
+          val prev = state.getOption.getOrElse(
+            LateState(Long.MinValue, 0L, 0L, 0L, Seq.empty))
+          val pend = prev.pending ++
+            batch.map(e => (e.arr_us, e.event_id, e.ts_us))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pend.partition(_._1 < wmUs)
+          var runmax = prev.runmax
+          var nEv = prev.nEv; var nAdmit = prev.nAdmit
+          var maxLate = prev.maxLate
+          ready.sortBy(e => (e._1, e._2)).foreach { case (_, _, tsUs) =>
+            val late =
+              if (runmax == Long.MinValue || runmax - tsUs < 0L) 0L
+              else runmax - tsUs
+            nEv += 1L
+            if (late <= toleranceUs) nAdmit += 1L
+            if (late > maxLate) maxLate = late
+            if (tsUs > runmax) runmax = tsUs
+          }
+          val out =
+            if (wmUs > FlushedThresholdUs && rest.isEmpty && nEv > 0L) {
+              if (state.exists) state.remove()
+              Seq(LateOut(uid, nEv, nAdmit, nEv - nAdmit, maxLate))
+            } else {
+              state.update(LateState(runmax, nEv, nAdmit, maxLate, rest))
+              state.setTimeoutTimestamp(math.max(
+                if (rest.nonEmpty) rest.map(_._1).min / 1000L + 1L else 0L,
+                state.getCurrentWatermarkMs() + 1L))
+              Nil
+            }
+          out.iterator
+      }
+  }
 }

@@ -281,4 +281,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false,
       6L -> true, 5L -> true), s"got $got")
   }
+
+  test("q292 latenessRouter: hand-computed arrival-inversion drop") {
+    def nanos(epochS: Long): Long = epochS * 1000000000L
+    val base = java.time.LocalDateTime.parse("2024-06-01T12:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val dir = Files.createTempDirectory("graft_late_micro")
+    val staging = Files.createTempDirectory("graft_late_stage")
+    // arr = ts + (id % 4)*30s. id=4 -> arr base+230; id=3 (lag 90s) ->
+    // arr base+240 but ts base+150 — 80s behind the id=4 event that
+    // arrived first -> DROP; id=0 -> arr/ts base+300 -> admit
+    val stage = staging.resolve("events")
+    Seq(
+      (4L, nanos(base + 230), 1L, "e", 0.0, "{}"),
+      (3L, nanos(base + 150), 1L, "e", 0.0, "{}"),
+      (0L, nanos(base + 300), 1L, "e", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val got = SparkEntry.queries("q292_streaming_lateness")(
+      spark, dir.toString).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 2L, 1L, 80000000L)),
+      s"got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)}, " +
+        s"${r.getLong(4)})")
+  }
 }
