@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Z-order (Morton) interleaving for multi-dimensional data layout — the
   * clustering key behind "sorted by two columns at once" file layouts:
@@ -66,4 +71,93 @@ object ZOrder {
     */
   def duckSql(xExpr: String, yExpr: String): String =
     s"(${spreadSql(xExpr)} | (${spreadSql(yExpr)} << 1))"
+}
+
+/** Hilbert-curve index of a 2-D grid cell — the data-layout sibling of
+  * [[ZOrder]]: the Hilbert curve never makes the long diagonal jumps
+  * Morton order does, so range scans over a rectangle touch fewer
+  * contiguous key runs (measured by q307's locality audit). The state
+  * rotation makes the mapping inherently sequential per level, so this
+  * is a codegen'd Expression (a CASE-WHEN unroll of the 6-level loop
+  * quadruples the expression tree per level); the DuckDB replay unrolls
+  * the same loop as chained CTEs over the bounded cell frame.
+  *
+  * `order` is the bits per dimension (grid is 2^order × 2^order);
+  * inputs are cell coordinates in [0, 2^order). The classic xy2d walk:
+  * per level s = 2^(order-1) … 1, accumulate s²·((3·rx) xor ry) and
+  * rotate/reflect the quadrant.
+  */
+case class HilbertIndex(left: Expression, right: Expression, order: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint, bigint), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertIndex.xy2d(order, a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.HilbertIndex.xy2d($order, $x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertIndex {
+
+  /** Shared implementation for eval + generated code (static forwarder). */
+  def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  def apply(x: Column, y: Column, order: Int): Column =
+    Bridge.column(
+      HilbertIndex(Bridge.expression(x), Bridge.expression(y), order))
+
+  /** DuckDB replay: the same loop unrolled as chained SELECTs. Returns
+    * the SQL for one level step over a relation exposing (x, y, d) plus
+    * passthrough columns; compose with [[duckLevels]].
+    */
+  def duckLevels(order: Int, src: String, passthrough: Seq[String]): String = {
+    val pt = passthrough.mkString(", ")
+    (0 until order).foldLeft(src) { (inner, lvl) =>
+      val s = 1L << (order - 1 - lvl)
+      s"""(SELECT $pt,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - y
+         |    ELSE y END ELSE x END AS x,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - x
+         |    ELSE x END ELSE y END AS y,
+         |  d + ${s * s} * xor(3 * rx, ry) AS d
+         |FROM (SELECT $pt, x, y, d,
+         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM $inner))""".stripMargin
+    }
+  }
 }
