@@ -36,6 +36,7 @@ object StreamingQueries {
   private val scd2RunId = new AtomicInteger(0)
   private val sprtRunId = new AtomicInteger(0)
   private val lateRunId = new AtomicInteger(0)
+  private val cadRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -2025,6 +2026,91 @@ object StreamingQueries {
              |    AS BIGINT) AS n_drop,
              |  CAST(max(late) AS BIGINT) AS max_late_us
              |FROM l GROUP BY user_id
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q311: streaming inter-event cadence monitor — the q310 bot audit
+    // as a live stateful operator (EventStreams.cadenceMonitor): per
+    // user the stream carries (last event time, gap count, Σgap, Σgap²)
+    // and emits the exact sums at sentinel flush, so the CV
+    // sqrt(n·Σg² − S²)/S is derived from integers the batch lag replay
+    // reproduces bit-for-bit. Gaps are event-time differences, so
+    // events buffer until the ts watermark proves their (ts, id) fold
+    // position — the q292 pending discipline with the watermark on the
+    // event-time column itself. The final select (filter n ≥ 5, rank by
+    // rounded CV, top 30) is presentation over the emitted sums; the
+    // oracle is IDENTICAL to q310's, which is the stream==batch claim.
+    Q(
+      "q311_streaming_cadence",
+      (s, dir) => {
+        import s.implicits._
+        val id = cadRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_cad_${id - 1}")
+        val name = s"graft_stream_cad_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_cad_ckpt")
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_cad_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us",
+            "event_id")
+          .as[EventStreams.CadenceEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.cadenceMonitor(stream)
+            .filter(col("user_id") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name)
+          .where(col("n_gaps") >= 5 && col("sg") > 0)
+          .withColumn("cv",
+            sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
+              .cast("double")) / col("sg").cast("double"))
+          .select(col("user_id"), col("n_gaps"),
+            graft.functions.Rounding.stableRound6(col("sg").cast("double") /
+              col("n_gaps").cast("double")).as("mean_gap_s"),
+            graft.functions.Rounding.stableRound6(col("cv")).as("cv"))
+          .orderBy(col("cv"), col("user_id"))
+          .limit(30)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id
+             |  FROM events),
+             |gaps AS (
+             |  SELECT user_id, (us - prev) // 1000000 AS g FROM (
+             |    SELECT user_id, us, lag(us) OVER (
+             |      PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |    FROM e)
+             |  WHERE prev IS NOT NULL),
+             |agg AS (
+             |  SELECT user_id, count(*) AS n,
+             |    CAST(sum(g) AS BIGINT) AS sg,
+             |    CAST(sum(g*g) AS BIGINT) AS sg2
+             |  FROM gaps GROUP BY user_id
+             |  HAVING count(*) >= 5 AND sum(g) > 0)
+             |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+             |  floor(sg::DOUBLE / n::DOUBLE * 1000000.0 + 0.5)
+             |    / 1000000.0 AS mean_gap_s,
+             |  floor(sqrt((n*sg2 - sg*sg)::DOUBLE) / sg::DOUBLE
+             |    * 1000000.0 + 0.5) / 1000000.0 AS cv
+             |FROM agg
+             |ORDER BY cv, user_id
+             |LIMIT 30""".stripMargin))
   )
 }

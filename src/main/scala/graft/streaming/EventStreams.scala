@@ -693,4 +693,61 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** One event of the cadence monitor, keyed by user: gaps are
+    * EVENT-TIME differences, so the fold must see events in (ts_us,
+    * event_id) order — the watermark-buffered pending discipline of
+    * [[latenessRouter]], with the watermark on `ts` itself. */
+  case class CadenceEvent(user_id: Long, ts: java.sql.Timestamp,
+                          ts_us: Long, event_id: Long)
+  case class CadenceState(lastUs: Long, n: Long, sg: Long, sg2: Long,
+                          pending: Seq[(Long, Long)])
+  case class CadenceOut(user_id: Long, n_gaps: Long, sg: Long, sg2: Long)
+
+  /** Streaming inter-event cadence monitor — the q310 bot audit as a
+    * live per-key operator: carries (last event time, gap count, Σgap,
+    * Σgap²) so the exact-integer CV sqrt(n·Σg² − S²)/S is computable
+    * the moment a key flushes, with O(1) live state per key beyond the
+    * watermark-bounded pending buffer. Gaps are second-granularity
+    * LONGs ((ts−prev) div 1e6 on micros) — bit-identical to the batch
+    * lag replay, which is the oracle. One summary row per key at
+    * sentinel flush; the caller derives mean/CV from the exact sums.
+    */
+  def cadenceMonitor(events: Dataset[CadenceEvent]): Dataset[CadenceOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CadenceState, CadenceOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[CadenceEvent],
+         state: GroupState[CadenceState]) =>
+          val prev = state.getOption.getOrElse(
+            CadenceState(Long.MinValue, 0L, 0L, 0L, Seq.empty))
+          val pend = prev.pending ++ batch.map(e => (e.ts_us, e.event_id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pend.partition(_._1 < wmUs)
+          var last = prev.lastUs
+          var n = prev.n; var sg = prev.sg; var sg2 = prev.sg2
+          ready.sorted.foreach { case (tsUs, _) =>
+            if (last != Long.MinValue) {
+              val g = (tsUs - last) / 1000000L
+              n += 1L; sg += g; sg2 += g * g
+            }
+            last = tsUs
+          }
+          val out =
+            if (wmUs > FlushedThresholdUs && rest.isEmpty && n > 0L) {
+              if (state.exists) state.remove()
+              Seq(CadenceOut(uid, n, sg, sg2))
+            } else {
+              state.update(CadenceState(last, n, sg, sg2, rest))
+              state.setTimeoutTimestamp(math.max(
+                if (rest.nonEmpty) rest.map(_._1).min / 1000L + 1L else 0L,
+                state.getCurrentWatermarkMs() + 1L))
+              Nil
+            }
+          out.iterator
+      }
+  }
 }

@@ -1,9 +1,64 @@
 package graft
 
+import java.nio.file.Files
+
 import graft.queries.ExtensionQueries38
 
 /** Semantics tests for the round-8 thirteenth continuation wave. */
 class Extension38Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => Files.deleteIfExists(f))
+  }
+
+  test("q311 streaming cadence folds scrambled arrival into exact " +
+    "event-time gap sums (hand-computed CV)") {
+    val dir = Files.createTempDirectory("graft_cadence_fixture")
+    try {
+      val base = 1705276800L * 1000000000L // 2024-01-15T00:00Z in nanos
+      def ns(min: Long): Long = base + min * 60L * 1000000000L
+      // file row order deliberately scrambled vs event time
+      Seq(
+        // user 1: six events every 10 min -> 5 gaps of 600 s, CV = 0
+        (105L, ns(40), 1L, "view", 0.0, "{}"),
+        (101L, ns(0), 1L, "view", 0.0, "{}"),
+        (104L, ns(30), 1L, "view", 0.0, "{}"),
+        (102L, ns(10), 1L, "view", 0.0, "{}"),
+        (106L, ns(50), 1L, "view", 0.0, "{}"),
+        (103L, ns(20), 1L, "view", 0.0, "{}"),
+        // user 2: gaps 60,120,180,240,300 s -> CV = sqrt(180000)/900
+        (205L, ns(10), 2L, "view", 0.0, "{}"),
+        (201L, ns(0), 2L, "view", 0.0, "{}"),
+        (204L, ns(6), 2L, "view", 0.0, "{}"),
+        (206L, ns(15), 2L, "view", 0.0, "{}"),
+        (202L, ns(1), 2L, "view", 0.0, "{}"),
+        (203L, ns(3), 2L, "view", 0.0, "{}"),
+        // user 3: too few gaps -> filtered by the n >= 5 floor
+        (301L, ns(0), 3L, "view", 0.0, "{}"),
+        (302L, ns(5), 3L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stage")
+      val part = new java.io.File(s"$dir/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve("events.parquet"))
+      deleteRecursively(java.nio.file.Paths.get(s"$dir/stage"))
+      val got = SparkEntry.queries("q311_streaming_cadence")(
+        spark, dir.toString).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val expectedCv2 =
+        math.floor(math.sqrt(180000.0) / 900.0 * 1e6 + 0.5) / 1e6
+      assert(got == Map(
+        1L -> ((5L, 600.0, 0.0)),
+        2L -> ((5L, 180.0, expectedCv2))),
+        s"cadence sums diverged from the hand computation: $got")
+    } finally deleteRecursively(dir)
+  }
 
   test("q308 MRR is bounded by the hit rate from both sides") {
     val out = ExtensionQueries38.queries.find(_.name ==
