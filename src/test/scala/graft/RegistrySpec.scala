@@ -33,7 +33,8 @@ class RegistrySpec extends SparkSpec {
     val singleRow = Set("q06_forecast_revenue", "q14_promo_revenue",
       "q17_small_quantity_revenue", "q73_triangles", "q181_lsh_quality",
       // 1-row × 1-row cross joins of global aggregates
-      "q236_zipf_slope", "q245_brier_decomposition")
+      "q236_zipf_slope", "q245_brier_decomposition",
+      "q312_block_bootstrap")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
