@@ -63,6 +63,49 @@ object Graph {
     ranks
   }
 
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    * BIPARTITE edge list (hub side, authority side) — the mutual-
+    * reinforcement ranking PageRank can't express: an authority is good
+    * because good hubs point at it, and vice versa. Classic use here:
+    * customer↔part co-purchase, where authority = a part bought by
+    * broad-basket customers.
+    *
+    * Same scale shape as [[pageRank]]: each half-iteration is one keyed
+    * join + one aggregation over the checkpointed edge table; the L2
+    * normalization is a 1-row broadcast. Cross-engine determinism is the
+    * q299 discipline: scores SNAP to the 1e-9 grid after every
+    * normalize, so unordered-summation ulp noise never accumulates and
+    * the DuckDB oracle's unrolled-CTE replay walks the identical
+    * trajectory.
+    *
+    * Returns (side, id, score) with side ∈ {hub, authority} and score
+    * the final snapped L2-normalized value.
+    */
+  def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val e = edges.select(col(edges.columns(0)).cast("long").as("h"),
+      col(edges.columns(1)).cast("long").as("a")).distinct().localCheckpoint()
+    def snap9(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000000.0) + lit(0.5)) / lit(1000000000.0)
+    def half(scores: DataFrame, from: String, to: String): DataFrame = {
+      val raw = e.join(scores, col(from) === col("id"))
+        .groupBy(col(to)).agg(sum("s").as("r"))
+      val nrm = raw.agg(sqrt(sum(col("r") * col("r"))).as("nrm"))
+      raw.crossJoin(broadcast(nrm))
+        .select(col(to).as("id"), snap9(col("r") / col("nrm")).as("s"))
+        .localCheckpoint()
+    }
+    var hScore = e.select(col("h").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("s")).localCheckpoint()
+    var aScore: DataFrame = null
+    for (_ <- 1 to iters) {
+      aScore = half(hScore, "h", "a")
+      hScore = half(aScore, "a", "h")
+    }
+    aScore.select(lit("authority").as("side"), col("id"), col("s"))
+      .unionByName(hScore.select(lit("hub").as("side"), col("id"), col("s")))
+  }
+
   /** Per-vertex triangle counts via degree-oriented enumeration — the
     * scale-safe building block behind local clustering coefficients
     * (q152). The naive shape (wedges enumerated at EVERY vertex by
