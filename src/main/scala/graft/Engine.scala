@@ -61,6 +61,12 @@ object Engine {
     Bridge.registerFunction(spark, "nfc_normalize", es => NfcNormalize(es.head))
     Bridge.registerFunction(spark, "winnowed_fingerprints",
       WinnowedFingerprints.builder)
+    Bridge.registerFunction(spark, "jaro_winkler",
+      es => JaroWinkler(es(0), es(1)))
+    Bridge.registerFunction(spark, "l2_distance",
+      es => L2Distance(es(0), es(1)))
+    Bridge.registerFunction(spark, "hilbert_index",
+      HilbertIndex.builder)
   }
 
   /** Register every fixture table as a temp view so plain

@@ -56,5 +56,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("winnowed_fingerprints",
         "winnowed_fingerprints(str, k, w) - MOSS winnowed (hash, pos) fingerprints (literal k/w)"),
       (es: Seq[Expression]) => WinnowedFingerprints.builder(es)))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(str, str) - byte-oriented Jaro-Winkler similarity" +
+          " (DuckDB-pinned semantics)"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("l2_distance"),
+      info("l2_distance",
+        "l2_distance(array<float>, array<float>) - Euclidean distance"),
+      (es: Seq[Expression]) => L2Distance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hilbert_index"),
+      info("hilbert_index",
+        "hilbert_index(x, y, order) - Hilbert-curve cell index (literal order)"),
+      (es: Seq[Expression]) => HilbertIndex.builder(es)))
   }
 }

@@ -140,6 +140,18 @@ object HilbertIndex {
     Bridge.column(
       HilbertIndex(Bridge.expression(x), Bridge.expression(y), order))
 
+  /** SQL registration builder: `hilbert_index(x, y, order)` with a
+    * literal `order` (the bit width is burned into the generated code).
+    */
+  def builder(es: Seq[Expression]): Expression = {
+    val order = es(2).eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"hilbert_index order must be an integer literal, got $other")
+    }
+    HilbertIndex(es(0), es(1), order)
+  }
+
   /** DuckDB replay: the same loop unrolled as chained SELECTs. Returns
     * the SQL for one level step over a relation exposing (x, y, d) plus
     * passthrough columns; compose with [[duckLevels]].

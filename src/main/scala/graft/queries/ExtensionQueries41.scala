@@ -100,7 +100,7 @@ object ExtensionQueries41 {
     // bipartite graph (Graph.hits) — the mutual-reinforcement ranking
     // the near-dup PageRank (q89) can't express: a part is an AUTHORITY
     // when broad-basket customers buy it, a customer a HUB when they
-    // buy authoritative parts. 8 snapped power iterations (the q299
+    // buy authoritative parts. 4 snapped power iterations (the q299
     // 1e-9-grid discipline makes the unrolled-CTE oracle walk the
     // identical trajectory); top-20 per side by the exact snapped
     // score.
@@ -113,7 +113,7 @@ object ExtensionQueries41 {
             .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
             "o_orderkey")
           .select(col("o_custkey"), col("l_partkey"))
-        val scores = Graph.hits(edges, iters = 8)
+        val scores = Graph.hits(edges, iters = 4)
         val wSide = Window.partitionBy("side").orderBy(desc("s"), col("id"))
         scores
           .withColumn("rk", row_number().over(wSide))
@@ -127,7 +127,7 @@ object ExtensionQueries41 {
         // reference, and this chain references each layer twice — the
         // un-materialized expansion is exponential (observed as an
         // fd-exhaustion crash re-opening the parquet 2^16 times)
-        val iters = (1 to 8).map { i =>
+        val iters = (1 to 4).map { i =>
           s"""ar$i AS MATERIALIZED (
              |  SELECT e.a, sum(h.s) AS r FROM e
              |  JOIN h${i - 1} h ON h.id = e.h GROUP BY e.a),
@@ -155,11 +155,11 @@ object ExtensionQueries41 {
            |ranked AS (
            |  SELECT 'authority' AS side, id, s,
            |    row_number() OVER (ORDER BY s DESC, id) AS rk
-           |  FROM a8
+           |  FROM a4
            |  UNION ALL
            |  SELECT 'hub' AS side, id, s,
            |    row_number() OVER (ORDER BY s DESC, id) AS rk
-           |  FROM h8)
+           |  FROM h4)
            |SELECT side, id,
            |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS score
            |FROM ranked WHERE rk <= 20

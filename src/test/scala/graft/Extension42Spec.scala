@@ -26,6 +26,20 @@ class Extension42Spec extends SparkSpec {
     }
   }
 
+  test("the three round-8 continuation expressions are SQL-registered " +
+    "(jaro_winkler, l2_distance, hilbert_index)") {
+    graft.Engine.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw, " +
+        "l2_distance(array(cast(3.0 as float), cast(0.0 as float)), " +
+        "array(cast(0.0 as float), cast(4.0 as float))) AS d, " +
+        "hilbert_index(3L, 4L, 6) AS h").head()
+    assert(r.getDouble(0) == 0.9611111111111111)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getLong(2) ==
+      graft.functions.HilbertIndex.xy2d(6, 3L, 4L))
+  }
+
   test("q321 CCF values are valid correlations, lag 0 is computed on " +
     "the full overlap, and best_lag attains the maximum") {
     val out = ExtensionQueries42.queries.find(_.name == "q321_ccf_leadlag")
