@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes STRAIGHT to this process's stdout/stderr
+// instead of through sbt's logger: the logger prefixes every line with
+// "[info] "/"[error] ", which made the driver's JSON-line capture of
+// graft.Bench unparseable (BENCH_r08.json "parsed": null). With
+// StdoutOutput the bench's single JSON line reaches the driver raw.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

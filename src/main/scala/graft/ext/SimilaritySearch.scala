@@ -189,6 +189,32 @@ object SimilaritySearch {
   def multiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      nPlanes: Int = 8, probes: Int = 2): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    multiProbeCandidates(queries, corpus, idCol, vecCol, nPlanes, probes)
+      .withColumn("cos",
+        Rounding.stableRound6(VectorFunctions.cosineSim(col("qv"), col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** The candidate-pair stage of [[multiProbeTopK]]: the DISTINCT
+    * (query_id, neighbor_id, qv, cv) pairs reached through the probed
+    * bucket union, before scoring/ranking. Exposed separately so tooling
+    * (MultiProbeScaleProbe) can measure the TRUE candidate volume — the
+    * bucket-union size after dedup — rather than an upper bound.
+    */
+  def multiProbeCandidates(queries: DataFrame, corpus: DataFrame,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           nPlanes: Int = 8, probes: Int = 2): DataFrame = {
+    // probes >= nPlanes would read element_at(ms, r) past the array end:
+    // the NULL margin makes the xor'd probe bucket NULL and the extra
+    // probes silently vanish (recall quietly degrades to single-probe)
+    // instead of failing — so fail here.
+    require(probes >= 0 && probes < nPlanes,
+      s"probes must be in [0, nPlanes) = [0, $nPlanes), got $probes")
     val d = deriveDim(corpus, vecCol)
     val ps = planes(nPlanes, d)
     val dots = ps.zipWithIndex.map { case (p, i) =>
@@ -208,17 +234,10 @@ object SimilaritySearch {
       .select(col("query_id"), col("qv"), col("pb").as("bkt"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       bucket(col(vecCol), ps).as("bkt"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos"), col("neighbor_id"))
     broadcast(q).join(c, "bkt")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .distinct() // a neighbor can land in several probed buckets
-      .withColumn("cos",
-        Rounding.stableRound6(VectorFunctions.cosineSim(col("qv"), col("cv"))))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** Deterministic PQ codebook: the `ksub` corpus vectors with the
@@ -396,21 +415,64 @@ object SimilaritySearch {
     * same broadcast-LUT ADC join as [[ivfPqTopK]], so results are
     * byte-identical to the in-session path (q111's oracle gates both).
     */
-  def ivfPqTopKFromIndex(queries: DataFrame, path: String, k: Int,
-                         idCol: String = "vec_id",
-                         vecCol: String = "embedding",
-                         nProbe: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
+  /** Read the constant-size sidecars of a persisted [[writeIvfPqIndex]]
+    * index back into their in-session form: (centroids, codebook).
+    * Shared by the serving path and [[appendToIvfPqIndex]] (which must
+    * encode deltas against the FROZEN sidecars, never re-derive them).
+    */
+  def readIvfPqSidecars(spark: org.apache.spark.sql.SparkSession,
+                        path: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toSeq).toSeq
     val cbRows = spark.read.parquet(s"$path/codebook").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     val m = cbRows.map(_._1).max + 1
-    val ksub = cbRows.map(_._2).max + 1
     val cb = Seq.tabulate(m) { j =>
       cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq
     }
+    (cents, cb)
+  }
+
+  /** Incrementally maintain a persisted [[writeIvfPqIndex]] index: encode
+    * a DELTA batch of new vectors against the index's FROZEN
+    * centroids/codebook sidecars and append the (id, codes) rows into
+    * their cells' partitions. `mode(Append)` under `partitionBy(cell)`
+    * writes new files ONLY into the delta's own cell directories — the
+    * untouched cells' files (and the sidecars) are never rewritten, so
+    * a 100 TB index absorbs a delta at the cost of the delta
+    * (Extension25Spec pins the touched-cells-only write). Contract:
+    * INSERT-only — delta ids must be new. Replacing an existing id is a
+    * read-modify-write of its (possibly different) old cell; that is
+    * the CdcUpsert/tombstone-compaction layer's job (q241), composed
+    * upstream of the index, not re-implemented here — checking
+    * existence inside this call would cost a full index scan per delta.
+    *
+    * Freezing the sidecars is what makes increments cheap AND serves
+    * results identical to a same-sidecar full build; it also means the
+    * quantization no longer adapts to drift in the vector distribution
+    * — the standard production answer (periodic full rebuild when
+    * recall audits like q189/q316 degrade) applies.
+    */
+  def appendToIvfPqIndex(delta: DataFrame, path: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val (cents, cb) = readIvfPqSidecars(delta.sparkSession, path)
+    val codes = delta.select(col(idCol).cast("long").as("id"),
+      element_at(VectorFunctions.centroidRanks(col(vecCol), cents, 1), 1)
+        .as("cell"),
+      graft.functions.PqFunctions.encode(col(vecCol), cb).as("codes"))
+    codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  def ivfPqTopKFromIndex(queries: DataFrame, path: String, k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val (cents, cb) = readIvfPqSidecars(spark, path)
+    val ksub = cb.head.size
     val q = queries.select(col(idCol).as("query_id"),
       graft.functions.PqFunctions.lut(col(vecCol), cb).as("lut"),
       explode(VectorFunctions.centroidRanks(col(vecCol), cents, nProbe))

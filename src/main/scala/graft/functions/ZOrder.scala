@@ -114,8 +114,21 @@ case class HilbertIndex(left: Expression, right: Expression, order: Int)
 
 object HilbertIndex {
 
+  /** Inclusive valid range for the curve order: order<=0 would make
+    * [[xy2d]] return 0 for every cell (the while loop never runs), and
+    * order>=32 overflows s*s in the d accumulation — both silently
+    * corrupt keys rather than erroring, so the bound is enforced at
+    * every entry point (builder, apply, xy2d).
+    */
+  val MaxOrder: Int = 31
+
+  private def requireOrder(order: Int): Unit =
+    require(order >= 1 && order <= MaxOrder,
+      s"hilbert_index order must be in [1, $MaxOrder], got $order")
+
   /** Shared implementation for eval + generated code (static forwarder). */
   def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    requireOrder(order)
     var x = x0
     var y = y0
     var d = 0L
@@ -136,9 +149,11 @@ object HilbertIndex {
     d
   }
 
-  def apply(x: Column, y: Column, order: Int): Column =
+  def apply(x: Column, y: Column, order: Int): Column = {
+    requireOrder(order)
     Bridge.column(
       HilbertIndex(Bridge.expression(x), Bridge.expression(y), order))
+  }
 
   /** SQL registration builder: `hilbert_index(x, y, order)` with a
     * literal `order` (the bit width is burned into the generated code).
@@ -149,6 +164,7 @@ object HilbertIndex {
       case other => throw new IllegalArgumentException(
         s"hilbert_index order must be an integer literal, got $other")
     }
+    requireOrder(order)
     HilbertIndex(es(0), es(1), order)
   }
 

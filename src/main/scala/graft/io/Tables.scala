@@ -40,6 +40,17 @@ object Tables {
     */
   val NanosGuard: Long = 300000000000000000L
 
+  /** Embedding dimensionality of the `embeddings` fixture. Spark-side
+    * pipelines derive the dim at runtime (SimilaritySearch.deriveDim);
+    * DuckDB oracle SQL is authored as a static string and cannot, so
+    * oracles that unroll per-component expressions use THIS constant.
+    * FixtureSpec pins it against the actual parquet, so a fixture dim
+    * change fails loudly instead of silently diverging the oracles
+    * (e.g. a 64-wide meanList over a 32-dim fixture computes NULL
+    * centroid components).
+    */
+  val EmbeddingDim: Int = 64
+
   /** SQL for the shared unit-guarded epoch-long → TimestampType(micros)
     * conversion. Both the batch ([[load]]) and streaming
     * (graft.streaming.EventStreams.readStream) readers MUST route their

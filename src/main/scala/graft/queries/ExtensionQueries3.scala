@@ -49,7 +49,7 @@ object ExtensionQueries3 {
       Some {
         val k = 8
         val iters = 3
-        val meanList = (1 to 64)
+        val meanList = (1 to Tables.EmbeddingDim)
           .map(j => s"floor(avg(v[$j]) * 1000000 + 0.5) / 1000000")
           .mkString("[", ", ", "]")
         def assignSql(name: String, cents: String) =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Graph, Sampling}
+import graft.ext.{Graph, Ranking, Sampling}
 import graft.functions.Rounding
 import graft.io.Tables
 
@@ -47,10 +47,17 @@ object ExtensionQueries30 {
           .select(least(col("w"), col("w2")).as("wa"),
             greatest(col("w"), col("w2")).as("wb"))
           .distinct()
-        val vocab = edges.select(col("wa").as("word"))
-          .union(edges.select(col("wb").as("word"))).distinct()
-          .withColumn("id",
-            row_number().over(Window.orderBy("word")).cast("long"))
+        // dense LONG ids via the distributed two-pass global rank
+        // (r9: Window.orderBy with no partition key serialized the
+        // whole vocab through ONE task — fixture-fine, but a web-scale
+        // corpus vocabulary is 1e8-1e9 rows; withGlobalRank range-
+        // partitions on word, so id assignment is partition-parallel
+        // and partition-count invariant)
+        val vocab = Ranking.withGlobalRank(
+            edges.select(col("wa").as("word"))
+              .union(edges.select(col("wb").as("word"))).distinct(),
+            Seq(col("word")))
+          .withColumnRenamed("global_rank", "id")
         val e2 = edges
           .join(vocab.select(col("word").as("wa"), col("id").as("src")), "wa")
           .join(vocab.select(col("word").as("wb"), col("id").as("dst")), "wb")

@@ -75,7 +75,7 @@ object ExtensionQueries36 {
           .orderBy("label")
       },
       Some {
-        val meanList = (1 to 64)
+        val meanList = (1 to Tables.EmbeddingDim)
           .map(j => "CAST(CAST(floor(avg(v[" + j + "]) * 1000000 + 0.5)" +
             " / 1000000 AS REAL) AS DOUBLE)")
           .mkString("[", ", ", "]")

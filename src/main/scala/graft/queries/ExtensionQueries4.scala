@@ -22,15 +22,24 @@ object ExtensionQueries4 {
   /** q111's oracle — the full IVF-PQ replay (hash-pick centroids, cell
     * assign, codebook pick+slice, encode, probe, ADC). Shared with q207,
     * which serves the SAME probes from the PERSISTED index and must
-    * produce byte-identical rows.
+    * produce byte-identical rows, and (via [[ivfPqOracleSqlPick]]) with
+    * q322, whose centroid/codebook PICKS come from the base slice only
+    * (frozen-sidecar increment) while cell assignment + encoding still
+    * cover the full corpus.
     */
-  private[queries] lazy val ivfPqOracleSql: String =
+  private[queries] lazy val ivfPqOracleSql: String = ivfPqOracleSqlPick("TRUE")
+
+  /** [[ivfPqOracleSql]] with the centroid/codebook pick restricted to
+    * `pickWhere` rows of `embeddings` — everything downstream of the
+    * picks (cell assignment, encoding, probing, ADC) stays full-corpus.
+    */
+  private[queries] def ivfPqOracleSqlPick(pickWhere: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |ipick AS (
              |  SELECT vec_id, v FROM (
              |    SELECT vec_id, v,
              |      ${PolyHash.duckSql("'ivf#' || vec_id::VARCHAR")} AS h
-             |    FROM e)
+             |    FROM e WHERE $pickWhere)
              |  ORDER BY h, vec_id LIMIT 16),
              |cents AS (
              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -48,7 +57,7 @@ object ExtensionQueries4 {
              |  SELECT vec_id, v FROM (
              |    SELECT vec_id, v,
              |      ${PolyHash.duckSql("'pq#' || vec_id::VARCHAR")} AS h
-             |    FROM e)
+             |    FROM e WHERE $pickWhere)
              |  ORDER BY h, vec_id LIMIT 16),
              |cwi AS (
              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v

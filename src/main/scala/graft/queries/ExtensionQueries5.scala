@@ -281,7 +281,7 @@ object ExtensionQueries5 {
           .orderBy("label")
       },
       Some {
-        val meanList = (1 to 64)
+        val meanList = (1 to Tables.EmbeddingDim)
           .map(j => s"CAST(CAST(floor(avg(v[$j]) * 1000000 + 0.5) / 1000000 AS REAL) AS DOUBLE)")
           .mkString("[", ", ", "]")
         s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -740,6 +740,13 @@ object EventStreams {
             if (wmUs > FlushedThresholdUs && rest.isEmpty && n > 0L) {
               if (state.exists) state.remove()
               Seq(CadenceOut(uid, n, sg, sg2))
+            } else if (wmUs > FlushedThresholdUs && rest.isEmpty) {
+              // n == 0: a single-event user has no gaps and emits no
+              // summary row — but keeping its state would re-register a
+              // timeout at wm+1 every trigger FOREVER in a continuous
+              // deployment. Drop the key entirely once flushed.
+              if (state.exists) state.remove()
+              Nil
             } else {
               state.update(CadenceState(last, n, sg, sg2, rest))
               state.setTimeoutTimestamp(math.max(

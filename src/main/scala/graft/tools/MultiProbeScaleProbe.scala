@@ -59,14 +59,18 @@ object MultiProbeScaleProbe {
             SimilaritySearch.bucket(col("embedding"), ps).as("bkt"))
           val qb = probes.select(col("vec_id").as("qid"),
             SimilaritySearch.bucket(col("embedding"), ps).as("bkt"))
-          // multi-probe candidate sets are per-query bucket unions;
-          // approximate the single/multi candidate volume by bucket
-          // sizes (exact for single; a ≤3x bound for multi)
-          val single = qb.join(c, "bkt")
-            .where(col("qid") =!= col("nid")).count()
+          // EXACT candidate volume for both strategies: distinct
+          // (query, neighbor) pairs through the probed bucket union —
+          // the same candidate frame the topK ranks (an upper bound
+          // like single×(1+probes) ignores bucket-union dedup and
+          // misleads the parameter choice this tool exists to inform)
           val cand =
-            if (extra == 0) single
-            else single * (1 + extra) // upper bound; duplicates removed
+            if (extra == 0)
+              qb.join(c, "bkt").where(col("qid") =!= col("nid")).count()
+            else
+              SimilaritySearch.multiProbeCandidates(probes, e,
+                  nPlanes = p, probes = extra)
+                .select("query_id", "neighbor_id").count()
           val hits = topk.select(col("query_id"), col("neighbor_id"))
             .join(brute, Seq("query_id", "neighbor_id")).count()
           val recall = hits.toDouble / (nq * 10.0)

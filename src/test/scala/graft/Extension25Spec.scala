@@ -361,4 +361,75 @@ class Extension25Spec extends SparkSpec {
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
+
+  test("ivf-pq incremental append: touched cells only, batch-split " +
+    "invariant, and frozen sidecars") {
+    import scala.jdk.CollectionConverters._
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.where(col("vec_id") % 10 =!= 0)
+    val delta = e.where(col("vec_id") % 10 === 0)
+    val probes = e.filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def cellFiles(idx: java.nio.file.Path): Map[String, Set[String]] = {
+      val codes = idx.resolve("codes")
+      java.nio.file.Files.list(codes).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("cell="))
+        .map { p =>
+          p.getFileName.toString ->
+            java.nio.file.Files.list(p).iterator().asScala
+              .map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSet
+        }.toMap
+    }
+    def rmAll(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    val idx1 = java.nio.file.Files.createTempDirectory("graft_inc1")
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_inc2")
+    try {
+      SimilaritySearch.writeIvfPqIndex(base, idx1.toString,
+        nCentroids = 16, m = 8, ksub = 16)
+      val sideBefore = SimilaritySearch.readIvfPqSidecars(spark, idx1.toString)
+      val before = cellFiles(idx1)
+      SimilaritySearch.appendToIvfPqIndex(delta, idx1.toString)
+      val after = cellFiles(idx1)
+      // which cells SHOULD the delta touch (encode against the frozen
+      // centroids, exactly as appendToIvfPqIndex does)
+      val touched = delta.select(
+          element_at(graft.functions.VectorFunctions.centroidRanks(
+            col("embedding"), sideBefore._1, 1), 1).as("cell"))
+        .distinct().collect().map(r => s"cell=${r.getInt(0)}").toSet
+      assert(touched.nonEmpty, "fixture delta must land in some cell")
+      // 1) no pre-existing file is ever rewritten or removed
+      before.foreach { case (cell, files) =>
+        assert(files.subsetOf(after(cell)),
+          s"append must not rewrite $cell's existing files")
+      }
+      // 2) ONLY the delta's cells gain files
+      after.foreach { case (cell, files) =>
+        val gained = files -- before.getOrElse(cell, Set.empty)
+        assert(gained.isEmpty == !touched.contains(cell),
+          s"$cell gained ${gained.size} files but touched=$touched")
+      }
+      // 3) sidecars are FROZEN — byte-identical read-back
+      assert(SimilaritySearch.readIvfPqSidecars(spark, idx1.toString) ==
+        sideBefore, "append must not alter centroids/codebook")
+      // 4) serving is invariant to delta batching: one append == two
+      val served1 = canon(SimilaritySearch.ivfPqTopKFromIndex(
+        probes, idx1.toString, 5, nProbe = 4))
+      SimilaritySearch.writeIvfPqIndex(base, idx2.toString,
+        nCentroids = 16, m = 8, ksub = 16)
+      SimilaritySearch.appendToIvfPqIndex(
+        delta.where(col("vec_id") % 20 === 0), idx2.toString)
+      SimilaritySearch.appendToIvfPqIndex(
+        delta.where(col("vec_id") % 20 =!= 0), idx2.toString)
+      val served2 = canon(SimilaritySearch.ivfPqTopKFromIndex(
+        probes, idx2.toString, 5, nProbe = 4))
+      assert(served1.nonEmpty && served1 == served2,
+        "served results must not depend on how the delta was batched")
+    } finally { rmAll(idx1); rmAll(idx2) }
+  }
 }

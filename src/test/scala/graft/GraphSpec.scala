@@ -41,6 +41,47 @@ class GraphSpec extends SparkSpec {
     (0L to 4L).foreach(v => assert(got(v) == ((4L, 6L))))
   }
 
+  test("adamicAdar: planted 1k-spoke hub does zero wedge work under cap") {
+    // capped at 100, the deg-1000 hub is excluded as a wedge center and
+    // the deg-1 spokes never qualify (deg < 2) → the output is EMPTY;
+    // uncapped the same graph fans out to C(1000,2) = 499,500 wedge
+    // pairs — exactly the quadratic blow-up the cap exists to bound
+    val hub = (1L to 1000L).map(s => (0L, s))
+    assert(Graph.adamicAdar(sym(hub), hubCap = 100L).count() == 0L)
+    assert(Graph.adamicAdar(sym(hub), hubCap = 1000L).count() == 499500L)
+  }
+
+  test("adamicAdar: cap removes only hub-centered wedges, keeps the rest") {
+    // hub 0 with 50 spokes, plus a disjoint path 100-101-102: center
+    // 101 (deg 2) survives any cap >= 2; capping at 10 drops all hub
+    // wedges and keeps exactly the (100,102) pair through 101
+    val g = (1L to 50L).map(s => (0L, s)) ++ Seq((100L, 101L), (101L, 102L))
+    val capped = Graph.adamicAdar(sym(g), hubCap = 10L).collect()
+    assert(capped.length == 1)
+    val r = capped.head
+    val w9deg2 = math.floor(1e9 / math.log(2.0) + 0.5).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 102L, 1L, w9deg2)))
+  }
+
+  test("adamicAdar matches naive enumeration on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (for (a <- 0L until 25L; b <- a + 1 until 25L
+                      if rnd.nextDouble() < 0.25) yield (a, b)).distinct
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    def w9(d: Int): Long = math.floor(1e9 / math.log(d.toDouble) + 0.5).toLong
+    val naive = (for {
+      a <- adj.keys.toSeq; b <- adj.keys.toSeq if a < b
+      common = adj(a).intersect(adj(b)) if common.nonEmpty
+    } yield (a, b) -> ((common.size.toLong,
+      common.toSeq.map(z => w9(adj(z).size)).sum))).toMap
+    val got = Graph.adamicAdar(sym(pairs), hubCap = 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == naive)
+  }
+
   test("matches naive per-vertex enumeration on a random graph") {
     val rnd = new scala.util.Random(7)
     val pairs = (for (a <- 0L until 30L; b <- a + 1 until 30L
