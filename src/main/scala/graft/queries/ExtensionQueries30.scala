@@ -62,15 +62,19 @@ object ExtensionQueries30 {
           .join(vocab.select(col("word").as("wa"), col("id").as("src")), "wa")
           .join(vocab.select(col("word").as("wb"), col("id").as("dst")), "wb")
           .select("src", "dst")
-        Graph.pageRank(e2, iters = 5, damping = 0.85)
+        // top-20 via TakeOrderedAndProject (never a global rank window
+        // over the vocab-sized scored frame); rk is then assigned on
+        // the 20-row result by the same two-pass rank — the executed
+        // plan carries NO partition-less window (PlanSpec pins it)
+        val top20 = Graph.pageRank(e2, iters = 5, damping = 0.85)
           .join(vocab.select(col("id").as("node"), col("word")), "node")
           .select(col("word"),
             Rounding.stableRound6(col("rank")).as("textrank"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(desc("textrank"), col("word"))))
-          .where(col("rk") <= 20)
-          .select(col("rk").cast("long").as("rk"), col("word"),
-            col("textrank"))
+          .orderBy(desc("textrank"), col("word"))
+          .limit(20)
+        Ranking.withGlobalRank(top20,
+            Seq(col("textrank").desc, col("word")), partitions = 1)
+          .select(col("global_rank").as("rk"), col("word"), col("textrank"))
           .orderBy("rk")
       },
       Some {

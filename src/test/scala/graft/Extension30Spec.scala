@@ -56,6 +56,28 @@ class Extension30Spec extends SparkSpec {
     assert(got.map(_._1).toSeq == bruteTop)
   }
 
+  test("q283: vocab id assignment is partition-count invariant") {
+    import spark.implicits._
+    // the r9 swap (single-partition Window.orderBy -> two-pass global
+    // rank) must hand EVERY word the same dense id regardless of how
+    // the vocab frame is partitioned — ids feed the edge list, so any
+    // placement dependence would silently rewire the graph
+    val words = (1 to 500).map(i => f"word$i%03d").toDF("word")
+    def ids(partitions: Int): Map[String, Long] =
+      graft.ext.Ranking.withGlobalRank(
+          words.repartition(partitions), Seq(col("word")), partitions)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p2 = ids(2)
+    assert(p2 == ids(17) && p2 == ids(1),
+      "vocab ids depend on partitioning")
+    // dense 1..N in lexicographic order — exactly what the oracle's
+    // row_number() OVER (ORDER BY word) assigns
+    val sorted = p2.keys.toSeq.sorted
+    sorted.zipWithIndex.foreach { case (w, i) =>
+      assert(p2(w) == i + 1L, s"$w got ${p2(w)}, expected ${i + 1}")
+    }
+  }
+
   test("q284: IPS/SNIPS == brute weighted replay") {
     val ev = Tables.load(spark, sf0001, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),

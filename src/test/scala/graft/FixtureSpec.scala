@@ -1,0 +1,22 @@
+package graft
+
+import graft.io.Tables
+
+/** Pins the fixture facts that oracle SQL is authored against — static
+  * DuckDB strings can't derive them at runtime the way the Spark side
+  * does, so a silent fixture change must fail HERE, loudly, instead of
+  * diverging a hash compare downstream.
+  */
+class FixtureSpec extends SparkSpec {
+
+  test("embeddings dim matches Tables.EmbeddingDim (64-wide oracle " +
+    "unrolls depend on it)") {
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { dir =>
+      val e = Tables.load(spark, dir, "embeddings")
+      val dim = graft.ext.SimilaritySearch.deriveDim(e, "embedding")
+      assert(dim == Tables.EmbeddingDim,
+        s"$dir embeddings are $dim-dim but oracles unroll " +
+          s"${Tables.EmbeddingDim} components")
+    }
+  }
+}

@@ -526,4 +526,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Location"), // no file scan in the postlude
       s"cadence postlude re-scans files:\n${p.take(600)}")
   }
+
+  test("q248: every window ranks the (priority, ship_days) value-domain " +
+    "counts frame — never the joined rows") {
+    // the r8 shape sorted the whole lineitem⋈orders join through 5
+    // priority partitions; the r9 shape aggregates to value-domain
+    // counts FIRST, so each WindowExec's child subtree must contain
+    // the 2-key (priority, ship_days) hash aggregate — i.e. the
+    // corpus-sized frame never reaches a window
+    // textual tree order (printed top-down): every Window must sit
+    // ABOVE the (priority, ship_days) aggregate, which must sit ABOVE
+    // the join — so the join's rows reach a window only through the
+    // value-domain collapse. (executedPlan is AQE-wrapped, so a typed
+    // collect() sees no WindowExec; the string form shows the full tree.)
+    val plan = SparkEntry.queries("q248_order_cycle_sla")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    val winIdxs = "Window".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(winIdxs.nonEmpty, "expected value-domain windows in q248")
+    val aggIdx = "HashAggregate\\(keys=\\[priority#\\d+, ship_days#\\d+".r
+      .findFirstMatchIn(plan).map(_.start)
+    assert(aggIdx.isDefined,
+      s"no (priority, ship_days) aggregate in the plan:\n${plan.take(800)}")
+    val joinIdxs = Seq("SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin").map(plan.indexOf).filter(_ >= 0)
+    assert(joinIdxs.nonEmpty, "expected the lineitem⋈orders join")
+    assert(winIdxs.forall(_ < aggIdx.get),
+      "a q248 window runs below the value-domain aggregate (over joined rows)")
+    assert(aggIdx.get < joinIdxs.min,
+      "the value-domain aggregate must collapse the join before any window")
+  }
+
+  test("q283: the post-checkpoint plan carries NO window operator " +
+    "(vocab ids and the top-20 rank both use the two-pass global rank)") {
+    val plan = SparkEntry.queries("q283_textrank_keywords")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"q283 regressed to a window operator:\n${plan.take(800)}")
+  }
 }

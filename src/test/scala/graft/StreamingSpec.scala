@@ -233,6 +233,104 @@ class StreamingSpec extends SparkSpec {
       s"restart broke exactly-once (state not restored?): $ids")
   }
 
+  test("RECOVERY: q167 rateLimit kill-and-resume under RocksDB+changelog " +
+    "— split-run output == single-run, no drops, no double decisions") {
+    // the r8 verdict's open item: the RocksDB/changelog configuration
+    // CLAIMS restart safety but nothing exercised it. This runs the
+    // real q167 operator over the real fixture, stops the query with
+    // half the stream ingested (token state + the 2h pending buffer
+    // live only in the checkpoint at that point), restarts from the
+    // SAME checkpoint with the rest + flush sentinel, and gates the
+    // union of the two runs' outputs against an uninterrupted single
+    // run. Lost state shifts token decisions for boundary-spanning
+    // users; re-read files double-decide events — either fails here.
+    // the explicit LongType schema (the streaming source's own read
+    // path) surfaces ts as a raw epoch long whatever the parquet
+    // logical type is; the halves re-enter readStream as raw INT64 and
+    // the shared unit guard converts them
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$sf0001/events.parquet")
+    val ts50 = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0)
+    val sentinel = Seq(
+      (-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val staging = Files.createTempDirectory("graft_rr_stage")
+    def stageDf(name: String,
+                df: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+      val p = staging.resolve(name)
+      df.coalesce(1).write.mode("overwrite").parquet(p.toString)
+      p
+    }
+    val h1 = stageDf("h1", raw.where(col("ts") <= ts50))
+    val h2 = stageDf("h2", raw.where(col("ts") > ts50))
+    val sn = stageDf("sn", sentinel)
+    def copyIn(dst: java.nio.file.Path, src: java.nio.file.Path,
+               prefix: String): Unit =
+      src.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          Files.copy(f.toPath, dst.resolve(s"$prefix$i.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+    def run(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+            out: java.nio.file.Path): Unit = {
+      // file sink, not memory: the memory sink refuses checkpoint
+      // recovery, and recovery is the thing under test
+      val stream = EventStreams
+        .readStream(spark, src.toString, globFilter = Some("*.parquet"))
+        .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us", "event_id")
+        .as[EventStreams.RateEvent]
+      val q = EventStreams.rateLimit(stream)
+        .filter(col("user_id") >= 0)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val srcSplit = Files.createTempDirectory("graft_rr_split")
+      val ckptSplit = Files.createTempDirectory("graft_rr_ckpt1")
+      val outSplit = Files.createTempDirectory("graft_rr_out1")
+      copyIn(srcSplit, h1, "a")
+      run(srcSplit, ckptSplit, outSplit) // the "kill": stop mid-stream
+      val n1 = spark.read.parquet(outSplit.toString).count()
+      copyIn(srcSplit, h2, "b"); copyIn(srcSplit, sn, "c")
+      run(srcSplit, ckptSplit, outSplit) // resume from the checkpoint
+      val srcAll = Files.createTempDirectory("graft_rr_all")
+      val ckptAll = Files.createTempDirectory("graft_rr_ckpt2")
+      val outAll = Files.createTempDirectory("graft_rr_out2")
+      copyIn(srcAll, h1, "a"); copyIn(srcAll, h2, "b"); copyIn(srcAll, sn, "c")
+      run(srcAll, ckptAll, outAll)
+      def decisions(out: java.nio.file.Path): Seq[(Long, Long, Boolean)] =
+        spark.read.parquet(out.toString).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .sorted.toSeq
+      val split = decisions(outSplit)
+      val single = decisions(outAll)
+      assert(split.map(_._2).distinct.size == split.size,
+        "an event was decided twice across the restart")
+      assert(n1 > 0 && n1 < single.size,
+        s"kill point must land mid-stream (run1 emitted $n1 of " +
+          s"${single.size}) or the test proves nothing")
+      assert(split.size == raw.count(),
+        s"dropped decisions: ${split.size} of ${raw.count()}")
+      assert(split == single,
+        "restored state diverged from the uninterrupted run")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("rateLimit: bucket state carries across micro-batches, pending " +
     "buffer re-orders within-horizon arrivals") {
     def nanos(epochS: Long): Long = epochS * 1000000000L
