@@ -466,6 +466,80 @@ object SimilaritySearch {
     codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** The index's pending tombstone set, if any deletes are awaiting
+    * compaction. Deletes are cheap append-only markers
+    * ([[deleteFromIvfPqIndex]]); this reads them back for serve-time
+    * filtering and for [[compactIvfPqIndex]].
+    */
+  private def ivfPqTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val d = new java.io.File(s"$path/tombstones")
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+    if (d.isDirectory && fs.exists(_.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(d.toString))
+    else None
+  }
+
+  /** DELETE from a persisted [[writeIvfPqIndex]] index: append the ids
+    * to an append-only `tombstones/` sidecar — O(delta), no index file
+    * touched. Serving ([[ivfPqTopKFromIndex]]) anti-joins the pending
+    * tombstones (broadcast — the set is bounded by the compaction
+    * cadence, not the corpus); [[compactIvfPqIndex]] folds them into
+    * the cell files. With [[appendToIvfPqIndex]] this completes the
+    * index CRUD story: update = delete + append (the new version may
+    * land in a different cell; the tombstone hides the old one
+    * immediately, compaction reclaims it).
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col(ids.columns(0)).cast("long").as("id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Fold pending tombstones into the codes files: find the AFFECTED
+    * cells (a column-pruned (id, cell) scan joined to the broadcast
+    * tombstone set — production would carry the cell in the tombstone
+    * to skip even that), rewrite ONLY those cells without the dead rows
+    * (dynamic partition overwrite — untouched cells' files are never
+    * rewritten, the CdcUpsert discipline; Extension25Spec pins it),
+    * remove any cell whose rows ALL died (dynamic overwrite cannot
+    * emit an empty partition), then drop the tombstone sidecar.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    ivfPqTombstones(spark, path).foreach { t =>
+      val tb = t.select(col("id")).distinct().localCheckpoint()
+      val codes = spark.read.parquet(s"$path/codes")
+      val affected = codes.join(broadcast(tb), "id")
+        .select("cell").distinct().collect().map(_.getInt(0))
+      if (affected.nonEmpty) {
+        // materialize the survivors BEFORE overwriting the files they
+        // were read from
+        val kept = codes.where(col("cell").isin(affected.map(Int.box): _*))
+          .join(broadcast(tb), Seq("id"), "left_anti")
+          .localCheckpoint()
+        kept.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(s"$path/codes")
+        val keptCells = kept.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSet
+        (affected.toSet -- keptCells).foreach { dead =>
+          val dir = java.nio.file.Paths.get(s"$path/codes/cell=$dead")
+          if (java.nio.file.Files.isDirectory(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          }
+        }
+      }
+      val td = java.nio.file.Paths.get(s"$path/tombstones")
+      if (java.nio.file.Files.isDirectory(td)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(td).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+  }
+
   def ivfPqTopKFromIndex(queries: DataFrame, path: String, k: Int,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
@@ -478,9 +552,17 @@ object SimilaritySearch {
       explode(VectorFunctions.centroidRanks(col(vecCol), cents, nProbe))
         .as("cell"))
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes0 = spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(probed.map(Int.box): _*))
       .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+    // deletes awaiting compaction are filtered at serve time (the
+    // tombstone set is broadcast — bounded by compaction cadence)
+    val codes = ivfPqTombstones(spark, path) match {
+      case Some(t) => codes0.join(
+        broadcast(t.select(col("id").as("neighbor_id")).distinct()),
+        Seq("neighbor_id"), "left_anti")
+      case None => codes0
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), col("neighbor_id"))
     broadcast(q).join(codes, "cell")

@@ -33,7 +33,8 @@ object ExtensionQueries4 {
     * `pickWhere` rows of `embeddings` — everything downstream of the
     * picks (cell assignment, encoding, probing, ADC) stays full-corpus.
     */
-  private[queries] def ivfPqOracleSqlPick(pickWhere: String): String =
+  private[queries] def ivfPqOracleSqlPick(pickWhere: String,
+                                          candWhere: String = "TRUE"): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |ipick AS (
              |  SELECT vec_id, v FROM (
@@ -80,7 +81,8 @@ object ExtensionQueries4 {
              |cand AS (
              |  SELECT q.query_id, c.vec_id AS neighbor_id
              |  FROM qcell q JOIN ccell c USING (cid)
-             |  WHERE q.query_id <> c.vec_id),
+             |  WHERE q.query_id <> c.vec_id AND (c.vec_id IS NOT NULL
+             |    AND ($candWhere))),
              |scored AS (
              |  SELECT ca.query_id, ca.neighbor_id,
              |    ${Rounding.duckSql("sum(list_dot_product(qs.sub, en.cv))")} AS score

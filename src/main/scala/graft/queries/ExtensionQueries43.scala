@@ -54,5 +54,39 @@ object ExtensionQueries43 {
             .localCheckpoint()
         } finally deleteRecursively(idx)
       },
-      Some(ExtensionQueries4.ivfPqOracleSqlPick("vec_id % 10 <> 0"))))
+      Some(ExtensionQueries4.ivfPqOracleSqlPick("vec_id % 10 <> 0"))),
+
+    // ------------------------------------------------------------------
+    // q329: IVF-PQ tombstone delete + compaction — the other half of
+    // the index CRUD story (q322 is insert): build from the base
+    // slice, absorb the delta, DELETE every vec_id % 20 == 5 (an
+    // O(delta) append to the tombstones sidecar), compact (dynamic
+    // overwrite of ONLY the affected cells, dead cells removed,
+    // tombstones dropped — Extension25Spec pins all three plus
+    // serve-before == serve-after), and serve q111's probes from the
+    // compacted index. The oracle replays base-only picks over the
+    // full corpus MINUS the deleted slice — a deleted row must be
+    // invisible whether it is still a pending tombstone or already
+    // compacted away.
+    Q(
+      "q329_ivfpq_tombstone_compact",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_del")
+        try {
+          SimilaritySearch.writeIvfPqIndex(e.where(col("vec_id") % 10 =!= 0),
+            idx.toString, nCentroids = 16, m = 8, ksub = 16)
+          SimilaritySearch.appendToIvfPqIndex(
+            e.where(col("vec_id") % 10 === 0), idx.toString)
+          SimilaritySearch.deleteFromIvfPqIndex(
+            e.where(col("vec_id") % 20 === 5).select("vec_id"), idx.toString)
+          SimilaritySearch.compactIvfPqIndex(s, idx.toString)
+          SimilaritySearch.ivfPqTopKFromIndex(
+              e.filter(col("vec_id") < 5), idx.toString, 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint()
+        } finally deleteRecursively(idx)
+      },
+      Some(ExtensionQueries4.ivfPqOracleSqlPick("vec_id % 10 <> 0",
+        candWhere = "vec_id % 20 <> 5"))))
 }

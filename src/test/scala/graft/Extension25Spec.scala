@@ -432,4 +432,77 @@ class Extension25Spec extends SparkSpec {
         "served results must not depend on how the delta was batched")
     } finally { rmAll(idx1); rmAll(idx2) }
   }
+
+  test("ivf-pq tombstone delete + compaction: serve-time filtering, " +
+    "affected-cells-only rewrite, sidecar dropped") {
+    import scala.jdk.CollectionConverters._
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = e.filter(col("vec_id") < 5)
+    val deadIds = e.where(col("vec_id") % 20 === 5).select("vec_id")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def cellFiles(idx: java.nio.file.Path): Map[String, Set[String]] = {
+      java.nio.file.Files.list(idx.resolve("codes")).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("cell="))
+        .map { p =>
+          p.getFileName.toString ->
+            java.nio.file.Files.list(p).iterator().asScala
+              .map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSet
+        }.toMap
+    }
+    def rmAll(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    val idx = java.nio.file.Files.createTempDirectory("graft_del1")
+    try {
+      SimilaritySearch.writeIvfPqIndex(e, idx.toString,
+        nCentroids = 16, m = 8, ksub = 16)
+      val servedFull = canon(SimilaritySearch.ivfPqTopKFromIndex(
+        probes, idx.toString, 5, nProbe = 4))
+      SimilaritySearch.deleteFromIvfPqIndex(deadIds, idx.toString)
+      // 1) pending tombstones filter at serve time — no dead neighbor
+      val servedTomb = canon(SimilaritySearch.ivfPqTopKFromIndex(
+        probes, idx.toString, 5, nProbe = 4))
+      val dead = deadIds.collect().map(_.getLong(0)).toSet
+      assert(dead.nonEmpty && servedTomb.nonEmpty)
+      assert(!servedTomb.exists(r => dead.contains(r._3)),
+        "a tombstoned id was served")
+      assert(servedTomb != servedFull,
+        "fixture delete slice must actually change some top-k or the " +
+          "test proves nothing")
+      // which cells hold dead rows (the compaction's rewrite set)
+      val affected = spark.read.parquet(s"$idx/codes")
+        .join(broadcast(deadIds.withColumnRenamed("vec_id", "id")), "id")
+        .select("cell").distinct().collect()
+        .map(r => s"cell=${r.getInt(0)}").toSet
+      val before = cellFiles(idx)
+      SimilaritySearch.compactIvfPqIndex(spark, idx.toString)
+      val after = cellFiles(idx)
+      // 2) ONLY affected cells were rewritten; unaffected untouched
+      before.foreach { case (cell, files) =>
+        if (affected.contains(cell))
+          assert(after.getOrElse(cell, Set.empty) != files || files.isEmpty,
+            s"$cell held dead rows but was not rewritten")
+        else
+          assert(after.get(cell).contains(files),
+            s"unaffected $cell was rewritten by compaction")
+      }
+      // 3) tombstone sidecar folded away, dead rows physically gone
+      assert(!java.nio.file.Files.exists(idx.resolve("tombstones")) ||
+        java.nio.file.Files.list(idx.resolve("tombstones")).iterator()
+          .asScala.isEmpty, "tombstones survived compaction")
+      val idsLeft = spark.read.parquet(s"$idx/codes")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(idsLeft.intersect(dead).isEmpty,
+        "dead rows survived compaction in the codes files")
+      // 4) serving is unchanged by compaction
+      val servedCompact = canon(SimilaritySearch.ivfPqTopKFromIndex(
+        probes, idx.toString, 5, nProbe = 4))
+      assert(servedCompact == servedTomb,
+        "compaction changed served results")
+    } finally rmAll(idx)
+  }
 }

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+import graft.io.Tables
+
+/** Semantics tests for the round-9 q323–q329 wave: the properties the
+  * DuckDB oracle can't see (hand-computed closed forms, in-memory
+  * replays, selection trajectories).
+  */
+class Extension44Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q323 estimators: hand-computed Good-Turing and Chao1 on a " +
+    "crafted frequency profile") {
+    // corpus: a a a b b c d e  -> N=8, V=5, f1=3 (c,d,e), f2=1 (b)
+    val docs = Seq((1L, "a a a b b c d e", "en", "s1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val toks = docs.select(col("source"),
+      explode(graft.ops.Text.words(graft.ops.Text.clean(col("text"))))
+        .as("w"))
+    val vocab = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val r = vocab.groupBy("source")
+      .agg(sum("c").as("n"), count(lit(1)).as("v"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((8L, 5L, 3L, 1L)))
+    // P0 = 3/8; Chao1 = 5 + 9/2 = 9.5
+    assert(3.0 / 8.0 == 0.375)
+    assert(5.0 + 3.0 * 3.0 / (2.0 * 1.0) == 9.5)
+  }
+
+  test("q324: an all-unique-words corpus fits beta == 1 exactly") {
+    // every token is globally unique -> V(N) = N at every checkpoint,
+    // so the log-log points lie EXACTLY on y = x: beta = 1, k = 1
+    val docs = (0L until 64L).map { d =>
+      (d, (0 until 10).map(i => s"w${d}x$i").mkString(" "), "en", "s1", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_heaps")
+    try {
+      docs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // reuse the registered pipeline against the synthetic table dir
+      // by replicating its frame here (the query itself is
+      // fixture-bound): bucketed first-occurrence walk
+      val toks = docs.select(col("source"), col("doc_id"),
+        explode(graft.ops.Text.words(graft.ops.Text.clean(col("text"))))
+          .as("w"))
+      val rng = docs.groupBy("source")
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val tb = toks.join(broadcast(rng), "source")
+        .withColumn("b", expr("(doc_id - lo) * 32 DIV (hi - lo + 1)"))
+      val nb = tb.groupBy("source", "b").agg(count(lit(1)).as("nt"))
+      val fw = tb.groupBy("source", "w").agg(min("b").as("fb"))
+      val vb = fw.groupBy(col("source"), col("fb").as("b"))
+        .agg(count(lit(1)).as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("b")
+      val pts = nb.join(vb, Seq("source", "b"), "left")
+        .na.fill(0L, Seq("nv"))
+        .withColumn("nn", sum("nt").over(w))
+        .withColumn("vv", sum("nv").over(w))
+        .collect()
+      pts.foreach(r => assert(r.getLong(4) == r.getLong(5),
+        s"V != N at a checkpoint: $r"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("q325 personalizedPageRank == in-memory replay; mass stays 1; " +
+    "proximity orders a path graph") {
+    // path 1-2-3-4-5-6, seed {1}: rank must strictly decrease with
+    // distance from the seed beyond its immediate neighborhood
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 4,
+        damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // in-memory replay of the same recurrence
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L, 5L), 5L -> Seq(4L, 6L), 6L -> Seq(5L))
+    var rk = adj.keys.map(n => n -> (if (n == 1L) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 4) {
+      val contrib = adj.toSeq.flatMap { case (src, ds) =>
+        ds.map(d => d -> rk(src) / adj(src).size)
+      }.groupBy(_._1).map { case (n, cs) => n -> cs.map(_._2).sum }
+      rk = adj.keys.map(n =>
+        n -> ((if (n == 1L) 0.15 else 0.0) +
+          0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    adj.keys.foreach(n =>
+      assert(math.abs(got(n) - rk(n)) < 1e-12, s"node $n: ${got(n)} vs ${rk(n)}"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass leaked: $got")
+    // with 4 hard-restart iterations a path graph shows parity
+    // oscillation (odd/even hop alternation), so strict per-hop
+    // monotonicity does NOT hold — the stable property is that the
+    // seed's 2-hop neighborhood dominates everything 3+ hops out
+    assert(math.min(got(2L), got(3L)) >
+      Seq(got(4L), got(5L), got(6L)).max,
+      s"near nodes must outrank far nodes: $got")
+  }
+
+  test("q326 k-center: engine trajectory == in-memory greedy on the " +
+    "fixture slice") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def d6(a: Array[Float], b: Array[Float]): Long = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      math.floor(math.sqrt(s) * 1e6 + 0.5).toLong
+    }
+    var centers = Seq(e.head._1)
+    var md = e.map { case (id, v) => id -> d6(v, e.head._2) }.toMap
+    val vecs = e.toMap
+    for (_ <- 2 to 8) {
+      val nxt = e.map(_._1).maxBy(id => (md(id), -id))
+      centers = centers :+ nxt
+      md = md.map { case (id, m) =>
+        id -> math.min(m, d6(vecs(id), vecs(nxt))) }
+    }
+    val got = SparkEntry.queries("q326_kcenter_diversity")(
+      spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(got == centers,
+      s"selection trajectory diverged: engine $got vs replay $centers")
+  }
+
+  test("q328 CUPED: adjusted means recompute from the per-user frame, " +
+    "and the adjustment shrinks the cross-arm pre-period imbalance") {
+    val out = SparkEntry.queries("q328_cuped_adjustment")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 2)
+    // independent replay from raw events
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"),
+        (col("ts") < lit("2024-01-16").cast("timestamp_ntz")).as("pre"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = ev.length.toDouble
+    val sx = ev.map(_._2).sum.toDouble
+    val sy = ev.map(_._3).sum.toDouble
+    val sxx = ev.map(u => u._2 * u._2).sum.toDouble
+    val sxy = ev.map(u => u._2 * u._3).sum.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val meanX = sx / n
+    Seq(0L, 1L).foreach { v =>
+      val arm = ev.filter(_._1 % 2 == v)
+      val my = arm.map(_._3).sum.toDouble / arm.length / 100.0
+      val adj = (arm.map(_._3).sum.toDouble / arm.length -
+        theta * (arm.map(_._2).sum.toDouble / arm.length - meanX)) / 100.0
+      val row = out.find(_.getLong(0) == v).get
+      assert(math.abs(row.getDouble(2) - my) < 1e-6, s"arm $v mean_y")
+      assert(math.abs(row.getDouble(3) - adj) < 1e-6, s"arm $v cuped")
+    }
+  }
+}
