@@ -150,7 +150,13 @@ object Bench {
         s""""sf":"$sfDir","n_queries":${results.size},""" +
         s""""metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
     try {
-      val self = java.nio.file.Path.of(System.getProperty("user.dir"), "BENCH_SELF.json")
+      // SPARK_GRAFT_BENCH_SELF_PATH: redirect the full-map artifact so a
+      // subset/diagnostic run (SPARK_GRAFT_BENCH_ONLY, isolation re-runs)
+      // does not clobber the committed full-suite BENCH_SELF.json
+      val self = sys.env.get("SPARK_GRAFT_BENCH_SELF_PATH")
+        .map(java.nio.file.Path.of(_))
+        .getOrElse(java.nio.file.Path.of(
+          System.getProperty("user.dir"), "BENCH_SELF.json"))
       java.nio.file.Files.writeString(self, fullLine + "\n")
     } catch { case _: Throwable => () }
     val budget = 1400

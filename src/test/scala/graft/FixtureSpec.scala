@@ -9,6 +9,19 @@ import graft.io.Tables
   */
 class FixtureSpec extends SparkSpec {
 
+  test("events carries exactly the five fixture event types (q330's " +
+    "burned-in BH thresholds assume m = 5 hypotheses)") {
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { dir =>
+      val types = Tables.load(spark, dir, "events")
+        .select("event_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(types ==
+        Set("view", "click", "purchase", "signup", "error"),
+        s"$dir event types changed: $types — q330's z* literals are " +
+          "quantiles for m = 5")
+    }
+  }
+
   test("embeddings dim matches Tables.EmbeddingDim (64-wide oracle " +
     "unrolls depend on it)") {
     Seq(sf0001, "/root/testdata/sf0.01").foreach { dir =>
