@@ -72,6 +72,61 @@ class Extension46Spec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - chi2) < 1e-5, "chi2 replay")
   }
 
+  test("q334 CMH: chi2 and OR_MH recompute from independent stratum " +
+    "cells") {
+    val cells = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("ex"),
+        (round(col("value") * 100).cast("long") > 10000L).as("hi"))
+      .groupBy("event_type", "ex", "hi").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3)))
+    val strata = cells.map(_._1).distinct
+    var sa = 0L; var se = 0.0; var sv = 0.0; var orn = 0.0; var ord = 0.0
+    strata.foreach { t =>
+      def g(ex: Boolean, hi: Boolean): Long =
+        cells.find(c => c._1 == t && c._2 == ex && c._3 == hi)
+          .map(_._4).getOrElse(0L)
+      val (a, b, c, d) = (g(true, true), g(true, false),
+        g(false, true), g(false, false))
+      val n = (a + b + c + d).toDouble
+      sa += a
+      se += (a + b) * (a + c) / n
+      sv += (a + b).toDouble * (c + d) * (a + c) * (b + d) /
+        (n * n * (n - 1.0))
+      orn += a.toDouble * d / n
+      ord += b.toDouble * c / n
+    }
+    val row = SparkEntry.queries("q334_cmh_stratified")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getLong(0) == sa)
+    assert(math.abs(row.getDouble(2) - (sa - se) * (sa - se) / sv) < 1e-5)
+    assert(math.abs(row.getDouble(3) - orn / ord) < 1e-5)
+  }
+
+  test("q336 SRM and q337 PRF: internal identities hold") {
+    val srm = SparkEntry.queries("q336_srm_check")(
+      spark, "/root/testdata/sf0.001").collect()
+    srm.foreach { r =>
+      val (n0, n1, chi2) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val e = (n0 + n1) / 2.0
+      val want = (n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e
+      assert(math.abs(chi2 - want) < 1e-5, s"srm chi2 at $r")
+    }
+    val prf = SparkEntry.queries("q337_langid_prf")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(prf.nonEmpty)
+    prf.foreach { r =>
+      val (nGold, tp, p, rec, f1) = (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(rec - tp.toDouble / nGold) < 1e-5)
+      // harmonic identity: f1 = 2pr/(p+r) whenever both defined
+      if (p + rec > 0)
+        assert(math.abs(f1 - 2 * p * rec / (p + rec)) < 1e-4,
+          s"f1 identity at $r")
+    }
+  }
+
   test("q332 jackknife: a homogeneous corpus has SE 0; removing the " +
     "formula's pieces recomputes the fixture value") {
     // closed-form sanity: if all sources had identical mean quality the
