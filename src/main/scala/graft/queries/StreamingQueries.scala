@@ -37,6 +37,7 @@ object StreamingQueries {
   private val sprtRunId = new AtomicInteger(0)
   private val lateRunId = new AtomicInteger(0)
   private val cadRunId = new AtomicInteger(0)
+  private val srmRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -2111,6 +2112,103 @@ object StreamingQueries {
              |    * 1000000.0 + 0.5) / 1000000.0 AS cv
              |FROM agg
              |ORDER BY cv, user_id
-             |LIMIT 30""".stripMargin))
+             |LIMIT 30""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q342: streaming sample-ratio-mismatch monitor — q336's A/B
+    // health check run LIVE: per event-day window, distinct users per
+    // arm (user_id % 2) via watermarked dropDuplicates state (the q140
+    // DAU discipline — state is one key per (user, arm, day) inside
+    // the watermark horizon, evicted behind it), windowed arm counts
+    // in append mode, and the tiny batch postlude folds each closed
+    // day into the χ²₁ SRM statistic. An alarm here voids every
+    // downstream readout for that day (q264/q268/q330/q335) — which
+    // is why platforms stream it rather than discover it at analysis
+    // time. Oracle = the batch per-day replay.
+    Q(
+      "q342_streaming_srm",
+      (s, dir) => {
+        import s.implicits._
+        val id = srmRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_srm_${id - 1}")
+        val name = s"graft_stream_srm_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_srm_ckpt")
+        val sentinelDir =
+          java.nio.file.Files.createTempDirectory("graft_srm_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val q = withRocksDbState(s) {
+          EventStreams
+            .readStream(s, dir, globFilter = Some("events.parquet"))
+            .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+              globFilter = Some("*.parquet")))
+            .withColumn("day", to_date(col("ts")))
+            .withColumn("arm", pmod(col("user_id"), lit(2)))
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark("user_id", "day")
+            .groupBy(window(col("ts"), "1 day").as("w"))
+            .agg(sum(when(col("arm") === 0 && col("user_id") >= 0, 1L)
+              .otherwise(0L)).as("n0"),
+              // the sentinel (user -1) must count in NEITHER arm — its
+              // far-future window then carries n0 = n1 = 0 and the
+              // postlude's n0 + n1 > 0 filter drops it
+              sum(when(col("arm") === 1 && col("user_id") >= 0, 1L)
+                .otherwise(0L)).as("n1"))
+            .select(col("w.start").cast("date").as("day"),
+              col("n0"), col("n1"))
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        // postlude over the memory sink only (no event re-scan): fold
+        // each closed day into the chi-square; drop the sentinel's
+        // empty far-future day
+        val e = (col("n0") + col("n1")).cast("double") / 2.0
+        s.table(name)
+          .where(col("n0") + col("n1") > 0)
+          .select(col("day"), col("n0").cast("long").as("n0"),
+            col("n1").cast("long").as("n1"),
+            graft.functions.Rounding.stableRound6(
+              (col("n0").cast("double") - e) * (col("n0").cast("double") - e)
+                / e +
+                (col("n1").cast("double") - e) *
+                  (col("n1").cast("double") - e) / e).as("srm_chi2"))
+          .withColumn("srm_alarm", col("srm_chi2") > 3.841)
+          .orderBy("day")
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id,
+             |    user_id % 2 AS arm
+             |  FROM events),
+             |g AS (
+             |  SELECT day,
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n1
+             |  FROM u GROUP BY day),
+             |st AS (
+             |  SELECT day, n0, n1, (n0 + n1)::DOUBLE / 2.0 AS e FROM g)
+             |SELECT day, n0, n1,
+             |  floor(((n0::DOUBLE - e) * (n0::DOUBLE - e) / e
+             |    + (n1::DOUBLE - e) * (n1::DOUBLE - e) / e) * 1000000
+             |    + 0.5) / 1000000 AS srm_chi2,
+             |  floor(((n0::DOUBLE - e) * (n0::DOUBLE - e) / e
+             |    + (n1::DOUBLE - e) * (n1::DOUBLE - e) / e) * 1000000
+             |    + 0.5) / 1000000 > 3.841 AS srm_alarm
+             |FROM st
+             |ORDER BY day""".stripMargin))
   )
 }
