@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PolyHash, Rounding}
+import graft.io.Tables
+
+/** Round-9 seventh wave: prefix-cache savings estimation (q343 — how
+  * much prefill compute exact-prefix KV-cache reuse would save on this
+  * corpus) and local-DP randomized response with debiasing (q344 — the
+  * client-side privacy mechanism q260's central-DP noise does not
+  * cover). Same contract as every other module: each Spark pipeline
+  * pairs with DuckDB oracle SQL replaying it.
+  */
+object ExtensionQueries49 {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q343: prefix-cache savings — if serving keyed a KV cache on
+    // exact k-token prefixes, how much prefill would this corpus
+    // re-use? For k ∈ {8, 16, 32}: docs with ≥ k tokens, their
+    // k-prefix fingerprints (PolyHash of the joined prefix — one
+    // shuffle on the hash per k), and every doc beyond the first in a
+    // fingerprint group saves k tokens of prefill. saved_token_share
+    // divides by TOTAL corpus tokens, so the three rows compare on one
+    // scale. The fingerprint group sizes are the whole state — never a
+    // pairwise join; boilerplate-heavy corpora (q169's shape) show
+    // large shares, clean prose shows ~0.
+    Q(
+      "q343_prefix_cache_savings",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), w -> w <> '')").as("arr"))
+          .withColumn("ntok", size(col("arr")).cast("long"))
+        val total = docs.agg(sum("ntok").as("total_tokens"))
+        val perK = Seq(8, 16, 32).map { k =>
+          docs.where(col("ntok") >= k)
+            .select(PolyHash(concat_ws(" ",
+              slice(col("arr"), 1, k))).as("fp"))
+            .groupBy("fp").agg(count(lit(1)).as("cnt"))
+            .agg(lit(k.toLong).as("k"),
+              sum("cnt").cast("long").as("n_docs_ge_k"),
+              count(lit(1)).cast("long").as("n_prefix_groups"),
+              sum(col("cnt") - 1).cast("long").as("saved_docs"),
+              (sum(col("cnt") - 1) * k).cast("long").as("saved_tokens"))
+        }.reduce(_ unionAll _)
+        perK.crossJoin(broadcast(total))
+          .select(col("k"), col("n_docs_ge_k"), col("n_prefix_groups"),
+            col("saved_docs"),
+            Rounding.stableRound6(col("saved_tokens").cast("double") /
+              col("total_tokens").cast("double")).as("saved_token_share"))
+          .orderBy("k")
+      },
+      Some {
+        val grp = (k: Int) =>
+          s"""g$k AS (
+             |  SELECT ${PolyHash.duckSql(
+                  s"array_to_string(arr[1:$k], ' ')")} AS fp,
+             |    count(*) AS cnt
+             |  FROM d WHERE ntok >= $k GROUP BY 1),
+             |a$k AS (
+             |  SELECT CAST($k AS BIGINT) AS k,
+             |    CAST(sum(cnt) AS BIGINT) AS n_docs_ge_k,
+             |    CAST(count(*) AS BIGINT) AS n_prefix_groups,
+             |    CAST(sum(cnt - 1) AS BIGINT) AS saved_docs,
+             |    CAST(sum(cnt - 1) * $k AS BIGINT) AS saved_tokens
+             |  FROM g$k)"""
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(text, ' '), w -> w <> '') AS arr,
+           |    len(list_filter(string_split(text, ' '), w -> w <> ''))
+           |      AS ntok
+           |  FROM documents),
+           |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total_tokens FROM d),
+           |${grp(8)},
+           |${grp(16)},
+           |${grp(32)},
+           |u AS (SELECT * FROM a8 UNION ALL SELECT * FROM a16
+           |      UNION ALL SELECT * FROM a32)
+           |SELECT u.k, u.n_docs_ge_k, u.n_prefix_groups, u.saved_docs,
+           |  ${Rounding.duckSql(
+                "u.saved_tokens::DOUBLE / tot.total_tokens::DOUBLE")}
+           |    AS saved_token_share
+           |FROM u CROSS JOIN tot
+           |ORDER BY u.k""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q344: local-DP randomized response — the CLIENT-side mechanism
+    // (each event reports a possibly-lied event type; the server never
+    // sees truth) with the unbiased frequency estimator, versus q260's
+    // central-DP noise on true counts. Mechanism: with probability
+    // p = 0.25 report a uniform draw over the 5 types, else the truth;
+    // the "coins" are PolyHash streams keyed by event_id, so BOTH
+    // engines flip identically and the gate is exact. Debias:
+    // est_c = (obs_c − n·p/5) / (1 − p). The output carries the true
+    // counts alongside (this is the fixture audit of estimator error —
+    // a production pipeline would not have them). One scan; the type
+    // frame is the 5-value domain.
+    Q(
+      "q344_randomized_response",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val typeArr = typedlit(types)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"))
+          .withColumn("coin",
+            pmod(PolyHash(concat(lit("rr#"), col("event_id"))),
+              lit(1000000L)))
+          .withColumn("pick",
+            pmod(PolyHash(concat(lit("rp#"), col("event_id"))), lit(5L)))
+          .withColumn("reported",
+            when(col("coin") < 250000L,
+              element_at(typeArr, col("pick").cast("int") + 1))
+              .otherwise(col("event_type")))
+        val n = ev.agg(count(lit(1)).as("n"))
+        val obs = ev.groupBy(col("reported").as("event_type"))
+          .agg(count(lit(1)).as("obs_n"))
+        val truth = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("true_n"))
+        obs.join(truth, "event_type").crossJoin(broadcast(n))
+          .select(col("event_type"), col("true_n").cast("long").as("true_n"),
+            col("obs_n").cast("long").as("obs_n"),
+            Rounding.stableRound6(
+              (col("obs_n").cast("double") -
+                col("n").cast("double") * 0.25 / 5.0) / (1.0 - 0.25))
+              .as("est_n"),
+            Rounding.stableRound6(abs(
+              (col("obs_n").cast("double") -
+                col("n").cast("double") * 0.25 / 5.0) / (1.0 - 0.25) -
+                col("true_n").cast("double")) /
+              col("true_n").cast("double")).as("rel_err"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    ${PolyHash.duckSql("'rr#' || event_id::VARCHAR")} % 1000000
+             |      AS coin,
+             |    ${PolyHash.duckSql("'rp#' || event_id::VARCHAR")} % 5
+             |      AS pick
+             |  FROM events),
+             |rep AS (
+             |  SELECT event_type,
+             |    CASE WHEN coin < 250000 THEN
+             |      (['click', 'error', 'purchase', 'signup', 'view'])
+             |        [pick + 1]
+             |    ELSE event_type END AS reported
+             |  FROM ev),
+             |n AS (SELECT count(*) AS n FROM rep),
+             |obs AS (SELECT reported AS event_type, count(*) AS obs_n
+             |        FROM rep GROUP BY reported),
+             |truth AS (SELECT event_type, count(*) AS true_n
+             |          FROM rep GROUP BY event_type)
+             |SELECT o.event_type, CAST(t.true_n AS BIGINT) AS true_n,
+             |  CAST(o.obs_n AS BIGINT) AS obs_n,
+             |  ${Rounding.duckSql(
+                  "(o.obs_n::DOUBLE - n.n::DOUBLE * 0.25 / 5.0) " +
+                    "/ (1.0 - 0.25)")} AS est_n,
+             |  ${Rounding.duckSql(
+                  "abs((o.obs_n::DOUBLE - n.n::DOUBLE * 0.25 / 5.0) " +
+                    "/ (1.0 - 0.25) - t.true_n::DOUBLE) " +
+                    "/ t.true_n::DOUBLE")} AS rel_err
+             |FROM obs o JOIN truth t ON t.event_type = o.event_type
+             |CROSS JOIN n
+             |ORDER BY o.event_type""".stripMargin))
+  )
+}

@@ -138,6 +138,39 @@ class Extension44Spec extends SparkSpec {
       s"selection trajectory diverged: engine $got vs replay $centers")
   }
 
+  test("new ext entry points refuse degenerate inputs loudly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // hubCap below the minimum must throw, not silently do nothing
+    intercept[IllegalArgumentException] {
+      Graph.adamicAdar(edges, hubCap = 1L)
+    }
+    // a seed set entirely absent from the graph cannot walk anywhere
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq(99L).toDF("node"), iters = 2)
+    }
+    // iters bounds shared with pageRank
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), iters = 0)
+    }
+    // compacting an index with NO pending tombstones is a no-op, not a
+    // crash (and must not touch the files)
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_noop_cmp")
+    try {
+      graft.ext.SimilaritySearch.writeIvfPqIndex(e, idx.toString,
+        nCentroids = 16, m = 8, ksub = 16)
+      val before = java.nio.file.Files.walk(idx).count()
+      graft.ext.SimilaritySearch.compactIvfPqIndex(spark, idx.toString)
+      assert(java.nio.file.Files.walk(idx).count() == before,
+        "no-tombstone compaction must not touch the index")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("q328 CUPED: adjusted means recompute from the per-user frame, " +
     "and the adjustment shrinks the cross-arm pre-period imbalance") {
     val out = SparkEntry.queries("q328_cuped_adjustment")(

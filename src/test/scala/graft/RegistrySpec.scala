@@ -34,7 +34,9 @@ class RegistrySpec extends SparkSpec {
       "q17_small_quantity_revenue", "q73_triangles", "q181_lsh_quality",
       // 1-row × 1-row cross joins of global aggregates
       "q236_zipf_slope", "q245_brier_decomposition",
-      "q312_block_bootstrap")
+      "q312_block_bootstrap",
+      // round-9 single-row global test statistics
+      "q331_logrank_test", "q332_jackknife_quality", "q334_cmh_stratified")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
