@@ -46,10 +46,14 @@ object ExtensionQueries {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** DuckDB replay of Dedup.nearDupPairs at threshold 0.5 — (da, db,
-    * jaccard), no ORDER BY. Shared by q53 (the pipeline gate) and q59
-    * (connected components over its pairs).
+    * jaccard), no ORDER BY. Shared by q53 (the pipeline gate), q59
+    * (connected components over its pairs), q338, and (parameterized,
+    * via [[nearDupPairsOracleAt]]) q345's threshold sweep.
     */
-  private[queries] lazy val NearDupPairsOracle: String = {
+  private[queries] lazy val NearDupPairsOracle: String =
+    nearDupPairsOracleAt(0.5)
+
+  private[queries] def nearDupPairsOracleAt(threshold: Double): String = {
     val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $P) AS m$i"
     }.mkString(",\n             |    ")
@@ -79,7 +83,7 @@ object ExtensionQueries {
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = da
        |JOIN sizes sb ON sb.doc_id = db
-       |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= 0.5""".stripMargin
+       |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= $threshold""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(

@@ -164,6 +164,96 @@ object ExtensionQueries49 {
                     "/ t.true_n::DOUBLE")} AS rel_err
              |FROM obs o JOIN truth t ON t.event_type = o.event_type
              |CROSS JOIN n
-             |ORDER BY o.event_type""".stripMargin))
-  )
+             |ORDER BY o.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q345: dedup threshold survival sweep — the policy-decision curve:
+    // at Jaccard thresholds {0.5 … 0.9}, how many pairs survive, how
+    // many clusters form, how many docs (and what TOKEN share) would
+    // dedup remove under min-id survivorship? Candidates and exact
+    // Jaccards compute ONCE at the loosest threshold (banded MinHash —
+    // never all-pairs — then the 1e-6-snapped exact verify); each
+    // sweep point is a filter + min-label components over an
+    // ever-smaller pair set. This is the chart a curation owner reads
+    // before picking q53's production threshold. The oracle replays
+    // the shared pair frame MATERIALIZED and runs one recursive
+    // component walk per threshold.
+    Q(
+      "q345_dedup_threshold_sweep",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          size(expr("filter(split(text, ' '), w -> w <> '')"))
+            .cast("long").as("ntok"))
+        val totalToks = toks.agg(sum("ntok").as("total_tokens"))
+        val allJac = graft.ext.Dedup
+          .nearDupPairs(docs, "text", "doc_id", 0.5)
+          .localCheckpoint()
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { t =>
+          val pairs = allJac.where(col("jaccard") >= t)
+            .select("da", "db")
+          val labels = graft.ext.Dedup.canonicalize(pairs)
+          val removed = labels.where(col("id") =!= col("label"))
+          val nPairs = pairs.select(count(lit(1)).as("n_pairs"))
+          val nClusters = labels.select(col("label")).distinct()
+            .select(count(lit(1)).as("n_clusters"))
+          removed.join(toks, col("id") === col("doc_id"), "left")
+            .agg(count(lit(1)).as("docs_removed"),
+              coalesce(sum("ntok"), lit(0L)).as("tokens_removed"))
+            .crossJoin(broadcast(nPairs))
+            .crossJoin(broadcast(nClusters))
+            .crossJoin(broadcast(totalToks))
+            .select(lit(t).as("threshold"),
+              col("n_pairs").cast("long").as("n_pairs"),
+              col("n_clusters").cast("long").as("n_clusters"),
+              col("docs_removed").cast("long").as("docs_removed"),
+              Rounding.stableRound6(
+                col("tokens_removed").cast("double") /
+                  col("total_tokens").cast("double"))
+                .as("token_share_removed"))
+        }.reduce(_ unionAll _)
+          .orderBy("threshold")
+      },
+      Some {
+        val block = (i: Int, t: Double) =>
+          s"""p$i AS (SELECT da, db FROM alljac WHERE jaccard >= $t),
+             |e$i AS (SELECT da AS s, db AS d FROM p$i
+             |        UNION ALL SELECT db, da FROM p$i),
+             |w$i(id, lab) AS (
+             |  SELECT s, s FROM e$i
+             |  UNION
+             |  SELECT e.s, w.lab FROM e$i e JOIN w$i w ON w.id = e.d),
+             |l$i AS (SELECT id, min(lab) AS label FROM w$i GROUP BY id),
+             |r$i AS (
+             |  SELECT CAST($t AS DOUBLE) AS threshold,
+             |    (SELECT count(*) FROM p$i) AS n_pairs,
+             |    (SELECT count(DISTINCT label) FROM l$i) AS n_clusters,
+             |    count(*) AS docs_removed,
+             |    coalesce(sum(tk.ntok), 0) AS tokens_removed
+             |  FROM (SELECT id FROM l$i WHERE id <> label) rm
+             |  LEFT JOIN tk ON tk.doc_id = rm.id)"""
+        val blocks = Seq(0.5, 0.6, 0.7, 0.8, 0.9).zipWithIndex
+          .map { case (t, i) => block(i, t) }.mkString(",\n")
+        val union = (0 until 5).map(i => s"SELECT * FROM r$i")
+          .mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE alljac AS MATERIALIZED (
+           |${ExtensionQueries.nearDupPairsOracleAt(0.5)}
+           |),
+           |tk AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    len(list_filter(string_split(text, ' '), w -> w <> ''))
+           |      AS ntok
+           |  FROM documents),
+           |tt AS (SELECT CAST(sum(ntok) AS BIGINT) AS total_tokens FROM tk),
+           |$blocks,
+           |u AS ($union)
+           |SELECT u.threshold, CAST(u.n_pairs AS BIGINT) AS n_pairs,
+           |  CAST(u.n_clusters AS BIGINT) AS n_clusters,
+           |  CAST(u.docs_removed AS BIGINT) AS docs_removed,
+           |  ${Rounding.duckSql(
+                "u.tokens_removed::DOUBLE / tt.total_tokens::DOUBLE")}
+           |    AS token_share_removed
+           |FROM u CROSS JOIN tt
+           |ORDER BY u.threshold""".stripMargin
+      }))
 }
