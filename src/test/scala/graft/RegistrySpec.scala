@@ -36,7 +36,8 @@ class RegistrySpec extends SparkSpec {
       "q236_zipf_slope", "q245_brier_decomposition",
       "q312_block_bootstrap",
       // round-9 single-row global test statistics
-      "q331_logrank_test", "q332_jackknife_quality", "q334_cmh_stratified")
+      "q331_logrank_test", "q332_jackknife_quality", "q334_cmh_stratified",
+      "q346_dedup_signal_agreement")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
