@@ -581,6 +581,27 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q354: every scan window is user-partitioned — the clamp " +
+    "identity must never plan a global (single-partition) window") {
+    val plan = SparkEntry.queries("q354_clamped_running_balance")(
+      spark, sf0001).queryExecution.executedPlan.toString()
+    val winLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, "expected per-user running windows")
+    winLines.foreach(l => assert(l.contains("user_id"),
+      s"window without user_id partition key:\n$l"))
+  }
+
+  test("q356: rank fusion plans as TakeOrderedAndProject top-ks + " +
+    "broadcast counting — no global sort, no cartesian product") {
+    val plan = SparkEntry.queries("q356_borda_fusion")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"),
+      "q356 plans a cartesian product")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "q356 plans a global sort — ranks must come from broadcast counting")
+  }
+
   test("q351: trimming windows rank the (event_type, cents) value " +
     "domain — never the raw event rows") {
     val plan = SparkEntry.queries("q351_trimmed_mean")(spark, sf0001)
