@@ -63,6 +63,8 @@ object Engine {
       WinnowedFingerprints.builder)
     Bridge.registerFunction(spark, "jaro_winkler",
       es => JaroWinkler(es(0), es(1)))
+    Bridge.registerFunction(spark, "damerau_levenshtein",
+      es => DamerauLevenshtein(es(0), es(1)))
     Bridge.registerFunction(spark, "l2_distance",
       es => L2Distance(es(0), es(1)))
     Bridge.registerFunction(spark, "hilbert_index",

@@ -17,6 +17,12 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(2) - 23.0) < 1e-12)
     assert(r.getInt(3) == 2) // "a b c", "b c d"
+    // damerau_levenshtein: unrestricted transposition (CA->AC->ABC = 2)
+    val dl = spark.sql(
+      "SELECT damerau_levenshtein('CA', 'ABC') AS a, " +
+        "damerau_levenshtein('ab', 'ba') AS b, " +
+        "damerau_levenshtein('kitten', 'sitting') AS c").first()
+    assert(dl.getInt(0) == 2 && dl.getInt(1) == 1 && dl.getInt(2) == 3)
     // lsh_bucket from SQL == the Column-API bucket on the same vector
     import spark.implicits._
     val vecSql = "array(" + (1 to 8).map(i => s"${i % 3}.5F").mkString(", ") + ")"
