@@ -38,6 +38,7 @@ object StreamingQueries {
   private val lateRunId = new AtomicInteger(0)
   private val cadRunId = new AtomicInteger(0)
   private val srmRunId = new AtomicInteger(0)
+  private val balRunId = new AtomicInteger(0)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -2209,6 +2210,69 @@ object StreamingQueries {
              |    + (n1::DOUBLE - e) * (n1::DOUBLE - e) / e) * 1000000
              |    + 0.5) / 1000000 > 3.841 AS srm_alarm
              |FROM st
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q366: streaming clamped running balance — the SEQUENTIAL twin of
+    // batch q354 (which computes the same max(0, b + dx) recurrence
+    // through its associative parallel-scan identity): per-user O(1)
+    // live state (balance, peak, floor hits, count) folded in event-time
+    // order over the watermark-buffered pending events, one summary row
+    // per user at sentinel flush. The two formulations sharing ONE
+    // DuckDB oracle is the gate's point — the scan identity and the
+    // stateful fold must agree to the bit.
+    Q(
+      "q366_streaming_balance",
+      (s, dir) => {
+        import s.implicits._
+        val id = balRunId.incrementAndGet()
+        if (id > 1) s.catalog.dropTempView(s"graft_stream_bal_${id - 1}")
+        val name = s"graft_stream_bal_$id"
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_bal_ckpt")
+        val sentinelDir =
+          java.nio.file.Files.createTempDirectory("graft_bal_sentinel")
+        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val stream = EventStreams
+          .readStream(s, dir, globFilter = Some("events.parquet"))
+          .unionByName(EventStreams.readStream(s, sentinelDir.toString,
+            globFilter = Some("*.parquet")))
+          .where(col("event_type")
+            .isin("purchase", "click", "view", "__flush"))
+          .select(col("user_id"), col("ts"),
+            expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+            when(col("event_type") === "purchase",
+              floor(col("value") * 100 + 0.5).cast("long"))
+              .otherwise(-floor(col("value") * 100 + 0.5).cast("long"))
+              .as("dx"))
+          .as[EventStreams.BalanceEvent]
+        val q = withRocksDbState(s) {
+          EventStreams.clampedBalance(stream)
+            .filter(col("user_id") >= 0)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        try {
+          q.awaitTermination()
+        } finally {
+          q.stop()
+          deleteRecursively(ckptDir)
+          deleteRecursively(sentinelDir)
+        }
+        s.table(name)
+          .select(col("user_id"), col("n_tx"), col("final_cents"),
+            col("peak_cents"), col("floor_hits"))
+          .orderBy("user_id")
+      },
+      // the batch twin's oracle, verbatim — one truth for both
+      // formulations
+      ExtensionQueries54.queries
+        .find(_.name == "q354_clamped_running_balance").get.oracle)
   )
 }

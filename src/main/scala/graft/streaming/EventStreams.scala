@@ -757,4 +757,68 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** One event of the streaming ledger, keyed by user: `dx` is the
+    * signed integer-cent delta (deposits positive, consumption
+    * negative), pre-computed by the caller so the fold is pure LONG
+    * arithmetic. */
+  case class BalanceEvent(user_id: Long, ts: java.sql.Timestamp,
+                          ts_us: Long, event_id: Long, dx: Long)
+  case class BalanceState(bal: Long, peak: Long, hits: Long, n: Long,
+                          pending: Seq[(Long, Long, Long)])
+  case class BalanceOut(user_id: Long, n_tx: Long, final_cents: Long,
+                        peak_cents: Long, floor_hits: Long)
+
+  /** Streaming clamped running balance — the SEQUENTIAL twin of batch
+    * q354: per user, b := max(0, b + dx) folded in (ts_us, event_id)
+    * order over the watermark-buffered pending events (the
+    * [[cadenceMonitor]] ordering discipline), carrying (balance, peak,
+    * floor hits, count) as O(1) live state per key. The batch side
+    * computes the SAME recurrence through its associative parallel-scan
+    * identity (b_i = S_i − min(0, min prefix S)); this operator IS the
+    * recurrence — the shared DuckDB oracle proves the two formulations
+    * agree bit-for-bit, which is the point of the pair. One summary row
+    * per key at sentinel flush; keys that flush empty drop their state
+    * (no immortal timeouts in a continuous deployment).
+    */
+  def clampedBalance(events: Dataset[BalanceEvent]): Dataset[BalanceOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BalanceState, BalanceOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[BalanceEvent],
+         state: GroupState[BalanceState]) =>
+          val prev = state.getOption.getOrElse(
+            BalanceState(0L, 0L, 0L, 0L, Seq.empty))
+          val pend = prev.pending ++
+            batch.map(e => (e.ts_us, e.event_id, e.dx))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pend.partition(_._1 < wmUs)
+          var bal = prev.bal; var peak = prev.peak
+          var hits = prev.hits; var n = prev.n
+          ready.sorted.foreach { case (_, _, dx) =>
+            bal = math.max(0L, bal + dx)
+            if (bal > peak) peak = bal
+            if (bal == 0L && dx < 0L) hits += 1L
+            n += 1L
+          }
+          val out =
+            if (wmUs > FlushedThresholdUs && rest.isEmpty && n > 0L) {
+              if (state.exists) state.remove()
+              Seq(BalanceOut(uid, n, bal, peak, hits))
+            } else if (wmUs > FlushedThresholdUs && rest.isEmpty) {
+              if (state.exists) state.remove()
+              Nil
+            } else {
+              state.update(BalanceState(bal, peak, hits, n, rest))
+              state.setTimeoutTimestamp(math.max(
+                if (rest.nonEmpty) rest.map(_._1).min / 1000L + 1L else 0L,
+                state.getCurrentWatermarkMs() + 1L))
+              Nil
+            }
+          out.iterator
+      }
+  }
 }
