@@ -43,13 +43,23 @@ object AsOfJoin {
     *         before + one `asof_<col>` per payload column; inner
     *         semantics (lefts with no match drop, like DuckDB ASOF JOIN).
     */
+  /** @param maxStaleness optional tolerance (pandas `merge_asof
+    *                     tolerance`): only right rows with
+    *                     `time >= leftTime - maxStaleness` match, so a
+    *                     stale quote never silently fills a fresh event.
+    *                     Also the fanout bound at scale — the range join
+    *                     multiplies by distinct times inside the
+    *                     TOLERANCE WINDOW, not the key's full history
+    *                     (`n_prior` then counts only in-window rows).
+    */
   def lookupLatest(
       left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       leftSelect: Seq[Column],
       payload: Seq[String] = Nil,
-      tieBreak: Option[Column] = None): DataFrame = {
+      tieBreak: Option[Column] = None,
+      maxStaleness: Option[Column] = None): DataFrame = {
     require(payload.isEmpty || tieBreak.nonEmpty,
       "payload columns need a tieBreak column for a deterministic pick")
     val perTime = payload.map { c =>
@@ -58,7 +68,12 @@ object AsOfJoin {
     val pre = right
       .groupBy(rightKey.as("__k"), rightTime.as("__t"))
       .agg(count(lit(1)).as("__cnt"), perTime: _*)
-    val joined = left.join(pre, leftKey === col("__k") && col("__t") <= leftTime)
+    val range = maxStaleness match {
+      case Some(tol) =>
+        col("__t") <= leftTime && col("__t") >= leftTime - tol
+      case None => col("__t") <= leftTime
+    }
+    val joined = left.join(pre, leftKey === col("__k") && range)
     val tailAggs = sum("__cnt").cast("long").as("n_prior") +:
       payload.map(c => max_by(col(s"__p_$c"), col("__t")).as(s"asof_$c"))
     joined
