@@ -39,7 +39,7 @@ class RegistrySpec extends SparkSpec {
       "q331_logrank_test", "q332_jackknife_quality", "q334_cmh_stratified",
       "q346_dedup_signal_agreement", "q353_corpus_diversity",
       "q355_degree_assortativity", "q367_rank_concordance",
-      "q388_bloom_fp_audit")
+      "q388_bloom_fp_audit", "q392_blocking_quality")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
