@@ -602,6 +602,40 @@ class PlanSpec extends SparkSpec {
       "q356 plans a global sort — ranks must come from broadcast counting")
   }
 
+  test("q362/q391: tail and QTE windows run over the cents value " +
+    "domain — cumulative counts above a cents-keyed aggregate, " +
+    "never over raw rows") {
+    Seq("q362_p99_exceedance", "q391_quantile_treatment_effect")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.executedPlan.toString()
+        val winLines = plan.linesIterator
+          .filter(_.contains("Window [")).toSeq
+        assert(winLines.nonEmpty, s"$name: expected value-domain windows")
+        winLines.foreach(l => assert(l.contains("cents#"),
+          s"$name: a window does not rank the cents domain:\n$l"))
+        assert("HashAggregate\\(keys=\\[(arm#\\d+, )?cents#\\d+".r
+          .findFirstIn(plan).isDefined,
+          s"$name: no cents-domain aggregate below the windows")
+    }
+  }
+
+  test("q396: vocabulary ranks come from the two-pass global rank — " +
+    "no window operator anywhere in the plan") {
+    val plan = SparkEntry.queries("q396_vocab_truncation_sweep")(
+      spark, sf0001).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"q396 regressed to a window rank:\n${plan.take(600)}")
+  }
+
+  test("q386: the LSH planner never plans a cartesian product — pairs " +
+    "come from banded candidates") {
+    val plan = SparkEntry.queries("q386_lsh_planner")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      "q386 plans a cartesian product")
+  }
+
   test("q351: trimming windows rank the (event_type, cents) value " +
     "domain — never the raw event rows") {
     val plan = SparkEntry.queries("q351_trimmed_mean")(spark, sf0001)
