@@ -636,6 +636,38 @@ class PlanSpec extends SparkSpec {
       "q386 plans a cartesian product")
   }
 
+  test("q451: the Mahalanobis pass is one scan with a BROADCAST " +
+    "statistics row — no shuffle of the lineitem side") {
+    val plan = SparkEntry.queries("q451_mahalanobis_outliers")(
+      spark, sf0001).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"),
+      s"statistics row not broadcast:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the per-row distance pass must not sort-merge the corpus")
+  }
+
+  test("q422: Cook's distance carries no Window operator — leverage is " +
+    "closed-form, never a ranking pass") {
+    val plan = SparkEntry.queries("q422_cooks_distance")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"unexpected window in the influence pass:\n${plan.take(600)}")
+  }
+
+  test("q425/q441: k-fold train means come from the fold-sums frame — " +
+    "one corpus aggregation, broadcast joins back") {
+    Seq("q425_kfold_cv", "q441_cv_paired_ttest").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin")
+        || plan.contains("BroadcastExchange"),
+        s"$name: train means not broadcast:\n${plan.take(600)}")
+      assert(!plan.contains("Window"),
+        s"$name: CV must not rank anything")
+    }
+  }
+
   test("q351: trimming windows rank the (event_type, cents) value " +
     "domain — never the raw event rows") {
     val plan = SparkEntry.queries("q351_trimmed_mean")(spark, sf0001)

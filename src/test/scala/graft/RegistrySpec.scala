@@ -39,7 +39,14 @@ class RegistrySpec extends SparkSpec {
       "q331_logrank_test", "q332_jackknife_quality", "q334_cmh_stratified",
       "q346_dedup_signal_agreement", "q353_corpus_diversity",
       "q355_degree_assortativity", "q367_rank_concordance",
-      "q388_bloom_fp_audit", "q392_blocking_quality")
+      "q388_bloom_fp_audit", "q392_blocking_quality",
+      // continuation-wave single-row global statistics (each is a
+      // cross join of 1-row aggregate frames)
+      "q413_price_indices", "q421_dw_ols", "q427_interrupted_ts",
+      "q430_tost_equivalence", "q438_gmm_em", "q439_gpd_tail_fit",
+      "q440_deterministic_ransac", "q441_cv_paired_ttest",
+      "q443_capture_recapture", "q447_partial_correlation",
+      "q448_rmst")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
