@@ -20,10 +20,11 @@ object ExtensionQueries77 {
     // squares from exact cell statistics: SS_cells decomposes into
     // main effects + interaction, the remainder is within-cell noise.
     // Every (Σy)²/n term is snapped to the integer grid before the
-    // cell/marginal folds (terms reach ~7e18 cents² at sf0.1 — the
-    // 0.5-ulp snap noise is 19 orders below the statistics), so the
-    // cross-cell sums are order-independent LONG arithmetic. One
-    // 25-cell aggregation; the ANOVA table is 3 rows.
+    // cell/marginal folds (the 0.5-ulp snap noise is ~19 orders below
+    // the statistics), so the cross-cell sums are order-independent
+    // integer arithmetic — summed in decimal(38,0)/HUGEINT because
+    // five ~1.9e18 cents² marginal terms overflow BIGINT at sf0.01.
+    // One 25-cell aggregation; the ANOVA table is 3 rows.
     Q(
       "q446_anova_twoway",
       (s, dir) => {
