@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{JaroWinkler, Rounding}
 import graft.io.Tables
+import DriverSide._
 
 /** Round-8 tenth continuation wave: Jaro-Winkler blocked linkage on a
   * native codegen expression (q298), a distributed covariance sketch +
@@ -92,7 +93,7 @@ object ExtensionQueries35 {
               lit(1000000000.0) + lit(0.5)).as("x9")))).as("e"))
           .groupBy(col("e.i").cast("int").as("i"))
           .agg(sum("e.x9").as("s9"), count(lit(1)).as("n"))
-          .collect()
+          .collectBounded("embedding-dimension moment cells")
         val n = s9Rows.head.getLong(2)
         val mu = new Array[Double](Dims)
         s9Rows.foreach(r => mu(r.getInt(0) - 1) =
@@ -111,7 +112,7 @@ object ExtensionQueries35 {
           .groupBy(col("e.i").cast("int").as("i"),
             col("e.j").cast("int").as("j"))
           .agg(sum("e.p9").as("cov9"))
-          .collect()
+          .collectBounded("embedding-dimension covariance cells")
         val a = Array.ofDim[Double](Dims, Dims)
         covRows.foreach(r =>
           a(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2).toDouble)

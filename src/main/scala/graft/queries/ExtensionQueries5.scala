@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Sampling, SimilaritySearch, TextAnalysis}
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
+import DriverSide._
 
 /** Round-5 fourth wave: trigram-indexed fuzzy string pairs (q117),
   * near-dup cluster survivorship (q118), trailing-time-range window
@@ -252,7 +253,8 @@ object ExtensionQueries5 {
         val dim = SimilaritySearch.deriveDim(e, "embedding")
         val avgs = (0 until dim).map(i =>
           avg(element_at(col("embedding"), i + 1)).as(s"c_$i"))
-        val rows = e.groupBy("label").agg(avgs.head, avgs.tail: _*).collect()
+        val rows = e.groupBy("label").agg(avgs.head, avgs.tail: _*)
+          .collectBounded("label centroids")
         // the collect is one row per LABEL (class count, not corpus size)
         // — fail loudly if someone points this at a high-cardinality
         // column instead of a class label

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, SimilaritySearch}
 import graft.functions.Rounding
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 eighth wave: dedup-signal agreement audit (q346 — do the
   * MinHash and winnowing detectors flag the SAME pairs?) and embedding
@@ -133,7 +134,7 @@ object ExtensionQueries50 {
             : Map[Int, (Long, Array[Double])] =
           df.groupBy("label")
             .agg(count(lit(1)).as("n"), avgs: _*)
-            .collect()
+            .collectBounded("label centroids")
             .map { r =>
               r.getInt(0) -> ((r.getLong(1), (0 until dim)
                 .map(i => r6(r.getDouble(i + 2)).toFloat.toDouble)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 seventeenth wave: absorbing-chain expected hitting time by
   * fixed-budget value iteration (q374), an optimizer-style join-size
@@ -44,7 +45,7 @@ object ExtensionQueries59 {
           .agg(count(lit(1)).as("c"))
         // type-domain²-sized collect (≤25 cells) — the q299 driver-side
         // iteration discipline, never a data-sized collect
-        val cnt = tr.collect()
+        val cnt = tr.collectBounded("event-type transition cells")
           .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
           .toMap
         val states = cnt.keys.flatMap(k => Seq(k._1, k._2))

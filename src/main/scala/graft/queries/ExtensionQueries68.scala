@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 twenty-sixth wave: forecasting and index-number analytics —
   * Holt linear-trend smoothing (q410), epoch-folding period detection
@@ -33,7 +34,7 @@ object ExtensionQueries68 {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
           .orderBy("day")
-          .collect()
+          .collectBounded("daily series")
           .map(r => (r.getDate(0), r.getLong(1)))
         def snap3(v: Double): Double = math.floor(v * 1000.0 + 0.5) / 1000.0
         // fold: (level, trend) state; emit (day, x, forecast, level, trend)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 twenty-ninth wave: regression influence diagnostics (q422),
   * Bradley-Terry pairwise-preference strengths — the arena-ranking
@@ -148,7 +149,7 @@ object ExtensionQueries71 {
         val cnt = m.groupBy("a", "c")
           .agg(count(lit(1)).as("n_ac"),
             sum(when(col("a_wins"), 1L).otherwise(0L)).as("w_a"))
-          .collect()
+          .collectBounded("pairwise-preference cells")
           .map(r => ((r.getString(0), r.getString(1)),
             (r.getLong(2), r.getLong(3))))
           .toMap
@@ -276,7 +277,7 @@ object ExtensionQueries71 {
           .where(col("nxt").isNotNull)
           .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
           .agg(count(lit(1)).as("c"))
-        val cnt = tr.collect()
+        val cnt = tr.collectBounded("event-type transition cells")
           .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
           .toMap
         val states = cnt.keys.flatMap(k => Seq(k._1, k._2))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 thirtieth wave: Shapley data valuation (q426), interrupted
   * time series (q427), negative-binomial count-model fitting (q428),
@@ -44,7 +45,7 @@ object ExtensionQueries72 {
           .select(col("r_name").as("grp"), col("l_partkey").as("w"))
           .distinct()
         val langs = wl.select("grp").distinct()
-          .collect().map(_.getString(0)).sorted
+          .collectBounded("group domain").map(_.getString(0)).sorted
         val n = langs.length
         val idx = langs.zipWithIndex.toMap
         val idxDf = {
@@ -54,7 +55,7 @@ object ExtensionQueries72 {
         val maskCnt = wl.join(broadcast(idxDf), "grp")
           .groupBy("w").agg(sum("bit").as("mask"))
           .groupBy("mask").agg(count(lit(1)).as("cnt"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .collectBounded("mask histogram").map(r => (r.getLong(0), r.getLong(1)))
         def v(sMask: Long): Long =
           maskCnt.filter { case (m, _) => (m & sMask) != 0L }
             .map(_._2).sum

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 thirty-first wave: TOST equivalence testing (q430), Lloyd-Max
   * optimal scalar quantization (q431), grid-density (DBSCAN-style)
@@ -110,7 +111,8 @@ object ExtensionQueries73 {
         val dom = Tables.load(s, dir, "events")
           .groupBy(floor(col("value")).cast("long").as("d"))
           .agg(count(lit(1)).as("cnt"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .collectBounded("value-domain histogram")
+          .map(r => (r.getLong(0), r.getLong(1)))
           .sortBy(_._1)
         val lo = dom.map(_._1).min
         val hi = dom.map(_._1).max
@@ -273,7 +275,8 @@ object ExtensionQueries73 {
               .cast("long").as("cy"))
         val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
         val core = cells.where(col("n") >= 5)
-          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+          .collectBounded("grid cells")
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
         def key(c: (Long, Long)): Long = (c._1 + 100) * 1000 + (c._2 + 100)
         // driver-side union-find over the bounded core-cell set
         val parent = scala.collection.mutable.Map[Long, Long]()

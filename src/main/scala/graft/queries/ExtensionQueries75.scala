@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 thirty-third wave: Gaussian-mixture EM (q438), generalized
   * Pareto tail fitting (q439), deterministic RANSAC line fitting
@@ -33,7 +34,8 @@ object ExtensionQueries75 {
           .groupBy(floor(col("value")).cast("long").as("d"))
           .agg(count(lit(1)).as("c"))
           .orderBy("d")
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .collectBounded("value-domain histogram")
+          .map(r => (r.getLong(0), r.getLong(1)))
         val n = dom.map(_._2).sum
         def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
         def orderStat(rank: Long): Long = {
@@ -312,7 +314,7 @@ object ExtensionQueries75 {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("y"))
           .orderBy("day")
-          .collect().map(_.getLong(1))
+          .collectBounded("daily series").map(_.getLong(1))
         val nD = daily.length
         // robust band: 2 * median(|y - median(y)|)
         val med = daily.sorted.apply((nD + 1) / 2 - 1)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 thirty-fourth wave: exact combinatorial assignment (q442),
   * capture-recapture population estimation (q443), a learned-index
@@ -42,31 +43,39 @@ object ExtensionQueries76 {
           .agg(count(lit(1)).as("n"),
             sum(datediff(col("l_shipdate"), col("o_orderdate"))
               .cast("long")).as("sdays"))
-          .collect()
+          .collectBounded("region-priority cells")
           .map(r => ((r.getString(0), r.getString(1)),
             r.getLong(3).toDouble / r.getLong(2).toDouble))
           .toMap
         val regions = cells.keys.map(_._1).toSeq.distinct.sorted
         val prios = cells.keys.map(_._2).toSeq.distinct.sorted
-        // exhaustive optimum, lexicographically-first among ties
-        var bestPerm: Seq[String] = null
-        var bestCost = Double.MaxValue
+        // an empty region×priority cell at some scale factor degrades to
+        // an "infinite" assignment cost (matching the oracle's inner-join
+        // semantics, which would never pick a missing cell) instead of
+        // throwing NoSuchElementException mid-permutation-search
+        def cost(r: String, p: String): Double =
+          cells.getOrElse((r, p), Double.MaxValue)
+        // exhaustive optimum, lexicographically-first among ties (seeded
+        // with the identity assignment so bestPerm is never null even if
+        // every permutation hits a missing cell)
+        var bestPerm: Seq[String] = prios
+        var bestCost = regions.zip(prios).map { case (r, p) => cost(r, p) }.sum
         prios.permutations.foreach { perm =>
-          val c = regions.zip(perm).map(cells).sum
+          val c = regions.zip(perm).map { case (r, p) => cost(r, p) }.sum
           if (c < bestCost) { bestCost = c; bestPerm = perm }
         }
         // greedy: regions alphabetically pick the cheapest remaining
         var remaining = prios
         val greedy = regions.map { r =>
-          val pick = remaining.minBy(p => (cells((r, p)), p))
+          val pick = remaining.minBy(p => (cost(r, p), p))
           remaining = remaining.filterNot(_ == pick)
           pick
         }
-        val greedyCost = regions.zip(greedy).map(cells).sum
+        val greedyCost = regions.zip(greedy).map { case (r, p) => cost(r, p) }.sum
         import s.implicits._
         regions.zipWithIndex.map { case (r, i) =>
           (r, bestPerm(i), greedy(i),
-            math.floor(cells((r, bestPerm(i))) * 1e6 + 0.5) / 1e6,
+            math.floor(cost(r, bestPerm(i)) * 1e6 + 0.5) / 1e6,
             math.floor(bestCost * 1e6 + 0.5) / 1e6,
             math.floor(greedyCost * 1e6 + 0.5) / 1e6,
             greedyCost <= bestCost + 1e-12)
@@ -366,7 +375,8 @@ object ExtensionQueries76 {
             col("x.o") === col("y.o") && col("x.b") < col("y.b"))
           .groupBy(col("x.b").as("a"), col("y.b").as("c"))
           .agg(count(lit(1)).as("n"))
-          .collect().map(r => ((r.getString(0), r.getString(1)),
+          .collectBounded("brand co-occurrence cells")
+          .map(r => ((r.getString(0), r.getString(1)),
             r.getLong(2)))
         val nMax = pairs.map(_._2).max
         val brands = pairs.flatMap(p => Seq(p._1._1, p._1._2))

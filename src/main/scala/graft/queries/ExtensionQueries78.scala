@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding
 import graft.io.Tables
+import DriverSide._
 
 /** Round-9 thirty-sixth wave: exact min-cut/max-flow (q450),
   * Mahalanobis multivariate outliers (q451), a ridge regularization
@@ -32,7 +33,7 @@ object ExtensionQueries78 {
           .groupBy(col("c_mktsegment").as("seg"),
             col("o_orderpriority").as("pri"))
           .agg(count(lit(1)).as("n"))
-          .collect()
+          .collectBounded("segment-priority cells")
           .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
           .toMap
         val segs = o.keys.map(_._1).toSeq.distinct.sorted
@@ -415,7 +416,7 @@ object ExtensionQueries78 {
         val agg = withTot.agg(count(lit(1)).as("n"),
           varStats("total").as("vt"),
           struct(items.map(i => varStats(i).as(i)): _*).as("vi"))
-        val row = agg.collect().head
+        val row = agg.collectBounded("global stats row").head
         val n = row.getLong(0).toDouble
         def vOf(st: org.apache.spark.sql.Row): Double = {
           val sSum = st.getLong(0).toDouble

@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.streaming.{CdcUpsert, EventStreams}
+import DriverSide._
 
 /** Oracle-gated streaming entries: the query fn drives a REAL
   * Structured Streaming run (readStream → watermark+window agg → memory
@@ -860,7 +861,7 @@ object StreamingQueries {
                 .withColumn("rank", row_number().over(byDay))
                 .where(col("rank") <= 10)
                 .select("day", "rank", "user_id", "n")
-                .collect()
+                .collectBounded("per-day top-10 rows")
                 .map(r => (r.getDate(0), r.getInt(1).toLong, r.getLong(2),
                   r.getLong(3)))
               acc.synchronized { acc ++= top }
@@ -1079,7 +1080,9 @@ object StreamingQueries {
             graft.io.Tables.load(s, dir, "documents")
               .where(graft.ext.Sampling.bucket(col("doc_id"), "winnow1") < 2000),
             "text", "doc_id")
-          .select("h").distinct().collect().map(_.getLong(0)).sorted
+          .select("h").distinct()
+          .collectBounded("eval winnowed hashes", cap = 100000)
+          .map(_.getLong(0)).sorted
         val docsSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
@@ -1219,7 +1222,7 @@ object StreamingQueries {
               // closed windows' bin counts only (sentinel's own window
               // never closes, filtered defensively)
               val rows = batch.where(col("event_type") =!= "__flush")
-                .collect()
+                .collectBounded("closed-window bin counts")
               val walked = rows
                 .groupBy(r => (r.getTimestamp(0), r.getString(1)))
                 .toSeq
@@ -1661,7 +1664,10 @@ object StreamingQueries {
               val rows = batch
                 .where(col("win_start") <
                   lit("2090-01-01 00:00:00").cast("timestamp"))
-                .collect()
+                // cap: windows x sketch depth x active cells -- a
+                // sketch-sized domain, larger than the default cap but
+                // still corpus-independent
+                .collectBounded("closed-window sketch rows", cap = 1000000)
               val sketch = rows.map(r => (r.getTimestamp(0), r.getInt(1),
                 r.getLong(2)) -> r.getLong(3)).toMap
               val probed = rows.map(_.getTimestamp(0)).distinct.flatMap {
@@ -1855,7 +1861,8 @@ object StreamingQueries {
         val ref = graft.io.Tables.load(s, dir, "events")
           .select(floor(col("value") / 50.0).cast("long").as("bin"))
           .groupBy("bin").agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .collectBounded("value-bucket reference profile")
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val refN = ref.values.sum
         val bins = ref.keys.toSeq.sorted
         val acc = new scala.collection.mutable.ArrayBuffer[
@@ -1876,7 +1883,7 @@ object StreamingQueries {
               val rows = batch
                 .where(col("win_start") <
                   lit("2090-01-01 00:00:00").cast("timestamp"))
-                .collect()
+                .collectBounded("closed-window rows")
               val walked = rows.groupBy(_.getTimestamp(0)).toSeq.map {
                 case (win, rs) =>
                   val cnt = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
