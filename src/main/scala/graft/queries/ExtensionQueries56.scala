@@ -265,41 +265,72 @@ object ExtensionQueries56 {
 
     // ------------------------------------------------------------------
     // q365: typo-tolerant fuzzy pairs under TRUE Damerau-Levenshtein —
-    // the new codegen expression (graft.functions.DamerauLevenshtein,
+    // the codegen expression (graft.functions.DamerauLevenshtein,
     // pinned byte-for-byte to DuckDB's damerau_levenshtein,
-    // unrestricted Lowrance-Wagner transpositions) over brand-blocked
-    // part-name pairs: same brand, name length within 3 bytes (a DL<=3
-    // match cannot differ by more), distance <= 3. Blocking keeps the
-    // pair space Σ(block size)² — at catalog scale the production
-    // refinement adds a prefix-token key (the q117 candidate shape);
-    // the DL evaluation itself is whole-stage codegen'd, no UDF.
+    // unrestricted Lowrance-Wagner transpositions), with the r9-verdict
+    // fix applied: candidates meet through the COMPOUND blocking key
+    // (p_brand, position#token) — a positional-token posting join, the
+    // q117 candidate shape — plus the length band |len(a)−len(b)| ≤ 3
+    // (a DL≤3 match cannot differ by more). Brand-only blocking was
+    // Σ(n/25)² ≈ n²/25 pairs (genuinely quadratic: 8.0M pairs at
+    // sf0.1); the token posting cuts that to the posting-bucket-local
+    // pair space (1.87M at sf0.1, measured), and on a real catalog —
+    // bounded token document frequency — it is corpus-linear. The
+    // blocking is DECLARED semantics, replayed verbatim by the oracle
+    // (the q117 discipline): a DL≤3 pair sharing no same-position
+    // token is out of scope by definition (on this fixture none is —
+    // all 378,994 sf0.1 truth pairs share ≥1 positional token). The DL
+    // evaluation itself is whole-stage codegen'd, no UDF.
     Q(
       "q365_dl_fuzzy_pairs",
       (s, dir) => {
         val p = Tables.load(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"), col("p_name"))
-        val a = p.select(col("p_partkey").as("id_a"), col("p_brand"),
-          col("p_name").as("name_a"))
-        val b = p.select(col("p_partkey").as("id_b"), col("p_brand"),
-          col("p_name").as("name_b"))
-        a.join(b, Seq("p_brand"))
-          .where(col("id_a") < col("id_b") &&
-            abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+        val toks = p
+          .select(col("p_partkey").as("id"), col("p_brand"),
+            length(col("p_name")).as("len"),
+            posexplode(split(col("p_name"), " ")).as(Seq("i", "tok")))
+          .select(col("id"), col("p_brand"), col("len"),
+            concat_ws("#", (col("i") + 1).cast("string"), col("tok"))
+              .as("bkey"))
+        val cand = toks.as("a").join(toks.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.bkey") === col("b.bkey") &&
+              col("a.id") < col("b.id") &&
+              abs(col("a.len") - col("b.len")) <= 3)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        cand
+          .join(p.select(col("p_partkey").as("id_a"), col("p_brand"),
+            col("p_name").as("name_a")), "id_a")
+          .join(p.select(col("p_partkey").as("id_b"),
+            col("p_name").as("name_b")), "id_b")
           .withColumn("dl", DamerauLevenshtein(col("name_a"), col("name_b")))
           .where(col("dl") <= 3 && col("dl") > 0)
           .select(col("id_a"), col("id_b"), col("p_brand"),
             col("dl").cast("long").as("dl"))
           .orderBy("id_a", "id_b")
       },
-      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-             |  a.p_brand,
-             |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT)
+      Some("""WITH toks AS (
+             |  SELECT p_partkey AS id, p_brand, length(p_name) AS len,
+             |    unnest(list_transform(
+             |      range(1, len(string_split(p_name, ' ')) + 1),
+             |      i -> CAST(i AS VARCHAR) || '#'
+             |        || string_split(p_name, ' ')[i])) AS bkey
+             |  FROM part),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS ia, b.id AS ib
+             |  FROM toks a JOIN toks b
+             |    ON a.p_brand = b.p_brand AND a.bkey = b.bkey
+             |    AND a.id < b.id AND abs(a.len - b.len) <= 3)
+             |SELECT c.ia AS id_a, c.ib AS id_b, pa.p_brand,
+             |  CAST(damerau_levenshtein(pa.p_name, pb.p_name) AS BIGINT)
              |    AS dl
-             |FROM part a JOIN part b
-             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-             |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
-             |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3
-             |  AND damerau_levenshtein(a.p_name, b.p_name) > 0
+             |FROM cand c
+             |JOIN part pa ON pa.p_partkey = c.ia
+             |JOIN part pb ON pb.p_partkey = c.ib
+             |WHERE damerau_levenshtein(pa.p_name, pb.p_name)
+             |  BETWEEN 1 AND 3
              |ORDER BY id_a, id_b""".stripMargin))
   )
 }

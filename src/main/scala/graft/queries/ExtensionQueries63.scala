@@ -176,72 +176,119 @@ object ExtensionQueries63 {
 
     // ------------------------------------------------------------------
     // q392: blocking-quality audit — q365's length-band prefilter
-    // (|len(a)−len(b)| ≤ 3 inside a brand block) audited against the
-    // unfiltered same-brand truth: recall is EXACTLY 1.0 by theorem
+    // (|len(a)−len(b)| ≤ 3 inside a brand block) audited on a
+    // DETERMINISTIC HASH-DRAWN SAMPLE (the r9-verdict fix, the
+    // q55/q353 sampling discipline). Recall is EXACTLY 1.0 by theorem
     // (DL ≥ |length difference|, so no DL≤3 pair can be length-band
-    // pruned) — the q383 discipline where a false gate value is a
-    // computation bug — while precision and the pruning ratio measure
-    // what the prefilter buys: how many candidate DL evaluations the
-    // band avoids per true match kept.
+    // pruned) — the sample's recall_sample column re-derives that gate
+    // value, and a non-1.0 is a computation bug — while sampled
+    // precision and pruning ratio measure what the prefilter buys. The
+    // sample is the 64 lowest-PolyHash rows per brand (partkey
+    // tiebreak; the oracle replays the identical draw), so the audited
+    // pair space is ≤ 25·64·63/2 ≈ 50k REGARDLESS of corpus size —
+    // the r8/r9 full-pair localCheckpoint (~8M rows at sf0.1, ~80G at
+    // 100×) is gone; n_all_pairs stays EXACT via per-brand counts
+    // (Σ c·(c−1)/2), a linear aggregation.
     Q(
       "q392_blocking_quality",
       (s, dir) => {
         val p = Tables.load(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"), col("p_name"))
-        val all = p.toDF("ia", "p_brand", "na")
-          .join(p.toDF("ib", "p_brand", "nb"), "p_brand")
-          .where(col("ia") < col("ib"))
-          .localCheckpoint()
-        val truth = all
+        val allPairs = p.groupBy("p_brand").agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) DIV 2")).cast("long")
+            .as("n_all_pairs"))
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("h"), col("p_partkey"))
+        val sample = p
+          .withColumn("h", graft.functions.PolyHash(
+            concat(lit("blk#"), col("p_partkey").cast("string"))))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 64)
+          .select(col("p_partkey").as("id"), col("p_brand"),
+            col("p_name").as("nm"), length(col("p_name")).as("len"))
+        val pairs = sample.as("a").join(sample.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.nm").as("na"), col("b.nm").as("nb"),
+            col("a.len").as("la"), col("b.len").as("lb"))
+          .withColumn("is_cand", abs(col("la") - col("lb")) <= 3)
           .withColumn("dl", DamerauLevenshtein(col("na"), col("nb")))
-          .where(col("dl") <= 3 && col("dl") > 0)
-        val cand = all.where(
-          abs(length(col("na")) - length(col("nb"))) <= 3)
-        val candTrue = cand
-          .withColumn("dl", DamerauLevenshtein(col("na"), col("nb")))
-          .where(col("dl") <= 3 && col("dl") > 0)
-        truth.agg(count(lit(1)).as("n_truth"))
-          .crossJoin(all.agg(count(lit(1)).as("n_all_pairs")))
-          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-          .crossJoin(candTrue.agg(count(lit(1)).as("n_caught")))
-          .select(col("n_truth"), col("n_all_pairs"), col("n_candidates"),
-            col("n_caught"),
-            Rounding.stableRound6(col("n_caught").cast("double") /
-              col("n_truth").cast("double")).as("recall"),
-            Rounding.stableRound6(col("n_caught").cast("double") /
-              col("n_candidates").cast("double")).as("precision"),
-            Rounding.stableRound6(lit(1.0) -
-              col("n_candidates").cast("double") /
-                col("n_all_pairs").cast("double")).as("pruning_ratio"))
+          .withColumn("is_true", col("dl") <= 3 && col("dl") > 0)
+        val agg = pairs.agg(
+          count(lit(1)).as("n_sample_pairs"),
+          sum(when(col("is_true"), 1L).otherwise(0L))
+            .as("n_sample_truth"),
+          sum(when(col("is_cand"), 1L).otherwise(0L))
+            .as("n_sample_candidates"),
+          sum(when(col("is_cand") && col("is_true"), 1L).otherwise(0L))
+            .as("n_sample_caught"))
+        agg.crossJoin(allPairs)
+          .select(col("n_all_pairs"), col("n_sample_pairs"),
+            col("n_sample_truth"), col("n_sample_candidates"),
+            col("n_sample_caught"),
+            when(col("n_sample_truth") === 0, lit(1.0)).otherwise(
+              Rounding.stableRound6(
+                col("n_sample_caught").cast("double") /
+                  col("n_sample_truth").cast("double")))
+              .as("recall_sample"),
+            when(col("n_sample_candidates") === 0, lit(1.0)).otherwise(
+              Rounding.stableRound6(
+                col("n_sample_caught").cast("double") /
+                  col("n_sample_candidates").cast("double")))
+              .as("precision_sample"),
+            when(col("n_sample_pairs") === 0, lit(0.0)).otherwise(
+              Rounding.stableRound6(lit(1.0) -
+                col("n_sample_candidates").cast("double") /
+                  col("n_sample_pairs").cast("double")))
+              .as("pruning_ratio_sample"))
       },
-      Some(s"""WITH allp AS (
-             |  SELECT a.p_partkey AS ia, b.p_partkey AS ib,
-             |    a.p_name AS na, b.p_name AS nb
-             |  FROM part a JOIN part b
-             |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
-             |t AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS n_truth FROM allp
-             |  WHERE damerau_levenshtein(na, nb) BETWEEN 1 AND 3),
-             |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_all_pairs
-             |       FROM allp),
-             |c AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM allp
-             |  WHERE abs(length(na) - length(nb)) <= 3),
-             |ct AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS n_caught FROM allp
-             |  WHERE abs(length(na) - length(nb)) <= 3
-             |    AND damerau_levenshtein(na, nb) BETWEEN 1 AND 3)
-             |SELECT n_truth, n_all_pairs, n_candidates, n_caught,
-             |  ${Rounding.duckSql(
-                  "n_caught::DOUBLE / n_truth::DOUBLE")} AS recall,
-             |  ${Rounding.duckSql(
-                  "n_caught::DOUBLE / n_candidates::DOUBLE")}
-             |    AS precision,
-             |  ${Rounding.duckSql(
-                  "1.0 - n_candidates::DOUBLE / n_all_pairs::DOUBLE")}
-             |    AS pruning_ratio
-             |FROM t CROSS JOIN a1 CROSS JOIN c CROSS JOIN ct"""
-        .stripMargin),
+      Some(s"""WITH ap AS (
+             |  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
+             |    AS n_all_pairs
+             |  FROM (SELECT count(*) AS c FROM part GROUP BY p_brand)),
+             |samp AS (
+             |  SELECT p_partkey AS id, p_brand, p_name AS nm,
+             |    length(p_name) AS len
+             |  FROM (
+             |    SELECT p_partkey, p_brand, p_name,
+             |      row_number() OVER (PARTITION BY p_brand
+             |        ORDER BY ${graft.functions.PolyHash.duckSql(
+                      "'blk#' || p_partkey::VARCHAR")}, p_partkey) AS rn
+             |    FROM part)
+             |  WHERE rn <= 64),
+             |pr AS (
+             |  SELECT a.nm AS na, b.nm AS nb,
+             |    (abs(a.len - b.len) <= 3) AS is_cand,
+             |    (damerau_levenshtein(a.nm, b.nm) BETWEEN 1 AND 3)
+             |      AS is_true
+             |  FROM samp a JOIN samp b
+             |    ON a.p_brand = b.p_brand AND a.id < b.id),
+             |ag AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_sample_pairs,
+             |    CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_sample_truth,
+             |    CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_sample_candidates,
+             |    CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_sample_caught
+             |  FROM pr)
+             |SELECT n_all_pairs, n_sample_pairs, n_sample_truth,
+             |  n_sample_candidates, n_sample_caught,
+             |  CASE WHEN n_sample_truth = 0 THEN 1.0
+             |    ELSE ${Rounding.duckSql(
+                    "n_sample_caught::DOUBLE / n_sample_truth::DOUBLE")}
+             |  END AS recall_sample,
+             |  CASE WHEN n_sample_candidates = 0 THEN 1.0
+             |    ELSE ${Rounding.duckSql(
+                    "n_sample_caught::DOUBLE" +
+                      " / n_sample_candidates::DOUBLE")}
+             |  END AS precision_sample,
+             |  CASE WHEN n_sample_pairs = 0 THEN 0.0
+             |    ELSE ${Rounding.duckSql(
+                    "1.0 - n_sample_candidates::DOUBLE" +
+                      " / n_sample_pairs::DOUBLE")}
+             |  END AS pruning_ratio_sample
+             |FROM ag CROSS JOIN ap""".stripMargin),
       bench = true),
 
     // ------------------------------------------------------------------

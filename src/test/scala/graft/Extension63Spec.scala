@@ -63,15 +63,24 @@ class Extension63Spec extends SparkSpec {
       && w(0).getLong(2) <= w(1).getLong(2)))
   }
 
-  test("q392: recall is exactly 1.0 (the DL >= length-difference " +
-    "theorem) and pruning is real") {
+  test("q392: sampled recall is exactly 1.0 (the DL >= length-" +
+    "difference theorem), the sample is corpus-independent-bounded, " +
+    "and pruning is real") {
     val r = SparkEntry.queries("q392_blocking_quality")(spark, sf0001)
       .head()
-    assert(r.getDouble(4) == 1.0, "length-band blocking lost a true pair")
-    assert(r.getLong(3) == r.getLong(0))
-    assert(r.getLong(2) <= r.getLong(1))
-    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
-    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0)
+    val nAll = r.getLong(0)
+    val nPairs = r.getLong(1)
+    val nTruth = r.getLong(2)
+    val nCand = r.getLong(3)
+    val nCaught = r.getLong(4)
+    // 64 rows per brand max -> <= 25 * 64*63/2 audited pairs, ever
+    assert(nPairs <= 25L * 64 * 63 / 2, s"sample pair space $nPairs")
+    assert(nPairs <= nAll)
+    assert(r.getDouble(5) == 1.0, "length-band blocking lost a true pair")
+    assert(nCaught == nTruth)
+    assert(nCand <= nPairs)
+    assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+    assert(r.getDouble(7) >= 0.0 && r.getDouble(7) < 1.0)
   }
 
   test("q393: reach2 is bounded below by degree and above by the " +

@@ -668,6 +668,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q365: candidate join keys on the compound (p_brand, bkey) — " +
+    "no brand-only equi-join anywhere (the r9 quadratic shape)") {
+    val plan = SparkEntry.queries("q365_dl_fuzzy_pairs")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    // the positional-token posting join must carry bkey in its key list
+    assert("Join \\[[^\\]]*bkey#\\d+".r.findFirstIn(plan).isDefined,
+      s"no join keyed on bkey:\n${plan.take(800)}")
+    // and no join may key on p_brand ALONE — that is the Σ(n/25)² pair
+    // space the r9 verdict flagged
+    val brandOnly = "Join \\[p_brand#\\d+\\],".r.findFirstIn(plan)
+    assert(brandOnly.isEmpty,
+      s"brand-only equi-join found: ${brandOnly.getOrElse("")}")
+  }
+
+  test("q392: sampled audit materializes no corpus-pair frame — no " +
+    "checkpoint scan, and the pair join runs on the fixed-size sample") {
+    val df = SparkEntry.queries("q392_blocking_quality")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the r9 shape localCheckpoint'ed ALL same-brand pairs (an eager
+    // ~8M-row RDD scan at sf0.1); the rewrite must plan as pure joins
+    // over the 64-per-brand window sample
+    assert(!plan.contains("Checkpoint") && !plan.contains("ExistingRDD"),
+      s"checkpointed pair frame still in plan:\n${plan.take(600)}")
+    assert(plan.contains("row_number"),
+      s"hash-drawn sample window missing:\n${plan.take(600)}")
+  }
+
   test("q351: trimming windows rank the (event_type, cents) value " +
     "domain — never the raw event rows") {
     val plan = SparkEntry.queries("q351_trimmed_mean")(spark, sf0001)
