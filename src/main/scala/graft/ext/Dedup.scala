@@ -2,7 +2,7 @@ package graft.ext
 
 import scala.util.Random
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
@@ -123,7 +123,18 @@ object Dedup {
       sort_array(shingleHashes(col(textCol))).as("ha"))
     val b = right.select(col(idCol).as("db"),
       sort_array(shingleHashes(col(textCol))).as("hb"))
-    cand.join(a, "da").join(b, "db")
+    verifyJaccardArrays(cand, a, b, threshold)
+  }
+
+  /** The verify kernel on PRE-HASHED sides: `aArr` = (da, ha sorted),
+    * `bArr` = (db, hb sorted). Split out of [[verifyJaccard]] so the
+    * persisted-index serve path ([[nearDupJoinIndexed]]) can feed the
+    * corpus side from its stored sidecar instead of re-hashing text.
+    */
+  private def verifyJaccardArrays(cand: DataFrame, aArr: DataFrame,
+                                  bArr: DataFrame,
+                                  threshold: Double): DataFrame =
+    cand.join(aArr, "da").join(bArr, "db")
       .withColumn("inter",
         graft.functions.SortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard",
@@ -131,6 +142,66 @@ object Dedup {
           / (size(col("ha")) + size(col("hb")) - col("inter"))))
       .where(col("jaccard") >= threshold)
       .select("da", "db", "jaccard")
+
+  // --------------------------------------------------------------------
+  // Persisted MinHash band index (r9 verdict item 4): the ANN-index
+  // lifecycle (q207/q322 write-once + incremental append + serve)
+  // applied to near-dup dedup, so a standing corpus is signatured ONCE
+  // and every later crawl batch joins against the stored bands — not
+  // re-signatured per run, which at 100 TB is the difference between a
+  // batch-sized job and a corpus-sized one.
+
+  /** Write the corpus's LSH index to `path`: `bands/` holds the exploded
+    * (id, band, key) posting relation partitioned by band, `hashes/`
+    * each doc's sorted shingle-hash array — everything the serve path
+    * needs, so serving never touches corpus text again.
+    */
+  def writeBandIndex(df: DataFrame, textCol: String, idCol: String,
+                     path: String): Unit = {
+    bandKeys(df, textCol, idCol, "id")
+      .write.mode(SaveMode.Overwrite).partitionBy("band")
+      .parquet(s"$path/bands")
+    df.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol))).as("hs"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
+  }
+
+  /** Incrementally append a new batch's bands + hash arrays to an
+    * existing index. Only the delta's rows are written (parquet append —
+    * existing files are never rewritten; pinned in Extension80Spec), the
+    * q322/CdcUpsert maintenance discipline.
+    */
+  def appendToBandIndex(delta: DataFrame, textCol: String, idCol: String,
+                        path: String): Unit = {
+    bandKeys(delta, textCol, idCol, "id")
+      .write.mode(SaveMode.Append).partitionBy("band")
+      .parquet(s"$path/bands")
+    delta.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol))).as("hs"))
+      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
+  }
+
+  /** Near-dup join of a batch against a PERSISTED index: the batch
+    * computes signatures fresh (work linear in the batch), corpus-side
+    * candidates meet through the stored band postings and the exact
+    * verify reads the stored hash arrays. Result is IDENTICAL to
+    * [[nearDupJoin]](batch, corpus, …) — same band layout, same verify —
+    * which is exactly what the q459 oracle (a from-scratch recompute)
+    * asserts.
+    */
+  def nearDupJoinIndexed(batch: DataFrame, spark: SparkSession,
+                         path: String, textCol: String, idCol: String,
+                         threshold: Double): DataFrame = {
+    val corpusBands = spark.read.parquet(s"$path/bands")
+      .select(col("id").as("db"), col("band"), col("key"))
+    val cand = bandKeys(batch, textCol, idCol, "da")
+      .join(corpusBands, Seq("band", "key"))
+      .select("da", "db").distinct()
+    val a = batch.select(col(idCol).as("da"),
+      sort_array(shingleHashes(col(textCol))).as("ha"))
+    val b = spark.read.parquet(s"$path/hashes")
+      .select(col("id").as("db"), col("hs").as("hb"))
+    verifyJaccardArrays(cand, a, b, threshold)
   }
 
   /** LSH candidate pairs: docs agreeing on all rows of at least one band.

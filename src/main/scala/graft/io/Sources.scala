@@ -84,4 +84,32 @@ object Sources {
     val nFiles = ceilDiv.min(BigInt(partitionClamp)).max(BigInt(1)).toInt
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Bucketed-table storage (r9 verdict item 3): persist a table
+    * hash-bucketed AND per-bucket-sorted on its join key, so every later
+    * join between tables bucketed the same way runs SHUFFLE-FREE — the
+    * scan itself satisfies the join's required distribution. This is the
+    * standard 100 TB answer for a key joined repeatedly (doc_id,
+    * user_id, vec_id): pay the shuffle once at write time, never again
+    * per query. Registered as an external parquet table (metadata in the
+    * session catalog, data at `path`); read it back with
+    * `spark.table(table)` — a plain `spark.read.parquet` would see the
+    * data but not the bucket spec, and re-shuffle.
+    *
+    * The pre-write `repartition(buckets, key)` aligns the write tasks
+    * with the bucket hash (both are pmod(Murmur3)), yielding ONE file
+    * per bucket — the layout where Spark can also elide the SMJ's sort.
+    * Plan shape (SortMergeJoin, zero Exchange on either side) is pinned
+    * in PlanSpec's q458 test.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, bucketCol: String): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .saveAsTable(table)
+  }
 }

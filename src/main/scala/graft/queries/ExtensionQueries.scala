@@ -53,6 +53,54 @@ object ExtensionQueries {
   private[queries] lazy val NearDupPairsOracle: String =
     nearDupPairsOracleAt(0.5)
 
+  /** DuckDB replay of Dedup.nearDupJoin(incoming 20%, corpus 80%, 0.5)
+    * under the "inc" hash split — the recompute-from-scratch truth for
+    * BOTH the direct cross-table join (q66) and the persisted-band-index
+    * serve path (q459): by construction the two must produce identical
+    * rows, so they share one oracle.
+    */
+  private[queries] lazy val NearDupJoinOracle: String = {
+    val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS m$i"
+    }.mkString(",\n             |    ")
+    val bandJoins = (0 until Dedup.Bands).map { bnd =>
+      val keys = (0 until Dedup.RowsPerBand).map(r => s"m${bnd * Dedup.RowsPerBand + r}")
+      s"""SELECT a.doc_id AS da, b.doc_id AS db
+         |    FROM lsig a JOIN rsig b
+         |    ON ${keys.map(k => s"a.$k = b.$k").mkString(" AND ")}"""
+    }.mkString("\n             |    UNION\n             |    ")
+    s"""WITH $ShingleCtes,
+       |buckets AS (
+       |  SELECT doc_id, (h * h % 1000000007) % 10000 AS bucket
+       |  FROM (SELECT doc_id, ${PolyHash.duckSql("'inc#' || doc_id::VARCHAR")} AS h
+       |        FROM documents)),
+       |hashes AS (SELECT doc_id, ${PolyHash.duckSql("s")} AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hashes GROUP BY doc_id),
+       |lsig AS (SELECT sig.* FROM sig JOIN buckets USING (doc_id)
+       |         WHERE bucket >= 8000),
+       |rsig AS (SELECT sig.* FROM sig JOIN buckets USING (doc_id)
+       |         WHERE bucket < 8000),
+       |cand AS (SELECT DISTINCT da, db FROM (
+       |    $bandJoins)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.da, c.db, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.da
+       |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT da, db,
+       |  floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= 0.5
+       |ORDER BY da, db""".stripMargin
+  }
+
   private[queries] def nearDupPairsOracleAt(threshold: Double): String = {
     val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $P) AS m$i"
@@ -728,47 +776,7 @@ object ExtensionQueries {
         Dedup.nearDupJoin(incoming, corpus, "text", "doc_id", 0.5)
           .orderBy("da", "db")
       },
-      Some {
-        val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
-          s"min(($a * h + $b) % $P) AS m$i"
-        }.mkString(",\n             |    ")
-        val bandJoins = (0 until Dedup.Bands).map { bnd =>
-          val keys = (0 until Dedup.RowsPerBand).map(r => s"m${bnd * Dedup.RowsPerBand + r}")
-          s"""SELECT a.doc_id AS da, b.doc_id AS db
-             |    FROM lsig a JOIN rsig b
-             |    ON ${keys.map(k => s"a.$k = b.$k").mkString(" AND ")}"""
-        }.mkString("\n             |    UNION\n             |    ")
-        s"""WITH $ShingleCtes,
-           |buckets AS (
-           |  SELECT doc_id, (h * h % 1000000007) % 10000 AS bucket
-           |  FROM (SELECT doc_id, ${PolyHash.duckSql("'inc#' || doc_id::VARCHAR")} AS h
-           |        FROM documents)),
-           |hashes AS (SELECT doc_id, ${PolyHash.duckSql("s")} AS h FROM sh),
-           |sig AS (
-           |  SELECT doc_id,
-           |    $mins
-           |  FROM hashes GROUP BY doc_id),
-           |lsig AS (SELECT sig.* FROM sig JOIN buckets USING (doc_id)
-           |         WHERE bucket >= 8000),
-           |rsig AS (SELECT sig.* FROM sig JOIN buckets USING (doc_id)
-           |         WHERE bucket < 8000),
-           |cand AS (SELECT DISTINCT da, db FROM (
-           |    $bandJoins)),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT c.da, c.db, count(*) AS i
-           |  FROM cand c
-           |  JOIN sh a ON a.doc_id = c.da
-           |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
-           |  GROUP BY 1, 2)
-           |SELECT da, db,
-           |  floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
-           |FROM inter
-           |JOIN sizes sa ON sa.doc_id = da
-           |JOIN sizes sb ON sb.doc_id = db
-           |WHERE floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 >= 0.5
-           |ORDER BY da, db""".stripMargin
-      }),
+      Some(NearDupJoinOracle)),
 
     // ------------------------------------------------------------------
     // q67: sliding-window aggregation (1h window, 30min slide — every

@@ -668,6 +668,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q458: pre-bucketed tables join with ZERO exchange on either " +
+    "side — the scan satisfies the SMJ's distribution") {
+    val df = SparkEntry.queries("q458_bucketed_colocated_join")(
+      spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin"), plan.take(600))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.isEmpty,
+      s"bucketed join still shuffles:\n${exchanges.mkString("\n")}")
+    // and the scans actually use the bucket spec
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan not bucketed:\n${plan.take(800)}")
+  }
+
   test("q365: candidate join keys on the compound (p_brand, bkey) — " +
     "no brand-only equi-join anywhere (the r9 quadratic shape)") {
     val plan = SparkEntry.queries("q365_dl_fuzzy_pairs")(spark, sf0001)
