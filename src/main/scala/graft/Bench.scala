@@ -110,8 +110,23 @@ object Bench {
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
 
+    // Bench tiering (r9 verdict item 8): at 450+ queries the
+    // end-of-suite contention (~0.5–1.5 s/query, BENCH_NOTES.md) is the
+    // same order as many queries' real cost, so slow-query regressions
+    // were unattributable without a manual isolation rerun. The
+    // perf-sensitive tier — the top-50 by historical minimum across
+    // committed BENCH_r*.json — now runs FIRST, while the JVM is clean;
+    // the long tail follows in registry order. Tier membership is
+    // recorded in both output artifacts ("tier1" name list in
+    // BENCH_SELF.json, tier totals on the printed line).
+    val tier1Names: Set[String] =
+      selected.map(_.name).filter(baseline.contains)
+        .sortBy(n => -baseline(n)).take(50).toSet
+    val ordered = selected.filter(q => tier1Names(q.name)) ++
+      selected.filterNot(q => tier1Names(q.name))
+
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = selected.map { q =>
+    val results = ordered.map { q =>
       val first = (1 to runs).map(_ => timeOnce(q))
       val t1 = minGood(first)
       val prior = baseline.get(q.name)
@@ -143,10 +158,18 @@ object Bench {
     // at ~1400 chars, with the suite total and true query count at the
     // end so nothing meaningful is lost to truncation.
     val total = results.map(_._2).sum
+    val tier1Total = results.filter(kv => tier1Names(kv._1)).map(_._2).sum
     def entryStr(kv: (String, Double)): String =
       "\"" + kv._1 + "\":" + f"${kv._2}%.3f"
+    val tierFields =
+      s""""tier1_n":${tier1Names.size},""" +
+        s""""tier1_sec":${f"$tier1Total%.3f"},""" +
+        s""""tier2_sec":${f"${total - tier1Total}%.3f"},"""
     val fullLine =
       s"""{"queries":${results.map(entryStr).mkString("{", ",", "}")},""" +
+        s""""tier1":${tier1Names.toSeq.sorted.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        tierFields +
         s""""sf":"$sfDir","n_queries":${results.size},""" +
         s""""metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
     try {
@@ -170,6 +193,7 @@ object Bench {
     val line =
       s"""{"queries":${kept.mkString("{", ",", "}")},""" +
         s""""queries_shown":${kept.size},"queries_full_in":"BENCH_SELF.json",""" +
+        tierFields +
         s""""sf":"$sfDir","n_queries":${results.size},""" +
         s""""metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
     // Tear down BEFORE printing: the streaming state-store maintenance
