@@ -192,8 +192,12 @@ object Dedup {
   def nearDupJoinIndexed(batch: DataFrame, spark: SparkSession,
                          path: String, textCol: String, idCol: String,
                          threshold: Double): DataFrame = {
-    val corpusBands = spark.read.parquet(s"$path/bands")
-      .select(col("id").as("db"), col("band"), col("key"))
+    val live = tombstones(spark, path) match {
+      case Some(t) => spark.read.parquet(s"$path/bands")
+        .join(broadcast(t), Seq("id"), "left_anti")
+      case None => spark.read.parquet(s"$path/bands")
+    }
+    val corpusBands = live.select(col("id").as("db"), col("band"), col("key"))
     val cand = bandKeys(batch, textCol, idCol, "da")
       .join(corpusBands, Seq("band", "key"))
       .select("da", "db").distinct()
@@ -203,6 +207,58 @@ object Dedup {
       .select(col("id").as("db"), col("hs").as("hb"))
     verifyJaccardArrays(cand, a, b, threshold)
   }
+
+  /** Tombstone-delete ids from a persisted band index — O(delta): one
+    * appended tombstone row per id, no index rewrite (the q329 ANN
+    * delete discipline). The serve path anti-joins live bands against
+    * the (broadcast-sized) tombstone set until a [[compactBandIndex]]
+    * folds them in.
+    */
+  def deleteFromBandIndex(ids: DataFrame, idCol: String,
+                          path: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession,
+                         path: String): Option[DataFrame] = {
+    val p = new java.io.File(s"$path/tombstones")
+    if (p.exists()) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** Fold accumulated tombstones into the index: rewrite bands/ and
+    * hashes/ minus the deleted ids, then clear tombstones/. The rewrite
+    * goes through a sibling tmp dir + directory swap so the job never
+    * overwrites files it is reading (at cluster scale the same
+    * write-then-swap runs against the object store's atomic rename).
+    * No-op when there are no tombstones.
+    */
+  def compactBandIndex(spark: SparkSession, path: String): Unit =
+    tombstones(spark, path).foreach { t =>
+      val tIds = broadcast(t)
+      def rewrite(sub: String, partitioned: Boolean): Unit = {
+        val cleaned = spark.read.parquet(s"$path/$sub")
+          .join(tIds, Seq("id"), "left_anti")
+        val w = cleaned.write.mode(SaveMode.Overwrite)
+        (if (partitioned) w.partitionBy("band") else w)
+          .parquet(s"$path/${sub}_compact")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$path/$sub"))
+        require(new java.io.File(s"$path/${sub}_compact")
+          .renameTo(new java.io.File(s"$path/$sub")),
+          s"compaction swap failed for $path/$sub")
+      }
+      rewrite("bands", partitioned = true)
+      rewrite("hashes", partitioned = false)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$path/tombstones"))
+    }
 
   /** LSH candidate pairs: docs agreeing on all rows of at least one band.
     * Implemented as ONE equi-self-join on the exploded composite

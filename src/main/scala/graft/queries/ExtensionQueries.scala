@@ -59,7 +59,15 @@ object ExtensionQueries {
     * serve path (q459): by construction the two must produce identical
     * rows, so they share one oracle.
     */
-  private[queries] lazy val NearDupJoinOracle: String = {
+  private[queries] lazy val NearDupJoinOracle: String =
+    nearDupJoinOracleWithCorpusPred("TRUE")
+
+  /** [[NearDupJoinOracle]] with an extra predicate restricting the
+    * corpus (rsig) side — q461 recomputes against "corpus minus the
+    * tombstoned slice" to gate the index's delete+compact path.
+    */
+  private[queries] def nearDupJoinOracleWithCorpusPred(
+      corpusPred: String): String = {
     val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $P) AS m$i"
     }.mkString(",\n             |    ")
@@ -82,7 +90,7 @@ object ExtensionQueries {
        |lsig AS (SELECT sig.* FROM sig JOIN buckets USING (doc_id)
        |         WHERE bucket >= 8000),
        |rsig AS (SELECT sig.* FROM sig JOIN buckets USING (doc_id)
-       |         WHERE bucket < 8000),
+       |         WHERE bucket < 8000 AND ($corpusPred)),
        |cand AS (SELECT DISTINCT da, db FROM (
        |    $bandJoins)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -106,6 +106,87 @@ object ExtensionQueries80 {
         Dedup.nearDupJoinIndexed(incoming, s, path, "text", "doc_id", 0.5)
           .orderBy("da", "db")
       },
-      Some(ExtensionQueries.NearDupJoinOracle))
+      Some(ExtensionQueries.NearDupJoinOracle)),
+
+    // ------------------------------------------------------------------
+    // q460: bucket-PRUNED point serve — the read-side payoff of
+    // bucketed storage beyond the shuffle-free join: an equality
+    // predicate on the bucket key prunes the scan to ONE bucket's
+    // files (SelectedBucketsCount: 1 out of 8, pinned in PlanSpec), so
+    // a key lookup against a 100 TB profile store reads 1/8th (or
+    // 1/N-buckets) of the data with no index structure at all. The
+    // probe key is deterministic (the smallest user_id in events) so
+    // the oracle replays it as a scalar subquery.
+    Q(
+      "q460_bucket_pruned_serve",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_buckets$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val stats = ev.groupBy("user_id").agg(
+          count(lit(1)).cast("long").as("n_events"),
+          sum("cents").as("total_cents"))
+        Sources.writeBucketed(stats, s"graft_ups$tag",
+          s"$base/ups", 8, "user_id")
+        // a bare point lookup has no join/agg requiring the bucket
+        // distribution, so DisableUnnecessaryBucketedScan would switch
+        // the scan to non-bucketed — and with it silently drop bucket
+        // PRUNING, the very thing a point serve wants. Pin the scan
+        // bucketed for this session's table reads.
+        s.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val probeId = ev.agg(min("user_id")).head().getLong(0)
+        s.table(s"graft_ups$tag")
+          .where(col("user_id") === probeId)
+          .select(col("user_id"), col("n_events"), col("total_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |stats AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(cents) AS BIGINT) AS total_cents
+             |  FROM ev GROUP BY 1)
+             |SELECT user_id, n_events, total_cents
+             |FROM stats
+             |WHERE user_id = (SELECT min(user_id) FROM events)
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q461: band-index DELETE + COMPACT — the rest of the index
+    // lifecycle (the ANN q329 discipline applied to dedup): a corpus
+    // slice is tombstoned in O(delta) (one appended row per id, no
+    // rewrite), the compactor folds tombstones in through a
+    // write-then-swap rewrite, and the serve result must equal a
+    // from-scratch recompute against "corpus minus the deleted slice"
+    // (the oracle's rsig predicate). Extension80Spec additionally pins
+    // serve-before-compact == serve-after-compact.
+    Q(
+      "q461_band_index_delete_compact",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_bandidxdc$tag"
+        val d = Sampling.hashSplit(Tables.load(s, dir, "documents"),
+          "doc_id", "inc", Seq(("corpus", 0.8), ("incoming", 0.2)))
+        val incoming = d.filter(col("split") === "incoming")
+          .select("doc_id", "text")
+        val corpus = d.filter(col("split") === "corpus")
+          .select("doc_id", "text")
+        Dedup.writeBandIndex(corpus, "text", "doc_id", path)
+        Dedup.deleteFromBandIndex(
+          corpus.where(col("doc_id") % 11 === 0).select("doc_id"),
+          "doc_id", path)
+        Dedup.compactBandIndex(s, path)
+        Dedup.nearDupJoinIndexed(incoming, s, path, "text", "doc_id", 0.5)
+          .orderBy("da", "db")
+      },
+      Some(ExtensionQueries.nearDupJoinOracleWithCorpusPred(
+        "(doc_id % 11) <> 0")))
   )
 }

@@ -86,6 +86,48 @@ class Extension80Spec extends SparkSpec {
       s"index serve diverged: got ${got.length} vs ${want.length} rows")
   }
 
+  test("q461: tombstone serve == compacted serve == recompute on the " +
+    "filtered corpus; compaction removes tombstoned rows and clears " +
+    "the tombstone log") {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bandidxdc_spec"
+    val d = Sampling.hashSplit(Tables.load(spark, sf0001, "documents"),
+      "doc_id", "inc", Seq(("corpus", 0.8), ("incoming", 0.2)))
+    val incoming = d.filter(col("split") === "incoming")
+      .select("doc_id", "text")
+    val corpus = d.filter(col("split") === "corpus")
+      .select("doc_id", "text")
+    Dedup.writeBandIndex(corpus, "text", "doc_id", path)
+    Dedup.deleteFromBandIndex(
+      corpus.where(col("doc_id") % 11 === 0).select("doc_id"),
+      "doc_id", path)
+    def serve() =
+      Dedup.nearDupJoinIndexed(incoming, spark, path, "text", "doc_id",
+        0.5).orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val beforeCompact = serve()
+    Dedup.compactBandIndex(spark, path)
+    val afterCompact = serve()
+    assert(beforeCompact == afterCompact,
+      "compaction changed the serve result")
+    // the tombstone log is gone and the rewritten index holds no
+    // tombstoned ids
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val leftover = spark.read.parquet(s"$path/bands")
+      .where(col("id") % 11 === 0).count()
+    assert(leftover == 0, s"$leftover tombstoned band rows survived")
+    // and the whole path equals the direct recompute on the filtered
+    // corpus
+    val want = Dedup.nearDupJoin(incoming,
+        corpus.where(col("doc_id") % 11 =!= 0), "text", "doc_id", 0.5)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(afterCompact == want)
+    // a compact with no tombstones is a no-op (and must not throw)
+    Dedup.compactBandIndex(spark, path)
+    assert(serve() == afterCompact)
+  }
+
   test("band index: serving a batch against an appended index equals " +
     "serving against an index built in one shot") {
     val oneShot =

@@ -683,6 +683,13 @@ class PlanSpec extends SparkSpec {
       s"scan not bucketed:\n${plan.take(800)}")
   }
 
+  test("q460: equality on the bucket key prunes the scan to one " +
+    "bucket (SelectedBucketsCount 1 of 8)") {
+    val p = planOf("q460_bucket_pruned_serve")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      p.linesIterator.filter(_.contains("Bucket")).mkString("\n"))
+  }
+
   test("q365: candidate join keys on the compound (p_brand, bkey) — " +
     "no brand-only equi-join anywhere (the r9 quadratic shape)") {
     val plan = SparkEntry.queries("q365_dl_fuzzy_pairs")(spark, sf0001)
