@@ -187,6 +187,56 @@ object ExtensionQueries80 {
           .orderBy("da", "db")
       },
       Some(ExtensionQueries.nearDupJoinOracleWithCorpusPred(
-        "(doc_id % 11) <> 0")))
+        "(doc_id % 11) <> 0"))),
+
+    // ------------------------------------------------------------------
+    // q462: storage-satisfied AGGREGATION — the third bucketed-storage
+    // plan shape: a groupBy on the bucket key over a pre-bucketed event
+    // store needs NO exchange (the scan's hashpartitioning(user_id, 8)
+    // already satisfies the aggregate's required distribution), so the
+    // recurring "per-user rollup over the event log" job runs
+    // shuffle-free below the final small histogram step. Magnitude =
+    // decimal digit count of total cents (string length — exact
+    // integer logic on both engines, no libm log10 boundary risk).
+    // PlanSpec pins: zero hashpartitioning(user_id) exchanges.
+    Q(
+      "q462_bucketed_user_rollup",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_buckets$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        Sources.writeBucketed(ev, s"graft_evb$tag",
+          s"$base/evb", 8, "user_id")
+        val per = s.table(s"graft_evb$tag")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("total_cents"))
+        per
+          .groupBy(length(col("total_cents").cast("string"))
+            .cast("long").as("magnitude"))
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum("n").as("n_events"),
+            sum("total_cents").as("sum_cents"))
+          .orderBy("magnitude")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |per AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS total_cents
+             |  FROM ev GROUP BY 1)
+             |SELECT CAST(length(CAST(total_cents AS VARCHAR)) AS BIGINT)
+             |    AS magnitude,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(n) AS BIGINT) AS n_events,
+             |  CAST(sum(total_cents) AS BIGINT) AS sum_cents
+             |FROM per
+             |GROUP BY 1
+             |ORDER BY magnitude""".stripMargin))
   )
 }

@@ -683,6 +683,18 @@ class PlanSpec extends SparkSpec {
       s"scan not bucketed:\n${plan.take(800)}")
   }
 
+  test("q462: per-user aggregation over the bucketed event store " +
+    "needs no user_id exchange — storage satisfies the distribution") {
+    val df = SparkEntry.queries("q462_bucketed_user_rollup")(
+      spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString()
+    val userExchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+      .toSeq
+    assert(userExchanges.isEmpty,
+      s"per-user agg still shuffles:\n${userExchanges.mkString("\n")}")
+  }
+
   test("q460: equality on the bucket key prunes the scan to one " +
     "bucket (SelectedBucketsCount 1 of 8)") {
     val p = planOf("q460_bucket_pruned_serve")
