@@ -112,4 +112,74 @@ object Sources {
       .option("path", path)
       .saveAsTable(table)
   }
+
+  /** Zone-map (data-skipping) storage — the Delta/Iceberg file-skipping
+    * pattern without a table format: data is range-clustered on
+    * `zoneCol` at write time (`repartitionByRange` + within-file sort,
+    * so each file owns a narrow value band), and a tiny per-file
+    * [min, max] manifest is persisted next to it. A later range
+    * predicate consults the manifest FIRST and hands Spark only the
+    * intersecting files — at 100 TB a selective band touches a handful
+    * of files instead of listing-and-opening all of them, and parquet's
+    * own row-group min/max pushdown then prunes within each file. The
+    * manifest is file-count-sized (KBs for thousands of files), read
+    * once per query on the driver.
+    *
+    * The manifest pass re-reads ONLY the zone column of the just-written
+    * data (column-pruned scan) because Spark surfaces no per-file
+    * footer-stats API at write time; at cluster scale this costs one
+    * narrow scan per table write, amortized over every pruned read.
+    */
+  def writeWithZoneMap(df: DataFrame, path: String, zoneCol: String,
+                       nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    df.repartitionByRange(nFiles, col(zoneCol))
+      .sortWithinPartitions(zoneCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    spark.read.parquet(s"$path/data")
+      .select(input_file_name().as("file"),
+        col(zoneCol).cast("double").as("z"))
+      .groupBy("file")
+      .agg(min("z").as("zmin"), max("z").as("zmax"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_zonemap")
+  }
+
+  /** Manifest consultation for [lo, hi): returns (files whose
+    * [zmin, zmax] zone intersects the band, total file count). Exposed
+    * separately so tests pin the pruning ratio. The collect is bounded
+    * by the manifest's file count — fail loudly if a caller points this
+    * at something manifest-shaped but huge.
+    */
+  def zoneMapFiles(spark: SparkSession, path: String, lo: Double,
+                   hi: Double): (Seq[String], Int) = {
+    val cap = 1000000
+    val rows = spark.read.parquet(s"$path/_zonemap")
+      .select("file", "zmin", "zmax").limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"zone-map manifest at $path exceeds $cap files")
+    val sel = rows.toSeq
+      .filter(r => r.getDouble(2) >= lo && r.getDouble(1) < hi)
+      .map(_.getString(0))
+    (sel, rows.length)
+  }
+
+  /** Zone-map-pruned range read: only manifest-intersecting files enter
+    * the scan; the residual row predicate still applies (zones are
+    * file-granular). Empty intersection short-circuits to an empty
+    * frame with the table's schema — no file is opened at all.
+    */
+  def readZoneMapped(spark: SparkSession, path: String, zoneCol: String,
+                     lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (files, _) = zoneMapFiles(spark, path, lo, hi)
+    val pred = col(zoneCol) >= lo && col(zoneCol) < hi
+    if (files.isEmpty)
+      spark.read.parquet(s"$path/data").where(lit(false))
+    else
+      spark.read.parquet(files: _*).where(pred)
+  }
 }

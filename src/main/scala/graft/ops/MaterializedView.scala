@@ -1,0 +1,102 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance for keyed additive
+  * aggregates — the storage/state pattern that turns "re-run the rollup
+  * over the whole fact table" into "merge today's delta into yesterday's
+  * answer". The MV holds `(keys, mv_n, mv_sum)` per group; a CDC delta
+  * batch (rows tagged +1 insert / -1 delete in `opCol`) is aggregated to
+  * per-key net effects and full-outer-merged into the MV. Groups whose
+  * count reaches zero disappear, exactly as they would from a recompute.
+  *
+  * Cost model — the whole point at 100 TB: `applyDelta` reads the MV
+  * (group-count-sized, orders of magnitude below the fact table) plus
+  * the delta batch; the base fact table is NEVER rescanned — the API
+  * cannot even name it. Correctness relies on the classic
+  * delta-maintenance algebra for distributive aggregates (count/sum;
+  * avg derives as mv_sum/mv_n): insert adds (+1, +v), delete subtracts,
+  * and the merge is associative so any delta batching yields the same
+  * MV as a from-scratch recompute — which is precisely what the q464
+  * oracle checks.
+  *
+  * `valueCol` must be integral (the engine's cents discipline): sums
+  * stay exact under any merge order, so MV state never accumulates
+  * float drift across maintenance cycles.
+  *
+  * Storage is versioned (`v00000/`, `v00001/`, ...): each maintenance
+  * cycle writes a NEW version directory and leaves the previous one
+  * intact (write-then-swap — a reader never observes a half-written
+  * MV, and a crashed maintenance job leaves the current version
+  * untouched). `read` serves the highest complete version.
+  */
+object MaterializedView {
+
+  private def versionDir(path: String, v: Int): String = f"$path/v$v%05d"
+
+  /** Highest committed version, -1 if none. A version is committed iff
+    * its `_SUCCESS` marker exists (Spark writes it last), so a crashed
+    * write is invisible.
+    */
+  def latestVersion(path: String): Int = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) -1
+    else Files.list(p).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d{5}"))
+      .filter(d => Files.exists(Paths.get(path, d, "_SUCCESS")))
+      .map(_.drop(1).toInt)
+      .foldLeft(-1)(math.max)
+  }
+
+  /** Build the MV from the base table — the ONE full scan the lifetime
+    * of the view costs. Overwrites any existing version chain.
+    */
+  def create(base: DataFrame, keys: Seq[String], valueCol: String,
+             path: String): Unit = {
+    require(keys.nonEmpty, "MV needs at least one group key")
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("mv_n"),
+        sum(col(valueCol)).cast("long").as("mv_sum"))
+      .write.mode(SaveMode.Overwrite).parquet(versionDir(path, 0))
+  }
+
+  /** Merge one CDC delta batch (opCol = +1 insert / -1 delete) into the
+    * view: aggregate the delta per key, full-outer-merge with the
+    * current version, drop emptied groups, commit as the next version.
+    * O(|MV| + |delta|) — the base table is not an input.
+    */
+  def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
+                 keys: Seq[String], valueCol: String, opCol: String): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no MV at $path — call create first")
+    val mv = spark.read.parquet(versionDir(path, v))
+    val d = delta.groupBy(keys.map(col): _*)
+      .agg(sum(col(opCol)).cast("long").as("d_n"),
+        sum(col(opCol) * col(valueCol)).cast("long").as("d_sum"))
+    mv.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("mv_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("mv_n"),
+        (coalesce(col("mv_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+          .as("mv_sum")): _*)
+      .where(col("mv_n") > 0)
+      .write.mode(SaveMode.Overwrite).parquet(versionDir(path, v + 1))
+  }
+
+  /** Serve the current MV. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no MV at $path")
+    spark.read.parquet(versionDir(path, v))
+  }
+}
