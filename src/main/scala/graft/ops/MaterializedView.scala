@@ -1,5 +1,6 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
@@ -33,15 +34,23 @@ import org.apache.spark.sql.functions._
   * cycle writes a NEW version directory and leaves the previous one
   * intact (write-then-swap — a reader never observes a half-written
   * MV, and a crashed maintenance job leaves the current version
-  * untouched). `read` serves the highest complete version.
+  * untouched). A version becomes visible through a single `_commit`
+  * file created AFTER its data lands — one atomic file creation is the
+  * commit point, and for streaming maintenance the same file carries
+  * the batch id (see [[applyDeltaIdempotent]]), so "version visible"
+  * and "batch recorded" cannot be split by a crash. `read` serves the
+  * highest committed version.
   */
 object MaterializedView {
 
   private def versionDir(path: String, v: Int): String = f"$path/v$v%05d"
 
-  /** Highest committed version, -1 if none. A version is committed iff
-    * its `_SUCCESS` marker exists (Spark writes it last), so a crashed
-    * write is invisible.
+  private def commitFile(path: String, v: Int) =
+    Paths.get(versionDir(path, v), "_commit")
+
+  /** Highest committed version, -1 if none. Only versions with a
+    * `_commit` file count — a crashed write leaves an orphan directory
+    * that the next maintenance cycle simply overwrites.
     */
   def latestVersion(path: String): Int = {
     val p = Paths.get(path)
@@ -49,9 +58,15 @@ object MaterializedView {
     else Files.list(p).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("v\\d{5}"))
-      .filter(d => Files.exists(Paths.get(path, d, "_SUCCESS")))
+      .filter(d => Files.exists(Paths.get(path, d, "_commit")))
       .map(_.drop(1).toInt)
       .foldLeft(-1)(math.max)
+  }
+
+  private def commit(path: String, v: Int, note: String): Unit = {
+    Files.write(commitFile(path, v),
+      note.getBytes(StandardCharsets.UTF_8))
+    ()
   }
 
   /** Build the MV from the base table — the ONE full scan the lifetime
@@ -68,15 +83,12 @@ object MaterializedView {
       .agg(count(lit(1)).cast("long").as("mv_n"),
         sum(col(valueCol)).cast("long").as("mv_sum"))
       .write.mode(SaveMode.Overwrite).parquet(versionDir(path, 0))
+    commit(path, 0, "")
   }
 
-  /** Merge one CDC delta batch (opCol = +1 insert / -1 delete) into the
-    * view: aggregate the delta per key, full-outer-merge with the
-    * current version, drop emptied groups, commit as the next version.
-    * O(|MV| + |delta|) — the base table is not an input.
-    */
-  def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
-                 keys: Seq[String], valueCol: String, opCol: String): Unit = {
+  private def mergeDelta(spark: SparkSession, path: String,
+                         delta: DataFrame, keys: Seq[String],
+                         valueCol: String, opCol: String): Int = {
     val v = latestVersion(path)
     require(v >= 0, s"no MV at $path — call create first")
     val mv = spark.read.parquet(versionDir(path, v))
@@ -91,6 +103,49 @@ object MaterializedView {
           .as("mv_sum")): _*)
       .where(col("mv_n") > 0)
       .write.mode(SaveMode.Overwrite).parquet(versionDir(path, v + 1))
+    v + 1
+  }
+
+  /** Merge one CDC delta batch (opCol = +1 insert / -1 delete) into the
+    * view: aggregate the delta per key, full-outer-merge with the
+    * current version, drop emptied groups, commit as the next version.
+    * O(|MV| + |delta|) — the base table is not an input.
+    */
+  def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
+                 keys: Seq[String], valueCol: String, opCol: String): Unit =
+    commit(path, mergeDelta(spark, path, delta, keys, valueCol, opCol), "")
+
+  /** Exactly-once variant for streaming maintenance (`foreachBatch`):
+    * a RE-DELIVERED batch id is a no-op. Structured Streaming's
+    * foreachBatch guarantee is at-least-once — after a crash between
+    * sink write and checkpoint commit the same batch replays — so an
+    * idempotence key is what upgrades the MV sink to exactly-once. The
+    * batch id rides IN the `_commit` file, so recording it and making
+    * the version visible are one atomic file creation: a crash before
+    * it leaves the old MV current and the batch unrecorded (replay
+    * overwrites the orphan directory), a crash after leaves both done.
+    */
+  def applyDeltaIdempotent(spark: SparkSession, path: String,
+                           delta: DataFrame, keys: Seq[String],
+                           valueCol: String, opCol: String,
+                           batchId: Long): Unit = {
+    if (appliedBatches(path).contains(batchId)) return
+    commit(path, mergeDelta(spark, path, delta, keys, valueCol, opCol),
+      s"batch=$batchId")
+  }
+
+  /** Batch ids already folded into the MV, across all versions. */
+  def appliedBatches(path: String): Set[Long] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Set.empty
+    else Files.list(p).iterator().asScala
+      .filter(d => d.getFileName.toString.matches("v\\d{5}"))
+      .map(d => d.resolve("_commit"))
+      .filter(Files.exists(_))
+      .map(f => new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").trim.toLong)
+      .toSet
   }
 
   /** Serve the current MV. */

@@ -134,6 +134,30 @@ object VersionedTable {
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
     spark.read.parquet(manifestFiles(path, v).map(r => s"$path/$r"): _*)
 
+  /** Multiset diff between two snapshots — `change` = 'added' (in vB,
+    * not vA) / 'removed' (in vA, not vB) — reading ONLY the files the
+    * manifests DON'T share: if A = S ⊎ Ao and B = S ⊎ Bo (S the shared
+    * files' rows), then A∖B = Ao∖Bo and B∖A = Bo∖Ao, so the shared
+    * bulk never enters the scan. That makes "what changed between the
+    * 2024-03 and 2024-04 corpus snapshots" cost proportional to the
+    * CHANGED files, not the table — on a 100 TB snapshot pair where one
+    * commit touched 0.1% of files, the diff reads 0.1%. `exceptAll`
+    * keeps multiset semantics (duplicate rows diff by multiplicity).
+    */
+  def diffVersions(spark: SparkSession, path: String, vA: Int,
+                   vB: Int): DataFrame = {
+    val aF = manifestFiles(path, vA)
+    val bF = manifestFiles(path, vB)
+    val shared = aF.toSet.intersect(bF.toSet)
+    def rd(fs: Seq[String]): DataFrame =
+      if (fs.nonEmpty) spark.read.parquet(fs.map(r => s"$path/$r"): _*)
+      else readVersion(spark, path, vA).where(lit(false))
+    val ao = rd(aF.filterNot(shared))
+    val bo = rd(bF.filterNot(shared))
+    bo.exceptAll(ao).withColumn("change", lit("added"))
+      .unionByName(ao.exceptAll(bo).withColumn("change", lit("removed")))
+  }
+
   /** Read the current version. */
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, latestVersion(path))
