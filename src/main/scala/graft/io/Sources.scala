@@ -182,4 +182,83 @@ object Sources {
     else
       spark.read.parquet(files: _*).where(pred)
   }
+
+  /** TWO-dimensional zone maps via Z-ORDER clustering (the Delta
+    * `OPTIMIZE ZORDER BY` shape): rows are range-clustered on the
+    * Morton interleave of both columns min-max-stretched into 16 bits
+    * (graft.functions.ZOrder), so each file owns a compact BOX in
+    * (x, y) space, and the manifest records per-file min/max of BOTH
+    * columns. A conjunctive box predicate then prunes on both
+    * dimensions at once — the case single-column clustering can't
+    * serve: sorted-by-x data answers x-bands but every x-band file
+    * spans all of y. Z-order trades a little per-dimension locality so
+    * BOTH predicates skip; a box query touches ~O(perimeter) files
+    * instead of a full stripe.
+    */
+  def writeWithZoneMap2(df: DataFrame, path: String, colX: String,
+                        colY: String, nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    // one tiny agg pass for the stretch bounds (4 doubles to the driver)
+    val b = df.agg(
+      min(col(colX).cast("double")), max(col(colX).cast("double")),
+      min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    def stretch(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(65535.0), greatest(lit(0.0),
+        (col(c).cast("double") - lit(lo)) / lit(span) * 65535.0))
+        .cast("long")
+    }
+    val z = graft.functions.ZOrder.interleave16(
+      stretch(colX, b.getDouble(0), b.getDouble(1)),
+      stretch(colY, b.getDouble(2), b.getDouble(3)))
+    df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    spark.read.parquet(s"$path/data")
+      .select(input_file_name().as("file"),
+        col(colX).cast("double").as("zx"), col(colY).cast("double").as("zy"))
+      .groupBy("file")
+      .agg(min("zx").as("xmin"), max("zx").as("xmax"),
+        min("zy").as("ymin"), max("zy").as("ymax"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_zonemap")
+  }
+
+  /** Manifest consultation for the box [loX,hiX)×[loY,hiY): files whose
+    * per-file (x, y) ranges intersect BOTH bands, plus the total count.
+    */
+  def zoneMapFiles2(spark: SparkSession, path: String,
+                    loX: Double, hiX: Double,
+                    loY: Double, hiY: Double): (Seq[String], Int) = {
+    val cap = 1000000
+    val rows = spark.read.parquet(s"$path/_zonemap")
+      .select("file", "xmin", "xmax", "ymin", "ymax")
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"zone-map manifest at $path exceeds $cap files")
+    val sel = rows.toSeq
+      .filter(r => r.getDouble(2) >= loX && r.getDouble(1) < hiX &&
+        r.getDouble(4) >= loY && r.getDouble(3) < hiY)
+      .map(_.getString(0))
+    (sel, rows.length)
+  }
+
+  /** Box read over a 2-D zone-mapped table: manifest-pruned files, then
+    * the residual conjunctive predicate.
+    */
+  def readZoneMapped2(spark: SparkSession, path: String,
+                      colX: String, colY: String,
+                      loX: Double, hiX: Double,
+                      loY: Double, hiY: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (files, _) = zoneMapFiles2(spark, path, loX, hiX, loY, hiY)
+    val pred = col(colX) >= loX && col(colX) < hiX &&
+      col(colY) >= loY && col(colY) < hiY
+    if (files.isEmpty)
+      spark.read.parquet(s"$path/data").where(lit(false))
+    else
+      spark.read.parquet(files: _*).where(pred)
+  }
 }
