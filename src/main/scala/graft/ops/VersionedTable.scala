@@ -134,6 +134,60 @@ object VersionedTable {
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
     spark.read.parquet(manifestFiles(path, v).map(r => s"$path/$r"): _*)
 
+  /** Delta-style MERGE (upsert by key): every current row whose key
+    * appears in `updates` is replaced by the update rows for that key;
+    * update rows with unseen keys append. Copy-on-write at FILE
+    * granularity, like [[deleteWhere]]: the affected-file probe
+    * left-semi-joins the current snapshot against the (broadcast)
+    * distinct update keys, so only files CONTAINING a matched key are
+    * rewritten — a 100 TB table absorbing a point-update batch rewrites
+    * the touched files, not the table, and every prior snapshot stays
+    * pinned. `input_file_name` is captured at the scan projection
+    * (before any join/exchange can detach rows from their source file).
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val cur = manifestFiles(path, v)
+    val keys = broadcast(updates.select(keyCols.map(col): _*).distinct())
+    val scan = spark.read.parquet(cur.map(r => s"$path/$r"): _*)
+      .withColumn("__file", input_file_name())
+    val cap = 1000000
+    val affectedAbs = scan.join(keys, keyCols, "left_semi")
+      .select("__file").distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    require(affectedAbs.length <= cap,
+      s"affected-file set at $path exceeds $cap files")
+    val affected = cur
+      .filter(rel => affectedAbs.exists(_.endsWith(rel))).sorted
+    val carried = cur.filterNot(affected.contains)
+    val survivors =
+      if (affected.isEmpty) updates.limit(0)
+      else spark.read.parquet(affected.map(r => s"$path/$r"): _*)
+        .join(keys, keyCols, "left_anti")
+    val rewritten = writeCommitData(
+      survivors.unionByName(updates), path, v + 1)
+    commitManifest(path, v + 1, carried ++ rewritten)
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the CURRENT snapshot into
+    * `targetFiles` files as a new version — the small-files remedy
+    * under version history (appends fragment the manifest one commit's
+    * files at a time; compaction folds them without losing a single
+    * historical snapshot, because old files are only de-referenced,
+    * never deleted). Round-robin repartition: even file sizes, no
+    * ordering assumption.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    commitManifest(path, v + 1, writeCommitData(
+      readVersion(spark, path, v).repartition(targetFiles), path, v + 1))
+  }
+
   /** Multiset diff between two snapshots — `change` = 'added' (in vB,
     * not vA) / 'removed' (in vA, not vB) — reading ONLY the files the
     * manifests DON'T share: if A = S ⊎ Ao and B = S ⊎ Bo (S the shared
