@@ -97,6 +97,12 @@ object Milestones {
       }
       counter.update(st)
       if (pending.isEmpty) buf.clear() else buf.put(pending.toArray)
+      // no re-arm needed for the retained suffix: this firing was a
+      // STALE timer (its expiry predates the key's current max event
+      // time, or pending would be empty), and handleInputRows always
+      // registered a newer timer at maxTs+1 ≥ pending.max+1 when those
+      // events arrived — that live timer flushes them once the
+      // watermark passes
       out.result().iterator
     }
   }

@@ -128,4 +128,74 @@ class Milestone81Spec extends SparkSpec {
       deleteRecursively(streamDir)
     }
   }
+
+  test("q466 multi-epoch flush: a stale timer flushes only the ripe " +
+    "prefix, retains the beyond-watermark suffix, and the counter " +
+    "carries across the epochs") {
+    import spark.implicits._
+    val t0 = 1704067200L * 1000000000L
+    def ev(minute: Long, id: Long, value: Double) =
+      (id, t0 + minute * 60000000000L, 1L, "click", value, "{}")
+    // epoch 1: minutes 0..4 arrive; epoch 2: minute 190 (3h10m) arrives
+    // NEXT batch — its watermark (3h10m - 2h = 1h10m) expires the
+    // epoch-1 timer while the new event itself stays beyond it, so the
+    // firing is exactly the stale-timer partial-flush path
+    val epoch1 = (0L to 4L).map(m => ev(m, 100 + m, m + 1.00))
+    val epoch2 = Seq(ev(190L, 200L, 50.00))
+    val sentinel = Seq(
+      (-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
+
+    val streamDir = Files.createTempDirectory("graft_tws_epoch")
+    val ckpt = Files.createTempDirectory("graft_tws_epoch_ckpt")
+    def writeAs(rows: Seq[(Long, Long, Long, String, Double, String)],
+                name: String, mtimeS: Long): Unit = {
+      val stage = Files.createTempDirectory(s"graft_tws_epoch_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeS * 1000))
+      deleteRecursively(stage)
+    }
+    writeAs(epoch1, "a_epoch1", 1000)
+    writeAs(epoch2, "b_epoch2", 2000)
+    writeAs(sentinel, "c_flush", 3000)
+
+    val name = "graft_tws_epoch_sink"
+    try {
+      val stream = spark.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .withColumn("ts", expr(Tables.epochLongToTsSql("ts")))
+        .withWatermark("ts", "2 hours")
+        .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us",
+          "event_id", "value")
+        .as[Milestones.MsEvent]
+      val q = withRocksDb {
+        Milestones.milestones(stream, 2L)
+          .filter(col("user_id") >= 0)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      try q.awaitTermination() finally q.stop()
+      val got = spark.table(name).orderBy("milestone")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // event-time cents: 100,200,300,400,500 then 5000
+      // k=2 milestones: n=2 cum 300; n=4 cum 1000; n=6 cum 6500 —
+      // the n=6 row exists only if the retained suffix flushed AND the
+      // counter resumed from the first epoch's (5, 1500)
+      assert(got.toSeq ==
+        Seq((1L, 2L, 300L), (1L, 4L, 1000L), (1L, 6L, 6500L)),
+        s"got ${got.toSeq}")
+    } finally {
+      spark.catalog.dropTempView(name)
+      deleteRecursively(ckpt)
+      deleteRecursively(streamDir)
+    }
+  }
 }
