@@ -742,4 +742,44 @@ class PlanSpec extends SparkSpec {
     assert(winIdxs.forall(_ < aggIdx.get),
       "a q351 window runs below the value-domain aggregate")
   }
+
+  test("q463: the zone-mapped read's SCAN enumerates exactly the " +
+    "manifest-selected files — pruning is in the plan, not post-hoc") {
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_zm_plan"
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("value"))
+    graft.io.Sources.writeWithZoneMap(ev, base, "value", 16)
+    val (sel, total) = graft.io.Sources.zoneMapFiles(spark, base, 30.0, 40.0)
+    assert(sel.nonEmpty && sel.length < total)
+    val scanned = graft.io.Sources
+      .readZoneMapped(spark, base, "value", 30.0, 40.0)
+      .inputFiles.map(_.stripPrefix("file:")).toSet
+    val selNorm = sel.map(_.stripPrefix("file://").stripPrefix("file:")).toSet
+    assert(scanned.size == sel.length &&
+      scanned.map(f => f.substring(f.lastIndexOf('/'))) ==
+        selNorm.map(f => f.substring(f.lastIndexOf('/'))),
+      s"scan lists ${scanned.size} files, manifest selected ${sel.length}")
+  }
+
+  test("q468: the snapshot diff's scans exclude every manifest-SHARED " +
+    "file — diff cost tracks changed files") {
+    import spark.implicits._
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_vdiff_plan"
+    val base = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("id", "flag").repartitionByRange(2, col("flag"))
+    graft.ops.VersionedTable.init(base, path)
+    graft.ops.VersionedTable.append(
+      Seq((5L, 0)).toDF("id", "flag").repartitionByRange(1, col("flag")),
+      path)
+    graft.ops.VersionedTable.deleteWhere(spark, path, col("flag") === 1)
+    val shared = graft.ops.VersionedTable.manifestFiles(path, 1).toSet
+      .intersect(graft.ops.VersionedTable.manifestFiles(path, 2).toSet)
+    assert(shared.nonEmpty, "fixture produced no shared file")
+    val diffInputs = graft.ops.VersionedTable
+      .diffVersions(spark, path, 1, 2).inputFiles.toSet
+    shared.foreach(rel => assert(!diffInputs.exists(_.endsWith(rel)),
+      s"diff scanned a shared file: $rel"))
+  }
 }
