@@ -108,6 +108,7 @@ object VersionedTable {
     // current snapshot; result is file-count-bounded
     val cap = 1000000
     val affectedAbs = spark.read
+      .option("mergeSchema", "true")
       .parquet(cur.map(r => s"$path/$r"): _*)
       .where(pred)
       .select(input_file_name().as("file")).distinct()
@@ -124,15 +125,24 @@ object VersionedTable {
       else writeCommitData(
         // keep every row where pred is not TRUE — `!pred` alone would
         // also drop pred-NULL rows, which the probe never selected
-        spark.read.parquet(affected.map(r => s"$path/$r"): _*)
+        spark.read.option("mergeSchema", "true")
+          .parquet(affected.map(r => s"$path/$r"): _*)
           .where(coalesce(pred, lit(false)) === false),
         path, v + 1)
     commitManifest(path, v + 1, carried ++ rewritten)
   }
 
-  /** Snapshot read of any historical version. */
+  /** Snapshot read of any historical version. `mergeSchema` makes the
+    * read SCHEMA-EVOLUTION-aware: a version whose manifest mixes
+    * pre-evolution and post-evolution files (an `append` introduced a
+    * column) surfaces the union schema with legacy rows null-filled,
+    * while older versions — whose manifests reference only
+    * pre-evolution files — keep their original schema. Footer-merge
+    * cost is bounded by the manifest's file count.
+    */
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
-    spark.read.parquet(manifestFiles(path, v).map(r => s"$path/$r"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(manifestFiles(path, v).map(r => s"$path/$r"): _*)
 
   /** Delta-style MERGE (upsert by key): every current row whose key
     * appears in `updates` is replaced by the update rows for that key;
@@ -152,7 +162,8 @@ object VersionedTable {
     require(v >= 0, s"no table at $path — call init first")
     val cur = manifestFiles(path, v)
     val keys = broadcast(updates.select(keyCols.map(col): _*).distinct())
-    val scan = spark.read.parquet(cur.map(r => s"$path/$r"): _*)
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(cur.map(r => s"$path/$r"): _*)
       .withColumn("__file", input_file_name())
     val cap = 1000000
     val affectedAbs = scan.join(keys, keyCols, "left_semi")
@@ -165,10 +176,15 @@ object VersionedTable {
     val carried = cur.filterNot(affected.contains)
     val survivors =
       if (affected.isEmpty) updates.limit(0)
-      else spark.read.parquet(affected.map(r => s"$path/$r"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(affected.map(r => s"$path/$r"): _*)
         .join(keys, keyCols, "left_anti")
+    // allowMissingColumns: an update batch may CARRY a new column
+    // (schema evolution through MERGE) or lack a recently-added one —
+    // either side null-fills
     val rewritten = writeCommitData(
-      survivors.unionByName(updates), path, v + 1)
+      survivors.unionByName(updates, allowMissingColumns = true),
+      path, v + 1)
     commitManifest(path, v + 1, carried ++ rewritten)
   }
 
@@ -204,10 +220,27 @@ object VersionedTable {
     val bF = manifestFiles(path, vB)
     val shared = aF.toSet.intersect(bF.toSet)
     def rd(fs: Seq[String]): DataFrame =
-      if (fs.nonEmpty) spark.read.parquet(fs.map(r => s"$path/$r"): _*)
+      if (fs.nonEmpty) spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(r => s"$path/$r"): _*)
       else readVersion(spark, path, vA).where(lit(false))
-    val ao = rd(aF.filterNot(shared))
-    val bo = rd(bF.filterNot(shared))
+    val ao0 = rd(aF.filterNot(shared))
+    val bo0 = rd(bF.filterNot(shared))
+    // schema-evolution alignment: a diff straddling an evolving commit
+    // can leave one side without a later column — null-fill to the
+    // union schema so exceptAll compares like for like (a legacy row
+    // and its null-extended self are the same row, so evolution alone
+    // never reports a change)
+    val allCols = (ao0.columns ++ bo0.columns.filterNot(
+      ao0.columns.contains)).toSeq
+    val types = (bo0.schema ++ ao0.schema)
+      .map(f => f.name -> f.dataType).toMap
+    def align(df: DataFrame): DataFrame =
+      allCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(types(c))))
+        .select(allCols.map(col): _*)
+    val ao = align(ao0)
+    val bo = align(bo0)
     bo.exceptAll(ao).withColumn("change", lit("added"))
       .unionByName(ao.exceptAll(bo).withColumn("change", lit("removed")))
   }

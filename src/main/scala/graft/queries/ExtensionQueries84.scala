@@ -113,6 +113,55 @@ object ExtensionQueries84 {
              |SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT),
              |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
              |FROM ev
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q474: SCHEMA EVOLUTION under version history — v0 is written
+    // (event_id, cents); the v1 append INTRODUCES a `source` column.
+    // The current read surfaces the union schema with legacy rows
+    // null-filled (bucketed below under 'legacy'), while v0 — whose
+    // manifest references only pre-evolution files — still reads with
+    // its original 2-column schema (carried into the gated row as
+    // v0_cols). Old files are never rewritten for the evolution: it is
+    // a manifest + read-schema concern only, which is what keeps an
+    // evolving 100 TB corpus writable without a table-wide migration.
+    Q(
+      "q474_versioned_schema_evolution",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_vevolve$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 3 === 0)
+          .select("event_id", "cents"), path)
+        VersionedTable.append(ev.where(col("event_id") % 3 === 1)
+          .select(col("event_id"), col("cents"),
+            col("event_type").as("source")), path)
+        val v0Cols =
+          VersionedTable.readVersion(s, path, 0).columns.length.toLong
+        VersionedTable.read(s, path)
+          .groupBy(coalesce(col("source"), lit("legacy")).as("source"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .withColumn("v0_cols", lit(v0Cols))
+          .orderBy("source")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |rows AS (
+             |  SELECT 'legacy' AS source, cents FROM ev
+             |  WHERE event_id % 3 = 0
+             |  UNION ALL
+             |  SELECT event_type, cents FROM ev WHERE event_id % 3 = 1)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(2 AS BIGINT) AS v0_cols
+             |FROM rows
+             |GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -104,4 +104,44 @@ class Extension84Spec extends SparkSpec {
     VersionedTable.manifestFiles(path, 1).foreach(f =>
       assert(disk.contains(f), s"compaction deleted historical file $f"))
   }
+
+  test("schema evolution: merge carrying a NEW column null-fills the " +
+    "rewritten survivors; old snapshots keep their original schema") {
+    import spark.implicits._
+    val path = tmp("graft_vevolve_spec")
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "cents"), path)
+    // the update batch introduces `tag` — replaces id 2, inserts id 3
+    VersionedTable.merge(spark, path,
+      Seq((2L, 25L, "fix"), (3L, 30L, "new")).toDF("id", "cents", "tag"),
+      Seq("id"))
+    val v1 = VersionedTable.read(spark, path)
+      .select("id", "cents", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .sortBy(_._1)
+    assert(v1.toSeq == Seq((1L, 10L, None), (2L, 25L, Some("fix")),
+      (3L, 30L, Some("new"))))
+    // time travel: v0 never learns the new column
+    assert(VersionedTable.readVersion(spark, path, 0)
+      .columns.toSeq == Seq("id", "cents"))
+  }
+
+  test("schema evolution: a diff straddling the evolving commit " +
+    "reports the real changes only — legacy rows and their " +
+    "null-extended selves never diff") {
+    import spark.implicits._
+    val path = tmp("graft_vevolve_spec2")
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "cents"), path)
+    VersionedTable.append(
+      Seq((3L, 30L, "s1")).toDF("id", "cents", "src"), path)
+    val d01 = VersionedTable.diffVersions(spark, path, 0, 1)
+      .select("change", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(d01.toSeq == Seq(("added", 3L)),
+      s"evolution-straddling diff reported phantoms: ${d01.toSeq}")
+    // and the diff output carries the union schema
+    assert(VersionedTable.diffVersions(spark, path, 0, 1)
+      .columns.toSet == Set("id", "cents", "src", "change"))
+  }
 }
