@@ -524,19 +524,13 @@ object SimilaritySearch {
           .collect().map(_.getInt(0)).toSet
         (affected.toSet -- keptCells).foreach { dead =>
           val dir = java.nio.file.Paths.get(s"$path/codes/cell=$dead")
-          if (java.nio.file.Files.isDirectory(dir)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-              .foreach(f => java.nio.file.Files.deleteIfExists(f))
-          }
+          if (java.nio.file.Files.isDirectory(dir))
+            graft.io.FsUtil.deleteRecursively(dir)
         }
       }
       val td = java.nio.file.Paths.get(s"$path/tombstones")
-      if (java.nio.file.Files.isDirectory(td)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(td).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      if (java.nio.file.Files.isDirectory(td))
+        graft.io.FsUtil.deleteRecursively(td)
     }
   }
 

@@ -161,8 +161,12 @@ object Sources {
       .select("file", "zmin", "zmax").limit(cap + 1).collect()
     require(rows.length <= cap,
       s"zone-map manifest at $path exceeds $cap files")
+    // a file whose zone column is entirely NULL has null min/max stats:
+    // it can never match a range predicate, so skip it instead of NPEing
+    // on getDouble (r10 ADVICE)
     val sel = rows.toSeq
-      .filter(r => r.getDouble(2) >= lo && r.getDouble(1) < hi)
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getDouble(2) >= lo && r.getDouble(1) < hi)
       .map(_.getString(0))
     (sel, rows.length)
   }
@@ -238,8 +242,11 @@ object Sources {
       .limit(cap + 1).collect()
     require(rows.length <= cap,
       s"zone-map manifest at $path exceeds $cap files")
+    // all-null stats on either dimension can never match the box (see
+    // zoneMapFiles) — skip rather than NPE
     val sel = rows.toSeq
-      .filter(r => r.getDouble(2) >= loX && r.getDouble(1) < hiX &&
+      .filter(r => (1 to 4).forall(i => !r.isNullAt(i)) &&
+        r.getDouble(2) >= loX && r.getDouble(1) < hiX &&
         r.getDouble(4) >= loY && r.getDouble(3) < hiY)
       .map(_.getString(0))
     (sel, rows.length)

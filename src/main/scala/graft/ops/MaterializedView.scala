@@ -1,12 +1,9 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.io.TableFs
 
 /** Incremental materialized-view maintenance for keyed additive
   * aggregates — the storage/state pattern that turns "re-run the rollup
@@ -35,39 +32,42 @@ import org.apache.spark.sql.functions._
   * intact (write-then-swap — a reader never observes a half-written
   * MV, and a crashed maintenance job leaves the current version
   * untouched). A version becomes visible through a single `_commit`
-  * file created AFTER its data lands — one atomic file creation is the
-  * commit point, and for streaming maintenance the same file carries
-  * the batch id (see [[applyDeltaIdempotent]]), so "version visible"
-  * and "batch recorded" cannot be split by a crash. `read` serves the
-  * highest committed version.
+  * file CREATED EXCLUSIVELY after its data lands — one atomic
+  * create-if-absent is the commit point, and for streaming maintenance
+  * the same file carries the batch id (see [[applyDeltaIdempotent]]),
+  * so "version visible" and "batch recorded" cannot be split by a
+  * crash. `read` serves the highest committed version.
+  *
+  * Concurrency contract: maintenance assumes a SINGLE WRITER per view
+  * (the normal shape — one streaming query or one scheduled job owns a
+  * view). The exclusive `_commit` create is the backstop: two
+  * maintainers racing the same version both write data directories,
+  * but only one commit succeeds — the loser ERRORS instead of silently
+  * clobbering the winner's merge (the r10 check-then-act hazard). All
+  * metadata I/O goes through the Hadoop FileSystem API
+  * ([[graft.io.TableFs]]), so views live on local paths, HDFS, or
+  * object stores alike.
   */
 object MaterializedView {
 
   private def versionDir(path: String, v: Int): String = f"$path/v$v%05d"
 
-  private def commitFile(path: String, v: Int) =
-    Paths.get(versionDir(path, v), "_commit")
+  private def commitFile(path: String, v: Int): String =
+    s"${versionDir(path, v)}/_commit"
 
   /** Highest committed version, -1 if none. Only versions with a
     * `_commit` file count — a crashed write leaves an orphan directory
     * that the next maintenance cycle simply overwrites.
     */
-  def latestVersion(path: String): Int = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) -1
-    else Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
+  def latestVersion(path: String): Int =
+    TableFs.listNames(path)
       .filter(_.matches("v\\d{5}"))
-      .filter(d => Files.exists(Paths.get(path, d, "_commit")))
+      .filter(d => TableFs.exists(s"$path/$d/_commit"))
       .map(_.drop(1).toInt)
       .foldLeft(-1)(math.max)
-  }
 
-  private def commit(path: String, v: Int, note: String): Unit = {
-    Files.write(commitFile(path, v),
-      note.getBytes(StandardCharsets.UTF_8))
-    ()
-  }
+  private def commit(path: String, v: Int, note: String): Unit =
+    TableFs.writeUtf8Exclusive(commitFile(path, v), note)
 
   /** Build the MV from the base table — the ONE full scan the lifetime
     * of the view costs. Overwrites any existing version chain.
@@ -75,10 +75,7 @@ object MaterializedView {
   def create(base: DataFrame, keys: Seq[String], valueCol: String,
              path: String): Unit = {
     require(keys.nonEmpty, "MV needs at least one group key")
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+    TableFs.deleteRecursive(path)
     base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast("long").as("mv_n"),
         sum(col(valueCol)).cast("long").as("mv_sum"))
@@ -121,9 +118,10 @@ object MaterializedView {
     * sink write and checkpoint commit the same batch replays — so an
     * idempotence key is what upgrades the MV sink to exactly-once. The
     * batch id rides IN the `_commit` file, so recording it and making
-    * the version visible are one atomic file creation: a crash before
-    * it leaves the old MV current and the batch unrecorded (replay
-    * overwrites the orphan directory), a crash after leaves both done.
+    * the version visible are one atomic create-exclusive: a crash
+    * before it leaves the old MV current and the batch unrecorded
+    * (replay overwrites the orphan directory), a crash after leaves
+    * both done.
     */
   def applyDeltaIdempotent(spark: SparkSession, path: String,
                            delta: DataFrame, keys: Seq[String],
@@ -135,18 +133,15 @@ object MaterializedView {
   }
 
   /** Batch ids already folded into the MV, across all versions. */
-  def appliedBatches(path: String): Set[Long] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) Set.empty
-    else Files.list(p).iterator().asScala
-      .filter(d => d.getFileName.toString.matches("v\\d{5}"))
-      .map(d => d.resolve("_commit"))
-      .filter(Files.exists(_))
-      .map(f => new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+  def appliedBatches(path: String): Set[Long] =
+    TableFs.listNames(path)
+      .filter(_.matches("v\\d{5}"))
+      .map(d => s"$path/$d/_commit")
+      .filter(TableFs.exists)
+      .map(TableFs.readUtf8)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").trim.toLong)
       .toSet
-  }
 
   /** Serve the current MV. */
   def read(spark: SparkSession, path: String): DataFrame = {

@@ -1,148 +1,349 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.io.TableFs
 
 /** Snapshot-versioned table storage (poor-man's Delta/Iceberg): data
   * lives in immutable per-commit directories, and each version is a
   * MANIFEST — a tiny text file listing exactly the data files visible
   * at that version. Appends add files and never touch existing ones;
-  * deletes are copy-on-write at file granularity (only files that
-  * actually CONTAIN matching rows are rewritten without them — untouched
-  * files carry over into the new manifest by reference). Readers pin a
-  * manifest, so they see an immutable snapshot no matter what
-  * maintenance runs concurrently, and `readVersion(v)` time-travels to
-  * any historical state for free — the core primitive behind
-  * reproducible training-data snapshots ("the exact corpus the
+  * deletes are either copy-on-write at file granularity
+  * ([[deleteWhere]]) or merge-on-read DELETION VECTORS
+  * ([[deleteWhereDV]]: a tombstone sidecar of (file, row) positions —
+  * no data file is written at all, and compaction folds the vectors
+  * in). Readers pin a manifest, so they see an immutable snapshot no
+  * matter what maintenance runs concurrently, and `readVersion(v)`
+  * time-travels to any historical state for free — the core primitive
+  * behind reproducible training-data snapshots ("the exact corpus the
   * 2024-03 run trained on") at 100 TB, where copying the data per
   * version is unthinkable but copying a file LIST is nothing.
+  *
+  * Manifest format (one record per line, backward compatible with the
+  * r10 plain-list form):
+  *   - `cNNNNN/part-*.parquet`            a data file (plain line)
+  *   - `dv:dNNNNN/part-*.parquet`         a deletion-vector sidecar
+  *     (parquet of `file STRING, pos LONG` — manifest-relative data
+  *     file + row index within it)
+  *   - `zs\tZCOL\tZMIN\tZMAX\tREL`        per-file clustering stats
+  *     written by [[compactClustered]]; files WITHOUT stats are always
+  *     read (conservative), so appends after a clustered compaction
+  *     stay correct and merely dilute pruning until the next OPTIMIZE
+  *   - `#batch=N`                         streaming idempotence record
+  *     ([[appendIdempotent]])
+  *
+  * Crash/concurrency story: commit DATA is written first (with
+  * overwrite, so a replayed crashed commit recovers instead of wedging
+  * on its own orphan directory), and the manifest write is
+  * CREATE-EXCLUSIVE — the atomic commit point. Two writers racing to
+  * the same version: one commits, the other fails loudly. Manifest
+  * I/O runs on the Hadoop FileSystem API ([[graft.io.TableFs]]), so
+  * the same code serves local paths, HDFS, or object stores.
   *
   * Scale notes: manifests are file-count-sized; commit k's data dir is
   * written by a normal distributed parquet write; the affected-file
   * probe in [[deleteWhere]] is a column-pruned distributed scan of the
   * CURRENT file set only, and the rewrite reads only the affected
-  * files. Nothing here is driver-sized except the file list itself.
+  * files. Deletion-vector application is a distributed anti-join whose
+  * build side is the (deleted-row-count-sized) vector relation — AQE
+  * broadcasts it while it is small. Nothing here is driver-sized
+  * except the file list itself.
   */
 object VersionedTable {
 
-  private def manifestDir(path: String): Path = Paths.get(path, "_manifests")
+  // ---------------------------------------------------------------- //
+  // manifest model + I/O
 
-  private def manifestFile(path: String, v: Int): Path =
-    manifestDir(path).resolve(f"v$v%05d.txt")
+  /** Parsed manifest: `data` and `dvs` are table-relative paths;
+    * `stats` maps a data file to its (zoneCol, min, max) clustering
+    * band; `batch` is the streaming batch id this commit recorded.
+    */
+  final case class Manifest(
+      data: Seq[String],
+      dvs: Seq[String],
+      stats: Map[String, (String, Double, Double)],
+      batch: Option[Long])
+
+  private def manifestDir(path: String): String = s"$path/_manifests"
+
+  private def manifestFile(path: String, v: Int): String =
+    f"${manifestDir(path)}/v$v%05d.txt"
 
   /** Highest committed version, -1 if none. The manifest write is a
-    * single atomic file creation, so a version either exists completely
-    * or not at all.
+    * single exclusive file creation, so a version either exists
+    * completely or not at all.
     */
-  def latestVersion(path: String): Int = {
-    val d = manifestDir(path)
-    if (!Files.exists(d)) -1
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+  def latestVersion(path: String): Int =
+    TableFs.listNames(manifestDir(path))
       .filter(_.matches("v\\d{5}\\.txt"))
       .map(_.slice(1, 6).toInt)
       .foldLeft(-1)(math.max)
-  }
 
-  /** Data files of version `v`, as `commitDir/partFile` relative paths. */
-  def manifestFiles(path: String, v: Int): Seq[String] = {
+  def readManifest(path: String, v: Int): Manifest = {
     val f = manifestFile(path, v)
-    require(Files.exists(f), s"no version $v at $path")
-    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty)
+    require(TableFs.exists(f), s"no version $v at $path")
+    val lines = TableFs.readUtf8(f).split("\n").toSeq.filter(_.nonEmpty)
+    val stats = lines.filter(_.startsWith("zs\t")).map { l =>
+      val p = l.split("\t")
+      require(p.length == 5, s"bad stats line in $f: $l")
+      p(4) -> (p(1), p(2).toDouble, p(3).toDouble)
+    }.toMap
+    Manifest(
+      data = lines.filterNot(l =>
+        l.startsWith("dv:") || l.startsWith("zs\t") || l.startsWith("#")),
+      dvs = lines.filter(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
+      stats = stats,
+      batch = lines.find(_.startsWith("#batch="))
+        .map(_.stripPrefix("#batch=").trim.toLong))
   }
 
+  /** Data files of version `v`, as `commitDir/partFile` relative paths
+    * (deletion-vector sidecars and metadata excluded).
+    */
+  def manifestFiles(path: String, v: Int): Seq[String] =
+    readManifest(path, v).data
+
+  /** Deletion-vector sidecars of version `v` (relative paths). */
+  def manifestDvFiles(path: String, v: Int): Seq[String] =
+    readManifest(path, v).dvs
+
+  private def writeManifest(path: String, v: Int, m: Manifest): Unit = {
+    val lines =
+      m.batch.map(b => s"#batch=$b").toSeq ++
+        m.data.sorted ++
+        m.dvs.sorted.map("dv:" + _) ++
+        m.stats.toSeq.sortBy(_._1).map { case (rel, (zc, lo, hi)) =>
+          s"zs\t$zc\t$lo\t$hi\t$rel"
+        }
+    TableFs.writeUtf8Exclusive(manifestFile(path, v), lines.mkString("\n"))
+  }
+
+  /** Write commit data with OVERWRITE: the manifest is the commit
+    * point, so an orphan `cNNNNN` directory left by a crash between
+    * data write and manifest creation must not wedge the replayed
+    * commit (r10 ADVICE: SaveMode.ErrorIfExists permanently blocked
+    * every subsequent commit at that version).
+    */
   private def writeCommitData(df: DataFrame, path: String,
                               commit: Int): Seq[String] = {
-    val dir = f"$path/c$commit%05d"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
-    Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString)
+    val sub = f"c$commit%05d"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/$sub")
+    TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet"))
-      .toSeq.sorted
-      .map(n => f"c$commit%05d/$n")
+      .sorted
+      .map(n => s"$sub/$n")
   }
 
-  private def commitManifest(path: String, v: Int,
-                             files: Seq[String]): Unit = {
-    Files.createDirectories(manifestDir(path))
-    Files.write(manifestFile(path, v),
-      files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  // ---------------------------------------------------------------- //
+  // read path (deletion-vector-aware)
+
+  /** Executor-side extraction of a file's manifest-relative path from
+    * its scan URI: the `cNNNNN/part-file` tail never contains
+    * URL-encodable characters, so suffix extraction is
+    * encoding-agnostic even when the table PATH encodes.
+    */
+  private def relExpr: Column =
+    regexp_extract(input_file_name(), "([cd]\\d{5}/[^/]+)$", 1)
+
+  private def readDv(spark: SparkSession, path: String,
+                     dvs: Seq[String]): DataFrame =
+    spark.read.parquet(dvs.map(r => s"$path/$r"): _*)
+      .select(col("file").as("__rel"), col("pos").as("__pos"))
+
+  /** Read `files` with `dvs` applied: rows named by a deletion vector
+    * (by (file, row-position)) disappear. The anti-join's right side is
+    * deleted-row-count-sized — AQE broadcasts it when small; no hint is
+    * forced so a pathological vector can still shuffle instead of OOM.
+    */
+  private def readFiles(spark: SparkSession, path: String,
+                        files: Seq[String], dvs: Seq[String]): DataFrame = {
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(r => s"$path/$r"): _*)
+    if (dvs.isEmpty) data
+    else {
+      val cols = data.columns.toSeq
+      data
+        .withColumn("__rel", relExpr)
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(readDv(spark, path, dvs), Seq("__rel", "__pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
   }
+
+  /** Snapshot read of any historical version, deletion vectors
+    * applied. `mergeSchema` makes the read SCHEMA-EVOLUTION-aware: a
+    * version whose manifest mixes pre-evolution and post-evolution
+    * files (an `append` introduced a column) surfaces the union schema
+    * with legacy rows null-filled, while older versions — whose
+    * manifests reference only pre-evolution files — keep their
+    * original schema. Footer-merge cost is bounded by the manifest's
+    * file count.
+    */
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
+    val m = readManifest(path, v)
+    readFiles(spark, path, m.data, m.dvs)
+  }
+
+  /** Read the current version. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path, latestVersion(path))
+
+  // ---------------------------------------------------------------- //
+  // write path
 
   /** Create the table at version 0. */
   def init(df: DataFrame, path: String): Unit = {
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-    commitManifest(path, 0, writeCommitData(df, path, 0))
+    TableFs.deleteRecursive(path)
+    writeManifest(path, 0,
+      Manifest(writeCommitData(df, path, 0), Nil, Map.empty, None))
+  }
+
+  private def appendInternal(df: DataFrame, path: String,
+                             batch: Option[Long]): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val prev = readManifest(path, v)
+    writeManifest(path, v + 1, Manifest(
+      prev.data ++ writeCommitData(df, path, v + 1),
+      prev.dvs, prev.stats, batch))
   }
 
   /** Append-only commit: new files join the manifest; no existing file
-    * is read or rewritten.
+    * is read or rewritten. Existing deletion vectors and clustering
+    * stats carry over (the new files simply have no stats — they are
+    * always read until the next [[compactClustered]]).
     */
-  def append(df: DataFrame, path: String): Unit = {
-    val v = latestVersion(path)
-    require(v >= 0, s"no table at $path — call init first")
-    commitManifest(path, v + 1,
-      manifestFiles(path, v) ++ writeCommitData(df, path, v + 1))
+  def append(df: DataFrame, path: String): Unit =
+    appendInternal(df, path, None)
+
+  /** Exactly-once streaming append (`foreachBatch` discipline): a
+    * RE-DELIVERED batch id is a no-op, returning false. The batch id
+    * rides IN the manifest, so "files visible" and "batch recorded"
+    * are one atomic create-exclusive — a crash before it leaves the
+    * old snapshot current and the batch unrecorded (replay overwrites
+    * the orphan commit directory and re-commits), a crash after leaves
+    * both done (replay no-ops). Single-writer per table assumed for
+    * streaming maintenance, as with [[MaterializedView]]; a racing
+    * second writer fails loudly at the manifest create.
+    */
+  def appendIdempotent(df: DataFrame, path: String,
+                       batchId: Long): Boolean = {
+    if (appliedBatches(path).contains(batchId)) false
+    else { appendInternal(df, path, Some(batchId)); true }
   }
+
+  /** Streaming batch ids already committed into this table. Bounded by
+    * the version count (one manifest read per version).
+    */
+  def appliedBatches(path: String): Set[Long] =
+    TableFs.listNames(manifestDir(path))
+      .filter(_.matches("v\\d{5}\\.txt"))
+      .map(_.slice(1, 6).toInt)
+      .flatMap(v => readManifest(path, v).batch)
+      .toSet
+
+  // ---------------------------------------------------------------- //
+  // probes shared by the copy-on-write paths
+
+  /** Map distributed probe results (`input_file_name()` URIs) back to
+    * manifest entries. The URIs are PERCENT-ENCODED — a table path
+    * containing a space/%/non-ASCII character encodes, so raw
+    * `endsWith` matching silently missed every probe hit (r10 ADVICE:
+    * deleteWhere committed with the delete NOT applied). Decode via
+    * `URI.getPath`, match on the `/rel` suffix, and require every
+    * probed file to map to EXACTLY one manifest entry — fail loudly on
+    * any unmatched probe result rather than corrupt.
+    */
+  private def probedToManifest(path: String, cur: Seq[String],
+                               probedUris: Seq[String]): Seq[String] =
+    probedUris.map { u =>
+      val decoded = new java.net.URI(u).getPath
+      val hits = cur.filter(rel => decoded.endsWith("/" + rel))
+      require(hits.length == 1,
+        s"probe result $decoded matched ${hits.length} manifest entries " +
+          s"at $path (expected exactly 1)")
+      hits.head
+    }.distinct.sorted
+
+  private val probeCap = 1000000
+
+  // ---------------------------------------------------------------- //
+  // deletes
 
   /** Copy-on-write delete: files with no matching row carry over BY
     * REFERENCE; only files containing matches are rewritten (minus the
-    * matching rows) into the new commit. Historical versions still see
-    * the original files — they are never deleted, only de-referenced.
+    * matching rows, and minus any deletion-vector rows — the rewrite
+    * folds those files' vectors in) into the new commit. Historical
+    * versions still see the original files — they are never deleted,
+    * only de-referenced.
     */
   def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
-    val cur = manifestFiles(path, v)
-    val byTail = cur.map(rel => rel -> s"$path/$rel").toMap
+    val m = readManifest(path, v)
     // distributed affected-file probe: one column-pruned pass over the
-    // current snapshot; result is file-count-bounded
-    val cap = 1000000
-    val affectedAbs = spark.read
-      .option("mergeSchema", "true")
-      .parquet(cur.map(r => s"$path/$r"): _*)
+    // current snapshot's LIVE rows; result is file-count-bounded
+    val affectedUris = readFiles(spark, path, m.data, m.dvs)
+      .withColumn("__file", input_file_name())
       .where(pred)
-      .select(input_file_name().as("file")).distinct()
-      .limit(cap + 1).collect().map(_.getString(0))
-    require(affectedAbs.length <= cap,
-      s"affected-file set at $path exceeds $cap files")
-    // input_file_name returns URIs (file:/...): match manifest entries
-    // by their commitDir/partFile tail, unique per commit
-    val affected = byTail.keys.toSeq
-      .filter(rel => affectedAbs.exists(_.endsWith(rel))).sorted
-    val carried = cur.filterNot(affected.contains)
+      .select("__file").distinct()
+      .limit(probeCap + 1).collect().map(_.getString(0)).toSeq
+    require(affectedUris.length <= probeCap,
+      s"affected-file set at $path exceeds $probeCap files")
+    val affected = probedToManifest(path, m.data, affectedUris)
+    val carried = m.data.filterNot(affected.contains)
     val rewritten =
       if (affected.isEmpty) Seq.empty[String]
       else writeCommitData(
-        // keep every row where pred is not TRUE — `!pred` alone would
-        // also drop pred-NULL rows, which the probe never selected
-        spark.read.option("mergeSchema", "true")
-          .parquet(affected.map(r => s"$path/$r"): _*)
+        // keep every live row where pred is not TRUE — `!pred` alone
+        // would also drop pred-NULL rows, which the probe never selected
+        readFiles(spark, path, affected, m.dvs)
           .where(coalesce(pred, lit(false)) === false),
         path, v + 1)
-    commitManifest(path, v + 1, carried ++ rewritten)
+    // DV refs carry over: entries naming rewritten files dangle
+    // harmlessly (the new file names never match); entries naming
+    // carried files still apply. Stats for rewritten files drop.
+    writeManifest(path, v + 1, Manifest(
+      carried ++ rewritten, m.dvs,
+      m.stats.view.filterKeys(carried.contains).toMap, None))
   }
 
-  /** Snapshot read of any historical version. `mergeSchema` makes the
-    * read SCHEMA-EVOLUTION-aware: a version whose manifest mixes
-    * pre-evolution and post-evolution files (an `append` introduced a
-    * column) surfaces the union schema with legacy rows null-filled,
-    * while older versions — whose manifests reference only
-    * pre-evolution files — keep their original schema. Footer-merge
-    * cost is bounded by the manifest's file count.
+  /** MERGE-ON-READ delete via deletion vectors: writes NO data file at
+    * all — only a tombstone sidecar of (file, row-position) pairs plus
+    * the manifest. At 100 TB this is the GDPR point-delete answer:
+    * copy-on-write rewrites GBs of file per deleted row, a deletion
+    * vector writes bytes. Reads anti-join the vectors (AQE-broadcast
+    * while small); [[compact]]/[[compactClustered]] folds them into
+    * real files when enough accumulate.
     */
-  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(manifestFiles(path, v).map(r => s"$path/$r"): _*)
+  def deleteWhereDV(spark: SparkSession, path: String,
+                    pred: Column): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val m = readManifest(path, v)
+    val sub = f"d${v + 1}%05d"
+    // live rows matching pred → (rel, pos) tombstones; rows already
+    // dead under an existing vector are excluded (readFiles applies it)
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(m.data.map(r => s"$path/$r"): _*)
+      .withColumn("__rel", relExpr)
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live =
+      if (m.dvs.isEmpty) data
+      else data.join(readDv(spark, path, m.dvs),
+        Seq("__rel", "__pos"), "left_anti")
+    live.where(pred)
+      .select(col("__rel").as("file"), col("__pos").as("pos"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$sub")
+    val dvFiles = TableFs.listNames(s"$path/$sub")
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
+    writeManifest(path, v + 1,
+      Manifest(m.data, m.dvs ++ dvFiles, m.stats, None))
+  }
+
+  // ---------------------------------------------------------------- //
+  // MERGE (upsert)
 
   /** Delta-style MERGE (upsert by key): every current row whose key
     * appears in `updates` is replaced by the update rows for that key;
@@ -160,24 +361,20 @@ object VersionedTable {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
-    val cur = manifestFiles(path, v)
+    val m = readManifest(path, v)
     val keys = broadcast(updates.select(keyCols.map(col): _*).distinct())
-    val scan = spark.read.option("mergeSchema", "true")
-      .parquet(cur.map(r => s"$path/$r"): _*)
+    val scan = readFiles(spark, path, m.data, m.dvs)
       .withColumn("__file", input_file_name())
-    val cap = 1000000
-    val affectedAbs = scan.join(keys, keyCols, "left_semi")
+    val affectedUris = scan.join(keys, keyCols, "left_semi")
       .select("__file").distinct()
-      .limit(cap + 1).collect().map(_.getString(0))
-    require(affectedAbs.length <= cap,
-      s"affected-file set at $path exceeds $cap files")
-    val affected = cur
-      .filter(rel => affectedAbs.exists(_.endsWith(rel))).sorted
-    val carried = cur.filterNot(affected.contains)
+      .limit(probeCap + 1).collect().map(_.getString(0)).toSeq
+    require(affectedUris.length <= probeCap,
+      s"affected-file set at $path exceeds $probeCap files")
+    val affected = probedToManifest(path, m.data, affectedUris)
+    val carried = m.data.filterNot(affected.contains)
     val survivors =
       if (affected.isEmpty) updates.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(r => s"$path/$r"): _*)
+      else readFiles(spark, path, affected, m.dvs)
         .join(keys, keyCols, "left_anti")
     // allowMissingColumns: an update batch may CARRY a new column
     // (schema evolution through MERGE) or lack a recently-added one —
@@ -185,24 +382,115 @@ object VersionedTable {
     val rewritten = writeCommitData(
       survivors.unionByName(updates, allowMissingColumns = true),
       path, v + 1)
-    commitManifest(path, v + 1, carried ++ rewritten)
+    writeManifest(path, v + 1, Manifest(
+      carried ++ rewritten, m.dvs,
+      m.stats.view.filterKeys(carried.contains).toMap, None))
   }
+
+  // ---------------------------------------------------------------- //
+  // OPTIMIZE
 
   /** OPTIMIZE-style compaction: rewrite the CURRENT snapshot into
     * `targetFiles` files as a new version — the small-files remedy
     * under version history (appends fragment the manifest one commit's
     * files at a time; compaction folds them without losing a single
     * historical snapshot, because old files are only de-referenced,
-    * never deleted). Round-robin repartition: even file sizes, no
-    * ordering assumption.
+    * never deleted). Deletion vectors fold in (the rewrite reads live
+    * rows only, and the new manifest carries no vector). Round-robin
+    * repartition: even file sizes, no ordering assumption — use
+    * [[compactClustered]] to keep/establish a clustered layout.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
-    commitManifest(path, v + 1, writeCommitData(
-      readVersion(spark, path, v).repartition(targetFiles), path, v + 1))
+    writeManifest(path, v + 1, Manifest(
+      writeCommitData(
+        readVersion(spark, path, v).repartition(targetFiles), path, v + 1),
+      Nil, Map.empty, None))
   }
+
+  /** CLUSTERING-PRESERVING OPTIMIZE: compaction that range-clusters on
+    * `zoneCol` (repartitionByRange + within-file sort, so each output
+    * file owns a narrow value band) and persists per-file [min, max]
+    * stats INTO THE VERSION MANIFEST — composing the zone-map
+    * file-skipping layout with version history, which the r10 layout
+    * could not (plain [[compact]] round-robins, destroying any
+    * clustered order). [[readVersionBand]] then consults the stats and
+    * opens only intersecting files; later appends carry no stats and
+    * are always read (correct, just unpruned) until the next
+    * clustered compaction re-covers them. Deletion vectors fold in.
+    *
+    * The stats pass re-reads ONLY the zone column of the just-written
+    * commit (column-pruned, file-count-bounded collect) because Spark
+    * surfaces no per-file footer-stats API at write time. Files whose
+    * zone column is entirely NULL get NO stats line — they are read
+    * unconditionally rather than poisoning the manifest with null
+    * bounds (the r10 zoneMapFiles NPE).
+    */
+  def compactClustered(spark: SparkSession, path: String,
+                       targetFiles: Int, zoneCol: String): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val files = writeCommitData(
+      readVersion(spark, path, v)
+        .repartitionByRange(targetFiles, col(zoneCol))
+        .sortWithinPartitions(zoneCol),
+      path, v + 1)
+    val statRows = spark.read
+      .parquet(files.map(r => s"$path/$r"): _*)
+      .select(relExpr.as("rel"), col(zoneCol).cast("double").as("z"))
+      .groupBy("rel")
+      .agg(min("z").as("zmin"), max("z").as("zmax"))
+      .limit(probeCap + 1).collect()
+    require(statRows.length <= probeCap,
+      s"stats pass at $path exceeds $probeCap files")
+    val stats = statRows.toSeq
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => r.getString(0) -> (zoneCol, r.getDouble(1), r.getDouble(2)))
+      .toMap
+    writeManifest(path, v + 1, Manifest(files, Nil, stats, None))
+  }
+
+  /** Manifest consultation for a band probe on `zoneCol` over version
+    * `v`: (files to open, total data files). A file is opened when its
+    * stats band intersects [lo, hi) — or when it HAS no stats for this
+    * column (post-compaction appends, legacy commits): conservative,
+    * never wrong. Exposed separately so tests pin the pruned fraction.
+    */
+  def bandFiles(path: String, v: Int, zoneCol: String, lo: Double,
+                hi: Double): (Seq[String], Int) = {
+    val m = readManifest(path, v)
+    val open = m.data.filter { rel =>
+      m.stats.get(rel) match {
+        case Some((zc, zmin, zmax)) if zc == zoneCol =>
+          zmax >= lo && zmin < hi
+        case _ => true
+      }
+    }
+    (open, m.data.length)
+  }
+
+  /** Band read over a clustered version: manifest-pruned files, then
+    * the residual row predicate (stats are file-granular). Deletion
+    * vectors still apply. Empty intersection short-circuits to an
+    * empty frame with the version's schema — no data file is opened.
+    */
+  def readVersionBand(spark: SparkSession, path: String, v: Int,
+                      zoneCol: String, lo: Double,
+                      hi: Double): DataFrame = {
+    val m = readManifest(path, v)
+    val (open, _) = bandFiles(path, v, zoneCol, lo, hi)
+    val pred = col(zoneCol) >= lo && col(zoneCol) < hi
+    if (open.isEmpty)
+      readFiles(spark, path, m.data, m.dvs).where(lit(false))
+    else
+      readFiles(spark, path, open, m.dvs).where(pred)
+  }
+
+  // ---------------------------------------------------------------- //
+  // snapshot diff
 
   /** Multiset diff between two snapshots — `change` = 'added' (in vB,
     * not vA) / 'removed' (in vA, not vB) — reading ONLY the files the
@@ -213,18 +501,38 @@ object VersionedTable {
     * CHANGED files, not the table — on a 100 TB snapshot pair where one
     * commit touched 0.1% of files, the diff reads 0.1%. `exceptAll`
     * keeps multiset semantics (duplicate rows diff by multiplicity).
+    *
+    * Deletion vectors: a DV-only commit changes rows WITHOUT changing
+    * the file list, so any shared file whose applicable tombstone set
+    * differs between the versions is treated as unshared on both sides
+    * (each side read under its own vectors). The tombstone symmetric
+    * difference is vector-sized, not table-sized.
     */
   def diffVersions(spark: SparkSession, path: String, vA: Int,
                    vB: Int): DataFrame = {
-    val aF = manifestFiles(path, vA)
-    val bF = manifestFiles(path, vB)
-    val shared = aF.toSet.intersect(bF.toSet)
-    def rd(fs: Seq[String]): DataFrame =
-      if (fs.nonEmpty) spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(r => s"$path/$r"): _*)
+    val mA = readManifest(path, vA)
+    val mB = readManifest(path, vB)
+    var shared = mA.data.toSet.intersect(mB.data.toSet)
+    if (mA.dvs.toSet != mB.dvs.toSet) {
+      val dvA = if (mA.dvs.isEmpty) None else Some(readDv(spark, path, mA.dvs))
+      val dvB = if (mB.dvs.isEmpty) None else Some(readDv(spark, path, mB.dvs))
+      val changed = (dvA, dvB) match {
+        case (Some(a), Some(b)) => a.exceptAll(b).unionAll(b.exceptAll(a))
+        case _ => dvA.orElse(dvB).get // sets differ, so one is non-empty
+      }
+      val changedArr = changed.select("__rel").distinct()
+        .limit(probeCap + 1).collect().map(_.getString(0))
+      require(changedArr.length <= probeCap,
+        s"tombstone-changed file set at $path exceeds $probeCap files")
+      shared = shared.filterNot(changedArr.toSet.contains)
+    }
+    def rd(m: Manifest): DataFrame = {
+      val own = m.data.filterNot(shared)
+      if (own.nonEmpty) readFiles(spark, path, own, m.dvs)
       else readVersion(spark, path, vA).where(lit(false))
-    val ao0 = rd(aF.filterNot(shared))
-    val bo0 = rd(bF.filterNot(shared))
+    }
+    val ao0 = rd(mA)
+    val bo0 = rd(mB)
     // schema-evolution alignment: a diff straddling an evolving commit
     // can leave one side without a later column — null-fill to the
     // union schema so exceptAll compares like for like (a legacy row
@@ -244,8 +552,4 @@ object VersionedTable {
     bo.exceptAll(ao).withColumn("change", lit("added"))
       .unionByName(ao.exceptAll(bo).withColumn("change", lit("removed")))
   }
-
-  /** Read the current version. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    readVersion(spark, path, latestVersion(path))
 }

@@ -14,11 +14,8 @@ import graft.io.Tables
   */
 object ExtensionQueries43 {
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.io.FsUtil.deleteRecursively(p)
 
   val queries: Seq[Q] = Seq(
 

@@ -25,11 +25,8 @@ object ExtensionQueries81 {
 
   private val msRunId = new AtomicInteger(0)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.io.FsUtil.deleteRecursively(p)
 
   /** RocksDB provider for the transformWithState query — same rationale
     * and shape as StreamingQueries' helper (the API additionally

@@ -21,11 +21,8 @@ object ExtensionQueries83 {
 
   private val wsRunId = new AtomicInteger(0)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.io.FsUtil.deleteRecursively(p)
 
   private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
     val confs = Seq(

@@ -41,11 +41,8 @@ object StreamingQueries {
   private val srmRunId = new AtomicInteger(0)
   private val balRunId = new AtomicInteger(0)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.io.FsUtil.deleteRecursively(p)
 
   /** Run `body` with the RocksDB state store provider — the 100 TB
     * configuration for keyed streaming state: RocksDB spills keyed state
@@ -120,9 +117,7 @@ object StreamingQueries {
         } finally {
           q.stop()
           // the memory sink holds the data; the checkpoint is disposable
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          graft.io.FsUtil.deleteRecursively(ckptDir)
         }
         s.table(name)
           .withColumn("hour", col("hour").cast("timestamp_ntz"))

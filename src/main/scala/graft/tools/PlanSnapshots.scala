@@ -134,9 +134,7 @@ object PlanSnapshots {
           .prunedCodesScan(spark, idx.toString, Seq(1, 3, 5))
           .queryExecution.explainString(mode))
     } finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(idx).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      graft.io.FsUtil.deleteRecursively(idx)
     }
     spark.stop()
   }
