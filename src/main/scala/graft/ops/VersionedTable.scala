@@ -151,15 +151,21 @@ object VersionedTable {
     spark.read.parquet(dvs.map(r => s"$path/$r"): _*)
       .select(col("file").as("__rel"), col("pos").as("__pos"))
 
-  /** Read `files` with `dvs` applied: rows named by a deletion vector
-    * (by (file, row-position)) disappear. The anti-join's right side is
-    * deleted-row-count-sized — AQE broadcasts it when small; no hint is
-    * forced so a pathological vector can still shuffle instead of OOM.
+  /** Read `files` with `dvs` applied, KEEPING a `__file` tag column
+    * (the scan's `input_file_name()`). The tag is captured AT THE SCAN
+    * — `input_file_name()` is per-source, so evaluating it above the
+    * deletion-vector join would be ambiguous (MULTI_SOURCES error) —
+    * which is exactly what the copy-on-write probes need anyway. The
+    * anti-join's right side is deleted-row-count-sized — AQE broadcasts
+    * it when small; no hint is forced so a pathological vector can
+    * still shuffle instead of OOM.
     */
-  private def readFiles(spark: SparkSession, path: String,
-                        files: Seq[String], dvs: Seq[String]): DataFrame = {
+  private def readFilesTagged(spark: SparkSession, path: String,
+                              files: Seq[String],
+                              dvs: Seq[String]): DataFrame = {
     val data = spark.read.option("mergeSchema", "true")
       .parquet(files.map(r => s"$path/$r"): _*)
+      .withColumn("__file", input_file_name())
     if (dvs.isEmpty) data
     else {
       val cols = data.columns.toSeq
@@ -169,6 +175,17 @@ object VersionedTable {
         .join(readDv(spark, path, dvs), Seq("__rel", "__pos"), "left_anti")
         .select(cols.map(col): _*)
     }
+  }
+
+  /** Read `files` with `dvs` applied: rows named by a deletion vector
+    * (by (file, row-position)) disappear.
+    */
+  private def readFiles(spark: SparkSession, path: String,
+                        files: Seq[String], dvs: Seq[String]): DataFrame = {
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(r => s"$path/$r"): _*)
+    if (dvs.isEmpty) data
+    else readFilesTagged(spark, path, files, dvs).drop("__file")
   }
 
   /** Snapshot read of any historical version, deletion vectors
@@ -284,8 +301,7 @@ object VersionedTable {
     val m = readManifest(path, v)
     // distributed affected-file probe: one column-pruned pass over the
     // current snapshot's LIVE rows; result is file-count-bounded
-    val affectedUris = readFiles(spark, path, m.data, m.dvs)
-      .withColumn("__file", input_file_name())
+    val affectedUris = readFilesTagged(spark, path, m.data, m.dvs)
       .where(pred)
       .select("__file").distinct()
       .limit(probeCap + 1).collect().map(_.getString(0)).toSeq
@@ -363,8 +379,7 @@ object VersionedTable {
     require(v >= 0, s"no table at $path — call init first")
     val m = readManifest(path, v)
     val keys = broadcast(updates.select(keyCols.map(col): _*).distinct())
-    val scan = readFiles(spark, path, m.data, m.dvs)
-      .withColumn("__file", input_file_name())
+    val scan = readFilesTagged(spark, path, m.data, m.dvs)
     val affectedUris = scan.join(keys, keyCols, "left_semi")
       .select("__file").distinct()
       .limit(probeCap + 1).collect().map(_.getString(0)).toSeq
