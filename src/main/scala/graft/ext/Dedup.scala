@@ -169,7 +169,9 @@ object Dedup {
   /** Incrementally append a new batch's bands + hash arrays to an
     * existing index. Only the delta's rows are written (parquet append —
     * existing files are never rewritten; pinned in Extension80Spec), the
-    * q322/CdcUpsert maintenance discipline.
+    * q322/CdcUpsert maintenance discipline. At-least-once: a redelivered
+    * batch double-appends — streaming writers use
+    * [[appendToBandIndexIdempotent]].
     */
   def appendToBandIndex(delta: DataFrame, textCol: String, idCol: String,
                         path: String): Unit = {
@@ -180,6 +182,64 @@ object Dedup {
         sort_array(shingleHashes(col(textCol))).as("hs"))
       .write.mode(SaveMode.Append).parquet(s"$path/hashes")
   }
+
+  /** EXACTLY-ONCE streaming append (`foreachBatch` discipline): each
+    * batch lands in its OWN delta directory (`deltas/b<id>/`, written
+    * with overwrite so a crashed attempt replays cleanly), made visible
+    * by an atomic create-exclusive marker (`_batches/batch-<id>`) — the
+    * same batch-id-in-commit-marker protocol as
+    * `MaterializedView.applyDeltaIdempotent` / `VersionedTable
+    * .appendIdempotent`. A redelivered committed batch id is a no-op
+    * (returns false); an uncommitted crash leaves the delta INVISIBLE
+    * to the serve path, which unions base + COMMITTED deltas only.
+    * [[compactBandIndex]] folds committed deltas into the base (markers
+    * are kept — they are the applied-batch record that keeps late
+    * replays no-ops after the fold).
+    */
+  def appendToBandIndexIdempotent(delta: DataFrame, textCol: String,
+                                  idCol: String, path: String,
+                                  batchId: Long): Boolean = {
+    if (bandIndexAppliedBatches(path).contains(batchId)) false
+    else {
+      val d = s"$path/deltas/b$batchId"
+      bandKeys(delta, textCol, idCol, "id")
+        .write.mode(SaveMode.Overwrite).partitionBy("band")
+        .parquet(s"$d/bands")
+      delta.select(col(idCol).as("id"),
+          sort_array(shingleHashes(col(textCol))).as("hs"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/hashes")
+      graft.io.TableFs.writeUtf8Exclusive(
+        s"$path/_batches/batch-$batchId", "")
+      true
+    }
+  }
+
+  /** Streaming batch ids already committed into the band index. */
+  def bandIndexAppliedBatches(path: String): Set[Long] =
+    graft.io.TableFs.listNames(s"$path/_batches")
+      .filter(_.startsWith("batch-"))
+      .map(_.stripPrefix("batch-").toLong)
+      .toSet
+
+  /** Committed streaming-delta directories, oldest first. */
+  private def committedDeltaDirs(path: String): Seq[String] =
+    bandIndexAppliedBatches(path).toSeq.sorted
+      .map(b => s"$path/deltas/b$b")
+      .filter(d => new java.io.File(d).exists())
+
+  /** The index's band postings: base + committed streaming deltas.
+    * Each root is read separately and unioned — multiple parquet roots
+    * in one read would confuse partition discovery across the
+    * different directory depths.
+    */
+  private def allBands(spark: SparkSession, path: String): DataFrame =
+    (s"$path/bands" +: committedDeltaDirs(path).map(_ + "/bands"))
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
+  /** The index's per-doc hash arrays: base + committed deltas. */
+  private def allHashes(spark: SparkSession, path: String): DataFrame =
+    (s"$path/hashes" +: committedDeltaDirs(path).map(_ + "/hashes"))
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
 
   /** Near-dup join of a batch against a PERSISTED index: the batch
     * computes signatures fresh (work linear in the batch), corpus-side
@@ -193,9 +253,9 @@ object Dedup {
                          path: String, textCol: String, idCol: String,
                          threshold: Double): DataFrame = {
     val live = tombstones(spark, path) match {
-      case Some(t) => spark.read.parquet(s"$path/bands")
+      case Some(t) => allBands(spark, path)
         .join(broadcast(t), Seq("id"), "left_anti")
-      case None => spark.read.parquet(s"$path/bands")
+      case None => allBands(spark, path)
     }
     val corpusBands = live.select(col("id").as("db"), col("band"), col("key"))
     val cand = bandKeys(batch, textCol, idCol, "da")
@@ -203,7 +263,7 @@ object Dedup {
       .select("da", "db").distinct()
     val a = batch.select(col(idCol).as("da"),
       sort_array(shingleHashes(col(textCol))).as("ha"))
-    val b = spark.read.parquet(s"$path/hashes")
+    val b = allHashes(spark, path)
       .select(col("id").as("db"), col("hs").as("hb"))
     verifyJaccardArrays(cand, a, b, threshold)
   }
@@ -226,39 +286,44 @@ object Dedup {
     else None
   }
 
-  /** Fold accumulated tombstones into the index: rewrite bands/ and
-    * hashes/ minus the deleted ids, then clear tombstones/. The rewrite
-    * goes through a sibling tmp dir + directory swap so the job never
-    * overwrites files it is reading (at cluster scale the same
-    * write-then-swap runs against the object store's atomic rename).
-    * No-op when there are no tombstones.
+  /** Fold accumulated tombstones AND committed streaming deltas into
+    * the index: rewrite bands/ and hashes/ as (base ∪ committed deltas)
+    * minus the deleted ids, then clear tombstones/ and the folded delta
+    * directories. Batch MARKERS survive the fold — they are the
+    * applied-batch record, so a batch replayed long after its delta was
+    * compacted is still a no-op. The rewrite goes through a sibling tmp
+    * dir + directory swap so the job never overwrites files it is
+    * reading (at cluster scale the same write-then-swap runs against
+    * the object store's atomic rename). No-op when there is nothing to
+    * fold.
     */
-  def compactBandIndex(spark: SparkSession, path: String): Unit =
-    tombstones(spark, path).foreach { t =>
-      val tIds = broadcast(t)
-      def rewrite(sub: String, partitioned: Boolean): Unit = {
-        val cleaned = spark.read.parquet(s"$path/$sub")
-          .join(tIds, Seq("id"), "left_anti")
-        val w = cleaned.write.mode(SaveMode.Overwrite)
-        (if (partitioned) w.partitionBy("band") else w)
-          .parquet(s"$path/${sub}_compact")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(s"$path/$sub"))
-        require(new java.io.File(s"$path/${sub}_compact")
-          .renameTo(new java.io.File(s"$path/$sub")),
-          s"compaction swap failed for $path/$sub")
-      }
-      rewrite("bands", partitioned = true)
-      rewrite("hashes", partitioned = false)
+  def compactBandIndex(spark: SparkSession, path: String): Unit = {
+    val deltas = committedDeltaDirs(path)
+    val t = tombstones(spark, path)
+    if (t.isEmpty && deltas.isEmpty) return
+    def clean(df: DataFrame): DataFrame = t match {
+      case Some(ts) => df.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => df
+    }
+    def rewrite(cleaned: DataFrame, sub: String,
+                partitioned: Boolean): Unit = {
+      val w = cleaned.write.mode(SaveMode.Overwrite)
+      (if (partitioned) w.partitionBy("band") else w)
+        .parquet(s"$path/${sub}_compact")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()
       }
-      rm(new java.io.File(s"$path/tombstones"))
+      rm(new java.io.File(s"$path/$sub"))
+      require(new java.io.File(s"$path/${sub}_compact")
+        .renameTo(new java.io.File(s"$path/$sub")),
+        s"compaction swap failed for $path/$sub")
     }
+    rewrite(clean(allBands(spark, path)), "bands", partitioned = true)
+    rewrite(clean(allHashes(spark, path)), "hashes", partitioned = false)
+    graft.io.FsUtil.deleteRecursively(s"$path/deltas")
+    graft.io.FsUtil.deleteRecursively(s"$path/tombstones")
+  }
 
   /** LSH candidate pairs: docs agreeing on all rows of at least one band.
     * Implemented as ONE equi-self-join on the exploded composite
