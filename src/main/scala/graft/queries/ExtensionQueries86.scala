@@ -90,5 +90,86 @@ object ExtensionQueries86 {
         Dedup.nearDupJoinIndexed(incoming, s, path, "text", "doc_id", 0.5)
           .orderBy("da", "db")
       },
-      Some(ExtensionQueries.NearDupJoinOracle)))
+      Some(ExtensionQueries.NearDupJoinOracle)),
+
+    // ------------------------------------------------------------------
+    // q479: DATASOURCE V2 READ of the versioned table — time travel and
+    // zone-stat file skipping running INSIDE Catalyst (r10 verdict item
+    // 1). The table is built exactly like q476 (3 fragmenting commits,
+    // clustered compaction to 8 statted files at v3) plus a late v4
+    // append (2 stats-less files, bucket >= 900 only). Both legs go
+    // through `spark.read.format("graft-versioned")` + a SQL WHERE on
+    // the clustered column over a temp view — no graft read API:
+    //   leg v3 (versionAsOf=3): the planner opens 4 of 8 files;
+    //   leg v4 (latest):        4 statted + the 2 conservative
+    //                           stats-less appends = 6 of 10, and the
+    //                           residual filter drops the late rows
+    //                           (bucket >= 900 is outside the band), so
+    //                           both legs return the SAME logical rows.
+    // files_opened/files_total come off the physical plan's BatchScan
+    // (fail-loud if the source ever stops planning a V2 scan), so a
+    // regression in planner-side pruning fails the row hash, not just a
+    // spec.
+    Q(
+      "q479_dsv2_versioned_read",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_dsv2$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), (col("event_id") % 1000).as("bucket"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        graft.ops.VersionedTable.init(
+          ev.where(col("event_id") % 3 === 0).repartition(4), path)
+        graft.ops.VersionedTable.append(
+          ev.where(col("event_id") % 3 === 1).repartition(3), path)
+        graft.ops.VersionedTable.append(
+          ev.where(col("event_id") % 3 === 2).repartition(3), path)
+        graft.ops.VersionedTable.compactClustered(s, path, 8, "bucket")
+        graft.ops.VersionedTable.append(
+          ev.where(col("bucket") >= 900).repartition(2), path)
+        def leg(versionAsOf: Option[Int], label: Long) = {
+          val r = versionAsOf
+            .foldLeft(s.read.format("graft-versioned"))(
+              (rd, v) => rd.option("versionAsOf", v.toString))
+            .load(path)
+          r.createOrReplaceTempView(s"graft_dsv2_view$tag")
+          val q = s.sql(
+            s"SELECT count(*) AS n_rows, sum(cents) AS sum_cents " +
+              s"FROM graft_dsv2_view$tag " +
+              "WHERE bucket >= 300 AND bucket < 700")
+          val (opened, total) = q.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec =>
+              val idx = b.scan.asInstanceOf[org.apache.spark.sql.execution
+                .datasources.v2.parquet.ParquetScan].fileIndex
+              (idx.inputFiles.length.toLong,
+                graft.ops.VersionedTable.manifestFiles(path,
+                  versionAsOf.getOrElse(
+                    graft.ops.VersionedTable.latestVersion(path)))
+                  .length.toLong)
+          }.getOrElse(sys.error("graft-versioned did not plan a V2 scan"))
+          q.select(lit(label).as("version_read"),
+            lit(opened).as("files_opened"), lit(total).as("files_total"),
+            col("n_rows"), col("sum_cents"))
+        }
+        leg(Some(3), 3L).unionByName(leg(None, 4L))
+          .orderBy("version_read")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id % 1000 AS bucket,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |band AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(cents) AS BIGINT) AS sum_cents
+             |  FROM ev WHERE bucket >= 300 AND bucket < 700)
+             |SELECT CAST(3 AS BIGINT) AS version_read,
+             |  CAST(4 AS BIGINT) AS files_opened,
+             |  CAST(8 AS BIGINT) AS files_total,
+             |  n_rows, sum_cents FROM band
+             |UNION ALL
+             |SELECT CAST(4 AS BIGINT), CAST(6 AS BIGINT),
+             |  CAST(10 AS BIGINT), n_rows, sum_cents FROM band
+             |ORDER BY version_read""".stripMargin)))
 }

@@ -136,6 +136,27 @@ object PlanSnapshots {
     } finally {
       graft.io.FsUtil.deleteRecursively(idx)
     }
+
+    // round 11: the graft-versioned DataSource V2 read — the snapshot
+    // must keep showing (a) a BatchScan (V2 planning engaged), (b)
+    // PushedFilters on the clustered column, and (c) a file list
+    // already pruned by the manifest consultation (4 of 8 clustered
+    // files for the 40% band — the q479 gate's number)
+    val vt = Files.createTempDirectory("graft_plansnap_vt").toString
+    try {
+      val ev = graft.io.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), (col("event_id") % 1000).as("bucket"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      graft.ops.VersionedTable.init(ev.repartition(4), vt)
+      graft.ops.VersionedTable.compactClustered(spark, vt, 8, "bucket")
+      write("q479_dsv2_pruned_scan",
+        spark.read.format("graft-versioned").load(vt)
+          .where(col("bucket") >= 300 && col("bucket") < 700)
+          .select("bucket", "cents")
+          .queryExecution.explainString(mode))
+    } finally {
+      graft.io.FsUtil.deleteRecursively(vt)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+
+import graft.ops.VersionedTable
+
+/** Planner-level contract tests for the graft-versioned DataSource V2
+  * read path: manifest consultation (versionAsOf + zone-stat file
+  * skipping) must happen INSIDE Catalyst — the pruned file count is
+  * read off the physical plan's BatchScan, not off library helpers —
+  * and EXPLAIN must show the pushed filters.
+  */
+class GraftVersionedSourceSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$name"
+
+  /** Files the plan's scan will open (manifest-pruned), straight off
+    * the physical BatchScan.
+    */
+  private def scanFiles(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec =>
+        b.scan.asInstanceOf[ParquetScan].fileIndex.inputFiles.length
+    }.getOrElse(fail("no BatchScanExec in the plan"))
+
+  private def buildTable(path: String): Unit = {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, i % 100, i * 3L))
+      .toDF("id", "bucket", "cents")
+    VersionedTable.init(df.where(col("id") < 600).repartition(3), path)
+    VersionedTable.append(df.where(col("id") >= 600).repartition(2), path)
+    VersionedTable.compactClustered(spark, path, 5, "bucket") // v2
+  }
+
+  test("SQL range predicate on the clustered column prunes the scan " +
+    "to intersecting files, inside the planner, with residual filters " +
+    "kept and PushedFilters visible in EXPLAIN") {
+    val path = tmp("graft_dsv2_spec")
+    buildTable(path)
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_dsv2_t")
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(cents) AS s FROM graft_dsv2_t " +
+        "WHERE bucket >= 20 AND bucket < 40")
+    // 5 range-clustered files over uniform bucket 0..99: a 20-wide
+    // band intersects 1-2 of them, never all 5
+    val opened = scanFiles(q)
+    assert(opened < 5 && opened >= 1, s"opened $opened of 5")
+    // correctness: residual predicate still applied post-scan
+    val r = q.head()
+    val expectN = (0L until 1000L).count(i => i % 100 >= 20 && i % 100 < 40)
+    assert(r.getLong(0) == expectN)
+    assert(r.getLong(1) ==
+      (0L until 1000L).filter(i => i % 100 >= 20 && i % 100 < 40)
+        .map(_ * 3L).sum)
+    val explained = q.queryExecution.executedPlan.toString
+    assert(explained.contains("PushedFilters:") &&
+      explained.contains("bucket"),
+      s"no pushed filters visible in plan:\n$explained")
+  }
+
+  test("an unsatisfiable band opens ZERO files; a full scan opens all") {
+    val path = tmp("graft_dsv2_spec2")
+    buildTable(path)
+    val t = spark.read.format("graft-versioned").load(path)
+    assert(scanFiles(t.where(col("bucket") > 10000)) == 0)
+    assert(t.where(col("bucket") > 10000).isEmpty)
+    assert(scanFiles(t) == 5)
+  }
+
+  test("versionAsOf pins a snapshot: the fragmented v1 serves its " +
+    "own 5 files and pre-compaction rows; stats-less files never prune") {
+    val path = tmp("graft_dsv2_spec3")
+    buildTable(path)
+    val v1 = spark.read.format("graft-versioned")
+      .option("versionAsOf", "1").load(path)
+    // v1 has 3 + 2 unclustered (stats-less) files: a selective band
+    // must still open ALL of them — conservative, never wrong
+    assert(scanFiles(v1.where(col("bucket") >= 20 && col("bucket") < 40))
+      == 5)
+    assert(v1.count() == 1000)
+    // latest equals the time-travel read of v2
+    val latest = spark.read.format("graft-versioned").load(path)
+    assert(latest.count() == 1000)
+    assert(latest.agg(sum("cents")).head().getLong(0) ==
+      v1.agg(sum("cents")).head().getLong(0))
+  }
+
+  test("appends after a clustered compaction scan conservatively: " +
+    "statted files prune, the new stats-less files always open") {
+    import spark.implicits._
+    val path = tmp("graft_dsv2_spec4")
+    buildTable(path)
+    VersionedTable.append(
+      Seq((2000L, 55L, 6000L)).toDF("id", "bucket", "cents")
+        .repartition(1), path) // v3: 5 statted + 1 unstatted
+    val t = spark.read.format("graft-versioned").load(path)
+    val q = t.where(col("bucket") >= 20 && col("bucket") < 40)
+    val opened = scanFiles(q)
+    // the unstatted appended file must be among the opened set
+    assert(opened >= 2 && opened < 6, s"opened $opened of 6")
+    // and the residual filter drops its out-of-band row
+    assert(q.count() ==
+      (0L until 1000L).count(i => i % 100 >= 20 && i % 100 < 40))
+    // an in-band append row IS served
+    val q2 = t.where(col("bucket") === 55)
+    assert(q2.count() ==
+      (0L until 1000L).count(_ % 100 == 55) + 1)
+  }
+
+  test("a snapshot carrying deletion vectors refuses the bare scan " +
+    "(no silent resurrection); after OPTIMIZE it serves") {
+    val path = tmp("graft_dsv2_spec5")
+    buildTable(path)
+    VersionedTable.deleteWhereDV(spark, path, col("bucket") === 7)
+    val t = spark.read.format("graft-versioned").load(path)
+    val e = intercept[Exception] { t.count() }
+    assert(e.getMessage.contains("deletion vectors"),
+      s"wrong refusal: ${e.getMessage}")
+    VersionedTable.compact(spark, path, 2)
+    val served = spark.read.format("graft-versioned").load(path)
+    assert(served.count() == 1000 - 10)
+    assert(served.where(col("bucket") === 7).isEmpty)
+  }
+}

@@ -782,4 +782,34 @@ class PlanSpec extends SparkSpec {
     shared.foreach(rel => assert(!diffInputs.exists(_.endsWith(rel)),
       s"diff scanned a shared file: $rel"))
   }
+
+  test("q479: the graft-versioned DSv2 scan is manifest-pruned INSIDE " +
+    "the planner — BatchScan file count 4 of 8 for the 40% band, " +
+    "pushed filters visible, zero files for an unsatisfiable band") {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_plan"
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), (col("event_id") % 1000).as("bucket"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    graft.ops.VersionedTable.init(ev.repartition(4), path)
+    graft.ops.VersionedTable.compactClustered(spark, path, 8, "bucket")
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.parquet.ParquetScan].fileIndex.inputFiles.length
+      }.getOrElse(fail("graft-versioned did not plan a V2 BatchScan"))
+    val t = spark.read.format("graft-versioned").load(path)
+    val band = t.where(col("bucket") >= 300 && col("bucket") < 700)
+    assert(scanFiles(band) == 4, "40% band must open 4 of 8 files")
+    assert(scanFiles(t) == 8)
+    assert(scanFiles(t.where(col("bucket") > 100000)) == 0,
+      "unsatisfiable band must plan a zero-file scan")
+    val p = band.select("bucket", "cents").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(bucket,300)"),
+      s"band predicate not pushed:\n${p.take(600)}")
+  }
 }
