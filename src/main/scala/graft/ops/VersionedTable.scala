@@ -30,6 +30,9 @@ import graft.io.TableFs
   *     written by [[compactClustered]]; files WITHOUT stats are always
   *     read (conservative), so appends after a clustered compaction
   *     stay correct and merely dilute pruning until the next OPTIMIZE
+  *   - `bf\tKEYCOL\tBITS\tHASHES\tREL`    per-file bloom sidecar refs
+  *     written by [[buildBloomIndex]] — point lookups on an UNclustered
+  *     key open only bloom-candidate files ([[keyLookupFiles]])
   *   - `#batch=N`                         streaming idempotence record
   *     ([[appendIdempotent]])
   *
@@ -55,15 +58,25 @@ object VersionedTable {
   // ---------------------------------------------------------------- //
   // manifest model + I/O
 
+  /** A per-file bloom sidecar reference: `rel` is a parquet file of
+    * `(file STRING, positions ARRAY<INT>)` — for each data file, the
+    * sorted set of bit positions its `keyCol` values light up under
+    * `hashes` seeded xxhash64 draws modulo `bits`.
+    */
+  final case class BloomRef(keyCol: String, bits: Int, hashes: Int,
+                            rel: String)
+
   /** Parsed manifest: `data` and `dvs` are table-relative paths;
     * `stats` maps a data file to its (zoneCol, min, max) clustering
-    * band; `batch` is the streaming batch id this commit recorded.
+    * band; `blooms` are per-file bloom sidecars ([[buildBloomIndex]]);
+    * `batch` is the streaming batch id this commit recorded.
     */
   final case class Manifest(
       data: Seq[String],
       dvs: Seq[String],
       stats: Map[String, (String, Double, Double)],
-      batch: Option[Long])
+      batch: Option[Long],
+      blooms: Seq[BloomRef] = Nil)
 
   private def manifestDir(path: String): String = s"$path/_manifests"
 
@@ -89,13 +102,20 @@ object VersionedTable {
       require(p.length == 5, s"bad stats line in $f: $l")
       p(4) -> (p(1), p(2).toDouble, p(3).toDouble)
     }.toMap
+    val blooms = lines.filter(_.startsWith("bf\t")).map { l =>
+      val p = l.split("\t")
+      require(p.length == 5, s"bad bloom line in $f: $l")
+      BloomRef(p(1), p(2).toInt, p(3).toInt, p(4))
+    }
     Manifest(
       data = lines.filterNot(l =>
-        l.startsWith("dv:") || l.startsWith("zs\t") || l.startsWith("#")),
+        l.startsWith("dv:") || l.startsWith("zs\t") ||
+          l.startsWith("bf\t") || l.startsWith("#")),
       dvs = lines.filter(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
       stats = stats,
       batch = lines.find(_.startsWith("#batch="))
-        .map(_.stripPrefix("#batch=").trim.toLong))
+        .map(_.stripPrefix("#batch=").trim.toLong),
+      blooms = blooms)
   }
 
   /** Data files of version `v`, as `commitDir/partFile` relative paths
@@ -115,7 +135,9 @@ object VersionedTable {
         m.dvs.sorted.map("dv:" + _) ++
         m.stats.toSeq.sortBy(_._1).map { case (rel, (zc, lo, hi)) =>
           s"zs\t$zc\t$lo\t$hi\t$rel"
-        }
+        } ++
+        m.blooms.sortBy(_.rel).map(b =>
+          s"bf\t${b.keyCol}\t${b.bits}\t${b.hashes}\t${b.rel}")
     TableFs.writeUtf8Exclusive(manifestFile(path, v), lines.mkString("\n"))
   }
 
@@ -223,7 +245,7 @@ object VersionedTable {
     val prev = readManifest(path, v)
     writeManifest(path, v + 1, Manifest(
       prev.data ++ writeCommitData(df, path, v + 1),
-      prev.dvs, prev.stats, batch))
+      prev.dvs, prev.stats, batch, prev.blooms))
   }
 
   /** Append-only commit: new files join the manifest; no existing file
@@ -322,7 +344,7 @@ object VersionedTable {
     // carried files still apply. Stats for rewritten files drop.
     writeManifest(path, v + 1, Manifest(
       carried ++ rewritten, m.dvs,
-      m.stats.view.filterKeys(carried.contains).toMap, None))
+      m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms))
   }
 
   /** MERGE-ON-READ delete via deletion vectors: writes NO data file at
@@ -355,7 +377,7 @@ object VersionedTable {
     val dvFiles = TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
     writeManifest(path, v + 1,
-      Manifest(m.data, m.dvs ++ dvFiles, m.stats, None))
+      Manifest(m.data, m.dvs ++ dvFiles, m.stats, None, m.blooms))
   }
 
   // ---------------------------------------------------------------- //
@@ -399,7 +421,7 @@ object VersionedTable {
       path, v + 1)
     writeManifest(path, v + 1, Manifest(
       carried ++ rewritten, m.dvs,
-      m.stats.view.filterKeys(carried.contains).toMap, None))
+      m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms))
   }
 
   // ---------------------------------------------------------------- //
@@ -502,6 +524,109 @@ object VersionedTable {
       readFiles(spark, path, m.data, m.dvs).where(lit(false))
     else
       readFiles(spark, path, open, m.dvs).where(pred)
+  }
+
+  // ---------------------------------------------------------------- //
+  // bloom file-skipping for point lookups
+
+  /** The k seeded bloom bit positions of a key expression. xxhash64 is
+    * Spark-deterministic (same value every run, every node), which is
+    * all a file-skipping index needs — build and probe just have to
+    * agree, and both run through this one expression. The PROBE key
+    * must carry the column's type (xxhash64 is type-sensitive).
+    */
+  private def bloomPositions(key: Column, bits: Int,
+                             hashes: Int): Seq[Column] =
+    (0 until hashes).map(i =>
+      pmod(xxhash64(lit(i), key), lit(bits.toLong)).cast("int"))
+
+  /** Build a per-file BLOOM sidecar over `keyCol` and commit it as a
+    * new version (data unchanged — the manifest gains `bf` lines).
+    * Closes the r10 gap: zone stats only serve the CLUSTERED column, so
+    * a `key = k` probe on anything else opened every file. The sidecar
+    * holds, per data file, the sorted set of bit positions its keys
+    * light up (bounded by `bits`, i.e. ~4 MB per file row at the 2^20
+    * default — vs the GBs of data file it lets a probe skip).
+    * [[keyLookupFiles]] consults it distributedly and opens only files
+    * whose filter contains ALL probe positions; data files appended
+    * AFTER the build have no sidecar row and always open (conservative
+    * — rebuild after appends/OPTIMIZE to re-cover, exactly like zone
+    * stats). The one full column scan this costs is amortized over
+    * every point lookup after it.
+    */
+  def buildBloomIndex(spark: SparkSession, path: String, keyCol: String,
+                      bits: Int = 1 << 20, hashes: Int = 3): Unit = {
+    require(bits > 0 && hashes > 0, "bits and hashes must be positive")
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val m = readManifest(path, v)
+    val sub = f"f${v + 1}%05d"
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.data.map(r => s"$path/$r"): _*)
+      .select(relExpr.as("file"),
+        explode(array(bloomPositions(col(keyCol), bits, hashes): _*))
+          .as("p"))
+      .groupBy("file")
+      .agg(sort_array(collect_set(col("p"))).as("positions"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$sub")
+    val sidecars = TableFs.listNames(s"$path/$sub")
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
+    writeManifest(path, v + 1, m.copy(
+      batch = None,
+      blooms = m.blooms.filterNot(_.keyCol == keyCol) ++
+        sidecars.map(r => BloomRef(keyCol, bits, hashes, r))))
+  }
+
+  /** Bloom consultation for `keyCol = key` on version `v`: (files to
+    * open, total data files). Candidates = sidecar-covered files whose
+    * filter contains all probe positions, plus every UNcovered data
+    * file (appends/compactions since the build — conservative, never
+    * wrong). An absent key with no false positive yields an EMPTY open
+    * set — the zero-file short-circuit. Both collects are
+    * file-count-bounded, same cost class as the manifest itself.
+    */
+  def keyLookupFiles(spark: SparkSession, path: String, v: Int,
+                     keyCol: String, key: Column): (Seq[String], Int) = {
+    val m = readManifest(path, v)
+    val refs = m.blooms.filter(_.keyCol == keyCol)
+    if (refs.isEmpty) (m.data, m.data.length)
+    else {
+      val bits = refs.head.bits
+      val hashes = refs.head.hashes
+      val sidecar = spark.read
+        .parquet(refs.map(r => s"$path/${r.rel}"): _*)
+      val probe = bloomPositions(key, bits, hashes)
+      def collectFiles(df: DataFrame): Seq[String] = {
+        val rows = df.select("file").distinct()
+          .limit(probeCap + 1).collect().map(_.getString(0))
+        require(rows.length <= probeCap,
+          s"bloom sidecar at $path exceeds $probeCap files")
+        rows.toSeq
+      }
+      val covered = collectFiles(sidecar).toSet
+      val cand = collectFiles(sidecar.where(
+        probe.map(p => array_contains(col("positions"), p))
+          .reduce(_ && _))).toSet
+      val open = m.data.filter(rel =>
+        cand.contains(rel) || !covered.contains(rel))
+      (open, m.data.length)
+    }
+  }
+
+  /** Bloom-pruned point lookup: only candidate files are opened, the
+    * residual equality still applies (blooms admit false positives,
+    * never false negatives), deletion vectors still apply. An absent
+    * key short-circuits to an empty frame with the version's schema —
+    * no data file is opened at all.
+    */
+  def readVersionKeyLookup(spark: SparkSession, path: String, v: Int,
+                           keyCol: String, key: Column): DataFrame = {
+    val m = readManifest(path, v)
+    val (open, _) = keyLookupFiles(spark, path, v, keyCol, key)
+    if (open.isEmpty)
+      readFiles(spark, path, m.data, m.dvs).where(lit(false))
+    else
+      readFiles(spark, path, open, m.dvs).where(col(keyCol) === key)
   }
 
   // ---------------------------------------------------------------- //

@@ -171,5 +171,67 @@ object ExtensionQueries86 {
              |UNION ALL
              |SELECT CAST(4 AS BIGINT), CAST(6 AS BIGINT),
              |  CAST(10 AS BIGINT), n_rows, sum_cents FROM band
-             |ORDER BY version_read""".stripMargin)))
+             |ORDER BY version_read""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q480: BLOOM FILE-SKIPPING for point lookups on an UNCLUSTERED
+    // key (r10 'what's wrong' item 1: zone stats only serve the
+    // clustered column — a `key = k` probe opened every file). The
+    // table is the q476 fragmented shape (10 files across 3 commits);
+    // buildBloomIndex('event_id') commits per-file bloom sidecars as
+    // v3. The present-key probe (the oracle-replayable min event_id of
+    // the %3==2 slice — a key living in exactly ONE of the 10 files)
+    // must open 1 file; the absent-key probe (max+1000) must open ZERO
+    // files — the short-circuit where no data file is touched at all.
+    // Both pruned counts ride in the gated row next to the looked-up
+    // row's logical payload.
+    Q(
+      "q480_bloom_point_lookup",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_bloom$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        graft.ops.VersionedTable.init(
+          ev.where(col("event_id") % 3 === 0).repartition(4), path)
+        graft.ops.VersionedTable.append(
+          ev.where(col("event_id") % 3 === 1).repartition(3), path)
+        graft.ops.VersionedTable.append(
+          ev.where(col("event_id") % 3 === 2).repartition(3), path)
+        graft.ops.VersionedTable.buildBloomIndex(s, path, "event_id")
+        val present = ev.where(col("event_id") % 3 === 2)
+          .agg(min("event_id")).head().getLong(0)
+        val absent = ev.agg(max("event_id")).head().getLong(0) + 1000L
+        def leg(label: Long, k: Long) = {
+          val (open, total) = graft.ops.VersionedTable.keyLookupFiles(
+            s, path, 3, "event_id", lit(k))
+          graft.ops.VersionedTable
+            .readVersionKeyLookup(s, path, 3, "event_id", lit(k))
+            .agg(count(lit(1)).cast("long").as("n_rows"),
+              coalesce(sum("cents"), lit(0L)).as("sum_cents"))
+            .select(lit(label).as("leg"),
+              lit(open.length.toLong).as("files_opened"),
+              lit(total.toLong).as("files_total"),
+              col("n_rows"), col("sum_cents"))
+        }
+        leg(0L, present).unionByName(leg(1L, absent)).orderBy("leg")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |k AS (SELECT min(event_id) AS kk FROM ev
+             |      WHERE event_id % 3 = 2)
+             |SELECT CAST(0 AS BIGINT) AS leg,
+             |  CAST(1 AS BIGINT) AS files_opened,
+             |  CAST(10 AS BIGINT) AS files_total,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents
+             |FROM ev, k WHERE ev.event_id = k.kk
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             |  CAST(10 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |ORDER BY leg""".stripMargin)))
 }

@@ -177,6 +177,14 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     m.toMap
   }
 
+  /** Equality probes on bloom-indexed columns, as (column, literal). */
+  private def equalityProbes(fs: Seq[Filter]): Seq[(String, Any)] =
+    fs.flatMap {
+      case EqualTo(c, v) => Seq(c -> v)
+      case And(l, r) => equalityProbes(Seq(l, r))
+      case _ => Nil
+    }
+
   override def build(): Scan = {
     val m = VersionedTable.readManifest(path, version)
     require(m.dvs.isEmpty,
@@ -186,13 +194,25 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     // manifest consultation: drop every file whose recorded stats band
     // cannot intersect the pushed bounds on its clustered column
     val b = bounds(pushed.toSeq)
-    val keep = m.data.filter { rel =>
+    val statsKeep = m.data.filter { rel =>
       m.stats.get(rel) match {
         case Some((zc, zmin, zmax)) =>
           b.get(zc).forall { case (lo, hi) => zmax >= lo && zmin <= hi }
         case None => true
       }
     }
+    // bloom consultation: an equality probe on a bloom-indexed column
+    // keeps only candidate files (+ files the sidecar doesn't cover)
+    val bloomCols = m.blooms.map(_.keyCol).toSet
+    val keep = equalityProbes(pushed.toSeq)
+      .filter { case (c, _) => bloomCols.contains(c) }
+      .foldLeft(statsKeep) { case (files, (c, v)) =>
+        val (open, _) = VersionedTable.keyLookupFiles(
+          spark, path, version, c,
+          org.apache.spark.sql.functions.lit(v))
+        val openSet = open.toSet
+        files.filter(openSet.contains)
+      }
     val index = new InMemoryFileIndex(spark,
       keep.map(r => new HPath(s"$path/$r")), Map.empty, Some(dataSchema))
     ParquetScan(spark,

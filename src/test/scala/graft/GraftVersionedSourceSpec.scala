@@ -112,6 +112,45 @@ class GraftVersionedSourceSpec extends SparkSpec {
       (0L until 1000L).count(_ % 100 == 55) + 1)
   }
 
+  test("bloom point lookups: present key opens its file(s) only, " +
+    "absent key opens ZERO files, uncovered appends stay conservative " +
+    "— through both the library path and the DSv2 EqualTo consult") {
+    import spark.implicits._
+    val path = tmp("graft_dsv2_bloom")
+    buildTable(path) // v2: 5 clustered files over id 0..999
+    VersionedTable.buildBloomIndex(spark, path, "id") // v3
+    val v = VersionedTable.latestVersion(path)
+    // library path: present key — 1 file (id unique, fp-free at 2^20)
+    val (openP, total) = VersionedTable.keyLookupFiles(
+      spark, path, v, "id", lit(123L))
+    assert(total == 5 && openP.length == 1, s"present: $openP")
+    assert(VersionedTable.readVersionKeyLookup(
+      spark, path, v, "id", lit(123L)).count() == 1)
+    // absent key — zero-file short-circuit
+    val (openA, _) = VersionedTable.keyLookupFiles(
+      spark, path, v, "id", lit(99999L))
+    assert(openA.isEmpty, s"absent key opened $openA")
+    assert(VersionedTable.readVersionKeyLookup(
+      spark, path, v, "id", lit(99999L)).isEmpty)
+    // DSv2 composition: the EqualTo filter consults the same sidecar
+    val t = spark.read.format("graft-versioned").load(path)
+    assert(scanFiles(t.where(col("id") === 123L)) == 1)
+    assert(scanFiles(t.where(col("id") === 99999L)) == 0)
+    assert(t.where(col("id") === 123L).count() == 1)
+    // an uncovered append must open (bloom can't rule it out)...
+    VersionedTable.append(
+      Seq((99999L, 7L, 1L)).toDF("id", "bucket", "cents")
+        .repartition(1), path)
+    val v2 = VersionedTable.latestVersion(path)
+    val (openU, totalU) = VersionedTable.keyLookupFiles(
+      spark, path, v2, "id", lit(99999L))
+    assert(totalU == 6 && openU.length == 1,
+      s"uncovered append not opened: $openU")
+    // ...and the probe finds the appended row
+    assert(VersionedTable.readVersionKeyLookup(
+      spark, path, v2, "id", lit(99999L)).count() == 1)
+  }
+
   test("a snapshot carrying deletion vectors refuses the bare scan " +
     "(no silent resurrection); after OPTIMIZE it serves") {
     val path = tmp("graft_dsv2_spec5")
