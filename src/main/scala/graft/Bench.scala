@@ -40,6 +40,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // r10 verdict item 8 (tier-1 streaming spread): the state-store
+      // maintenance thread fires every 60s by default — mid-bench it
+      // snapshots/cleans RocksDB instances of EARLIER queries while a
+      // LATER one is being timed, which is pure cross-query noise.
+      // Parking it for the bench's lifetime keeps each streaming gate's
+      // cost its own; correctness is unaffected (maintenance is an
+      // optimization, and every bench query's state dies with its
+      // checkpoint anyway).
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -126,8 +135,18 @@ object Bench {
       selected.filterNot(q => tier1Names(q.name))
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Tier-1 queries get two extra timed runs (min-of-5 by default):
+    // the tier is dominated by streaming gates whose 2-4s fixed
+    // AvailableNow+RocksDB floor swings with checkpoint I/O and GC —
+    // min-of-3 left ±15-20% pass-to-pass spread on them (r10 verdict
+    // item 8), and a tighter minimum estimator is the direct fix. Costs
+    // ~2 extra tier-1 passes (~4 min at sf0.1), only where it buys
+    // signal.
+    val tier1Runs = sys.env.get("SPARK_GRAFT_BENCH_TIER1_RUNS")
+      .map(_.toInt).getOrElse(runs + 2).max(runs)
     val results = ordered.map { q =>
-      val first = (1 to runs).map(_ => timeOnce(q))
+      val nRuns = if (tier1Names(q.name)) tier1Runs else runs
+      val first = (1 to nRuns).map(_ => timeOnce(q))
       val t1 = minGood(first)
       val prior = baseline.get(q.name)
       val suspicious = prior.exists(p => t1 > 2 * p && t1 > 1.0)

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.VersionedTable
+
+/** Round-11 third wave — the storage layer becomes a full SQL citizen:
+  * q481 drives the versioned table's WRITE path through the DataSource
+  * V2 connector (DataFrameWriter append/overwrite minting manifest
+  * versions), and q482 runs the whole lifecycle — CREATE TABLE, INSERT
+  * INTO, SELECT, time travel — as plain SQL through a registered
+  * `TableCatalog`, with `VERSION AS OF` resolving through the same
+  * Catalyst hook Delta/Iceberg use. Zero graft API in the q482 SQL.
+  */
+object ExtensionQueries87 {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q481: DSv2 WRITE path. The table is inited with the %4==0 slice,
+    // then TWO DataFrameWriter appends (each a manifest commit: new
+    // files by reference, nothing rewritten) bring in %4==1 and the
+    // rest. A second table proves mode("overwrite"): a junk slice is
+    // replaced wholesale by a re-init (version history restarts at 0).
+    // The gated rows carry the post-write latest-version numbers next
+    // to per-type logical aggregates of BOTH tables, all replayed by
+    // the oracle from raw events.
+    Q(
+      "q481_dsv2_versioned_write",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = System.getProperty("java.io.tmpdir")
+        val pathA = s"$tmp/graft_dsv2w_a$tag"
+        val pathB = s"$tmp/graft_dsv2w_b$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        // table A: init + two connector APPENDS
+        VersionedTable.init(ev.where(col("event_id") % 4 === 0), pathA)
+        ev.where(col("event_id") % 4 === 1)
+          .write.format("graft-versioned").mode("append").save(pathA)
+        ev.where(col("event_id") % 4 > 1)
+          .write.format("graft-versioned").mode("append").save(pathA)
+        // table B: junk content, then a connector OVERWRITE re-init
+        VersionedTable.init(ev.where(col("event_id") % 10 === 0), pathB)
+        VersionedTable.append(ev.where(col("event_id") % 10 === 1), pathB)
+        ev.where(col("event_type") === "purchase")
+          .write.format("graft-versioned").mode("overwrite").save(pathB)
+        def leg(label: Long, path: String) =
+          s.read.format("graft-versioned").load(path)
+            .groupBy("event_type")
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum("cents").as("sum_cents"))
+            .select(lit(label).as("tbl"),
+              lit(VersionedTable.latestVersion(path).toLong)
+                .as("latest_version"),
+              col("event_type"), col("n"), col("sum_cents"))
+        leg(0L, pathA).unionByName(leg(1L, pathB))
+          .orderBy("tbl", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(0 AS BIGINT) AS tbl,
+             |  CAST(2 AS BIGINT) AS latest_version,
+             |  event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM ev GROUP BY event_type
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             |  event_type, CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT)
+             |FROM ev WHERE event_type = 'purchase'
+             |GROUP BY event_type
+             |ORDER BY tbl, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q482: CATALOG SQL LIFECYCLE + VERSION AS OF. A GraftCatalog is
+    // registered under a fixed warehouse; from there everything is
+    // plain SQL — DROP/CREATE TABLE, three INSERT INTO commits (each a
+    // manifest version through the V1Write fallback), then THREE reads:
+    // VERSION AS OF 1 (first insert only), VERSION AS OF 2 (first two),
+    // and the latest — Catalyst resolves the version literal through
+    // TableCatalog.loadTable(ident, version), the same hook
+    // Delta/Iceberg use. The oracle replays the cumulative slices.
+    Q(
+      "q482_sql_catalog_time_travel",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graftcat.warehouse",
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        val tbl = s"graftcat.ev_$tag"
+        val src = s"graft_cat_src_$tag"
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .createOrReplaceTempView(src)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl " +
+          "(event_id BIGINT, event_type STRING, cents BIGINT)")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM $src WHERE event_id % 3 = 0")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM $src WHERE event_id % 3 = 1")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM $src WHERE event_id % 3 = 2")
+        s.sql(
+          s"""SELECT 1 AS as_of, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM $tbl VERSION AS OF 1
+             |UNION ALL
+             |SELECT 2, CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT)
+             |FROM $tbl VERSION AS OF 2
+             |UNION ALL
+             |SELECT 3, CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT)
+             |FROM $tbl
+             |ORDER BY as_of""".stripMargin)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT 1 AS as_of, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM ev WHERE event_id % 3 = 0
+             |UNION ALL
+             |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+             |FROM ev WHERE event_id % 3 IN (0, 1)
+             |UNION ALL
+             |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+             |FROM ev
+             |ORDER BY as_of""".stripMargin)))
+}

@@ -5,13 +5,14 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -102,7 +103,7 @@ object GraftVersioned {
 
 class GraftVersionedTable(tableSchema: StructType,
                           tableOptions: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     s"graft_versioned(${GraftVersioned.tablePath(tableOptions)}, " +
@@ -110,12 +111,61 @@ class GraftVersionedTable(tableSchema: StructType,
 
   override def schema(): StructType = tableSchema
 
+  // BATCH_WRITE rides along with V1_BATCH_WRITE: DataFrameWriter's
+  // TableProvider path gates on the former even when the write itself
+  // is the V1 fallback (the physical planner then dispatches on the
+  // returned V1Write, never calling toBatch)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Catalog-resolved relations pass EMPTY scan options (the path
+    * lives in the table's own options), path reads pass everything in
+    * the scan options — merge with scan options winning.
+    */
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftVersionedScanBuilder(SparkSession.active, tableSchema, options)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (tableOptions.asScala ++ options.asScala).asJava)
+    new GraftVersionedScanBuilder(SparkSession.active, tableSchema, merged)
+  }
+
+  /** WRITE path, via the V1 fallback (the Delta-on-Spark shape): the
+    * connector's job is the COMMIT protocol, not the file encoding, and
+    * `VersionedTable.append`/`init` already are the commit protocol —
+    * a distributed parquet write followed by one atomic manifest
+    * creation. So `df.write.format("graft-versioned").mode("append")`
+    * and SQL `INSERT INTO` mint a new manifest version (existing files
+    * untouched), `mode("overwrite")` / `INSERT OVERWRITE` re-inits.
+    * Snapshot isolation holds for free: concurrent readers pinned an
+    * older manifest and never see the in-flight commit.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftVersionedWriteBuilder(
+      GraftVersioned.tablePath(
+        if (info.options.containsKey("path")) info.options
+        else tableOptions))
+}
+
+class GraftVersionedWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
+          val exists = graft.ops.VersionedTable.latestVersion(path) >= 0
+          if (overwrite || legacyOverwrite || !exists)
+            graft.ops.VersionedTable.init(data, path)
+          else
+            graft.ops.VersionedTable.append(data, path)
+        }
+      }
+  }
 }
 
 class GraftVersionedScanBuilder(spark: SparkSession,

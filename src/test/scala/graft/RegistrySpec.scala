@@ -46,7 +46,10 @@ class RegistrySpec extends SparkSpec {
       "q430_tost_equivalence", "q438_gmm_em", "q439_gpd_tail_fit",
       "q440_deterministic_ransac", "q441_cv_paired_ttest",
       "q443_capture_recapture", "q447_partial_correlation",
-      "q448_rmst", "q454_gumbel_block_maxima", "q455_price_elasticity")
+      "q448_rmst", "q454_gumbel_block_maxima", "q455_price_elasticity",
+      // round-11: one global aggregate row over the band read, with the
+      // measured file counts as literals
+      "q476_versioned_clustered_compact")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
