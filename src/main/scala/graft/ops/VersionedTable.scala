@@ -67,14 +67,16 @@ object VersionedTable {
                             rel: String)
 
   /** Parsed manifest: `data` and `dvs` are table-relative paths;
-    * `stats` maps a data file to its (zoneCol, min, max) clustering
-    * band; `blooms` are per-file bloom sidecars ([[buildBloomIndex]]);
-    * `batch` is the streaming batch id this commit recorded.
+    * `stats` maps a data file to its per-column [min, max] clustering
+    * bands (one for 1-D clustering, one PER DIMENSION for z-order —
+    * [[compactClustered]]/[[compactClusteredZOrder]]); `blooms` are
+    * per-file bloom sidecars ([[buildBloomIndex]]); `batch` is the
+    * streaming batch id this commit recorded.
     */
   final case class Manifest(
       data: Seq[String],
       dvs: Seq[String],
-      stats: Map[String, (String, Double, Double)],
+      stats: Map[String, Map[String, (Double, Double)]],
       batch: Option[Long],
       blooms: Seq[BloomRef] = Nil)
 
@@ -100,8 +102,9 @@ object VersionedTable {
     val stats = lines.filter(_.startsWith("zs\t")).map { l =>
       val p = l.split("\t")
       require(p.length == 5, s"bad stats line in $f: $l")
-      p(4) -> (p(1), p(2).toDouble, p(3).toDouble)
-    }.toMap
+      (p(4), p(1), p(2).toDouble, p(3).toDouble)
+    }.groupBy(_._1).view.mapValues(
+      _.map { case (_, zc, lo, hi) => zc -> (lo, hi) }.toMap).toMap
     val blooms = lines.filter(_.startsWith("bf\t")).map { l =>
       val p = l.split("\t")
       require(p.length == 5, s"bad bloom line in $f: $l")
@@ -133,8 +136,10 @@ object VersionedTable {
       m.batch.map(b => s"#batch=$b").toSeq ++
         m.data.sorted ++
         m.dvs.sorted.map("dv:" + _) ++
-        m.stats.toSeq.sortBy(_._1).map { case (rel, (zc, lo, hi)) =>
-          s"zs\t$zc\t$lo\t$hi\t$rel"
+        m.stats.toSeq.sortBy(_._1).flatMap { case (rel, byCol) =>
+          byCol.toSeq.sortBy(_._1).map { case (zc, (lo, hi)) =>
+            s"zs\t$zc\t$lo\t$hi\t$rel"
+          }
         } ++
         m.blooms.sortBy(_.rel).map(b =>
           s"bf\t${b.keyCol}\t${b.bits}\t${b.hashes}\t${b.rel}")
@@ -485,9 +490,99 @@ object VersionedTable {
       s"stats pass at $path exceeds $probeCap files")
     val stats = statRows.toSeq
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map(r => r.getString(0) -> (zoneCol, r.getDouble(1), r.getDouble(2)))
+      .map(r => r.getString(0) ->
+        Map(zoneCol -> (r.getDouble(1), r.getDouble(2))))
       .toMap
     writeManifest(path, v + 1, Manifest(files, Nil, stats, None))
+  }
+
+  /** Z-ORDER clustering-preserving OPTIMIZE (the Delta `OPTIMIZE
+    * ZORDER BY` shape, under version history): the snapshot is
+    * range-clustered on the Morton interleave of both columns
+    * min-max-stretched into 16 bits (graft.functions.ZOrder), so each
+    * output file owns a compact BOX in (x, y) space, and the manifest
+    * records per-file [min, max] of BOTH columns. A conjunctive box
+    * predicate then prunes on both dimensions at once — including
+    * through the DataSource V2 scan, whose pruning intersects EVERY
+    * recorded column's band — the case 1-D clustering can't serve
+    * (sorted-by-x files each span all of y). Deletion vectors fold in;
+    * the stretch-bounds pass costs one tiny agg (4 doubles).
+    */
+  def compactClusteredZOrder(spark: SparkSession, path: String,
+                             targetFiles: Int, colX: String,
+                             colY: String): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val df = readVersion(spark, path, v)
+    val bnd = df.agg(
+      min(col(colX).cast("double")), max(col(colX).cast("double")),
+      min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    def stretch(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(65535.0), greatest(lit(0.0),
+        (col(c).cast("double") - lit(lo)) / lit(span) * 65535.0))
+        .cast("long")
+    }
+    val z = graft.functions.ZOrder.interleave16(
+      stretch(colX, bnd.getDouble(0), bnd.getDouble(1)),
+      stretch(colY, bnd.getDouble(2), bnd.getDouble(3)))
+    val files = writeCommitData(
+      df.repartitionByRange(targetFiles, z).sortWithinPartitions(z),
+      path, v + 1)
+    val statRows = spark.read
+      .parquet(files.map(r => s"$path/$r"): _*)
+      .select(relExpr.as("rel"),
+        col(colX).cast("double").as("zx"), col(colY).cast("double").as("zy"))
+      .groupBy("rel")
+      .agg(min("zx").as("xmin"), max("zx").as("xmax"),
+        min("zy").as("ymin"), max("zy").as("ymax"))
+      .limit(probeCap + 1).collect()
+    require(statRows.length <= probeCap,
+      s"stats pass at $path exceeds $probeCap files")
+    val stats = statRows.toSeq.map { r =>
+      val byCol =
+        (if (r.isNullAt(1) || r.isNullAt(2)) Map.empty[String, (Double, Double)]
+         else Map(colX -> (r.getDouble(1), r.getDouble(2)))) ++
+          (if (r.isNullAt(3) || r.isNullAt(4)) Map.empty[String, (Double, Double)]
+           else Map(colY -> (r.getDouble(3), r.getDouble(4))))
+      r.getString(0) -> byCol
+    }.filter(_._2.nonEmpty).toMap
+    writeManifest(path, v + 1, Manifest(files, Nil, stats, None))
+  }
+
+  /** Manifest consultation for a BOX probe over a z-ordered version:
+    * files whose per-file ranges intersect BOTH bands (files lacking
+    * stats for either column open conservatively), plus the total.
+    */
+  def boxFiles(path: String, v: Int, colX: String, loX: Double,
+               hiX: Double, colY: String, loY: Double,
+               hiY: Double): (Seq[String], Int) = {
+    val m = readManifest(path, v)
+    def intersects(rel: String, c: String, lo: Double, hi: Double) =
+      m.stats.get(rel).flatMap(_.get(c)) match {
+        case Some((zmin, zmax)) => zmax >= lo && zmin < hi
+        case None => true
+      }
+    val open = m.data.filter(rel =>
+      intersects(rel, colX, loX, hiX) && intersects(rel, colY, loY, hiY))
+    (open, m.data.length)
+  }
+
+  /** Box read over a z-ordered version: manifest-pruned files, residual
+    * conjunctive predicate, deletion vectors still applied.
+    */
+  def readVersionBox(spark: SparkSession, path: String, v: Int,
+                     colX: String, loX: Double, hiX: Double,
+                     colY: String, loY: Double, hiY: Double): DataFrame = {
+    val m = readManifest(path, v)
+    val (open, _) = boxFiles(path, v, colX, loX, hiX, colY, loY, hiY)
+    val pred = col(colX) >= loX && col(colX) < hiX &&
+      col(colY) >= loY && col(colY) < hiY
+    if (open.isEmpty)
+      readFiles(spark, path, m.data, m.dvs).where(lit(false))
+    else
+      readFiles(spark, path, open, m.dvs).where(pred)
   }
 
   /** Manifest consultation for a band probe on `zoneCol` over version
@@ -500,10 +595,9 @@ object VersionedTable {
                 hi: Double): (Seq[String], Int) = {
     val m = readManifest(path, v)
     val open = m.data.filter { rel =>
-      m.stats.get(rel) match {
-        case Some((zc, zmin, zmax)) if zc == zoneCol =>
-          zmax >= lo && zmin < hi
-        case _ => true
+      m.stats.get(rel).flatMap(_.get(zoneCol)) match {
+        case Some((zmin, zmax)) => zmax >= lo && zmin < hi
+        case None => true
       }
     }
     (open, m.data.length)

@@ -132,5 +132,67 @@ object ExtensionQueries87 {
              |UNION ALL
              |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
              |FROM ev
-             |ORDER BY as_of""".stripMargin)))
+             |ORDER BY as_of""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q483: OPTIMIZE ZORDER BY under version history — the 2-D
+    // clustering q470 proved on the standalone zone-map layout, now
+    // composed with versioned snapshots: compactClusteredZOrder
+    // rewrites the fragmented table clustered on the Morton interleave
+    // of (x, y) and persists BOTH columns' per-file ranges in the
+    // version manifest, so a conjunctive box probe prunes on two
+    // dimensions at once (the case 1-D clustering can't serve: every
+    // x-band file spans all of y). The box sits inside one z-quadrant,
+    // so pruning is guaranteed at any SF: `pruned`=1 rides in the
+    // gated row (exact per-SF file counts are pinned in
+    // GraftVersionedSourceSpec — range-boundary sampling makes them
+    // fixture-deterministic but not SF-invariant, so the oracle pins
+    // the invariant part). Logical rows replay from raw events.
+    Q(
+      "q483_versioned_zorder_box",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_vzo$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_id") % 1000).as("x"),
+            (floor(col("value") * 100 + 0.5).cast("long") % 1000).as("y"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 3 === 0)
+          .repartition(4), path)
+        VersionedTable.append(ev.where(col("event_id") % 3 === 1)
+          .repartition(3), path)
+        VersionedTable.append(ev.where(col("event_id") % 3 === 2)
+          .repartition(3), path)
+        VersionedTable.compactClusteredZOrder(s, path, 8, "x", "y")
+        val (open, total) = VersionedTable.boxFiles(path, 3,
+          "x", 50.0, 450.0, "y", 100.0, 500.0)
+        VersionedTable.readVersionBox(s, path, 3,
+          "x", 50.0, 450.0, "y", 100.0, 500.0)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum("cents").as("sum_cents"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .select(lit(total.toLong).as("files_total"),
+            lit(if (open.length < total) 1L else 0L).as("pruned"),
+            col("n_rows"), col("sum_cents"),
+            col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id % 1000 AS x,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS y,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(8 AS BIGINT) AS files_total,
+             |  CAST(1 AS BIGINT) AS pruned,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(min(x) AS BIGINT) AS min_x,
+             |  CAST(max(x) AS BIGINT) AS max_x,
+             |  CAST(min(y) AS BIGINT) AS min_y,
+             |  CAST(max(y) AS BIGINT) AS max_y
+             |FROM ev
+             |WHERE x >= 50 AND x < 450 AND y >= 100 AND y < 500"""
+        .stripMargin)))
 }

@@ -241,13 +241,16 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       s"graft-versioned scan of $path v$version: snapshot carries " +
         "deletion vectors — OPTIMIZE (compact) first, or read via " +
         "VersionedTable.read")
-    // manifest consultation: drop every file whose recorded stats band
-    // cannot intersect the pushed bounds on its clustered column
+    // manifest consultation: drop every file whose recorded stats bands
+    // cannot intersect the pushed bounds — ALL recorded columns must
+    // intersect (conjunctive), so a z-order layout prunes on a 2-D box
     val b = bounds(pushed.toSeq)
     val statsKeep = m.data.filter { rel =>
       m.stats.get(rel) match {
-        case Some((zc, zmin, zmax)) =>
-          b.get(zc).forall { case (lo, hi) => zmax >= lo && zmin <= hi }
+        case Some(byCol) =>
+          byCol.forall { case (zc, (zmin, zmax)) =>
+            b.get(zc).forall { case (lo, hi) => zmax >= lo && zmin <= hi }
+          }
         case None => true
       }
     }

@@ -151,6 +151,49 @@ class GraftVersionedSourceSpec extends SparkSpec {
       spark, path, v2, "id", lit(99999L)).count() == 1)
   }
 
+  test("z-order OPTIMIZE: a one-quadrant box prunes on BOTH columns " +
+    "at once — library boxFiles, readVersionBox rows, and the DSv2 " +
+    "conjunctive scan all agree; an out-of-space box opens zero files") {
+    import spark.implicits._
+    val path = tmp("graft_dsv2_zorder")
+    // uniform 100x100 grid, one row per cell — every quadrant equally
+    // loaded, so z-order boundaries are clean
+    val grid = (0L until 10000L)
+      .map(i => (i, i % 100, i / 100, i))
+      .toDF("id", "x", "y", "c")
+    VersionedTable.init(grid.repartition(4), path)
+    VersionedTable.compactClusteredZOrder(spark, path, 16, "x", "y")
+    val v = VersionedTable.latestVersion(path)
+    // 16 files over the z-curve ≈ a 4x4 grid of (x, y) blocks: a
+    // low-low box spanning ~2x2 blocks opens ~4-6 files (range-sample
+    // boundary wobble allowed), never a full stripe
+    val (open, total) = VersionedTable.boxFiles(path, v,
+      "x", 10.0, 40.0, "y", 10.0, 40.0)
+    assert(total == 16 && open.length <= 6,
+      s"2x2-block box opened ${open.length} of $total")
+    val rows = VersionedTable.readVersionBox(spark, path, v,
+      "x", 10.0, 40.0, "y", 10.0, 40.0)
+    assert(rows.count() == 30L * 30L)
+    // the 2-D claim: the box opens STRICTLY fewer files than its
+    // x-band alone — 1-D stats would pay the x-stripe (all y blocks)
+    val (xOnly, _) = VersionedTable.bandFiles(path, v, "x", 10.0, 40.0)
+    assert(open.length < xOnly.length,
+      s"box (${open.length}) not below x-stripe (${xOnly.length}) — " +
+        "2-D pruning added nothing on this fixture")
+    // DSv2: the conjunctive SQL box prunes the BatchScan identically
+    val t = spark.read.format("graft-versioned").load(path)
+    val q = t.where(col("x") >= 10 && col("x") < 40 &&
+      col("y") >= 10 && col("y") < 40)
+    assert(scanFiles(q) == open.length,
+      "DSv2 conjunctive box and library consult disagree")
+    assert(q.count() == 900)
+    // out-of-space box: zero files
+    assert(VersionedTable.boxFiles(path, v,
+      "x", 5000.0, 6000.0, "y", 0.0, 10.0)._1.isEmpty)
+    assert(VersionedTable.readVersionBox(spark, path, v,
+      "x", 5000.0, 6000.0, "y", 0.0, 10.0).isEmpty)
+  }
+
   test("a snapshot carrying deletion vectors refuses the bare scan " +
     "(no silent resurrection); after OPTIMIZE it serves") {
     val path = tmp("graft_dsv2_spec5")

@@ -47,9 +47,9 @@ class RegistrySpec extends SparkSpec {
       "q440_deterministic_ransac", "q441_cv_paired_ttest",
       "q443_capture_recapture", "q447_partial_correlation",
       "q448_rmst", "q454_gumbel_block_maxima", "q455_price_elasticity",
-      // round-11: one global aggregate row over the band read, with the
-      // measured file counts as literals
-      "q476_versioned_clustered_compact")
+      // round-11: one global aggregate row over the band/box read, with
+      // the measured pruning as literals
+      "q476_versioned_clustered_compact", "q483_versioned_zorder_box")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
