@@ -91,4 +91,11 @@ object TableFs {
     val f = fs(p)
     if (f.exists(p)) { f.delete(p, true); () }
   }
+
+  /** Delete a single file; no-op when absent. */
+  def deleteFile(path: String): Unit = {
+    val p = new HPath(path)
+    val f = fs(p)
+    if (f.exists(p)) { f.delete(p, false); () }
+  }
 }

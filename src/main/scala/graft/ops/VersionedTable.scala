@@ -621,6 +621,54 @@ object VersionedTable {
   }
 
   // ---------------------------------------------------------------- //
+  // retention
+
+  /** VACUUM: physically reclaim everything the last `keepVersions`
+    * snapshots don't reference — the retention verb that completes the
+    * lifecycle ("snapshots are immutable" can't mean "disk grows
+    * forever"). Pre-horizon MANIFESTS are removed first, so time travel
+    * below the horizon fails loudly (`no version v`) rather than
+    * half-reading a table whose files are gone; then every payload
+    * file (data, deletion-vector, bloom sidecar) referenced by NO kept
+    * manifest is deleted, and emptied commit directories go with it.
+    * Cost is metadata-scale: kept-manifest reads + one listing per
+    * payload directory — no data is read. Returns
+    * (manifests removed, payload files removed). Single-writer, like
+    * all maintenance verbs: don't vacuum under a concurrent writer.
+    */
+  def vacuum(path: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val latest = latestVersion(path)
+    require(latest >= 0, s"no table at $path — call init first")
+    val keepFrom = math.max(0, latest - keepVersions + 1)
+    val kept: Set[String] = (keepFrom to latest).flatMap { v =>
+      val m = readManifest(path, v)
+      m.data ++ m.dvs ++ m.blooms.map(_.rel)
+    }.toSet
+    var manifestsRemoved = 0
+    (0 until keepFrom).foreach { v =>
+      val f = manifestFile(path, v)
+      if (TableFs.exists(f)) {
+        TableFs.deleteFile(f)
+        manifestsRemoved += 1
+      }
+    }
+    var filesRemoved = 0
+    TableFs.listNames(path).filter(_.matches("[cdf]\\d{5}")).foreach { d =>
+      TableFs.listNames(s"$path/$d").filter(_.endsWith(".parquet"))
+        .foreach { n =>
+          if (!kept.contains(s"$d/$n")) {
+            TableFs.deleteFile(s"$path/$d/$n")
+            filesRemoved += 1
+          }
+        }
+      if (!TableFs.listNames(s"$path/$d").exists(_.endsWith(".parquet")))
+        TableFs.deleteRecursive(s"$path/$d")
+    }
+    (manifestsRemoved, filesRemoved)
+  }
+
+  // ---------------------------------------------------------------- //
   // bloom file-skipping for point lookups
 
   /** The k seeded bloom bit positions of a key expression. xxhash64 is

@@ -194,5 +194,56 @@ object ExtensionQueries87 {
              |  CAST(max(y) AS BIGINT) AS max_y
              |FROM ev
              |WHERE x >= 50 AND x < 450 AND y >= 100 AND y < 500"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q484: VACUUM — retention for the versioned table. Three commits
+    // (init 4 files, append 3, compact to 2) build a 9-file footprint
+    // of which the latest snapshot references 2; vacuum(keepVersions=1)
+    // must remove exactly the two pre-horizon manifests and the 7
+    // payload files only they referenced — all three counts are
+    // construction-deterministic and ride in the gated row next to the
+    // surviving snapshot's per-type aggregates (proof the reclaim
+    // touched ONLY unreferenced files). Time travel below the horizon
+    // now fails loudly (pinned in GraftVersionedSourceSpec, along with
+    // sidecar retention).
+    Q(
+      "q484_versioned_vacuum",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_vvac$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 3 === 0)
+          .repartition(4), path)
+        VersionedTable.append(ev.where(col("event_id") % 3 =!= 0)
+          .repartition(3), path)
+        VersionedTable.compact(s, path, 2)
+        val (mRemoved, fRemoved) = VersionedTable.vacuum(path, 1)
+        VersionedTable.read(s, path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(col("event_type"), col("n"), col("sum_cents"),
+            lit(mRemoved.toLong).as("manifests_removed"),
+            lit(fRemoved.toLong).as("files_removed"),
+            lit(VersionedTable.manifestFiles(path,
+              VersionedTable.latestVersion(path)).length.toLong)
+              .as("files_remaining"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(2 AS BIGINT) AS manifests_removed,
+             |  CAST(7 AS BIGINT) AS files_removed,
+             |  CAST(2 AS BIGINT) AS files_remaining
+             |FROM ev
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)))
 }

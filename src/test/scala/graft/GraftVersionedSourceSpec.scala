@@ -194,6 +194,44 @@ class GraftVersionedSourceSpec extends SparkSpec {
       "x", 5000.0, 6000.0, "y", 0.0, 10.0).isEmpty)
   }
 
+  test("vacuum: reclaims only unreferenced payload (data, DV, bloom " +
+    "sidecars), kept snapshots read identically, time travel below " +
+    "the horizon fails loudly") {
+    import spark.implicits._
+    val path = tmp("graft_vacuum_spec")
+    VersionedTable.init(
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "cents")
+        .repartition(2), path) // v0
+    VersionedTable.deleteWhereDV(spark, path, col("id") <= 3) // v1: +DV
+    VersionedTable.buildBloomIndex(spark, path, "id") // v2: +bloom
+    val before = VersionedTable.read(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // keep v1..v2: nothing is unreferenced yet (v0's files are v1/v2's)
+    val (m1, f1) = VersionedTable.vacuum(path, 2)
+    assert(m1 == 1 && f1 == 0,
+      s"vacuum removed referenced payload: manifests=$m1 files=$f1")
+    assert(VersionedTable.read(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == before)
+    // the DV and bloom sidecars survived (still referenced)
+    val v2 = VersionedTable.latestVersion(path)
+    assert(VersionedTable.manifestDvFiles(path, v2).nonEmpty)
+    assert(VersionedTable.readVersionKeyLookup(
+      spark, path, v2, "id", lit(10L)).count() == 1)
+    // time travel below the horizon fails loudly
+    val e = intercept[Exception] {
+      VersionedTable.readVersion(spark, path, 0)
+    }
+    assert(e.getMessage.contains("no version"), e.getMessage)
+    // fold the DV in, vacuum to 1: the old data files AND the stale
+    // DV/bloom sidecars are reclaimed
+    VersionedTable.compact(spark, path, 1) // v3
+    val (m2, f2) = VersionedTable.vacuum(path, 1)
+    assert(m2 == 2 && f2 >= 3, // 2 old data files + >=1 DV + bloom
+      s"fold+vacuum reclaimed manifests=$m2 files=$f2")
+    assert(VersionedTable.read(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == before)
+  }
+
   test("a snapshot carrying deletion vectors refuses the bare scan " +
     "(no silent resurrection); after OPTIMIZE it serves") {
     val path = tmp("graft_dsv2_spec5")
