@@ -429,6 +429,68 @@ object VersionedTable {
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms))
   }
 
+  /** Apply a CDC batch ATOMICALLY — upserts and deletes in ONE
+    * manifest commit (one snapshot per CDC batch; chaining
+    * `deleteWhere` + `merge` would mint two versions and expose the
+    * half-applied middle state to time travel). Rows tagged
+    * `opCol = +1` upsert by key, rows tagged `-1` delete their key; a
+    * key carrying both in one batch resolves to the +1 payload
+    * (replace); a delete for an unseen key is a no-op. Copy-on-write
+    * at file granularity exactly like [[merge]]: only files CONTAINING
+    * a batch key are rewritten.
+    */
+  def applyCdc(spark: SparkSession, path: String, batch: DataFrame,
+               keyCols: Seq[String], opCol: String): Unit =
+    applyCdcInternal(spark, path, batch, keyCols, opCol, None)
+
+  /** Exactly-once streaming variant of [[applyCdc]] (`foreachBatch`):
+    * the batch id rides in the manifest (the [[appendIdempotent]]
+    * discipline) — a redelivered committed batch id is a no-op,
+    * returning false. Together with a keyed CDC source this is the
+    * full streaming-upsert-into-a-table pipeline: every micro-batch
+    * becomes one immutable, replay-safe snapshot.
+    */
+  def applyCdcIdempotent(spark: SparkSession, path: String,
+                         batch: DataFrame, keyCols: Seq[String],
+                         opCol: String, batchId: Long): Boolean = {
+    if (appliedBatches(path).contains(batchId)) false
+    else {
+      applyCdcInternal(spark, path, batch, keyCols, opCol, Some(batchId))
+      true
+    }
+  }
+
+  private def applyCdcInternal(spark: SparkSession, path: String,
+                               batch: DataFrame, keyCols: Seq[String],
+                               opCol: String,
+                               batchId: Option[Long]): Unit = {
+    require(keyCols.nonEmpty, "applyCdc needs at least one key column")
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val m = readManifest(path, v)
+    val keys = broadcast(batch.select(keyCols.map(col): _*).distinct())
+    val scan = readFilesTagged(spark, path, m.data, m.dvs)
+    val affectedUris = scan.join(keys, keyCols, "left_semi")
+      .select("__file").distinct()
+      .limit(probeCap + 1).collect().map(_.getString(0)).toSeq
+    require(affectedUris.length <= probeCap,
+      s"affected-file set at $path exceeds $probeCap files")
+    val affected = probedToManifest(path, m.data, affectedUris)
+    val carried = m.data.filterNot(affected.contains)
+    val survivors =
+      if (affected.isEmpty) batch.drop(opCol).limit(0)
+      else readFiles(spark, path, affected, m.dvs)
+        .join(keys, keyCols, "left_anti")
+    val upserts = batch.where(col(opCol) === 1).drop(opCol)
+    val rewritten = writeCommitData(
+      survivors.unionByName(upserts, allowMissingColumns = true),
+      path, v + 1)
+    writeManifest(path, v + 1, Manifest(
+      carried ++ rewritten, m.dvs,
+      m.stats.view.filterKeys(carried.contains).toMap, batchId,
+      m.blooms))
+  }
+
   // ---------------------------------------------------------------- //
   // OPTIMIZE
 

@@ -15,6 +15,8 @@ import graft.ops.VersionedTable
   */
 object ExtensionQueries87 {
 
+  private val vcdcRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val queries: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -244,6 +246,101 @@ object ExtensionQueries87 {
              |  CAST(7 AS BIGINT) AS files_removed,
              |  CAST(2 AS BIGINT) AS files_remaining
              |FROM ev
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q485: STREAMING CDC INTO THE VERSIONED TABLE — upserts AND
+    // deletes applied ATOMICALLY, one manifest commit per micro-batch
+    // (chaining deleteWhere + merge would mint two versions and expose
+    // the half-applied middle state to time travel). The CDC feed
+    // carries three kinds of rows: corrections (op=+1 re-keying base
+    // purchases with bumped cents), inserts (op=+1, new keys), and
+    // deletes (op=-1 for base error rows); it streams through
+    // foreachBatch -> applyCdcIdempotent with keys colocated per batch
+    // (hash repartition on event_id), so the final state is
+    // batch-order-free. The redelivery drill replays every committed
+    // batch id (must refuse, no version minted). Oracle = the fully
+    // applied state per event_type.
+    Q(
+      "q485_versioned_streaming_cdc",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val id = vcdcRunId.incrementAndGet()
+        val path = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_vcdc${tag}_$id"
+        val deltaDir =
+          java.nio.file.Files.createTempDirectory("graft_vcdc_delta")
+        val ckptDir =
+          java.nio.file.Files.createTempDirectory("graft_vcdc_ckpt")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val base = ev.where(col("event_id") % 2 === 0)
+        VersionedTable.init(base, path)
+        val cdc = base.where(col("event_type") === "purchase")
+          .withColumn("cents", col("cents") + 7L)
+          .withColumn("op", lit(1))
+          .unionByName(ev.where(col("event_id") % 4 === 1)
+            .withColumn("op", lit(1)))
+          .unionByName(base.where(col("event_type") === "error")
+            .withColumn("op", lit(-1)))
+        cdc.repartition(3, col("event_id"))
+          .write.mode("overwrite").parquet(deltaDir.toString)
+        val apply = (df: org.apache.spark.sql.DataFrame, bid: Long) => {
+          VersionedTable.applyCdcIdempotent(s, path, df,
+            Seq("event_id"), "op", bid)
+          ()
+        }
+        val q = s.readStream.schema(cdc.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(deltaDir.toString)
+          .writeStream
+          .foreachBatch(apply)
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val replayNoop =
+          try {
+            q.awaitTermination()
+            val vBefore = VersionedTable.latestVersion(path)
+            val refused = VersionedTable.appliedBatches(path).toSeq
+              .map(b => !VersionedTable.applyCdcIdempotent(s, path, cdc,
+                Seq("event_id"), "op", b))
+            if (refused.nonEmpty && refused.forall(identity) &&
+              VersionedTable.latestVersion(path) == vBefore) 1L
+            else 0L
+          } finally {
+            q.stop()
+            graft.io.FsUtil.deleteRecursively(ckptDir)
+            graft.io.FsUtil.deleteRecursively(deltaDir)
+          }
+        VersionedTable.read(s, path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(col("event_type"), col("n"), col("sum_cents"),
+            lit(VersionedTable.appliedBatches(path).size.toLong)
+              .as("n_batches"),
+            lit(replayNoop).as("replay_noop"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |fin AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 2 = 0 AND event_type = 'purchase'
+             |         THEN cents + 7 ELSE cents END AS cents
+             |  FROM ev
+             |  WHERE (event_id % 2 = 0 AND event_type <> 'error')
+             |     OR event_id % 4 = 1)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(3 AS BIGINT) AS n_batches,
+             |  CAST(1 AS BIGINT) AS replay_noop
+             |FROM fin
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)))
 }

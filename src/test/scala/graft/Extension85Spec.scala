@@ -174,6 +174,38 @@ class Extension85Spec extends SparkSpec {
     assert(MaterializedView.read(spark, path).count() == 1)
   }
 
+  test("applyCdc: upserts and deletes land in ONE commit; a key with " +
+    "both ops resolves to the upsert; unseen deletes no-op; replay " +
+    "refuses") {
+    import spark.implicits._
+    val path = tmp("graft_cdc_spec")
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "cents"), path)
+    val batch = Seq(
+      (2L, 99L, 1),   // update id 2
+      (3L, 0L, -1),   // delete id 3
+      (4L, 40L, 1),   // insert id 4
+      (5L, 1L, -1),   // delete of an unseen key: no-op
+      (6L, 7L, -1), (6L, 60L, 1) // both ops on one key: +1 wins
+    ).toDF("id", "cents", "op")
+    assert(VersionedTable.applyCdcIdempotent(spark, path, batch,
+      Seq("id"), "op", 0L))
+    // EXACTLY one new version — upserts and deletes were atomic
+    assert(VersionedTable.latestVersion(path) == 1)
+    val rows = VersionedTable.read(spark, path)
+      .select("id", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == Seq((1L, 10L), (2L, 99L), (4L, 40L), (6L, 60L)))
+    // time travel: the pre-CDC snapshot is intact
+    assert(VersionedTable.readVersion(spark, path, 0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // redelivery refuses, no version minted
+    assert(!VersionedTable.applyCdcIdempotent(spark, path, batch,
+      Seq("id"), "op", 0L))
+    assert(VersionedTable.latestVersion(path) == 1)
+  }
+
   test("URI-encoded table paths: deletes apply on a path containing " +
     "a space (the r10 silent-corruption shape)") {
     import spark.implicits._
