@@ -78,7 +78,8 @@ object VersionedTable {
       dvs: Seq[String],
       stats: Map[String, Map[String, (Double, Double)]],
       batch: Option[Long],
-      blooms: Seq[BloomRef] = Nil)
+      blooms: Seq[BloomRef] = Nil,
+      rowCounts: Map[String, Long] = Map.empty)
 
   private def manifestDir(path: String): String = s"$path/_manifests"
 
@@ -110,15 +111,22 @@ object VersionedTable {
       require(p.length == 5, s"bad bloom line in $f: $l")
       BloomRef(p(1), p(2).toInt, p(3).toInt, p(4))
     }
+    val rowCounts = lines.filter(_.startsWith("rc\t")).map { l =>
+      val p = l.split("\t")
+      require(p.length == 3, s"bad row-count line in $f: $l")
+      p(2) -> p(1).toLong
+    }.toMap
     Manifest(
       data = lines.filterNot(l =>
         l.startsWith("dv:") || l.startsWith("zs\t") ||
-          l.startsWith("bf\t") || l.startsWith("#")),
+          l.startsWith("bf\t") || l.startsWith("rc\t") ||
+          l.startsWith("#")),
       dvs = lines.filter(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
       stats = stats,
       batch = lines.find(_.startsWith("#batch="))
         .map(_.stripPrefix("#batch=").trim.toLong),
-      blooms = blooms)
+      blooms = blooms,
+      rowCounts = rowCounts)
   }
 
   /** Data files of version `v`, as `commitDir/partFile` relative paths
@@ -142,7 +150,10 @@ object VersionedTable {
           }
         } ++
         m.blooms.sortBy(_.rel).map(b =>
-          s"bf\t${b.keyCol}\t${b.bits}\t${b.hashes}\t${b.rel}")
+          s"bf\t${b.keyCol}\t${b.bits}\t${b.hashes}\t${b.rel}") ++
+        m.rowCounts.toSeq.sortBy(_._1).map { case (rel, n) =>
+          s"rc\t$n\t$rel"
+        }
     TableFs.writeUtf8Exclusive(manifestFile(path, v), lines.mkString("\n"))
   }
 
@@ -160,6 +171,25 @@ object VersionedTable {
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"$sub/$n")
+  }
+
+  /** Per-file row counts from the parquet FOOTERS — metadata only, no
+    * data pages read; one cheap driver-side footer open per NEW file
+    * per commit. These feed the manifest's `rc` lines, which let a
+    * later `SELECT count(*)` answer from the manifest alone (see the
+    * DataSource V2 aggregate pushdown in graft.sources).
+    */
+  private def footerCounts(path: String,
+                           rels: Seq[String]): Map[String, Long] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    rels.map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$path/$rel"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rel -> r.getRecordCount
+      finally r.close()
+    }.toMap
   }
 
   // ---------------------------------------------------------------- //
@@ -239,8 +269,9 @@ object VersionedTable {
   /** Create the table at version 0. */
   def init(df: DataFrame, path: String): Unit = {
     TableFs.deleteRecursive(path)
-    writeManifest(path, 0,
-      Manifest(writeCommitData(df, path, 0), Nil, Map.empty, None))
+    val files = writeCommitData(df, path, 0)
+    writeManifest(path, 0, Manifest(files, Nil, Map.empty, None, Nil,
+      footerCounts(path, files)))
   }
 
   private def appendInternal(df: DataFrame, path: String,
@@ -248,9 +279,11 @@ object VersionedTable {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
     val prev = readManifest(path, v)
+    val newFiles = writeCommitData(df, path, v + 1)
     writeManifest(path, v + 1, Manifest(
-      prev.data ++ writeCommitData(df, path, v + 1),
-      prev.dvs, prev.stats, batch, prev.blooms))
+      prev.data ++ newFiles,
+      prev.dvs, prev.stats, batch, prev.blooms,
+      prev.rowCounts ++ footerCounts(path, newFiles)))
   }
 
   /** Append-only commit: new files join the manifest; no existing file
@@ -349,7 +382,9 @@ object VersionedTable {
     // carried files still apply. Stats for rewritten files drop.
     writeManifest(path, v + 1, Manifest(
       carried ++ rewritten, m.dvs,
-      m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms))
+      m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
+      m.rowCounts.view.filterKeys(carried.contains).toMap ++
+        footerCounts(path, rewritten)))
   }
 
   /** MERGE-ON-READ delete via deletion vectors: writes NO data file at
@@ -382,7 +417,8 @@ object VersionedTable {
     val dvFiles = TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
     writeManifest(path, v + 1,
-      Manifest(m.data, m.dvs ++ dvFiles, m.stats, None, m.blooms))
+      Manifest(m.data, m.dvs ++ dvFiles, m.stats, None, m.blooms,
+        m.rowCounts))
   }
 
   // ---------------------------------------------------------------- //
@@ -426,7 +462,9 @@ object VersionedTable {
       path, v + 1)
     writeManifest(path, v + 1, Manifest(
       carried ++ rewritten, m.dvs,
-      m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms))
+      m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
+      m.rowCounts.view.filterKeys(carried.contains).toMap ++
+        footerCounts(path, rewritten)))
   }
 
   /** Apply a CDC batch ATOMICALLY — upserts and deletes in ONE
@@ -488,7 +526,9 @@ object VersionedTable {
     writeManifest(path, v + 1, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, batchId,
-      m.blooms))
+      m.blooms,
+      m.rowCounts.view.filterKeys(carried.contains).toMap ++
+        footerCounts(path, rewritten)))
   }
 
   // ---------------------------------------------------------------- //
@@ -508,10 +548,10 @@ object VersionedTable {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
-    writeManifest(path, v + 1, Manifest(
-      writeCommitData(
-        readVersion(spark, path, v).repartition(targetFiles), path, v + 1),
-      Nil, Map.empty, None))
+    val files = writeCommitData(
+      readVersion(spark, path, v).repartition(targetFiles), path, v + 1)
+    writeManifest(path, v + 1, Manifest(files, Nil, Map.empty, None, Nil,
+      footerCounts(path, files)))
   }
 
   /** CLUSTERING-PRESERVING OPTIMIZE: compaction that range-clusters on
@@ -555,7 +595,8 @@ object VersionedTable {
       .map(r => r.getString(0) ->
         Map(zoneCol -> (r.getDouble(1), r.getDouble(2))))
       .toMap
-    writeManifest(path, v + 1, Manifest(files, Nil, stats, None))
+    writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
+      footerCounts(path, files)))
   }
 
   /** Z-ORDER clustering-preserving OPTIMIZE (the Delta `OPTIMIZE
@@ -610,7 +651,8 @@ object VersionedTable {
            else Map(colY -> (r.getDouble(3), r.getDouble(4))))
       r.getString(0) -> byCol
     }.filter(_._2.nonEmpty).toMap
-    writeManifest(path, v + 1, Manifest(files, Nil, stats, None))
+    writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
+      footerCounts(path, files)))
   }
 
   /** Manifest consultation for a BOX probe over a z-ordered version:
@@ -680,6 +722,20 @@ object VersionedTable {
       readFiles(spark, path, m.data, m.dvs).where(lit(false))
     else
       readFiles(spark, path, open, m.dvs).where(pred)
+  }
+
+  /** Metadata-only COUNT(*) of version `v`: the sum of the manifest's
+    * per-file footer row counts — valid only when every data file
+    * carries one (pre-r11 commits don't) and no deletion vector applies
+    * (a vector hides rows the footers still count; CoW rewrites can
+    * also leave DANGLING vector entries, so presence alone disables
+    * the shortcut). None → the caller must scan.
+    */
+  def metadataCount(path: String, v: Int): Option[Long] = {
+    val m = readManifest(path, v)
+    if (m.dvs.isEmpty && m.data.forall(m.rowCounts.contains))
+      Some(m.data.map(m.rowCounts).sum)
+    else None
   }
 
   // ---------------------------------------------------------------- //

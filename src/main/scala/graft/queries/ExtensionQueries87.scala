@@ -342,5 +342,60 @@ object ExtensionQueries87 {
              |  CAST(1 AS BIGINT) AS replay_noop
              |FROM fin
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q486: METADATA-ONLY COUNT(*) — every commit records each new
+    // file's parquet-footer row count as a manifest `rc` line, and the
+    // DSv2 scan builder accepts COMPLETE aggregate pushdown for a bare
+    // group-free COUNT(*): the answer is summed from the manifest, the
+    // planned scan is GraftMetadataCountScan (one partition, one row,
+    // ZERO data files opened — at 100 TB this is the difference between
+    // milliseconds and a full-table scan). The query pins the plan
+    // class per leg in the gated row (read off the physical BatchScan):
+    // leg 0 is the bare count (metadata path), leg 1 the same count
+    // WITH a residual filter — this source keeps every filter as a
+    // residual, so Spark never offers the aggregate and the SQL falls
+    // back to the real file scan (metadata_only=0, correct rows). The
+    // DV interaction (vectors disable the shortcut) pins in the spec.
+    Q(
+      "q486_metadata_count_pushdown",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_mcount$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 4 === 0), path)
+        VersionedTable.append(ev.where(col("event_id") % 4 =!= 0), path)
+        val view = s"graft_mcount_view$tag"
+        s.read.format("graft-versioned").load(path)
+          .createOrReplaceTempView(view)
+        def leg(label: Long, sql: String) = {
+          val q = s.sql(sql)
+          val scanClass = q.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan.getClass.getSimpleName
+          }.getOrElse(sys.error("no V2 scan planned for count(*)"))
+          q.select(lit(label).as("leg"), col("n_rows"),
+            lit(if (scanClass == "GraftMetadataCountScan") 1L else 0L)
+              .as("metadata_only"))
+        }
+        leg(0L, s"SELECT count(*) AS n_rows FROM $view")
+          .unionByName(leg(1L,
+            s"SELECT count(*) AS n_rows FROM $view " +
+              "WHERE event_type <> 'error'"))
+          .orderBy("leg")
+      },
+      Some("""WITH ev AS (SELECT event_type FROM events)
+             |SELECT CAST(0 AS BIGINT) AS leg,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(1 AS BIGINT) AS metadata_only
+             |FROM ev
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+             |  CAST(0 AS BIGINT)
+             |FROM ev WHERE event_type <> 'error'
+             |ORDER BY leg""".stripMargin)))
 }

@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -173,7 +174,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
                                 options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val path = GraftVersioned.tablePath(options)
   private val version = GraftVersioned.version(options)
@@ -235,7 +237,38 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       case _ => Nil
     }
 
-  override def build(): Scan = {
+  // -------- metadata-only COUNT(*) (aggregate pushdown) -------- //
+  // Spark offers the aggregate only after every filter was fully
+  // pushed; this source returns ALL filters as residuals, so an
+  // aggregate arrives here only for unfiltered scans — exactly the
+  // case the manifest can answer. Complete pushdown is accepted for a
+  // bare, group-free COUNT(*) when VersionedTable.metadataCount is
+  // valid (every file footer-counted, no deletion vectors); everything
+  // else falls back to the real scan.
+  private var pushedCount: Option[Long] = None
+
+  private def countable(agg: Aggregation): Option[Long] =
+    if (pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar])
+      VersionedTable.metadataCount(path, version)
+    else None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countable(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    countable(agg) match {
+      case some @ Some(_) => pushedCount = some; true
+      case None => false
+    }
+
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new GraftMetadataCountScan(path, version, n)
+    case None => buildFileScan()
+  }
+
+  private def buildFileScan(): Scan = {
     val m = VersionedTable.readManifest(path, version)
     require(m.dvs.isEmpty,
       s"graft-versioned scan of $path v$version: snapshot carries " +
@@ -273,4 +306,40 @@ class GraftVersionedScanBuilder(spark: SparkSession,
         options.asScala.toMap),
       index, dataSchema, required, new StructType(), pushed, options)
   }
+}
+
+
+/** A Scan that answers a pushed COUNT(*) from the version manifest's
+  * footer row counts: ONE input partition, ONE row, ZERO data files
+  * opened. `EXPLAIN` shows this class in the BatchScan — the pin that
+  * the metadata path actually engaged.
+  */
+class GraftMetadataCountScan(path: String, version: Int, n: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("count_star", org.apache.spark.sql.types
+      .LongType, nullable = false)
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(n))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCountReaderFactory
+  override def description(): String =
+    s"graft_versioned_metadata_count($path, v$version, rows=$n)"
+}
+
+case class GraftCountPartition(n: Long) extends InputPartition
+
+object GraftCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow(
+          p.asInstanceOf[GraftCountPartition].n)
+      override def close(): Unit = ()
+    }
 }

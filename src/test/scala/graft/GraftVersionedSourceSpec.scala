@@ -194,6 +194,53 @@ class GraftVersionedSourceSpec extends SparkSpec {
       "x", 5000.0, 6000.0, "y", 0.0, 10.0).isEmpty)
   }
 
+  test("metadata COUNT(*): answered from manifest footer counts with " +
+    "ZERO data files, disabled by deletion vectors / filters / " +
+    "group-bys, and exact across every commit verb") {
+    import spark.implicits._
+    val path = tmp("graft_mcount_spec")
+    VersionedTable.init(
+      (1L to 100L).map(i => (i, i % 7, i)).toDF("id", "b", "c")
+        .repartition(3), path)
+    VersionedTable.append(
+      (101L to 130L).map(i => (i, i % 7, i)).toDF("id", "b", "c"), path)
+    assert(VersionedTable.metadataCount(path, 1).contains(130L))
+    def scanClassOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan.getClass.getSimpleName
+      }.get
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_mcount_t")
+    val bare = spark.sql("SELECT count(*) AS n FROM graft_mcount_t")
+    assert(scanClassOf(bare) == "GraftMetadataCountScan",
+      s"bare count planned ${scanClassOf(bare)}")
+    assert(bare.head().getLong(0) == 130L)
+    // filters keep the real scan (this source returns all filters as
+    // residuals, so the aggregate is never offered)
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM graft_mcount_t WHERE b = 3")
+    assert(scanClassOf(filtered) == "ParquetScan")
+    assert(filtered.head().getLong(0) ==
+      (1L to 130L).count(_ % 7 == 3))
+    // group-bys keep the real scan
+    val grouped = spark.sql(
+      "SELECT b, count(*) AS n FROM graft_mcount_t GROUP BY b")
+    assert(scanClassOf(grouped) == "ParquetScan")
+    // a CoW delete re-counts the rewritten files exactly
+    VersionedTable.deleteWhere(spark, path, col("id") <= 10)
+    assert(VersionedTable.metadataCount(path,
+      VersionedTable.latestVersion(path)).contains(120L))
+    // a deletion vector disables the shortcut (footers overcount)
+    VersionedTable.deleteWhereDV(spark, path, col("id") === 50)
+    assert(VersionedTable.metadataCount(path,
+      VersionedTable.latestVersion(path)).isEmpty)
+    // ...and compaction folds it back in, restoring the shortcut
+    VersionedTable.compact(spark, path, 2)
+    assert(VersionedTable.metadataCount(path,
+      VersionedTable.latestVersion(path)).contains(119L))
+  }
+
   test("vacuum: reclaims only unreferenced payload (data, DV, bloom " +
     "sidecars), kept snapshots read identically, time travel below " +
     "the horizon fails loudly") {
