@@ -35,6 +35,11 @@ import graft.io.TableFs
   *     key open only bloom-candidate files ([[keyLookupFiles]])
   *   - `#batch=N`                         streaming idempotence record
   *     ([[appendIdempotent]])
+  *   - `#ts=EPOCH_MILLIS`                 commit timestamp, strictly
+  *     monotonic per table ([[readAsOfTimestamp]] time travel)
+  *   - data/dv entries may also be ABSOLUTE paths into another table —
+  *     shallow clones ([[cloneTable]]) reference the source's files
+  *     without copying a byte
   *
   * Crash/concurrency story: commit DATA is written first (with
   * overwrite, so a replayed crashed commit recovers instead of wedging
@@ -66,12 +71,16 @@ object VersionedTable {
   final case class BloomRef(keyCol: String, bits: Int, hashes: Int,
                             rel: String)
 
-  /** Parsed manifest: `data` and `dvs` are table-relative paths;
-    * `stats` maps a data file to its per-column [min, max] clustering
-    * bands (one for 1-D clustering, one PER DIMENSION for z-order —
-    * [[compactClustered]]/[[compactClusteredZOrder]]); `blooms` are
-    * per-file bloom sidecars ([[buildBloomIndex]]); `batch` is the
-    * streaming batch id this commit recorded.
+  /** Parsed manifest: `data` and `dvs` are table-relative paths — or
+    * ABSOLUTE paths into another table for shallow clones
+    * ([[cloneTable]]); `stats` maps a data file to its per-column
+    * [min, max] clustering bands (one for 1-D clustering, one PER
+    * DIMENSION for z-order — [[compactClustered]]/
+    * [[compactClusteredZOrder]]); `blooms` are per-file bloom sidecars
+    * ([[buildBloomIndex]]); `batch` is the streaming batch id this
+    * commit recorded; `ts` is the commit wall-clock in epoch millis
+    * (strictly monotonic per table — [[readAsOfTimestamp]] resolves
+    * time-travel-by-timestamp through it).
     */
   final case class Manifest(
       data: Seq[String],
@@ -79,7 +88,18 @@ object VersionedTable {
       stats: Map[String, Map[String, (Double, Double)]],
       batch: Option[Long],
       blooms: Seq[BloomRef] = Nil,
-      rowCounts: Map[String, Long] = Map.empty)
+      rowCounts: Map[String, Long] = Map.empty,
+      ts: Option[Long] = None)
+
+  /** A manifest entry is either table-relative (`cNNNNN/part-..`) or an
+    * absolute/URI reference into ANOTHER table (shallow clones).
+    */
+  private def isAbsRef(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains("://")
+
+  /** Resolve a manifest entry to a readable path. */
+  private[graft] def absPath(path: String, rel: String): String =
+    if (isAbsRef(rel)) rel else s"$path/$rel"
 
   private def manifestDir(path: String): String = s"$path/_manifests"
 
@@ -126,7 +146,9 @@ object VersionedTable {
       batch = lines.find(_.startsWith("#batch="))
         .map(_.stripPrefix("#batch=").trim.toLong),
       blooms = blooms,
-      rowCounts = rowCounts)
+      rowCounts = rowCounts,
+      ts = lines.find(_.startsWith("#ts="))
+        .map(_.stripPrefix("#ts=").trim.toLong))
   }
 
   /** Data files of version `v`, as `commitDir/partFile` relative paths
@@ -140,8 +162,18 @@ object VersionedTable {
     readManifest(path, v).dvs
 
   private def writeManifest(path: String, v: Int, m: Manifest): Unit = {
+    // commit timestamp: wall clock, forced STRICTLY monotonic per table
+    // (two commits inside one millisecond would otherwise tie, making
+    // timestamp time travel ambiguous — the Delta discipline)
+    val prevTs =
+      if (v > 0 && TableFs.exists(manifestFile(path, v - 1)))
+        readManifest(path, v - 1).ts
+      else None
+    val ts = math.max(System.currentTimeMillis(),
+      prevTs.map(_ + 1L).getOrElse(0L))
     val lines =
-      m.batch.map(b => s"#batch=$b").toSeq ++
+      Seq(s"#ts=$ts") ++
+        m.batch.map(b => s"#batch=$b").toSeq ++
         m.data.sorted ++
         m.dvs.sorted.map("dv:" + _) ++
         m.stats.toSeq.sortBy(_._1).flatMap { case (rel, byCol) =>
@@ -185,7 +217,7 @@ object VersionedTable {
       .sessionState.newHadoopConf()
     rels.map { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$path/$rel"), conf)
+        new org.apache.hadoop.fs.Path(absPath(path, rel)), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try rel -> r.getRecordCount
       finally r.close()
@@ -205,7 +237,7 @@ object VersionedTable {
 
   private def readDv(spark: SparkSession, path: String,
                      dvs: Seq[String]): DataFrame =
-    spark.read.parquet(dvs.map(r => s"$path/$r"): _*)
+    spark.read.parquet(dvs.map(r => absPath(path, r)): _*)
       .select(col("file").as("__rel"), col("pos").as("__pos"))
 
   /** Read `files` with `dvs` applied, KEEPING a `__file` tag column
@@ -221,7 +253,7 @@ object VersionedTable {
                               files: Seq[String],
                               dvs: Seq[String]): DataFrame = {
     val data = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(r => s"$path/$r"): _*)
+      .parquet(files.map(r => absPath(path, r)): _*)
       .withColumn("__file", input_file_name())
     if (dvs.isEmpty) data
     else {
@@ -240,7 +272,7 @@ object VersionedTable {
   private def readFiles(spark: SparkSession, path: String,
                         files: Seq[String], dvs: Seq[String]): DataFrame = {
     val data = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(r => s"$path/$r"): _*)
+      .parquet(files.map(r => absPath(path, r)): _*)
     if (dvs.isEmpty) data
     else readFilesTagged(spark, path, files, dvs).drop("__file")
   }
@@ -262,6 +294,95 @@ object VersionedTable {
   /** Read the current version. */
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, latestVersion(path))
+
+  // ---------------------------------------------------------------- //
+  // history + timestamp time travel + restore + shallow clone
+
+  /** One line of [[history]]: a committed version's timestamp, file
+    * footprint, and streaming batch id. `tsMillis` is None only for
+    * pre-r11 manifests (written before commit timestamps existed).
+    */
+  final case class CommitInfo(version: Int, tsMillis: Option[Long],
+                              dataFiles: Int, dvFiles: Int,
+                              batch: Option[Long])
+
+  /** The table's commit log, ascending by version — only versions whose
+    * manifest still exists ([[vacuum]] removes pre-horizon ones). Cost:
+    * one manifest read per retained version, no data touched.
+    */
+  def history(path: String): Seq[CommitInfo] =
+    TableFs.listNames(manifestDir(path))
+      .filter(_.matches("v\\d{5}\\.txt"))
+      .map(_.slice(1, 6).toInt)
+      .sorted
+      .map { v =>
+        val m = readManifest(path, v)
+        CommitInfo(v, m.ts, m.data.length, m.dvs.length, m.batch)
+      }
+
+  /** The version current AS OF `tsMillis`: the greatest committed
+    * version whose commit timestamp is <= the probe. Commit timestamps
+    * are strictly monotonic per table (forced at write), so this is
+    * unambiguous. Fails loudly when the probe predates the first
+    * retained commit — never silently serves a later state.
+    */
+  def versionAsOfTimestamp(path: String, tsMillis: Long): Int = {
+    val hits = history(path)
+      .filter(_.tsMillis.exists(_ <= tsMillis))
+    require(hits.nonEmpty,
+      s"no committed version at or before timestamp $tsMillis at $path")
+    hits.last.version
+  }
+
+  /** Timestamp time travel: read the snapshot current as of
+    * `tsMillis` (deletion vectors applied, like [[readVersion]]).
+    */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+                        tsMillis: Long): DataFrame =
+    readVersion(spark, path, versionAsOfTimestamp(path, tsMillis))
+
+  /** RESTORE: make historical version `v` current again AS A NEW
+    * COMMIT — the manifest of `v` is re-committed verbatim at
+    * latest+1, so the bad intermediate states stay in history (time
+    * travel still reaches them, audits see what happened) and NOT ONE
+    * data file is read or written. The undo verb for a bad delete or
+    * merge on a 100 TB table costs one manifest write.
+    */
+  def restore(path: String, v: Int): Unit = {
+    val latest = latestVersion(path)
+    require(latest >= 0, s"no table at $path — call init first")
+    val m = readManifest(path, v) // fails loudly if v was vacuumed
+    writeManifest(path, latest + 1, m.copy(batch = None, ts = None))
+  }
+
+  /** SHALLOW CLONE: create an independent table at `dst` whose version
+    * 0 references `src`'s current data files BY ABSOLUTE PATH — zero
+    * data copied, metadata-only cost (the Delta `CLONE` shape: fork a
+    * 100 TB corpus for an experiment in milliseconds). From then on the
+    * tables diverge freely: appends/compactions on either side land in
+    * their own directories, and copy-on-write verbs on the clone
+    * rewrite INTO THE CLONE, never touching `src` (the probe matching
+    * and all read paths resolve absolute manifest entries). Clustering
+    * stats, row counts, and deletion vectors carry over; per-table
+    * bloom indexes do NOT (their sidecar contents name src-relative
+    * files — rebuild on the clone). Caveat, exactly as in Delta:
+    * vacuuming the SOURCE can reclaim files a clone still references —
+    * retention is per-table, clones are not reference-counted.
+    */
+  def cloneTable(src: String, dst: String): Unit = {
+    val v = latestVersion(src)
+    require(v >= 0, s"no table at $src — call init first")
+    require(latestVersion(dst) < 0, s"clone target $dst already exists")
+    val m = readManifest(src, v)
+    def abs(r: String) = absPath(src, r)
+    writeManifest(dst, 0, Manifest(
+      m.data.map(abs),
+      m.dvs.map(abs),
+      m.stats.map { case (rel, byCol) => abs(rel) -> byCol },
+      None,
+      Nil,
+      m.rowCounts.map { case (rel, n) => abs(rel) -> n }))
+  }
 
   // ---------------------------------------------------------------- //
   // write path
@@ -336,7 +457,12 @@ object VersionedTable {
                                probedUris: Seq[String]): Seq[String] =
     probedUris.map { u =>
       val decoded = new java.net.URI(u).getPath
-      val hits = cur.filter(rel => decoded.endsWith("/" + rel))
+      // absolute entries (shallow clones) match on the full decoded
+      // path; relative entries on the `/rel` suffix. Part-file names
+      // carry write-task UUIDs, so a suffix hit is unique per table.
+      val hits = cur.filter(rel =>
+        if (isAbsRef(rel)) decoded == rel || decoded.endsWith(rel)
+        else decoded.endsWith("/" + rel))
       require(hits.length == 1,
         s"probe result $decoded matched ${hits.length} manifest entries " +
           s"at $path (expected exactly 1)")
@@ -404,7 +530,7 @@ object VersionedTable {
     // live rows matching pred → (rel, pos) tombstones; rows already
     // dead under an existing vector are excluded (readFiles applies it)
     val data = spark.read.option("mergeSchema", "true")
-      .parquet(m.data.map(r => s"$path/$r"): _*)
+      .parquet(m.data.map(r => absPath(path, r)): _*)
       .withColumn("__rel", relExpr)
       .withColumn("__pos", col("_metadata.row_index"))
     val live =
@@ -583,7 +709,7 @@ object VersionedTable {
         .sortWithinPartitions(zoneCol),
       path, v + 1)
     val statRows = spark.read
-      .parquet(files.map(r => s"$path/$r"): _*)
+      .parquet(files.map(r => absPath(path, r)): _*)
       .select(relExpr.as("rel"), col(zoneCol).cast("double").as("z"))
       .groupBy("rel")
       .agg(min("z").as("zmin"), max("z").as("zmax"))
@@ -634,7 +760,7 @@ object VersionedTable {
       df.repartitionByRange(targetFiles, z).sortWithinPartitions(z),
       path, v + 1)
     val statRows = spark.read
-      .parquet(files.map(r => s"$path/$r"): _*)
+      .parquet(files.map(r => absPath(path, r)): _*)
       .select(relExpr.as("rel"),
         col(colX).cast("double").as("zx"), col(colY).cast("double").as("zy"))
       .groupBy("rel")
@@ -822,7 +948,7 @@ object VersionedTable {
     val m = readManifest(path, v)
     val sub = f"f${v + 1}%05d"
     spark.read.option("mergeSchema", "true")
-      .parquet(m.data.map(r => s"$path/$r"): _*)
+      .parquet(m.data.map(r => absPath(path, r)): _*)
       .select(relExpr.as("file"),
         explode(array(bloomPositions(col(keyCol), bits, hashes): _*))
           .as("p"))
@@ -854,7 +980,7 @@ object VersionedTable {
       val bits = refs.head.bits
       val hashes = refs.head.hashes
       val sidecar = spark.read
-        .parquet(refs.map(r => s"$path/${r.rel}"): _*)
+        .parquet(refs.map(r => absPath(path, r.rel)): _*)
       val probe = bloomPositions(key, bits, hashes)
       def collectFiles(df: DataFrame): Seq[String] = {
         val rows = df.select("file").distinct()

@@ -82,10 +82,15 @@ object GraftVersioned {
       throw new IllegalArgumentException(
         "graft-versioned needs a path — spark.read.format(...).load(path)"))
 
-  /** The pinned snapshot: `versionAsOf` option, else the latest. */
+  /** The pinned snapshot: `versionAsOf` option, else `timestampAsOf`
+    * (epoch millis, resolved through the manifests' strictly-monotonic
+    * commit timestamps), else the latest.
+    */
   private[sources] def version(options: CaseInsensitiveStringMap): Int = {
     val path = tablePath(options)
     Option(options.get("versionAsOf")).map(_.trim.toInt)
+      .orElse(Option(options.get("timestampAsOf")).map(t =>
+        VersionedTable.versionAsOfTimestamp(path, t.trim.toLong)))
       .getOrElse {
         val v = VersionedTable.latestVersion(path)
         require(v >= 0, s"no graft-versioned table at $path")
@@ -98,7 +103,8 @@ object GraftVersioned {
     val path = tablePath(options)
     val m = VersionedTable.readManifest(path, version(options))
     spark.read.option("mergeSchema", "true")
-      .parquet(m.data.map(r => s"$path/$r"): _*).schema
+      .parquet(m.data.map(r => VersionedTable.absPath(path, r)): _*)
+      .schema
   }
 }
 
@@ -300,7 +306,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
         files.filter(openSet.contains)
       }
     val index = new InMemoryFileIndex(spark,
-      keep.map(r => new HPath(s"$path/$r")), Map.empty, Some(dataSchema))
+      keep.map(r => new HPath(VersionedTable.absPath(path, r))),
+      Map.empty, Some(dataSchema))
     ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
         options.asScala.toMap),
