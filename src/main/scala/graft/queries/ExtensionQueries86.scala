@@ -141,8 +141,8 @@ object ExtensionQueries86 {
           val (opened, total) = q.queryExecution.sparkPlan.collectFirst {
             case b: org.apache.spark.sql.execution.datasources.v2
               .BatchScanExec =>
-              val idx = b.scan.asInstanceOf[org.apache.spark.sql.execution
-                .datasources.v2.parquet.ParquetScan].fileIndex
+              val idx = b.scan.asInstanceOf[graft.sources
+                .GraftVersionedFileScan].fileIndex
               (idx.inputFiles.length.toLong,
                 graft.ops.VersionedTable.manifestFiles(path,
                   versionAsOf.getOrElse(

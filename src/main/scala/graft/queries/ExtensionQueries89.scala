@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.VersionedTable
+
+/** Round-11 fifth wave — manifest metadata drives the PLANNER, not
+  * just the file listing: q490 pins that manifest file skipping feeds
+  * join-strategy selection (a band-pruned versioned scan reports the
+  * pruned size/EXACT row count through `SupportsReportStatistics`, so
+  * it drops under the broadcast threshold while the full table stays
+  * above), and q491 extends the metadata-only aggregate pushdown from
+  * COUNT(*) to MIN/MAX answered from the per-file clustering stats —
+  * zero data files opened for either.
+  */
+object ExtensionQueries89 {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q490: FILE SKIPPING COMPOSES WITH JOIN PLANNING. The versioned
+    // scan reports manifest-derived statistics (pruned-file bytes +
+    // exact footer row counts), so Catalyst's broadcast decision sees
+    // the PRUNED size: with the threshold set strictly between the
+    // pruned band's measured plan size and the full table's, the same
+    // join flips BroadcastHashJoin (leg 0, dim = 10% bucket band,
+    // broadcast=1) vs SortMergeJoin (leg 1, dim = full table,
+    // broadcast=0) — at 100 TB this is the difference between
+    // shuffling the fact table and not. Join aggregates replay in the
+    // oracle; the strategy pins are read off the static physical plan.
+    Q(
+      "q490_stats_join_strategy_flip",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_statflip$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_id") % 1000).as("bucket"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(4), path)
+        VersionedTable.compactClustered(s, path, 8, "bucket")
+        def dimOf(t: org.apache.spark.sql.DataFrame, full: Boolean) =
+          (if (full) t else t.where(col("bucket") >= 300 &&
+            col("bucket") < 400))
+            .select(col("event_id").as("did"), col("bucket").as("dbucket"))
+        // measure the two dim sides' PLANNED sizes and aim between them
+        val t0 = s.read.format("graft-versioned").load(path)
+        val szPruned =
+          dimOf(t0, full = false).queryExecution.optimizedPlan
+            .stats.sizeInBytes
+        val szFull =
+          dimOf(t0, full = true).queryExecution.optimizedPlan
+            .stats.sizeInBytes
+        require(szPruned < szFull,
+          s"pruned side ($szPruned) not under full ($szFull)")
+        val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          ((szPruned + szFull) / 2).toString)
+        try {
+          def leg(full: Boolean, label: Long) = {
+            val t = s.read.format("graft-versioned").load(path)
+            val j = t.join(dimOf(t0, full), col("event_id") === col("did"))
+              .agg(count(lit(1)).cast("long").as("n_rows"),
+                sum("cents").as("sum_cents"),
+                sum(col("dbucket")).as("sum_bucket"))
+            val bhj = j.queryExecution.sparkPlan.collectFirst {
+              case _: org.apache.spark.sql.execution.joins
+                .BroadcastHashJoinExec => 1L
+            }.getOrElse(0L)
+            j.select(lit(label).as("leg"), lit(bhj).as("broadcast"),
+              col("n_rows"), col("sum_cents"), col("sum_bucket"))
+          }
+          leg(full = false, 0L).unionByName(leg(full = true, 1L))
+            .orderBy("leg")
+        } finally
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_id % 1000 AS bucket,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(0 AS BIGINT) AS leg,
+             |  CAST(1 AS BIGINT) AS broadcast,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(bucket) AS BIGINT) AS sum_bucket
+             |FROM ev WHERE bucket >= 300 AND bucket < 400
+             |UNION ALL
+             |SELECT 1, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT), CAST(sum(bucket) AS BIGINT)
+             |FROM ev
+             |ORDER BY leg""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q491: METADATA-ONLY MIN/MAX. After a clustered OPTIMIZE, every
+    // data file carries [min,max] stats for the zone column in the
+    // manifest — so a group-free, filter-free MIN/MAX folds them with
+    // ZERO data files opened (the planned scan is GraftMetadataAggScan,
+    // pinned per leg in the gated rows). Leg 0: min+max of the statted
+    // column. Leg 1: COUNT(*)+min+max mixed — footer counts and stats
+    // answered together. Leg 2: min of an UNstatted column — falls back
+    // to the real file scan (metadata_only=0) and still answers right.
+    Q(
+      "q491_metadata_minmax_pushdown",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_minmax$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_id") % 1000).as("bucket"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(4), path)
+        VersionedTable.compactClustered(s, path, 6, "bucket")
+        val view = s"graft_minmax_view$tag"
+        s.read.format("graft-versioned").load(path)
+          .createOrReplaceTempView(view)
+        def leg(label: Long, sql: String, metadataClass: String) = {
+          val q = s.sql(sql)
+          val scanClass = q.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan.getClass.getSimpleName
+          }.getOrElse(sys.error("no V2 scan planned"))
+          q.select(lit(label).as("leg"), col("v1"), col("v2"), col("v3"),
+            lit(if (scanClass == metadataClass) 1L else 0L)
+              .as("metadata_only"))
+        }
+        leg(0L,
+          s"SELECT min(bucket) AS v1, max(bucket) AS v2, " +
+            s"CAST(0 AS BIGINT) AS v3 FROM $view",
+          "GraftMetadataAggScan")
+          .unionByName(leg(1L,
+            s"SELECT count(*) AS v1, min(bucket) AS v2, " +
+              s"max(bucket) AS v3 FROM $view",
+            "GraftMetadataAggScan"))
+          .unionByName(leg(2L,
+            s"SELECT min(cents) AS v1, CAST(0 AS BIGINT) AS v2, " +
+              s"CAST(0 AS BIGINT) AS v3 FROM $view",
+            "GraftMetadataAggScan"))
+          .orderBy("leg")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id % 1000 AS bucket,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(0 AS BIGINT) AS leg,
+             |  CAST(min(bucket) AS BIGINT) AS v1,
+             |  CAST(max(bucket) AS BIGINT) AS v2,
+             |  CAST(0 AS BIGINT) AS v3,
+             |  CAST(1 AS BIGINT) AS metadata_only
+             |FROM ev
+             |UNION ALL
+             |SELECT 1, CAST(count(*) AS BIGINT),
+             |  CAST(min(bucket) AS BIGINT), CAST(max(bucket) AS BIGINT),
+             |  CAST(1 AS BIGINT)
+             |FROM ev
+             |UNION ALL
+             |SELECT 2, CAST(min(cents) AS BIGINT), CAST(0 AS BIGINT),
+             |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |FROM ev
+             |ORDER BY leg""".stripMargin)))
+}

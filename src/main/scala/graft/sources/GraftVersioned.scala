@@ -7,9 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -243,34 +243,122 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       case _ => Nil
     }
 
-  // -------- metadata-only COUNT(*) (aggregate pushdown) -------- //
+  // ---- metadata-only COUNT(*) / MIN / MAX (aggregate pushdown) ---- //
   // Spark offers the aggregate only after every filter was fully
   // pushed; this source returns ALL filters as residuals, so an
   // aggregate arrives here only for unfiltered scans — exactly the
-  // case the manifest can answer. Complete pushdown is accepted for a
-  // bare, group-free COUNT(*) when VersionedTable.metadataCount is
-  // valid (every file footer-counted, no deletion vectors); everything
-  // else falls back to the real scan.
-  private var pushedCount: Option[Long] = None
+  // case the manifest can answer. Complete pushdown is accepted for
+  // group-free combinations of:
+  //   - COUNT(*)   when VersionedTable.metadataCount is valid (every
+  //     file footer-counted, no deletion vectors);
+  //   - MIN(c)/MAX(c) when EVERY data file carries clustering stats
+  //     for `c` (a clustered/z-ordered OPTIMIZE covered it), `c` is a
+  //     fixed-point/floating numeric the Double-stored stats represent
+  //     exactly, and no deletion vector applies (a vector could hide
+  //     the extreme row). Per-file [min,max] fold to the global
+  //     extremes because stats rows exist only for files with at least
+  //     one non-null value — matching SQL null-ignoring MIN/MAX.
+  // Everything else falls back to the real file scan.
+  private var pushedAgg: Option[(StructType, Seq[Any])] = None
 
-  private def countable(agg: Aggregation): Option[Long] =
-    if (pushed.isEmpty && agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar])
-      VersionedTable.metadataCount(path, version)
-    else None
+  private def singleCol(f: AggregateFunc): Option[String] = {
+    val children = f match {
+      case m: Min => m.children()
+      case m: Max => m.children()
+      case _ => Array.empty[org.apache.spark.sql.connector
+        .expressions.Expression]
+    }
+    children match {
+      case Array(r: NamedReference) if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+  }
+
+  /** The stored Double stats are exact for these types (integrals up
+    * to 2^53 and binary floats), so MIN/MAX can be answered from them
+    * without reading a row.
+    */
+  private def statExact(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+
+  private def statValue(d: Double,
+                        dt: org.apache.spark.sql.types.DataType): Any =
+    dt match {
+      case org.apache.spark.sql.types.LongType => d.toLong
+      case org.apache.spark.sql.types.IntegerType => d.toInt
+      case org.apache.spark.sql.types.ShortType => d.toShort
+      case org.apache.spark.sql.types.ByteType => d.toByte
+      case org.apache.spark.sql.types.DoubleType => d
+      case org.apache.spark.sql.types.FloatType => d.toFloat
+    }
+
+  private def metadataAnswer(
+      agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+      agg.aggregateExpressions().isEmpty) return None
+    val m = VersionedTable.readManifest(path, version)
+    if (m.dvs.nonEmpty) return None
+    def colStats(c: String): Option[(Double, Double)] = {
+      val perFile = m.data.map(rel => m.stats.get(rel).flatMap(_.get(c)))
+      if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
+        val s = perFile.flatten
+        Some((s.map(_._1).min, s.map(_._2).max))
+      } else None
+    }
+    val answered = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        VersionedTable.metadataCount(path, version).map(n =>
+          ("count_star", org.apache.spark.sql.types.LongType: org.apache
+            .spark.sql.types.DataType, n: Any))
+      case f @ (_: Min | _: Max) =>
+        for {
+          c <- singleCol(f)
+          field <- dataSchema.fields.find(_.name == c)
+          if statExact(field.dataType)
+          (lo, hi) <- colStats(c)
+        } yield f match {
+          case _: Min => (s"min_$c", field.dataType,
+            statValue(lo, field.dataType))
+          case _: Max => (s"max_$c", field.dataType,
+            statValue(hi, field.dataType))
+        }
+      case _ => None
+    }
+    if (answered.forall(_.isDefined)) {
+      val cols = answered.flatten
+      val schema = cols.foldLeft(new StructType()) {
+        case (st, (n, dt, _)) => st.add(n, dt, nullable = false)
+      }
+      Some((schema, cols.map(_._3)))
+    } else None
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    countable(agg).isDefined
+    metadataAnswer(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    countable(agg) match {
-      case some @ Some(_) => pushedCount = some; true
+    metadataAnswer(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
       case None => false
     }
 
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new GraftMetadataCountScan(path, version, n)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, values)) =>
+      // a bare COUNT(*) keeps its dedicated scan class (pinned by
+      // q486); richer combinations plan the generalized agg scan
+      if (values.length == 1 && schema.fieldNames.head == "count_star")
+        new GraftMetadataCountScan(path, version,
+          values.head.asInstanceOf[Long])
+      else new GraftMetadataAggScan(path, version, schema, values)
     case None => buildFileScan()
   }
 
@@ -308,10 +396,60 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     val index = new InMemoryFileIndex(spark,
       keep.map(r => new HPath(VersionedTable.absPath(path, r))),
       Map.empty, Some(dataSchema))
-    ParquetScan(spark,
+    val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
         options.asScala.toMap),
       index, dataSchema, required, new StructType(), pushed, options)
+    // manifest-exact statistics for the PRUNED file set: the footer
+    // row counts recorded at commit make numRows exact (not an
+    // estimate), and sizeInBytes comes from the kept files only — so
+    // file skipping feeds join planning: a band-pruned side of a join
+    // can drop under the broadcast threshold even when the full table
+    // is far above it (pinned by q490)
+    val exactRows =
+      if (keep.forall(m.rowCounts.contains))
+        Some(keep.map(m.rowCounts).sum)
+      else None
+    new GraftVersionedFileScan(parquet, exactRows)
+  }
+}
+
+/** The versioned source's file scan: Spark's own vectorized
+  * [[ParquetScan]] over the manifest-pruned file list, with
+  * STATISTICS upgraded from the manifest — `numRows` is the EXACT sum
+  * of the kept files' footer row counts (recorded at commit) instead
+  * of absent, and `sizeInBytes` is the kept files' bytes (inherited
+  * from the pruned file index). Catalyst's join planning reads these
+  * through `DataSourceV2Relation.computeStats`, so manifest file
+  * skipping composes with broadcast selection at zero I/O cost.
+  */
+class GraftVersionedFileScan(val inner: ParquetScan,
+                             exactRows: Option[Long])
+    extends Scan with Batch with SupportsReportStatistics {
+  /** Exposed for plan tests/queries that pin the pruned file count. */
+  def fileIndex: InMemoryFileIndex =
+    inner.fileIndex.asInstanceOf[InMemoryFileIndex]
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+  override def description(): String = inner.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def estimateStatistics(): Statistics = {
+    val base = inner.estimateStatistics()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        exactRows.map(java.util.OptionalLong.of)
+          .getOrElse(base.numRows())
+    }
   }
 }
 
@@ -333,6 +471,43 @@ class GraftMetadataCountScan(path: String, version: Int, n: Long)
     GraftCountReaderFactory
   override def description(): String =
     s"graft_versioned_metadata_count($path, v$version, rows=$n)"
+}
+
+/** A Scan answering a pushed group-free MIN/MAX/COUNT(*) combination
+  * from the manifest's per-file clustering stats and footer row counts:
+  * ONE partition, ONE row, ZERO data files opened. Planned only when
+  * every data file is covered (stats for each probed column, row
+  * counts for a count) and no deletion vector applies — see
+  * [[GraftVersionedScanBuilder]].
+  */
+class GraftMetadataAggScan(path: String, version: Int,
+                           schema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftAggReaderFactory
+  override def description(): String =
+    s"graft_versioned_metadata_agg($path, v$version, " +
+      s"${schema.fieldNames.mkString(",")})"
+}
+
+case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+
+object GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow(
+          p.asInstanceOf[GraftAggPartition].values: _*)
+      override def close(): Unit = ()
+    }
 }
 
 case class GraftCountPartition(n: Long) extends InputPartition

@@ -61,8 +61,8 @@ class GraftCatalogSpec extends SparkSpec {
     val opened = q.queryExecution.sparkPlan.collectFirst {
       case s: org.apache.spark.sql.execution.datasources.v2
         .BatchScanExec =>
-        s.scan.asInstanceOf[org.apache.spark.sql.execution.datasources
-          .v2.parquet.ParquetScan].fileIndex.inputFiles.length
+        s.scan.asInstanceOf[graft.sources.GraftVersionedFileScan]
+          .fileIndex.inputFiles.length
     }.get
     assert(opened < 5, s"catalog SQL scan opened $opened of 5")
     assert(q.head().getLong(0) == 200)

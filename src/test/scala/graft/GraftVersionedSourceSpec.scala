@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.functions._
 
 import graft.ops.VersionedTable
@@ -24,7 +23,8 @@ class GraftVersionedSourceSpec extends SparkSpec {
   private def scanFiles(df: DataFrame): Int =
     df.queryExecution.sparkPlan.collectFirst {
       case b: BatchScanExec =>
-        b.scan.asInstanceOf[ParquetScan].fileIndex.inputFiles.length
+        b.scan.asInstanceOf[graft.sources.GraftVersionedFileScan]
+          .fileIndex.inputFiles.length
     }.getOrElse(fail("no BatchScanExec in the plan"))
 
   private def buildTable(path: String): Unit = {
@@ -220,13 +220,13 @@ class GraftVersionedSourceSpec extends SparkSpec {
     // residuals, so the aggregate is never offered)
     val filtered = spark.sql(
       "SELECT count(*) AS n FROM graft_mcount_t WHERE b = 3")
-    assert(scanClassOf(filtered) == "ParquetScan")
+    assert(scanClassOf(filtered) == "GraftVersionedFileScan")
     assert(filtered.head().getLong(0) ==
       (1L to 130L).count(_ % 7 == 3))
     // group-bys keep the real scan
     val grouped = spark.sql(
       "SELECT b, count(*) AS n FROM graft_mcount_t GROUP BY b")
-    assert(scanClassOf(grouped) == "ParquetScan")
+    assert(scanClassOf(grouped) == "GraftVersionedFileScan")
     // a CoW delete re-counts the rewritten files exactly
     VersionedTable.deleteWhere(spark, path, col("id") <= 10)
     assert(VersionedTable.metadataCount(path,
@@ -277,6 +277,104 @@ class GraftVersionedSourceSpec extends SparkSpec {
       s"fold+vacuum reclaimed manifests=$m2 files=$f2")
     assert(VersionedTable.read(spark, path)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == before)
+  }
+
+  test("the scan reports manifest-exact statistics: numRows is the " +
+    "footer-count sum of the KEPT files, and a band-pruned side flips " +
+    "the join to broadcast under a threshold the full table exceeds") {
+    val path = tmp("graft_stats_spec")
+    buildTable(path) // v2: 5 clustered files, 1000 rows, bucket 0..99
+    def scanOf(df: DataFrame): graft.sources.GraftVersionedFileScan =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: BatchScanExec =>
+          b.scan.asInstanceOf[graft.sources.GraftVersionedFileScan]
+      }.getOrElse(fail("no GraftVersionedFileScan planned"))
+    val t = spark.read.format("graft-versioned").load(path)
+    val full = scanOf(t).estimateStatistics()
+    assert(full.numRows().getAsLong == 1000L)
+    val band = t.where(col("bucket") >= 20 && col("bucket") < 40)
+    val pruned = scanOf(band).estimateStatistics()
+    // the kept files' exact footer counts — a 20-wide band over 5
+    // range-clustered files keeps 1-2 files of ~200 rows each
+    assert(pruned.numRows().getAsLong < 1000L &&
+      pruned.numRows().getAsLong >= 200L,
+      s"pruned numRows ${pruned.numRows()}")
+    assert(pruned.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong)
+    // join flip: threshold between pruned and full plan sizes
+    val dimP = band.select(col("id").as("did"))
+    val dimF = t.select(col("id").as("did"))
+    val szP = dimP.queryExecution.optimizedPlan.stats.sizeInBytes
+    val szF = dimF.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(szP < szF, s"pruned $szP not under full $szF")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      ((szP + szF) / 2).toString)
+    try {
+      def isBhj(dim: DataFrame): Boolean =
+        t.join(dim, col("id") === col("did"))
+          .queryExecution.sparkPlan.collectFirst {
+            case _: org.apache.spark.sql.execution.joins
+              .BroadcastHashJoinExec => true
+          }.getOrElse(false)
+      assert(isBhj(dimP), "pruned dim did not broadcast")
+      assert(!isBhj(dimF), "full dim broadcast despite threshold")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("metadata MIN/MAX: answered from clustering stats with zero " +
+    "data files; disabled by deletion vectors, uncovered appends, and " +
+    "unstatted columns; exact values either way") {
+    import spark.implicits._
+    val path = tmp("graft_minmax_spec")
+    buildTable(path) // v2: clustered on bucket (0..99), ids 0..999
+    def scanClassOf(df: DataFrame): String =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: BatchScanExec => b.scan.getClass.getSimpleName
+      }.get
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_minmax_t")
+    val mm = spark.sql(
+      "SELECT min(bucket) AS lo, max(bucket) AS hi FROM graft_minmax_t")
+    assert(scanClassOf(mm) == "GraftMetadataAggScan",
+      s"min/max planned ${scanClassOf(mm)}")
+    assert(mm.head() == org.apache.spark.sql.Row(0L, 99L))
+    // mixed count + min + max also metadata-only
+    val mixed = spark.sql("SELECT count(*) AS n, min(bucket) AS lo, " +
+      "max(bucket) AS hi FROM graft_minmax_t")
+    assert(scanClassOf(mixed) == "GraftMetadataAggScan")
+    assert(mixed.head() == org.apache.spark.sql.Row(1000L, 0L, 99L))
+    // unstatted column falls back and still answers
+    val un = spark.sql("SELECT min(cents) AS c FROM graft_minmax_t")
+    assert(scanClassOf(un) == "GraftVersionedFileScan")
+    assert(un.head().getLong(0) == 0L)
+    // an uncovered append disables the shortcut (no stats for the new
+    // file) — and the value reflects the appended row
+    VersionedTable.append(
+      Seq((5000L, 500L, 1L)).toDF("id", "bucket", "cents")
+        .repartition(1), path)
+    val t2 = spark.read.format("graft-versioned").load(path)
+    t2.createOrReplaceTempView("graft_minmax_t2")
+    val mm2 = spark.sql("SELECT max(bucket) AS hi FROM graft_minmax_t2")
+    assert(scanClassOf(mm2) == "GraftVersionedFileScan")
+    assert(mm2.head().getLong(0) == 500L)
+    // re-OPTIMIZE re-covers; a deletion vector then disables again
+    VersionedTable.compactClustered(spark, path, 4, "bucket")
+    val t3 = spark.read.format("graft-versioned").load(path)
+    t3.createOrReplaceTempView("graft_minmax_t3")
+    assert(scanClassOf(spark.sql(
+      "SELECT max(bucket) AS hi FROM graft_minmax_t3"))
+      == "GraftMetadataAggScan")
+    VersionedTable.deleteWhereDV(spark, path, col("id") === 1L)
+    // DV snapshots refuse the bare scan entirely, so the min/max
+    // shortcut can never serve them (metadataAnswer returns None and
+    // the file scan refuses loudly)
+    val t4 = spark.read.format("graft-versioned").load(path)
+    t4.createOrReplaceTempView("graft_minmax_t4")
+    val e = intercept[Exception] {
+      spark.sql("SELECT max(bucket) AS hi FROM graft_minmax_t4").head()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
   }
 
   test("a snapshot carrying deletion vectors refuses the bare scan " +

@@ -797,8 +797,8 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.sparkPlan.collectFirst {
         case b: org.apache.spark.sql.execution.datasources.v2
           .BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources
-            .v2.parquet.ParquetScan].fileIndex.inputFiles.length
+          b.scan.asInstanceOf[graft.sources.GraftVersionedFileScan]
+            .fileIndex.inputFiles.length
       }.getOrElse(fail("graft-versioned did not plan a V2 BatchScan"))
     val t = spark.read.format("graft-versioned").load(path)
     val band = t.where(col("bucket") >= 300 && col("bucket") < 700)
