@@ -160,5 +160,81 @@ object ExtensionQueries89 {
              |SELECT 2, CAST(min(cents) AS BIGINT), CAST(0 AS BIGINT),
              |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
              |FROM ev
-             |ORDER BY leg""".stripMargin)))
+             |ORDER BY leg""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q492: STREAMING READ FROM THE VERSIONED TABLE — versions are
+    // micro-batch offsets (readStream.format("graft-versioned")), the
+    // other half of the q477/q485 streaming-in story: a committed
+    // manifest version becomes change-feed input, and because each
+    // batch's file list is a pure function of the manifest pair, the
+    // feed composes with appendIdempotent into an end-to-end
+    // EXACTLY-ONCE table-to-table pipeline. Run 1 streams the two
+    // pre-stream commits into a result table (one AvailableNow batch);
+    // a third commit lands while the stream is DOWN; run 2 resumes
+    // from the same checkpoint and emits ONLY that commit (batch 2 of
+    // 2, n_batches pins it). The redelivery drill replays every
+    // committed sink batch id — all refused, no version minted
+    // (replay_noop=1). Oracle = the full source table.
+    Q(
+      "q492_versioned_stream_source",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = System.getProperty("java.io.tmpdir")
+        val src = s"$tmp/graft_vstream_src$tag"
+        val dst = s"$tmp/graft_vstream_dst$tag"
+        val ckpt =
+          java.nio.file.Files.createTempDirectory("graft_vstream_ckpt")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 3 === 0), src)
+        VersionedTable.append(ev.where(col("event_id") % 3 === 1), src)
+        VersionedTable.init(ev.limit(0), dst)
+        def runOnce(): Unit = {
+          val q = s.readStream.format("graft-versioned").load(src)
+            .writeStream
+            .foreachBatch((df: org.apache.spark.sql.DataFrame,
+                           bid: Long) => {
+              VersionedTable.appendIdempotent(df, dst, bid); ()
+            })
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        val replayNoop =
+          try {
+            runOnce() // batch 0: the two pre-stream commits
+            VersionedTable.append(ev.where(col("event_id") % 3 === 2), src)
+            runOnce() // batch 1: only the commit made while down
+            val vBefore = VersionedTable.latestVersion(dst)
+            val refused = VersionedTable.appliedBatches(dst).toSeq
+              .map(b => !VersionedTable.appendIdempotent(
+                ev.limit(5), dst, b))
+            if (refused.nonEmpty && refused.forall(identity) &&
+              VersionedTable.latestVersion(dst) == vBefore) 1L
+            else 0L
+          } finally graft.io.FsUtil.deleteRecursively(ckpt)
+        VersionedTable.read(s, dst)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(col("event_type"), col("n"), col("sum_cents"),
+            lit(VersionedTable.appliedBatches(dst).size.toLong)
+              .as("n_batches"),
+            lit(replayNoop).as("replay_noop"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(2 AS BIGINT) AS n_batches,
+             |  CAST(1 AS BIGINT) AS replay_noop
+             |FROM ev
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)))
 }

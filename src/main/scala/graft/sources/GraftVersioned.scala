@@ -59,7 +59,8 @@ import graft.ops.VersionedTable
   * resurrect deleted rows — run OPTIMIZE (`compact*`) first, or read
   * via `VersionedTable.read`.
   */
-class GraftVersioned extends TableProvider with DataSourceRegister {
+class GraftVersioned extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-versioned"
 
@@ -73,6 +74,37 @@ class GraftVersioned extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table =
     new GraftVersionedTable(schema,
       new CaseInsensitiveStringMap(properties))
+
+  // ---- streaming read: versions as micro-batch offsets ---- //
+  // spark.readStream.format("graft-versioned").load(path); see
+  // GraftVersionedStreamSource for semantics
+
+  private def streamPath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-versioned stream needs a path — readStream.load(path)"))
+
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftVersionedStreamSource.streamSchema(
+      sqlContext, streamPath(parameters), schema))
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql
+      .execution.streaming.Source = {
+    val path = streamPath(parameters)
+    new GraftVersionedStreamSource(
+      sqlContext,
+      path,
+      GraftVersionedStreamSource.resolveStart(
+        path, parameters.get("startingVersion")),
+      parameters.get("ignoreChanges").exists(_.trim.toBoolean),
+      GraftVersionedStreamSource.streamSchema(sqlContext, path, schema))
+  }
 }
 
 object GraftVersioned {

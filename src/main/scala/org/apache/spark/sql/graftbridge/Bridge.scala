@@ -14,6 +14,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (`classic.Dataset.ofRows` is
+    * private[sql]) — the V1 streaming Source needs it to hand
+    * micro-batches back as `LogicalRelation(isStreaming = true)`,
+    * exactly like Spark's own FileStreamSource.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a temp SQL function backed by a Catalyst expression builder
     * (FunctionRegistry is private[sql] too).
     */
