@@ -385,6 +385,79 @@ object VersionedTable {
   }
 
   // ---------------------------------------------------------------- //
+  // CHECK constraints (write-side data-quality gates)
+
+  private def constraintsFile(path: String): String =
+    s"${manifestDir(path)}/constraints.txt"
+
+  /** The table's CHECK constraints as (name, SQL expression) pairs.
+    * Constraints govern WRITES: every batch entering the table
+    * ([[append]], [[merge]] updates, [[applyCdc]] upserts, streaming
+    * variants) is validated BEFORE any data or manifest is written, so
+    * a violating batch never becomes visible — not even partially.
+    * SQL-standard semantics: a row violates only when the expression
+    * is FALSE (NULL passes — use an explicit IS NOT NULL to reject
+    * nulls). Stored beside the manifests, table-global (they gate
+    * future writes; historical snapshots are unaffected).
+    */
+  def constraints(path: String): Seq[(String, String)] =
+    if (!TableFs.exists(constraintsFile(path))) Nil
+    else TableFs.readUtf8(constraintsFile(path)).split("\n").toSeq
+      .filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i), l.substring(i + 1))
+      }
+
+  private def writeConstraints(path: String,
+                               cs: Seq[(String, String)]): Unit =
+    TableFs.writeUtf8Overwrite(constraintsFile(path),
+      cs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+
+  /** Fail loudly (before anything is written) when `df` carries a row
+    * violating any of the table's constraints. One delta-sized
+    * validation pass; the error names the constraint and a sample row.
+    */
+  private def validateConstraints(path: String, df: DataFrame): Unit = {
+    val cs = constraints(path)
+    cs.foreach { case (name, e) =>
+      val bad = df.where(coalesce(expr(e), lit(true)) === false)
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' ($e) violated at $path — " +
+            s"batch refused, nothing written; sample row: ${bad.head}")
+    }
+  }
+
+  /** ADD CONSTRAINT: validates the CURRENT snapshot first (a
+    * constraint the existing data already violates is refused — the
+    * Delta discipline), then records it for every future write.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    expression: String): Unit = {
+    require(name.nonEmpty && !name.contains("\t"),
+      s"bad constraint name '$name'")
+    val existing = constraints(path)
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already exists at $path")
+    val v = latestVersion(path)
+    if (v >= 0) {
+      val bad = readVersion(spark, path, v)
+        .where(coalesce(expr(expression), lit(true)) === false)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot add CHECK constraint '$name' ($expression): existing " +
+          s"data violates it — sample row: ${bad.headOption.orNull}")
+    }
+    writeConstraints(path, existing :+ (name -> expression))
+  }
+
+  /** DROP CONSTRAINT (no-op if absent). */
+  def dropConstraint(path: String, name: String): Unit =
+    writeConstraints(path, constraints(path).filterNot(_._1 == name))
+
+  // ---------------------------------------------------------------- //
   // write path
 
   /** Create the table at version 0. */
@@ -399,6 +472,7 @@ object VersionedTable {
                              batch: Option[Long]): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
+    validateConstraints(path, df)
     val prev = readManifest(path, v)
     val newFiles = writeCommitData(df, path, v + 1)
     writeManifest(path, v + 1, Manifest(
@@ -566,6 +640,7 @@ object VersionedTable {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
+    validateConstraints(path, updates)
     val m = readManifest(path, v)
     val keys = broadcast(updates.select(keyCols.map(col): _*).distinct())
     val scan = readFilesTagged(spark, path, m.data, m.dvs)
@@ -631,6 +706,7 @@ object VersionedTable {
     require(keyCols.nonEmpty, "applyCdc needs at least one key column")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
+    validateConstraints(path, batch.where(col(opCol) === 1).drop(opCol))
     val m = readManifest(path, v)
     val keys = broadcast(batch.select(keyCols.map(col): _*).distinct())
     val scan = readFilesTagged(spark, path, m.data, m.dvs)

@@ -236,5 +236,62 @@ object ExtensionQueries89 {
              |  CAST(1 AS BIGINT) AS replay_noop
              |FROM ev
              |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q493: CHECK CONSTRAINTS — write-side data-quality gates on the
+    // versioned table (the Delta ALTER TABLE ADD CONSTRAINT shape). Two
+    // constraints are added (existing data validated first); a good
+    // append passes; an append carrying negated cents is REFUSED with
+    // the constraint named, and the refusal is ATOMIC — no data file,
+    // no manifest, version unchanged (no_partial=1 rides in the gated
+    // row next to refused=1). At 100 TB the point is the gate runs on
+    // the DELTA only (one batch-sized validation pass), never on the
+    // table. Oracle = the good state; a corrupt row never lands.
+    Q(
+      "q493_check_constraints",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_check$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            abs(floor(col("value") * 100 + 0.5)).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 2 === 0), path)
+        VersionedTable.addConstraint(s, path, "cents_nonneg", "cents >= 0")
+        VersionedTable.addConstraint(s, path, "typed",
+          "event_type IS NOT NULL")
+        VersionedTable.append(ev.where(col("event_id") % 2 === 1), path)
+        val vBefore = VersionedTable.latestVersion(path)
+        val refused =
+          try {
+            VersionedTable.append(
+              ev.where(col("event_id") % 2 === 1)
+                .withColumn("cents", -col("cents") - 1L), path)
+            0L
+          } catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("cents_nonneg") => 1L
+          }
+        val noPartial =
+          if (VersionedTable.latestVersion(path) == vBefore) 1L else 0L
+        VersionedTable.read(s, path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(col("event_type"), col("n"), col("sum_cents"),
+            lit(refused).as("refused"), lit(noPartial).as("no_partial"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(abs(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS refused,
+             |  CAST(1 AS BIGINT) AS no_partial
+             |FROM ev
+             |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)))
 }
