@@ -89,7 +89,9 @@ object VersionedTable {
       batch: Option[Long],
       blooms: Seq[BloomRef] = Nil,
       rowCounts: Map[String, Long] = Map.empty,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      partCol: Option[String] = None,
+      partValues: Map[String, String] = Map.empty)
 
   /** A manifest entry is either table-relative (`cNNNNN/part-..`) or an
     * absolute/URI reference into ANOTHER table (shallow clones).
@@ -136,11 +138,16 @@ object VersionedTable {
       require(p.length == 3, s"bad row-count line in $f: $l")
       p(2) -> p(1).toLong
     }.toMap
+    val pvLines = lines.filter(_.startsWith("pv\t")).map { l =>
+      val p = l.split("\t")
+      require(p.length == 4, s"bad partition-value line in $f: $l")
+      (p(1), p(3), p(2)) // (col, rel, value)
+    }
     Manifest(
       data = lines.filterNot(l =>
         l.startsWith("dv:") || l.startsWith("zs\t") ||
           l.startsWith("bf\t") || l.startsWith("rc\t") ||
-          l.startsWith("#")),
+          l.startsWith("pv\t") || l.startsWith("#")),
       dvs = lines.filter(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
       stats = stats,
       batch = lines.find(_.startsWith("#batch="))
@@ -148,7 +155,9 @@ object VersionedTable {
       blooms = blooms,
       rowCounts = rowCounts,
       ts = lines.find(_.startsWith("#ts="))
-        .map(_.stripPrefix("#ts=").trim.toLong))
+        .map(_.stripPrefix("#ts=").trim.toLong),
+      partCol = pvLines.headOption.map(_._1),
+      partValues = pvLines.map(t => t._2 -> t._3).toMap)
   }
 
   /** Data files of version `v`, as `commitDir/partFile` relative paths
@@ -185,6 +194,9 @@ object VersionedTable {
           s"bf\t${b.keyCol}\t${b.bits}\t${b.hashes}\t${b.rel}") ++
         m.rowCounts.toSeq.sortBy(_._1).map { case (rel, n) =>
           s"rc\t$n\t$rel"
+        } ++
+        m.partValues.toSeq.sortBy(_._1).flatMap { case (rel, v2) =>
+          m.partCol.map(pc => s"pv\t$pc\t$v2\t$rel")
         }
     TableFs.writeUtf8Exclusive(manifestFile(path, v), lines.mkString("\n"))
   }
@@ -203,6 +215,37 @@ object VersionedTable {
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"$sub/$n")
+  }
+
+  /** Commit-data write in the KEY-GROUPED layout ([[compactPartitioned]]):
+    * rows land under `cNNNNN/__pv=<value>/` via the parquet writer's
+    * partitionBy, so every file is single-valued in the partition
+    * column. The column is DUPLICATED into `__pv` before the write —
+    * partitionBy drops the dir key from file contents, and keeping the
+    * original column in the data keeps every flat read path
+    * (deletion vectors, CoW probes, schema derivation) untouched.
+    * Returns (rel path, raw partition-dir value) pairs.
+    */
+  private def writeCommitDataPartitioned(
+      df: DataFrame, path: String, commit: Int,
+      partCol: String): Seq[(String, String)] = {
+    val sub = f"c$commit%05d"
+    // hash-repartition on the key first so each __pv dir is written by
+    // exactly one task → one file per key (plus dir splitting for the
+    // rare hash collision), not one per upstream partition
+    df.repartition(col(partCol))
+      .withColumn("__pv", col(partCol))
+      .write.partitionBy("__pv")
+      .mode(SaveMode.Overwrite).parquet(s"$path/$sub")
+    TableFs.listNames(s"$path/$sub")
+      .filter(_.startsWith("__pv="))
+      .flatMap { d =>
+        val raw = d.stripPrefix("__pv=")
+        TableFs.listNames(s"$path/$sub/$d")
+          .filter(_.endsWith(".parquet"))
+          .map(n => s"$sub/$d/$n" -> raw)
+      }
+      .sortBy(_._1)
   }
 
   /** Per-file row counts from the parquet FOOTERS — metadata only, no
@@ -228,12 +271,14 @@ object VersionedTable {
   // read path (deletion-vector-aware)
 
   /** Executor-side extraction of a file's manifest-relative path from
-    * its scan URI: the `cNNNNN/part-file` tail never contains
-    * URL-encodable characters, so suffix extraction is
-    * encoding-agnostic even when the table PATH encodes.
+    * its scan URI: the `cNNNNN[/key=value]/part-file` tail's only
+    * URL-encodable characters sit in the optional partition segment
+    * (written pre-escaped by the parquet writer), so suffix extraction
+    * is encoding-agnostic even when the table PATH encodes.
     */
   private def relExpr: Column =
-    regexp_extract(input_file_name(), "([cd]\\d{5}/[^/]+)$", 1)
+    regexp_extract(input_file_name(),
+      "([cd]\\d{5}(?:/[^/]+=[^/]*)?/[^/]+)$", 1)
 
   private def readDv(spark: SparkSession, path: String,
                      dvs: Seq[String]): DataFrame =
@@ -381,7 +426,9 @@ object VersionedTable {
       m.stats.map { case (rel, byCol) => abs(rel) -> byCol },
       None,
       Nil,
-      m.rowCounts.map { case (rel, n) => abs(rel) -> n }))
+      m.rowCounts.map { case (rel, n) => abs(rel) -> n },
+      None, m.partCol,
+      m.partValues.map { case (rel, pv2) => abs(rel) -> pv2 }))
   }
 
   // ---------------------------------------------------------------- //
@@ -478,7 +525,8 @@ object VersionedTable {
     writeManifest(path, v + 1, Manifest(
       prev.data ++ newFiles,
       prev.dvs, prev.stats, batch, prev.blooms,
-      prev.rowCounts ++ footerCounts(path, newFiles)))
+      prev.rowCounts ++ footerCounts(path, newFiles),
+      None, prev.partCol, prev.partValues))
   }
 
   /** Append-only commit: new files join the manifest; no existing file
@@ -584,7 +632,9 @@ object VersionedTable {
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
-        footerCounts(path, rewritten)))
+        footerCounts(path, rewritten),
+      None, m.partCol,
+      m.partValues.view.filterKeys(carried.contains).toMap))
   }
 
   /** MERGE-ON-READ delete via deletion vectors: writes NO data file at
@@ -665,7 +715,9 @@ object VersionedTable {
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
-        footerCounts(path, rewritten)))
+        footerCounts(path, rewritten),
+      None, m.partCol,
+      m.partValues.view.filterKeys(carried.contains).toMap))
   }
 
   /** Apply a CDC batch ATOMICALLY — upserts and deletes in ONE
@@ -730,7 +782,9 @@ object VersionedTable {
       m.stats.view.filterKeys(carried.contains).toMap, batchId,
       m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
-        footerCounts(path, rewritten)))
+        footerCounts(path, rewritten),
+      None, m.partCol,
+      m.partValues.view.filterKeys(carried.contains).toMap))
   }
 
   // ---------------------------------------------------------------- //
@@ -857,6 +911,49 @@ object VersionedTable {
       footerCounts(path, files)))
   }
 
+  /** KEY-GROUPED OPTIMIZE: rewrite the current snapshot so every data
+    * file is SINGLE-VALUED in `partCol` (the parquet writer's
+    * partitionBy does the grouping) and record each file's partition
+    * value in the manifest (`pv` lines). This is the storage side of
+    * STORAGE-PARTITIONED JOINS: the DataSource V2 scan reports
+    * `KeyGroupedPartitioning(identity(partCol))` with per-file
+    * partition keys, so two tables compacted on the same key join with
+    * ZERO shuffle — at 100 TB the Exchange this deletes is usually the
+    * whole query. Numeric partition columns also get degenerate [v, v]
+    * clustering stats per file, so band/equality file skipping
+    * composes for free. Deletion vectors fold in. Appends after this
+    * commit carry no partition value and demote the scan to the
+    * unpartitioned shape (correct, just shuffled) until the next
+    * [[compactPartitioned]].
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partCol: String): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val snap = readVersion(spark, path, v)
+    require(snap.where(col(partCol).isNull).isEmpty,
+      s"compactPartitioned($partCol) at $path: the partition column " +
+        "must be non-null (a null key has no partition identity)")
+    val filesAndValues = writeCommitDataPartitioned(
+      snap, path, v + 1, partCol)
+    val files = filesAndValues.map(_._1)
+    val isNumeric = org.apache.spark.sql.SparkSession.active
+      .read.option("mergeSchema", "true")
+      .parquet(files.take(1).map(r => absPath(path, r)): _*)
+      .schema.fields.find(_.name == partCol)
+      .exists(f2 => f2.dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType])
+    val stats =
+      if (!isNumeric) Map.empty[String, Map[String, (Double, Double)]]
+      else filesAndValues.map { case (rel, raw) =>
+        val d = raw.toDouble
+        rel -> Map(partCol -> (d, d))
+      }.toMap
+    writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
+      footerCounts(path, files), None, Some(partCol),
+      filesAndValues.toMap))
+  }
+
   /** Manifest consultation for a BOX probe over a z-ordered version:
     * files whose per-file ranges intersect BOTH bands (files lacking
     * stats for either column open conservatively), plus the total.
@@ -975,14 +1072,25 @@ object VersionedTable {
     }
     var filesRemoved = 0
     TableFs.listNames(path).filter(_.matches("[cdf]\\d{5}")).foreach { d =>
-      TableFs.listNames(s"$path/$d").filter(_.endsWith(".parquet"))
-        .foreach { n =>
-          if (!kept.contains(s"$d/$n")) {
-            TableFs.deleteFile(s"$path/$d/$n")
-            filesRemoved += 1
-          }
+      // flat layout + one level of __pv=value partition subdirs
+      val rels = TableFs.listNames(s"$path/$d").flatMap { n =>
+        if (n.endsWith(".parquet")) Seq(s"$d/$n")
+        else if (n.contains("="))
+          TableFs.listNames(s"$path/$d/$n")
+            .filter(_.endsWith(".parquet")).map(f2 => s"$d/$n/$f2")
+        else Nil
+      }
+      rels.foreach { rel =>
+        if (!kept.contains(rel)) {
+          TableFs.deleteFile(s"$path/$rel")
+          filesRemoved += 1
         }
-      if (!TableFs.listNames(s"$path/$d").exists(_.endsWith(".parquet")))
+      }
+      def hasParquet(dir: String): Boolean =
+        TableFs.listNames(dir).exists(n =>
+          n.endsWith(".parquet") ||
+            (n.contains("=") && hasParquet(s"$dir/$n")))
+      if (!hasParquet(s"$path/$d"))
         TableFs.deleteRecursive(s"$path/$d")
     }
     (manifestsRemoved, filesRemoved)

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.VersionedTable
+
+/** Round-11 sixth wave — q494: storage-partitioned joins. Two
+  * versioned tables compacted on the same key join with ZERO shuffle:
+  * the DSv2 scans report `KeyGroupedPartitioning(identity(pk))` with
+  * per-file partition keys, and Catalyst's key-grouped planner
+  * (`spark.sql.sources.v2.bucketing.enabled`) satisfies the join
+  * distribution straight from storage — the Iceberg SPJ shape. At
+  * 100 TB the two Exchanges this deletes are usually the entire cost
+  * of a fact-to-fact join.
+  */
+object ExtensionQueries90 {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q494: the fact table (events keyed by pk = event_id % 16) and a
+    // per-pk dim (row counts per key) are both compactPartitioned on
+    // pk; leg 0 joins them under the key-grouped planner — the
+    // executed plan carries ZERO ShuffleExchange (spj=1,
+    // zero_exchange=1, read off the physical plan with AQE pinned off
+    // for determinism); leg 1 re-plans the SAME join with the planner
+    // disabled — both sides shuffle (zero_exchange=0) and the
+    // aggregates are identical. The oracle replays the join from raw
+    // events.
+    Q(
+      "q494_storage_partitioned_join",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = System.getProperty("java.io.tmpdir")
+        val pFact = s"$tmp/graft_spj_fact$tag"
+        val pDim = s"$tmp/graft_spj_dim$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select((col("event_id") % 16).as("pk"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(4), pFact)
+        VersionedTable.compactPartitioned(s, pFact, "pk")
+        VersionedTable.init(
+          ev.groupBy("pk").agg(count(lit(1)).cast("long").as("factor")),
+          pDim)
+        VersionedTable.compactPartitioned(s, pDim, "pk")
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.enabled")
+        val olds = confs.map(k => k -> s.conf.getOption(k))
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          def leg(spj: Boolean, label: Long) = {
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled",
+              spj.toString)
+            val j = s.read.format("graft-versioned").load(pFact)
+              .join(s.read.format("graft-versioned").load(pDim), "pk")
+            val nEx = j.queryExecution.executedPlan.collect {
+              case _: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => 1
+            }.sum
+            j.agg(count(lit(1)).cast("long").as("n_rows"),
+              sum("cents").as("sum_cents"),
+              sum(col("cents") + col("factor")).as("sum_weighted"))
+              .select(lit(label).as("leg"),
+                lit(if (spj) 1L else 0L).as("spj"),
+                lit(if (nEx == 0) 1L else 0L).as("zero_exchange"),
+                col("n_rows"), col("sum_cents"), col("sum_weighted"))
+          }
+          leg(spj = true, 0L).unionByName(leg(spj = false, 1L))
+            .orderBy("leg")
+        } finally olds.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id % 16 AS pk,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |dim AS (
+             |  SELECT pk, CAST(count(*) AS BIGINT) AS factor
+             |  FROM ev GROUP BY pk),
+             |j AS (
+             |  SELECT ev.cents, dim.factor
+             |  FROM ev JOIN dim ON ev.pk = dim.pk)
+             |SELECT CAST(0 AS BIGINT) AS leg, CAST(1 AS BIGINT) AS spj,
+             |  CAST(1 AS BIGINT) AS zero_exchange,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(cents + factor) AS BIGINT) AS sum_weighted
+             |FROM j
+             |UNION ALL
+             |SELECT 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+             |  CAST(sum(cents + factor) AS BIGINT)
+             |FROM j
+             |ORDER BY leg""".stripMargin)))
+}

@@ -442,7 +442,20 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       if (keep.forall(m.rowCounts.contains))
         Some(keep.map(m.rowCounts).sum)
       else None
-    new GraftVersionedFileScan(parquet, exactRows)
+    // STORAGE-PARTITIONED JOIN shape: when EVERY kept file carries a
+    // recorded partition value (compactPartitioned layout, no
+    // uncovered appends), report KeyGroupedPartitioning with per-file
+    // keys — Catalyst then plans co-partitioned joins with ZERO
+    // Exchange (q494). Any uncovered file demotes to the plain scan:
+    // conservative, never wrong.
+    val spj = for {
+      pc <- m.partCol
+      if keep.nonEmpty && keep.forall(m.partValues.contains)
+      field <- dataSchema.fields.find(_.name == pc)
+      parse <- GraftPartitionedScan.keyParser(field.dataType)
+    } yield new GraftPartitionedScan(parquet, exactRows, pc, parse,
+      keep.map(m.partValues).distinct.length)
+    spj.getOrElse(new GraftVersionedFileScan(parquet, exactRows))
   }
 }
 
@@ -503,6 +516,110 @@ class GraftMetadataCountScan(path: String, version: Int, n: Long)
     GraftCountReaderFactory
   override def description(): String =
     s"graft_versioned_metadata_count($path, v$version, rows=$n)"
+}
+
+/** The [[GraftVersionedFileScan]] of a key-grouped snapshot
+  * ([[graft.ops.VersionedTable.compactPartitioned]]): reports
+  * `KeyGroupedPartitioning(identity(partCol))` and plans ONE input
+  * partition per parquet split, each carrying its file's recorded
+  * partition key (`HasPartitionKey`) — Spark groups same-key splits
+  * itself. Two tables compacted on the same key then satisfy each
+  * other's join distribution and the planner drops BOTH Exchanges
+  * (storage-partitioned join, the Iceberg SPJ shape). Requires
+  * `spark.sql.sources.v2.bucketing.enabled=true`; without it the scan
+  * degrades to the plain shape (partitions are still valid
+  * FilePartitions).
+  */
+class GraftPartitionedScan(
+    inner: ParquetScan, exactRows: Option[Long], partColName: String,
+    parseKey: String => org.apache.spark.sql.catalyst.InternalRow,
+    numKeys: Int)
+    extends GraftVersionedFileScan(inner, exactRows)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning
+      .KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(partColName)), numKeys)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splits = inner.toBatch.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files
+    }
+    splits.zipWithIndex.map { case (pf, i) =>
+      val p = pf.filePath.toString
+      val raw = GraftPartitionedScan.rawValue(p).getOrElse(
+        sys.error(s"key-grouped scan: no __pv segment in $p"))
+      new GraftKeyedFilePartition(i, Array(pf), parseKey(raw))
+        : InputPartition
+    }
+  }
+
+  override def description(): String =
+    s"${inner.description()} keyGroupedBy=$partColName"
+}
+
+object GraftPartitionedScan {
+
+  private val pvRe = ".*/__pv=([^/]+)/[^/]+$".r
+
+  private[sources] def rawValue(path: String): Option[String] =
+    path match {
+      case pvRe(raw) => Some(unescape(raw))
+      case _ => None
+    }
+
+  /** Hive-style %XX unescape (the parquet writer escapes partition
+    * dir names this way).
+    */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(
+          Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Partition-key parser per column type; None = type unsupported for
+    * key grouping (the scan falls back to the plain shape).
+    */
+  private[sources] def keyParser(
+      dt: org.apache.spark.sql.types.DataType)
+      : Option[String => org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(r => InternalRow(r.toLong))
+      case IntegerType => Some(r => InternalRow(r.toInt))
+      case ShortType => Some(r => InternalRow(r.toShort))
+      case StringType => Some(r => InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r)))
+      case _ => None
+    }
+  }
+}
+
+/** A single parquet split plus its partition key — the unit Spark's
+  * key-grouped planner clusters by. Extends FilePartition so the
+  * delegated ParquetPartitionReaderFactory reads it unchanged.
+  */
+class GraftKeyedFilePartition(
+    idx: Int,
+    fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(
+      idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    key
 }
 
 /** A Scan answering a pushed group-free MIN/MAX/COUNT(*) combination
