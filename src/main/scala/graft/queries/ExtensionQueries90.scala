@@ -96,5 +96,65 @@ object ExtensionQueries90 {
              |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
              |  CAST(sum(cents + factor) AS BIGINT)
              |FROM j
-             |ORDER BY leg""".stripMargin)))
+             |ORDER BY leg""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q495: RUNTIME (DYNAMIC) PARTITION PRUNING. The key-grouped scan
+    // implements SupportsRuntimeV2Filtering on its partition column:
+    // when a broadcast join's build side carries a selective filter,
+    // Spark's dynamic-pruning rule materializes the dim's key set at
+    // RUNTIME and hands it to the scan as an IN predicate — splits of
+    // non-matching keys never open. Here the dim filter keeps 4 of 16
+    // keys, so the fact scan drops 12/16 of its splits AFTER planning,
+    // with no static predicate on the fact at all (the classic
+    // star-schema win; at 100 TB this reads 4 partitions instead of
+    // the table). runtime_pruned pins splits-after < splits-before,
+    // read off the scan instance the collected plan actually ran.
+    Q(
+      "q495_runtime_partition_pruning",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = System.getProperty("java.io.tmpdir")
+        val pFact = s"$tmp/graft_dpp_fact$tag"
+        val pDim = s"$tmp/graft_dpp_dim$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select((col("event_id") % 16).as("pk"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(4), pFact)
+        VersionedTable.compactPartitioned(s, pFact, "pk")
+        VersionedTable.init(
+          ev.select("pk").distinct()
+            .withColumn("tag", col("pk") % 5), pDim)
+        val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val fact = s.read.format("graft-versioned").load(pFact)
+          val dim = s.read.format("graft-versioned").load(pDim)
+            .where(col("tag") === 0) // keys 0, 5, 10, 15
+          val agg = fact.join(broadcast(dim), "pk")
+            .agg(count(lit(1)).cast("long").as("n_rows"),
+              sum("cents").as("sum_cents"))
+          val row = agg.collect().head
+          val scan = agg.queryExecution.executedPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec
+              if b.scan.isInstanceOf[graft.sources.GraftPartitionedScan]
+              => b.scan.asInstanceOf[graft.sources.GraftPartitionedScan]
+          }.getOrElse(sys.error("no key-grouped fact scan planned"))
+          val (before, after) = scan.splitCounts
+          s.range(1).select(
+            lit(if (after < before && after > 0) 1L else 0L)
+              .as("runtime_pruned"),
+            lit(row.getLong(0)).as("n_rows"),
+            lit(row.getLong(1)).as("sum_cents"))
+        } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id % 16 AS pk,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(1 AS BIGINT) AS runtime_pruned,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM ev WHERE pk % 5 = 0""".stripMargin)))
 }

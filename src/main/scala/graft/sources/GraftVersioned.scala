@@ -535,7 +535,8 @@ class GraftPartitionedScan(
     parseKey: String => org.apache.spark.sql.catalyst.InternalRow,
     numKeys: Int)
     extends GraftVersionedFileScan(inner, exactRows)
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -544,12 +545,60 @@ class GraftPartitionedScan(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .identity(partColName)), numKeys)
 
+  // ---- runtime (dynamic) partition pruning ---- //
+  // A broadcast join whose build side filters the partition column
+  // hands the materialized key set here AT RUNTIME (Spark's DPP rule +
+  // SupportsRuntimeV2Filtering); splits of non-matching keys never
+  // even open. At 100 TB this is the classic "join a fact to a
+  // filtered dim, read 3 of 10k partitions" win, with zero physical
+  // partitioning in the query.
+  @volatile private var runtimeKeys: Option[Set[String]] = None
+  /** Last predicates received by [[filter]], for diagnostics. */
+  @volatile var lastRuntimePredicates: Seq[String] = Nil
+  /** (splits before runtime filtering, after) — for test/query pins. */
+  @volatile var splitCounts: (Int, Int) = (0, 0)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(partColName))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    lastRuntimePredicates = predicates.toSeq.map(p =>
+      s"${p.name()}(${p.children().map(c => c.getClass.getSimpleName + ":" + c.toString).mkString(", ")})")
+    val inSets = predicates.toSeq.filter(_.name() == "IN").flatMap { p =>
+      p.children().toSeq match {
+        case (r: org.apache.spark.sql.connector.expressions
+          .NamedReference) +: rest
+          if r.fieldNames().sameElements(Array(partColName)) =>
+          val vals = rest.collect {
+            case l: org.apache.spark.sql.connector.expressions
+              .Literal[_] => String.valueOf(l.value())
+          }
+          if (vals.length == rest.length) Some(vals.toSet) else None
+        case _ => None
+      }
+    }
+    // unknown predicate shapes are ignored (conservative: keep files)
+    if (inSets.nonEmpty) runtimeKeys = Some(inSets.reduce(_ intersect _))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val splits = inner.toBatch.planInputPartitions().flatMap {
       case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
         fp.files
     }
-    splits.zipWithIndex.map { case (pf, i) =>
+    val kept = runtimeKeys match {
+      case None => splits
+      case Some(keys) => splits.filter { pf =>
+        GraftPartitionedScan.rawValue(pf.filePath.toString)
+          .forall(keys.contains)
+      }
+    }
+    splitCounts = (splits.length, kept.length)
+    kept.zipWithIndex.map { case (pf, i) =>
       val p = pf.filePath.toString
       val raw = GraftPartitionedScan.rawValue(p).getOrElse(
         sys.error(s"key-grouped scan: no __pv segment in $p"))

@@ -31,6 +31,26 @@ object SpjProbe {
       println(s"=== bucketing=$b ===")
       println(j.queryExecution.executedPlan.toString.take(2200))
     }
+    // DPP probe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val pd = "/tmp/spj_probe_dim"
+    VersionedTable.init((0L until 8L).map(k => (k, k % 4)).toDF("pk", "tag").repartition(1), pd)
+    val fact = spark.read.format("graft-versioned").load(p1)
+    val dim = spark.read.format("graft-versioned").load(pd).where(col("tag") === 0)
+    val j = fact.join(broadcast(dim), "pk")
+    println("=== DPP optimized ===")
+    println(j.queryExecution.optimizedPlan.toString.take(1800))
+    println("=== DPP executed ===")
+    println(j.collect().length)
+    val scan = j.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.GraftPartitionedScan] =>
+        b.scan.asInstanceOf[graft.sources.GraftPartitionedScan]
+    }.get
+    println("predicates: " + scan.lastRuntimePredicates.mkString(" | "))
+    println("splits: " + scan.splitCounts)
     spark.stop()
   }
 }

@@ -103,6 +103,42 @@ class GraftSpjSpec extends SparkSpec {
     }
   }
 
+  test("runtime (dynamic) partition pruning: a broadcast join with a " +
+    "filtered dim hands its key set to the scan at RUNTIME — splits " +
+    "of non-matching keys never open; results match the shuffled plan") {
+    import spark.implicits._
+    val pf = tmp("graft_dpp_fact")
+    val pd = tmp("graft_dpp_dim")
+    VersionedTable.init(
+      (0L until 1600L).map(i => (i % 16, i, i * 2L))
+        .toDF("pk", "id", "cents").repartition(4), pf)
+    VersionedTable.compactPartitioned(spark, pf, "pk")
+    VersionedTable.init(
+      (0L until 16L).map(k => (k, k % 5)).toDF("pk", "tag")
+        .repartition(1), pd)
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val fact = spark.read.format("graft-versioned").load(pf)
+    val dim = spark.read.format("graft-versioned").load(pd)
+      .where(col("tag") === 0) // keys 0,5,10,15
+    val j = fact.join(broadcast(dim), "pk")
+    // collect() executes THIS DataFrame's own queryExecution — the
+    // scan instance inspected below is the one that actually ran
+    // (count() would plan a different tree with a different scan)
+    assert(j.collect().length == 4 * 100)
+    val scan = j.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.GraftPartitionedScan] =>
+        b.scan.asInstanceOf[graft.sources.GraftPartitionedScan]
+    }.getOrElse(fail("no key-grouped scan in the DPP plan"))
+    val (before, after) = scan.splitCounts
+    assert(before == 16 && after == 4,
+      s"runtime pruning kept $after of $before splits")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("partition-value file skipping composes: an equality filter on " +
     "the partition column opens only that key's files") {
     import spark.implicits._
