@@ -156,5 +156,43 @@ object ExtensionQueries90 {
              |SELECT CAST(1 AS BIGINT) AS runtime_pruned,
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(sum(cents) AS BIGINT) AS sum_cents
-             |FROM ev WHERE pk % 5 = 0""".stripMargin)))
+             |FROM ev WHERE pk % 5 = 0""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q496: LIMIT PUSHDOWN — the scan builder accepts the pushed limit
+    // and CAPS THE FILE LIST via the manifest's footer row counts:
+    // only the first files whose cumulative counts reach the limit are
+    // planned (here 1 of 10; at 100 TB a LIMIT 10 preview opens one
+    // file instead of ten thousand). Partial-pushdown semantics keep
+    // Spark's own Limit on top, so the cap is purely an I/O saving —
+    // and it only applies to filter-free scans (a residual filter
+    // would make raw counts the wrong budget; pinned in the spec).
+    Q(
+      "q496_limit_pushdown_file_cap",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_limit$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(10), path)
+        val view = s"graft_limit_view$tag"
+        s.read.format("graft-versioned").load(path)
+          .createOrReplaceTempView(view)
+        val q = s.sql(s"SELECT * FROM $view LIMIT 7")
+        val (opened, total) = q.queryExecution.sparkPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec =>
+            (b.scan.asInstanceOf[graft.sources.GraftVersionedFileScan]
+              .fileIndex.inputFiles.length.toLong,
+              VersionedTable.manifestFiles(path, 0).length.toLong)
+        }.getOrElse(sys.error("no V2 scan planned under LIMIT"))
+        s.range(1).select(
+          lit(q.collect().length.toLong).as("n_rows"),
+          lit(opened).as("files_opened"), lit(total).as("files_total"))
+      },
+      Some("""SELECT CAST(7 AS BIGINT) AS n_rows,
+             |  CAST(1 AS BIGINT) AS files_opened,
+             |  CAST(10 AS BIGINT) AS files_total""".stripMargin)))
 }

@@ -213,13 +213,28 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private val path = GraftVersioned.tablePath(options)
   private val version = GraftVersioned.version(options)
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = dataSchema
+
+  // ---- LIMIT pushdown: cap the FILE LIST via footer row counts ---- //
+  // Spark offers a limit only when nothing unsafe sits between it and
+  // the scan; we additionally require zero pushed filters (residuals
+  // would make raw row counts the wrong budget) and full footer-count
+  // coverage. Partial pushdown (the default) keeps Spark's own Limit
+  // on top, so capping is purely an I/O saving: a LIMIT 10 against a
+  // 10k-file table opens ONE file.
+  private var pushedLimit: Option[Int] = None
+
+  override def pushLimit(l: Int): Boolean = {
+    pushedLimit = Some(l)
+    true
+  }
 
   /** Accept every translatable filter for manifest + row-group pruning,
     * and return ALL of them as residuals — Spark keeps its post-scan
@@ -425,8 +440,22 @@ class GraftVersionedScanBuilder(spark: SparkSession,
         val openSet = open.toSet
         files.filter(openSet.contains)
       }
+    // LIMIT capping: keep only the first files whose cumulative footer
+    // counts reach the pushed limit (filter-free scans only; Spark's
+    // own Limit still applies on top — partial pushdown)
+    val capped = pushedLimit match {
+      case Some(l) if pushed.isEmpty && m.dvs.isEmpty &&
+        keep.forall(m.rowCounts.contains) =>
+        var acc = 0L
+        keep.takeWhile { r =>
+          val need = acc < l
+          acc += m.rowCounts(r)
+          need
+        }
+      case _ => keep
+    }
     val index = new InMemoryFileIndex(spark,
-      keep.map(r => new HPath(VersionedTable.absPath(path, r))),
+      capped.map(r => new HPath(VersionedTable.absPath(path, r))),
       Map.empty, Some(dataSchema))
     val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
@@ -439,17 +468,19 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     // can drop under the broadcast threshold even when the full table
     // is far above it (pinned by q490)
     val exactRows =
-      if (keep.forall(m.rowCounts.contains))
-        Some(keep.map(m.rowCounts).sum)
+      if (capped.forall(m.rowCounts.contains))
+        Some(capped.map(m.rowCounts).sum)
       else None
     // STORAGE-PARTITIONED JOIN shape: when EVERY kept file carries a
     // recorded partition value (compactPartitioned layout, no
     // uncovered appends), report KeyGroupedPartitioning with per-file
     // keys — Catalyst then plans co-partitioned joins with ZERO
     // Exchange (q494). Any uncovered file demotes to the plain scan:
-    // conservative, never wrong.
+    // conservative, never wrong. A pushed limit skips the partitioned
+    // shape (a capped file list no longer covers every key).
     val spj = for {
       pc <- m.partCol
+      if pushedLimit.isEmpty
       if keep.nonEmpty && keep.forall(m.partValues.contains)
       field <- dataSchema.fields.find(_.name == pc)
       parse <- GraftPartitionedScan.keyParser(field.dataType)

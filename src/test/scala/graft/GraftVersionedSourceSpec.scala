@@ -377,6 +377,37 @@ class GraftVersionedSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("LIMIT pushdown caps the planned file list via footer counts; " +
+    "a residual filter disables the cap (raw counts would be the " +
+    "wrong budget); a limit past the table opens everything") {
+    import spark.implicits._
+    val path = tmp("graft_limit_spec")
+    VersionedTable.init(
+      (0L until 1000L).map(i => (i, i % 7)).toDF("id", "b")
+        .repartition(10), path)
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_limit_t")
+    val lim = spark.sql("SELECT * FROM graft_limit_t LIMIT 5")
+    assert(scanFiles(lim) == 1, s"LIMIT 5 opened ${scanFiles(lim)}")
+    assert(lim.collect().length == 5)
+    // limit spanning several files takes just enough
+    val lim2 = spark.sql("SELECT * FROM graft_limit_t LIMIT 250")
+    val opened2 = scanFiles(lim2)
+    assert(opened2 >= 3 && opened2 < 10, s"LIMIT 250 opened $opened2")
+    assert(lim2.collect().length == 250)
+    // a filter disables the cap — every file scans (the filter is
+    // residual, so the limit is never even offered to the source)
+    val filtered = spark.sql(
+      "SELECT * FROM graft_limit_t WHERE b = 3 LIMIT 5")
+    assert(scanFiles(filtered) == 10,
+      s"filtered LIMIT capped to ${scanFiles(filtered)} files")
+    assert(filtered.collect().length == 5)
+    // a limit past the table opens everything and returns everything
+    val big = spark.sql("SELECT * FROM graft_limit_t LIMIT 99999")
+    assert(scanFiles(big) == 10)
+    assert(big.collect().length == 1000)
+  }
+
   test("a snapshot carrying deletion vectors refuses the bare scan " +
     "(no silent resurrection); after OPTIMIZE it serves") {
     val path = tmp("graft_dsv2_spec5")
