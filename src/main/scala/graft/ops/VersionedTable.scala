@@ -1218,6 +1218,24 @@ object VersionedTable {
     * (each side read under its own vectors). The tombstone symmetric
     * difference is vector-sized, not table-sized.
     */
+  /** Row-level CHANGE FEED between two versions: one [[diffVersions]]
+    * multiset diff PER COMMIT in (fromV, toV], each tagged with its
+    * `commit_version` — "what did each commit do", the batch CDF shape
+    * (an update commit shows as its key's 'removed' old row plus
+    * 'added' new row). Cost is the sum of per-commit changed files —
+    * the shared bulk never enters any scan — so auditing a day of
+    * commits on a 100 TB table reads the day's deltas, not the table.
+    * Schema evolution mid-range null-fills (unionByName).
+    */
+  def tableChanges(spark: SparkSession, path: String, fromV: Int,
+                   toV: Int): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV..$toV")
+    (fromV + 1 to toV).map { v =>
+      diffVersions(spark, path, v - 1, v)
+        .withColumn("commit_version", lit(v.toLong))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   def diffVersions(spark: SparkSession, path: String, vA: Int,
                    vB: Int): DataFrame = {
     val mA = readManifest(path, vA)

@@ -194,5 +194,179 @@ object ExtensionQueries90 {
       },
       Some("""SELECT CAST(7 AS BIGINT) AS n_rows,
              |  CAST(1 AS BIGINT) AS files_opened,
-             |  CAST(10 AS BIGINT) AS files_total""".stripMargin)))
+             |  CAST(10 AS BIGINT) AS files_total""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q497: SHUFFLE-FREE KEYED AGGREGATION. The key-grouped layout
+    // serves GROUP BY exactly like it serves joins: the scan's
+    // KeyGroupedPartitioning satisfies the aggregation's clustered
+    // distribution, so partial AND final HashAggregate fuse into ONE
+    // whole-stage span with ZERO Exchange (leg 0) — the same
+    // aggregation with the key-grouped planner off shuffles between
+    // the two phases (leg 1). Identical per-key results either way,
+    // replayed by the oracle. At 100 TB a keyed rollup over a
+    // key-grouped corpus never moves a row.
+    Q(
+      "q497_shuffle_free_keyed_agg",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_kagg$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select((col("event_id") % 16).as("pk"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(4), path)
+        VersionedTable.compactPartitioned(s, path, "pk")
+        val confs = Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.adaptive.enabled")
+        val olds = confs.map(k => k -> s.conf.getOption(k))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          def leg(grouped: Boolean, label: Long) = {
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled",
+              grouped.toString)
+            val agg = s.read.format("graft-versioned").load(path)
+              .groupBy("pk")
+              .agg(count(lit(1)).cast("long").as("n"),
+                sum("cents").as("sum_cents"))
+            val nEx = agg.queryExecution.executedPlan.collect {
+              case _: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => 1
+            }.sum
+            agg.select(lit(label).as("leg"),
+              lit(if (nEx == 0) 1L else 0L).as("zero_exchange"),
+              col("pk"), col("n"), col("sum_cents"))
+          }
+          leg(grouped = true, 0L).unionByName(leg(grouped = false, 1L))
+            .orderBy("leg", "pk")
+        } finally olds.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id % 16 AS pk,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |g AS (
+             |  SELECT pk, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS sum_cents
+             |  FROM ev GROUP BY pk)
+             |SELECT CAST(0 AS BIGINT) AS leg,
+             |  CAST(1 AS BIGINT) AS zero_exchange, pk, n, sum_cents
+             |FROM g
+             |UNION ALL
+             |SELECT 1, CAST(0 AS BIGINT), pk, n, sum_cents FROM g
+             |ORDER BY leg, pk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q498: BATCH CHANGE FEED — tableChanges(fromV, toV) renders WHAT
+    // EACH COMMIT DID as rows tagged (change, commit_version): the
+    // append shows as its slice 'added'; the copy-on-write delete
+    // shows as exactly the deleted rows 'removed' (the rewritten
+    // survivors CANCEL in the multiset diff — they moved files, not
+    // values); the MERGE shows as old-row 'removed' + new-row 'added'
+    // per matched key. Cost per commit is its changed files only. The
+    // oracle replays all three commits' effects from raw events.
+    Q(
+      "q498_table_changes_feed",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_changes$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 2 === 0), path)
+        VersionedTable.append(ev.where(col("event_id") % 2 === 1), path)
+        VersionedTable.deleteWhere(s, path, col("event_type") === "error")
+        VersionedTable.merge(s, path,
+          ev.where(col("event_type") === "purchase")
+            .withColumn("cents", col("cents") + 5L),
+          Seq("event_id"))
+        VersionedTable.tableChanges(s, path, 0,
+          VersionedTable.latestVersion(path))
+          .groupBy("commit_version", "change", "event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .orderBy("commit_version", "change", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(1 AS BIGINT) AS commit_version,
+             |  'added' AS change, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM ev WHERE event_id % 2 = 1 GROUP BY event_type
+             |UNION ALL
+             |SELECT 2, 'removed', event_type, CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT)
+             |FROM ev WHERE event_type = 'error' GROUP BY event_type
+             |UNION ALL
+             |SELECT 3, 'added', 'purchase', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents + 5) AS BIGINT)
+             |FROM ev WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT 3, 'removed', 'purchase', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT)
+             |FROM ev WHERE event_type = 'purchase'
+             |ORDER BY commit_version, change, event_type"""
+        .stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q499: SQL `TIMESTAMP AS OF` through the catalog — Catalyst hands
+    // the timestamp literal (micros) to
+    // GraftCatalog.loadTable(ident, timestamp), which resolves it
+    // through the same strictly-monotonic manifest clock as q487's
+    // library/option paths. Three INSERT commits; the probe timestamp
+    // is version 1's own commit stamp (read from history), so the
+    // as-of read must serve EXACTLY the first insert; the plain read
+    // serves all three.
+    Q(
+      "q499_sql_timestamp_as_of",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graftcat.warehouse",
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        val tbl = s"graftcat.tsev_$tag"
+        val src = s"graft_tsas_src_$tag"
+        Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .createOrReplaceTempView(src)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl (event_id BIGINT, cents BIGINT)")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM $src WHERE event_id % 3 = 0")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM $src WHERE event_id % 3 = 1")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM $src WHERE event_id % 3 = 2")
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+        // probe half a millisecond AFTER v1's stamp: the double cast
+        // is microsecond-exact to ~1e-7 s, and v2 is >= 1 ms later, so
+        // the probe lands strictly inside (ts1, ts2)
+        val ts1 = VersionedTable.history(s"$wh/tsev_$tag")
+          .find(_.version == 1).get.tsMillis.get
+        s.sql(
+          s"""SELECT 1 AS as_of, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM $tbl TIMESTAMP AS OF CAST(${(ts1 + 0.5) / 1000.0} AS TIMESTAMP)
+             |UNION ALL
+             |SELECT 2, CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT)
+             |FROM $tbl
+             |ORDER BY as_of""".stripMargin)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT 1 AS as_of, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM ev WHERE event_id % 3 = 0
+             |UNION ALL
+             |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+             |FROM ev
+             |ORDER BY as_of""".stripMargin)))
 }

@@ -96,6 +96,14 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version))
 
+  /** SQL `TIMESTAMP AS OF ts` — Catalyst hands the literal as
+    * MICROseconds since epoch; resolve through the manifests'
+    * strictly-monotonic commit clock (same hook Delta/Iceberg use).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, Some(VersionedTable.versionAsOfTimestamp(
+      pathOf(ident), timestampMicros / 1000L).toString))
+
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -51,6 +51,12 @@ object SpjProbe {
     }.get
     println("predicates: " + scan.lastRuntimePredicates.mkString(" | "))
     println("splits: " + scan.splitCounts)
+    // shuffle-free aggregation probe
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val agg = spark.read.format("graft-versioned").load(p1)
+      .groupBy("pk").agg(sum("cents"))
+    println("=== keyed AGG executed ===")
+    println(agg.queryExecution.executedPlan.toString.take(1200))
     spark.stop()
   }
 }
