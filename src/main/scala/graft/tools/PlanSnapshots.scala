@@ -87,6 +87,8 @@ object PlanSnapshots {
         .replaceAll("@[0-9a-f]{6,}", "@*")
         .replaceAll(
           "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "*")
+        // temp fixture dirs carry random suffixes
+        .replaceAll("graft_plansnap_[a-z]+\\d*", "graft_plansnap_*")
       Files.writeString(Paths.get(s"$outDir/$name.txt"), stable)
       println(s"PLAN_SNAPSHOT $outDir/$name.txt")
     }
@@ -156,6 +158,51 @@ object PlanSnapshots {
           .queryExecution.explainString(mode))
     } finally {
       graft.io.FsUtil.deleteRecursively(vt)
+    }
+
+    // round 11 continuation: the storage-partitioned join (q494) — the
+    // snapshot must keep showing a SortMergeJoin whose BOTH inputs are
+    // key-grouped BatchScans with NO Exchange between scan and join,
+    // and the metadata-only MIN/MAX plan (q491) — a BatchScan of
+    // GraftMetadataAggScan and nothing else below the aggregate
+    val spjAp = Files.createTempDirectory("graft_plansnap_spja")
+    val spjBp = Files.createTempDirectory("graft_plansnap_spjb")
+    val spjA = spjAp.toString
+    val spjB = spjBp.toString
+    try {
+      val ev = graft.io.Tables.load(spark, sfDir, "events")
+        .select((col("event_id") % 16).as("pk"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      graft.ops.VersionedTable.init(ev.repartition(4), spjA)
+      graft.ops.VersionedTable.compactPartitioned(spark, spjA, "pk")
+      graft.ops.VersionedTable.init(
+        ev.groupBy("pk").agg(count(lit(1)).cast("long").as("factor")),
+        spjB)
+      graft.ops.VersionedTable.compactPartitioned(spark, spjB, "pk")
+      val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        write("q494_spj_join",
+          spark.read.format("graft-versioned").load(spjA)
+            .join(spark.read.format("graft-versioned").load(spjB), "pk")
+            .queryExecution.explainString(mode))
+        spark.read.format("graft-versioned").load(spjA)
+          .createOrReplaceTempView("plansnap_spj_a")
+        write("q491_metadata_minmax",
+          spark.sql("SELECT count(*) AS n, min(pk) AS lo, " +
+            "max(pk) AS hi FROM plansnap_spj_a")
+            .queryExecution.explainString(mode))
+      } finally olds.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    } finally {
+      graft.io.FsUtil.deleteRecursively(spjAp)
+      graft.io.FsUtil.deleteRecursively(spjBp)
     }
     spark.stop()
   }

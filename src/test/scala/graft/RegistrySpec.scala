@@ -49,7 +49,10 @@ class RegistrySpec extends SparkSpec {
       "q448_rmst", "q454_gumbel_block_maxima", "q455_price_elasticity",
       // round-11: one global aggregate row over the band/box read, with
       // the measured pruning as literals
-      "q476_versioned_clustered_compact", "q483_versioned_zorder_box")
+      "q476_versioned_clustered_compact", "q483_versioned_zorder_box",
+      // round-11 continuation: single-row plan-pin gates (runtime
+      // pruning, limit file capping)
+      "q495_runtime_partition_pruning", "q496_limit_pushdown_file_cap")
     SparkEntry.all.filterNot(q => singleRow(q.name)).foreach { q =>
       val sql = q.oracle.get.toUpperCase
       assert(sql.contains("ORDER BY"), s"${q.name}: multi-row oracle has no ORDER BY")
