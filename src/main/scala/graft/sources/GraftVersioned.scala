@@ -214,7 +214,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private val path = GraftVersioned.tablePath(options)
   private val version = GraftVersioned.version(options)
@@ -234,6 +235,43 @@ class GraftVersionedScanBuilder(spark: SparkSession,
   override def pushLimit(l: Int): Boolean = {
     pushedLimit = Some(l)
     true
+  }
+
+  // both parent defaults agree (true); Scala requires the diamond be
+  // resolved explicitly
+  override def isPartiallyPushed(): Boolean = true
+
+  // ---- TOP-N pushdown: ORDER-AWARE file capping via stats ---- //
+  // ORDER BY c LIMIT k over a stats-covered column keeps file F only
+  // when FEWER than k rows provably sort before it: for ascending,
+  // rows below F's min are at least the footer-count sum of files
+  // whose max < F.min — if that sum reaches k, none of F's rows can be
+  // in the top k. Sound for any overlap pattern; on a range-clustered
+  // table it opens ~one band. NULLS are the trap: Spark's default
+  // ASC is NULLS FIRST and stats ignore nulls, so a dropped file's
+  // null rows could belong to the top k — we therefore accept only
+  // NULLS LAST orderings (if k exceeds the non-null count the kept
+  // set still holds every non-null candidate, and all-null files have
+  // no stats → conservatively kept). Partial pushdown: Spark's own
+  // TakeOrderedAndProject still runs on top.
+  private var pushedTopN: Option[(String, Boolean, Int)] = None
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val ok = for {
+      first <- orders.headOption
+      if pushed.isEmpty
+      if first.nullOrdering() == NullOrdering.NULLS_LAST
+      ref <- first.expression() match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    } yield (ref, first.direction() == SortDirection.ASCENDING, limit)
+    pushedTopN = ok
+    ok.isDefined
   }
 
   /** Accept every translatable filter for manifest + row-group pruning,
@@ -306,7 +344,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
   //     extremes because stats rows exist only for files with at least
   //     one non-null value — matching SQL null-ignoring MIN/MAX.
   // Everything else falls back to the real file scan.
-  private var pushedAgg: Option[(StructType, Seq[Any])] = None
+  private var pushedAgg: Option[(StructType, Seq[Seq[Any]])] = None
 
   private def singleCol(f: AggregateFunc): Option[String] = {
     val children = f match {
@@ -348,12 +386,63 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       case org.apache.spark.sql.types.FloatType => d.toFloat
     }
 
+  /** The catalyst value a raw partition-dir string parses to. */
+  private def rawParser(dt: org.apache.spark.sql.types.DataType)
+      : Option[String => Any] = dt match {
+    case org.apache.spark.sql.types.LongType => Some(_.toLong)
+    case org.apache.spark.sql.types.IntegerType => Some(_.toInt)
+    case org.apache.spark.sql.types.ShortType => Some(_.toShort)
+    case org.apache.spark.sql.types.StringType => Some(r =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(r))
+    case _ => None
+  }
+
+  /** GROUP BY the partition column, COUNT(*) only: per-key footer-count
+    * sums — a per-partition row-count report with ZERO data files (the
+    * key-grouped layout records both the per-file key and the per-file
+    * count, so the whole answer is manifest algebra).
+    */
+  private def groupedMetadataAnswer(
+      agg: Aggregation,
+      m: VersionedTable.Manifest): Option[(StructType, Seq[Seq[Any]])] =
+    for {
+      g <- agg.groupByExpressions().toSeq match {
+        case Seq(r: NamedReference) if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+      pc <- m.partCol
+      if pc == g
+      if m.data.nonEmpty && m.data.forall(m.partValues.contains) &&
+        m.data.forall(m.rowCounts.contains)
+      if agg.aggregateExpressions().nonEmpty &&
+        agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+      field <- dataSchema.fields.find(_.name == pc)
+      parse <- rawParser(field.dataType)
+    } yield {
+      val schema = agg.aggregateExpressions().toSeq.zipWithIndex
+        .foldLeft(new StructType().add(pc, field.dataType,
+          nullable = false)) { case (st, (_, i)) =>
+          st.add(s"count_star_$i", org.apache.spark.sql.types.LongType,
+            nullable = false)
+        }
+      val counts = agg.aggregateExpressions().length
+      val rows = m.data.groupBy(m.partValues).toSeq
+        .sortBy(_._1)
+        .map { case (raw, files) =>
+          parse(raw) +: Seq.fill(counts)(
+            files.map(m.rowCounts).sum: Any)
+        }
+      (schema, rows)
+    }
+
   private def metadataAnswer(
-      agg: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
-      agg.aggregateExpressions().isEmpty) return None
+      agg: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
+    if (pushed.nonEmpty || agg.aggregateExpressions().isEmpty) return None
     val m = VersionedTable.readManifest(path, version)
     if (m.dvs.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty)
+      return groupedMetadataAnswer(agg, m)
     def colStats(c: String): Option[(Double, Double)] = {
       val perFile = m.data.map(rel => m.stats.get(rel).flatMap(_.get(c)))
       if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
@@ -385,7 +474,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       val schema = cols.foldLeft(new StructType()) {
         case (st, (n, dt, _)) => st.add(n, dt, nullable = false)
       }
-      Some((schema, cols.map(_._3)))
+      Some((schema, Seq(cols.map(_._3))))
     } else None
   }
 
@@ -399,13 +488,14 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     }
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, values)) =>
+    case Some((schema, rows)) =>
       // a bare COUNT(*) keeps its dedicated scan class (pinned by
       // q486); richer combinations plan the generalized agg scan
-      if (values.length == 1 && schema.fieldNames.head == "count_star")
+      if (rows.length == 1 && rows.head.length == 1 &&
+        schema.fieldNames.head == "count_star")
         new GraftMetadataCountScan(path, version,
-          values.head.asInstanceOf[Long])
-      else new GraftMetadataAggScan(path, version, schema, values)
+          rows.head.head.asInstanceOf[Long])
+      else new GraftMetadataAggScan(path, version, schema, rows)
     case None => buildFileScan()
   }
 
@@ -454,8 +544,25 @@ class GraftVersionedScanBuilder(spark: SparkSession,
         }
       case _ => keep
     }
+    // TOP-N capping: drop every file with >= k rows provably sorting
+    // before it (stats-complete, DV-free snapshots only)
+    val ordered = pushedTopN match {
+      case Some((c, asc, k)) if m.dvs.isEmpty &&
+        capped.forall(m.rowCounts.contains) &&
+        capped.forall(r => m.stats.get(r).exists(_.contains(c))) =>
+        def band(r: String) = m.stats(r)(c)
+        capped.filter { f =>
+          val rowsBefore =
+            if (asc) capped.filter(g => band(g)._2 < band(f)._1)
+              .map(m.rowCounts).sum
+            else capped.filter(g => band(g)._1 > band(f)._2)
+              .map(m.rowCounts).sum
+          rowsBefore < k
+        }
+      case _ => capped
+    }
     val index = new InMemoryFileIndex(spark,
-      capped.map(r => new HPath(VersionedTable.absPath(path, r))),
+      ordered.map(r => new HPath(VersionedTable.absPath(path, r))),
       Map.empty, Some(dataSchema))
     val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
@@ -468,8 +575,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     // can drop under the broadcast threshold even when the full table
     // is far above it (pinned by q490)
     val exactRows =
-      if (capped.forall(m.rowCounts.contains))
-        Some(capped.map(m.rowCounts).sum)
+      if (ordered.forall(m.rowCounts.contains))
+        Some(ordered.map(m.rowCounts).sum)
       else None
     // STORAGE-PARTITIONED JOIN shape: when EVERY kept file carries a
     // recorded partition value (compactPartitioned layout, no
@@ -480,7 +587,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     // shape (a capped file list no longer covers every key).
     val spj = for {
       pc <- m.partCol
-      if pushedLimit.isEmpty
+      if pushedLimit.isEmpty && pushedTopN.isEmpty
       if keep.nonEmpty && keep.forall(m.partValues.contains)
       field <- dataSchema.fields.find(_.name == pc)
       parse <- GraftPartitionedScan.keyParser(field.dataType)
@@ -710,31 +817,31 @@ class GraftKeyedFilePartition(
   * [[GraftVersionedScanBuilder]].
   */
 class GraftMetadataAggScan(path: String, version: Int,
-                           schema: StructType, values: Seq[Any])
+                           schema: StructType, rows: Seq[Seq[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(values))
+    Array(GraftAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     GraftAggReaderFactory
   override def description(): String =
     s"graft_versioned_metadata_agg($path, v$version, " +
-      s"${schema.fieldNames.mkString(",")})"
+      s"${schema.fieldNames.mkString(",")}, rows=${rows.length})"
 }
 
-case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+case class GraftAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
 object GraftAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-      private var emitted = false
+      private val it = p.asInstanceOf[GraftAggPartition].rows.iterator
+      private var cur: Seq[Any] = _
       override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
+        if (it.hasNext) { cur = it.next(); true } else false
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        org.apache.spark.sql.catalyst.InternalRow(
-          p.asInstanceOf[GraftAggPartition].values: _*)
+        org.apache.spark.sql.catalyst.InternalRow(cur: _*)
       override def close(): Unit = ()
     }
 }

@@ -408,6 +408,70 @@ class GraftVersionedSourceSpec extends SparkSpec {
     assert(big.collect().length == 1000)
   }
 
+  test("TOP-N pushdown: ORDER BY the clustered column NULLS LAST " +
+    "opens only the band that can hold the top k (both directions); " +
+    "default NULLS FIRST is refused (stats ignore nulls); rows exact") {
+    val path = tmp("graft_topn_spec")
+    buildTable(path) // 5 range-clustered files, bucket 0..99, 1000 rows
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_topn_t")
+    val asc = spark.sql("SELECT id, bucket FROM graft_topn_t " +
+      "ORDER BY bucket ASC NULLS LAST, id LIMIT 5")
+    assert(scanFiles(asc) < 5 && scanFiles(asc) >= 1,
+      s"asc top-5 opened ${scanFiles(asc)} of 5")
+    assert(asc.collect().map(_.getLong(1)).forall(_ == 0L))
+    assert(asc.collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 100L, 200L, 300L, 400L))
+    val desc = spark.sql("SELECT id, bucket FROM graft_topn_t " +
+      "ORDER BY bucket DESC, id LIMIT 5")
+    assert(scanFiles(desc) < 5 && scanFiles(desc) >= 1,
+      s"desc top-5 opened ${scanFiles(desc)} of 5")
+    assert(desc.collect().map(_.getLong(1)).forall(_ == 99L))
+    // Spark's default ASC is NULLS FIRST — the cap must NOT engage
+    // (a dropped file's unstatted null rows could be the top k)
+    val nf = spark.sql("SELECT id, bucket FROM graft_topn_t " +
+      "ORDER BY bucket LIMIT 5")
+    assert(scanFiles(nf) == 5,
+      s"NULLS FIRST top-5 wrongly capped to ${scanFiles(nf)}")
+    assert(nf.collect().length == 5)
+  }
+
+  test("metadata GROUP BY the partition key: per-key COUNT(*) answered " +
+    "from pv + footer counts with zero data files; non-count aggs and " +
+    "uncovered appends fall back") {
+    import spark.implicits._
+    val path = tmp("graft_gcount_spec")
+    VersionedTable.init(
+      (0L until 640L).map(i => (i % 8, i, i * 2L))
+        .toDF("pk", "id", "cents").repartition(3), path)
+    VersionedTable.compactPartitioned(spark, path, "pk")
+    def scanClassOf(df: DataFrame): String =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: BatchScanExec => b.scan.getClass.getSimpleName
+      }.get
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_gcount_t")
+    val g = spark.sql("SELECT pk, count(*) AS n FROM graft_gcount_t " +
+      "GROUP BY pk ORDER BY pk")
+    assert(scanClassOf(g) == "GraftMetadataAggScan",
+      s"grouped count planned ${scanClassOf(g)}")
+    assert(g.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 8L).map(k => (k, 80L)))
+    // a non-count aggregate falls back to the real scan
+    val sums = spark.sql("SELECT pk, sum(cents) AS s " +
+      "FROM graft_gcount_t GROUP BY pk")
+    assert(scanClassOf(sums) != "GraftMetadataAggScan")
+    // an uncovered append disables the shortcut and stays correct
+    VersionedTable.append(Seq((3L, 9999L, 1L))
+      .toDF("pk", "id", "cents"), path)
+    val t2 = spark.read.format("graft-versioned").load(path)
+    t2.createOrReplaceTempView("graft_gcount_t2")
+    val g2 = spark.sql("SELECT pk, count(*) AS n FROM graft_gcount_t2 " +
+      "GROUP BY pk ORDER BY pk")
+    assert(scanClassOf(g2) != "GraftMetadataAggScan")
+    assert(g2.where(col("pk") === 3L).head().getLong(1) == 81L)
+  }
+
   test("a snapshot carrying deletion vectors refuses the bare scan " +
     "(no silent resurrection); after OPTIMIZE it serves") {
     val path = tmp("graft_dsv2_spec5")
