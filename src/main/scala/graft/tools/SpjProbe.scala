@@ -57,6 +57,33 @@ object SpjProbe {
       .groupBy("pk").agg(sum("cents"))
     println("=== keyed AGG executed ===")
     println(agg.queryExecution.executedPlan.toString.take(1200))
+    // measured: SPJ vs shuffled join on the sf0.1 fact (per leg:
+    // median of 3 after warmup)
+    val sf01 = "/tmp/spj_probe_sf01_fact"
+    val sf01d = "/tmp/spj_probe_sf01_dim"
+    val ev01 = graft.io.Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select((col("event_id") % 64).as("pk"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    VersionedTable.init(ev01.repartition(8), sf01)
+    VersionedTable.compactPartitioned(spark, sf01, "pk")
+    VersionedTable.init(ev01.groupBy("pk")
+      .agg(count(lit(1)).cast("long").as("factor")), sf01d)
+    VersionedTable.compactPartitioned(spark, sf01d, "pk")
+    def timeJoin(spjOn: Boolean): Double = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", spjOn.toString)
+      val times = (0 until 4).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.format("graft-versioned").load(sf01)
+          .join(spark.read.format("graft-versioned").load(sf01d), "pk")
+          .agg(sum(col("cents") + col("factor"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.tail.sorted.apply(1) // median of the 3 post-warmup runs
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tOff = timeJoin(false)
+    val tOn = timeJoin(true)
+    println(f"SPJ_MEASURED sf0.1 64-key fact-dim join: shuffled=$tOff%.3fs spj=$tOn%.3fs speedup=${tOff / tOn}%.2fx")
     spark.stop()
   }
 }
