@@ -84,6 +84,26 @@ object SpjProbe {
     val tOff = timeJoin(false)
     val tOn = timeJoin(true)
     println(f"SPJ_MEASURED sf0.1 64-key fact-dim join: shuffled=$tOff%.3fs spj=$tOn%.3fs speedup=${tOff / tOn}%.2fx")
+    // measured: dynamic partition pruning end-to-end (selective dim
+    // keeps 16 of 64 keys; broadcast join) with DPP on vs off
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    def timeDpp(on: Boolean): Double = {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", on.toString)
+      val times = (0 until 4).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.format("graft-versioned").load(sf01)
+          .join(broadcast(spark.read.format("graft-versioned").load(sf01d)
+            .where(col("pk") % 4 === 0)), "pk")
+          .agg(sum("cents")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.tail.sorted.apply(1)
+    }
+    val dOff = timeDpp(false)
+    val dOn = timeDpp(true)
+    println(f"DPP_MEASURED sf0.1 16-of-64-key probe: off=$dOff%.3fs on=$dOn%.3fs speedup=${dOff / dOn}%.2fx")
     spark.stop()
   }
 }
