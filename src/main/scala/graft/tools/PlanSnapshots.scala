@@ -89,6 +89,9 @@ object PlanSnapshots {
           "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "*")
         // temp fixture dirs carry random suffixes
         .replaceAll("graft_plansnap_[a-z]+\\d*", "graft_plansnap_*")
+        // part-file names embed write-task UUIDs that the Location
+        // string may truncate mid-UUID — normalize the whole tail
+        .replaceAll("part-\\d{5}-[0-9a-f.*-]*", "part-*")
       Files.writeString(Paths.get(s"$outDir/$name.txt"), stable)
       println(s"PLAN_SNAPSHOT $outDir/$name.txt")
     }
@@ -156,6 +159,15 @@ object PlanSnapshots {
           .where(col("bucket") >= 300 && col("bucket") < 700)
           .select("bucket", "cents")
           .queryExecution.explainString(mode))
+      // q500: TOP-N pushdown — the BatchScan's file list is already
+      // capped to the band that can hold the top k; Spark's
+      // TakeOrderedAndProject stays on top (partial pushdown)
+      spark.read.format("graft-versioned").load(vt)
+        .createOrReplaceTempView("plansnap_topn")
+      write("q500_topn_capped_scan",
+        spark.sql("SELECT event_id, bucket FROM plansnap_topn " +
+          "ORDER BY bucket ASC NULLS LAST, event_id LIMIT 3")
+          .queryExecution.explainString(mode))
     } finally {
       graft.io.FsUtil.deleteRecursively(vt)
     }
@@ -197,6 +209,11 @@ object PlanSnapshots {
           spark.sql("SELECT count(*) AS n, min(pk) AS lo, " +
             "max(pk) AS hi FROM plansnap_spj_a")
             .queryExecution.explainString(mode))
+        // q501: the grouped metadata count — BatchScan of
+        // GraftMetadataAggScan, one row per key, zero data files
+        write("q501_metadata_grouped_count",
+          spark.sql("SELECT pk, count(*) AS n FROM plansnap_spj_a " +
+            "GROUP BY pk").queryExecution.explainString(mode))
       } finally olds.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       }
