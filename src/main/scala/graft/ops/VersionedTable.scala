@@ -91,7 +91,8 @@ object VersionedTable {
       rowCounts: Map[String, Long] = Map.empty,
       ts: Option[Long] = None,
       partCol: Option[String] = None,
-      partValues: Map[String, String] = Map.empty)
+      partValues: Map[String, String] = Map.empty,
+      nullCounts: Map[String, Map[String, Long]] = Map.empty)
 
   /** A manifest entry is either table-relative (`cNNNNN/part-..`) or an
     * absolute/URI reference into ANOTHER table (shallow clones).
@@ -138,6 +139,11 @@ object VersionedTable {
       require(p.length == 3, s"bad row-count line in $f: $l")
       p(2) -> p(1).toLong
     }.toMap
+    val ncLines = lines.filter(_.startsWith("nc\t")).map { l =>
+      val p = l.split("\t")
+      require(p.length == 4, s"bad null-count line in $f: $l")
+      (p(3), p(1), p(2).toLong) // (rel, col, nulls)
+    }
     val pvLines = lines.filter(_.startsWith("pv\t")).map { l =>
       val p = l.split("\t")
       require(p.length == 4, s"bad partition-value line in $f: $l")
@@ -147,7 +153,8 @@ object VersionedTable {
       data = lines.filterNot(l =>
         l.startsWith("dv:") || l.startsWith("zs\t") ||
           l.startsWith("bf\t") || l.startsWith("rc\t") ||
-          l.startsWith("pv\t") || l.startsWith("#")),
+          l.startsWith("pv\t") || l.startsWith("nc\t") ||
+          l.startsWith("#")),
       dvs = lines.filter(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
       stats = stats,
       batch = lines.find(_.startsWith("#batch="))
@@ -157,7 +164,9 @@ object VersionedTable {
       ts = lines.find(_.startsWith("#ts="))
         .map(_.stripPrefix("#ts=").trim.toLong),
       partCol = pvLines.headOption.map(_._1),
-      partValues = pvLines.map(t => t._2 -> t._3).toMap)
+      partValues = pvLines.map(t => t._2 -> t._3).toMap,
+      nullCounts = ncLines.groupBy(_._1).view.mapValues(
+        _.map(t => t._2 -> t._3).toMap).toMap)
   }
 
   /** Data files of version `v`, as `commitDir/partFile` relative paths
@@ -197,6 +206,11 @@ object VersionedTable {
         } ++
         m.partValues.toSeq.sortBy(_._1).flatMap { case (rel, v2) =>
           m.partCol.map(pc => s"pv\t$pc\t$v2\t$rel")
+        } ++
+        m.nullCounts.toSeq.sortBy(_._1).flatMap { case (rel, byCol) =>
+          byCol.toSeq.sortBy(_._1).map { case (c, n) =>
+            s"nc\t$c\t$n\t$rel"
+          }
         }
     TableFs.writeUtf8Exclusive(manifestFile(path, v), lines.mkString("\n"))
   }
@@ -264,6 +278,41 @@ object VersionedTable {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try rel -> r.getRecordCount
       finally r.close()
+    }.toMap
+  }
+
+  /** Per-file, per-column NULL counts — also straight from the parquet
+    * FOOTERS (column-chunk statistics), no data pages read. Columns
+    * whose chunks lack null statistics are omitted (a reader must then
+    * fall back). These feed the manifest's `nc` lines, which let a
+    * later `COUNT(col)` answer from the manifest alone (the DataSource
+    * V2 aggregate pushdown): count(col) = rows - nulls(col).
+    */
+  private def footerNullCounts(
+      path: String, rels: Seq[String]): Map[String, Map[String, Long]] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    rels.map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(absPath(path, rel)), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val perCol = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala.map(c =>
+            c.getPath.toDotString ->
+              Option(c.getStatistics).filter(_.isNumNullsSet)
+                .map(_.getNumNulls)))
+          .groupBy(_._1).view
+          .mapValues(vs => vs.map(_._2))
+          .flatMap { case (c, ns) =>
+            // every chunk must report, else the column is uncovered
+            if (ns.forall(_.isDefined) && !c.contains("."))
+              Some(c -> ns.map(_.get).sum)
+            else None
+          }.toMap
+        rel -> perCol
+      } finally r.close()
     }.toMap
   }
 
@@ -428,7 +477,8 @@ object VersionedTable {
       Nil,
       m.rowCounts.map { case (rel, n) => abs(rel) -> n },
       None, m.partCol,
-      m.partValues.map { case (rel, pv2) => abs(rel) -> pv2 }))
+      m.partValues.map { case (rel, pv2) => abs(rel) -> pv2 },
+      m.nullCounts.map { case (rel, mm) => abs(rel) -> mm }))
   }
 
   // ---------------------------------------------------------------- //
@@ -512,7 +562,8 @@ object VersionedTable {
     TableFs.deleteRecursive(path)
     val files = writeCommitData(df, path, 0)
     writeManifest(path, 0, Manifest(files, Nil, Map.empty, None, Nil,
-      footerCounts(path, files)))
+      footerCounts(path, files),
+      nullCounts = footerNullCounts(path, files)))
   }
 
   private def appendInternal(df: DataFrame, path: String,
@@ -526,7 +577,8 @@ object VersionedTable {
       prev.data ++ newFiles,
       prev.dvs, prev.stats, batch, prev.blooms,
       prev.rowCounts ++ footerCounts(path, newFiles),
-      None, prev.partCol, prev.partValues))
+      None, prev.partCol, prev.partValues,
+      prev.nullCounts ++ footerNullCounts(path, newFiles)))
   }
 
   /** Append-only commit: new files join the manifest; no existing file
@@ -634,7 +686,9 @@ object VersionedTable {
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
         footerCounts(path, rewritten),
       None, m.partCol,
-      m.partValues.view.filterKeys(carried.contains).toMap))
+      m.partValues.view.filterKeys(carried.contains).toMap,
+      m.nullCounts.view.filterKeys(carried.contains).toMap ++
+        footerNullCounts(path, rewritten)))
   }
 
   /** MERGE-ON-READ delete via deletion vectors: writes NO data file at
@@ -717,7 +771,9 @@ object VersionedTable {
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
         footerCounts(path, rewritten),
       None, m.partCol,
-      m.partValues.view.filterKeys(carried.contains).toMap))
+      m.partValues.view.filterKeys(carried.contains).toMap,
+      m.nullCounts.view.filterKeys(carried.contains).toMap ++
+        footerNullCounts(path, rewritten)))
   }
 
   /** Apply a CDC batch ATOMICALLY — upserts and deletes in ONE
@@ -784,7 +840,9 @@ object VersionedTable {
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
         footerCounts(path, rewritten),
       None, m.partCol,
-      m.partValues.view.filterKeys(carried.contains).toMap))
+      m.partValues.view.filterKeys(carried.contains).toMap,
+      m.nullCounts.view.filterKeys(carried.contains).toMap ++
+        footerNullCounts(path, rewritten)))
   }
 
   // ---------------------------------------------------------------- //
@@ -807,7 +865,8 @@ object VersionedTable {
     val files = writeCommitData(
       readVersion(spark, path, v).repartition(targetFiles), path, v + 1)
     writeManifest(path, v + 1, Manifest(files, Nil, Map.empty, None, Nil,
-      footerCounts(path, files)))
+      footerCounts(path, files),
+      nullCounts = footerNullCounts(path, files)))
   }
 
   /** CLUSTERING-PRESERVING OPTIMIZE: compaction that range-clusters on
@@ -852,7 +911,8 @@ object VersionedTable {
         Map(zoneCol -> (r.getDouble(1), r.getDouble(2))))
       .toMap
     writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
-      footerCounts(path, files)))
+      footerCounts(path, files),
+      nullCounts = footerNullCounts(path, files)))
   }
 
   /** Z-ORDER clustering-preserving OPTIMIZE (the Delta `OPTIMIZE
@@ -908,7 +968,8 @@ object VersionedTable {
       r.getString(0) -> byCol
     }.filter(_._2.nonEmpty).toMap
     writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
-      footerCounts(path, files)))
+      footerCounts(path, files),
+      nullCounts = footerNullCounts(path, files)))
   }
 
   /** KEY-GROUPED OPTIMIZE: rewrite the current snapshot so every data
@@ -951,7 +1012,8 @@ object VersionedTable {
       }.toMap
     writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
       footerCounts(path, files), None, Some(partCol),
-      filesAndValues.toMap))
+      filesAndValues.toMap,
+      footerNullCounts(path, files)))
   }
 
   /** Manifest consultation for a BOX probe over a z-ordered version:

@@ -127,5 +127,74 @@ object ExtensionQueries91 {
              |SELECT 1, pk, CAST(sum(cents) AS BIGINT),
              |  CAST(0 AS BIGINT)
              |FROM ev GROUP BY pk
+             |ORDER BY leg, pk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q502: METADATA-ONLY COUNT(col). Parquet footers already carry
+    // per-column NULL counts in their column-chunk statistics; every
+    // commit now records them as manifest `nc` lines (same one-footer-
+    // open-per-new-file cost as the row counts), so `COUNT(col)` =
+    // rows − nulls(col) is pure manifest algebra — bare (leg 0) AND
+    // per-partition-key (leg 1: count(*) + count(cents) GROUP BY pk,
+    // mixed in one metadata scan). COUNT(DISTINCT col) needs real
+    // values and falls back (leg 2, metadata_only=0). The nullable
+    // column is real: cents is NULL for every click event.
+    Q(
+      "q502_metadata_count_column",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_ccount$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select((col("event_id") % 16).as("pk"),
+            when(col("event_type") === "click", lit(null))
+              .otherwise(floor(col("value") * 100 + 0.5))
+              .cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(4), path)
+        VersionedTable.compactPartitioned(s, path, "pk")
+        val view = s"graft_ccount_view$tag"
+        s.read.format("graft-versioned").load(path)
+          .createOrReplaceTempView(view)
+        def leg(label: Long, sql: String) = {
+          val q = s.sql(sql)
+          val scanClass = q.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan.getClass.getSimpleName
+          }.getOrElse(sys.error("no V2 scan planned"))
+          q.select(lit(label).as("leg"), col("pk"), col("v1"), col("v2"),
+            lit(if (scanClass == "GraftMetadataAggScan") 1L else 0L)
+              .as("metadata_only"))
+        }
+        leg(0L, s"SELECT CAST(-1 AS BIGINT) AS pk, count(*) AS v1, " +
+          s"count(cents) AS v2 FROM $view")
+          .unionByName(leg(1L,
+            s"SELECT pk, count(*) AS v1, count(cents) AS v2 " +
+              s"FROM $view GROUP BY pk"))
+          .unionByName(leg(2L,
+            s"SELECT CAST(-1 AS BIGINT) AS pk, " +
+              s"count(DISTINCT cents) AS v1, " +
+              s"CAST(0 AS BIGINT) AS v2 FROM $view"))
+          .orderBy("leg", "pk")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id % 16 AS pk,
+             |    CASE WHEN event_type = 'click' THEN NULL
+             |         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+             |    END AS cents
+             |  FROM events)
+             |SELECT CAST(0 AS BIGINT) AS leg, CAST(-1 AS BIGINT) AS pk,
+             |  CAST(count(*) AS BIGINT) AS v1,
+             |  CAST(count(cents) AS BIGINT) AS v2,
+             |  CAST(1 AS BIGINT) AS metadata_only
+             |FROM ev
+             |UNION ALL
+             |SELECT 1, pk, CAST(count(*) AS BIGINT),
+             |  CAST(count(cents) AS BIGINT), CAST(1 AS BIGINT)
+             |FROM ev GROUP BY pk
+             |UNION ALL
+             |SELECT 2, CAST(-1 AS BIGINT),
+             |  CAST(count(DISTINCT cents) AS BIGINT),
+             |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |FROM ev
              |ORDER BY leg, pk""".stripMargin)))
 }

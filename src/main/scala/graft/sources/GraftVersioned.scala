@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
@@ -416,25 +416,53 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       if m.data.nonEmpty && m.data.forall(m.partValues.contains) &&
         m.data.forall(m.rowCounts.contains)
       if agg.aggregateExpressions().nonEmpty &&
-        agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+        agg.aggregateExpressions().forall(f =>
+          f.isInstanceOf[CountStar] ||
+            countCol(f).exists(c =>
+              countColumn(m, m.data, c).isDefined))
       field <- dataSchema.fields.find(_.name == pc)
       parse <- rawParser(field.dataType)
     } yield {
-      val schema = agg.aggregateExpressions().toSeq.zipWithIndex
+      val aggs = agg.aggregateExpressions().toSeq
+      val schema = aggs.zipWithIndex
         .foldLeft(new StructType().add(pc, field.dataType,
-          nullable = false)) { case (st, (_, i)) =>
-          st.add(s"count_star_$i", org.apache.spark.sql.types.LongType,
-            nullable = false)
+          nullable = false)) { case (st, (f, i)) =>
+          st.add(countCol(f).map(c => s"count_${c}_$i")
+            .getOrElse(s"count_star_$i"),
+            org.apache.spark.sql.types.LongType, nullable = false)
         }
-      val counts = agg.aggregateExpressions().length
       val rows = m.data.groupBy(m.partValues).toSeq
         .sortBy(_._1)
         .map { case (raw, files) =>
-          parse(raw) +: Seq.fill(counts)(
-            files.map(m.rowCounts).sum: Any)
+          parse(raw) +: aggs.map(f =>
+            countCol(f) match {
+              case Some(c) => countColumn(m, files, c).get: Any
+              case None => files.map(m.rowCounts).sum: Any
+            })
         }
       (schema, rows)
     }
+
+  /** COUNT(col) over `files` = rows - nulls(col), valid only when
+    * every file carries both a footer row count and a null count for
+    * the column.
+    */
+  private def countColumn(m: VersionedTable.Manifest,
+                          files: Seq[String], c: String): Option[Long] =
+    if (files.nonEmpty && files.forall(r => m.rowCounts.contains(r) &&
+      m.nullCounts.get(r).exists(_.contains(c))))
+      Some(files.map(r => m.rowCounts(r) - m.nullCounts(r)(c)).sum)
+    else None
+
+  private def countCol(f: AggregateFunc): Option[String] = f match {
+    case c: Count if !c.isDistinct =>
+      c.column() match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    case _ => None
+  }
 
   private def metadataAnswer(
       agg: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
@@ -454,6 +482,12 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       case _: CountStar =>
         VersionedTable.metadataCount(path, version).map(n =>
           ("count_star", org.apache.spark.sql.types.LongType: org.apache
+            .spark.sql.types.DataType, n: Any))
+      case f @ (_: Count) if countCol(f).isDefined =>
+        // COUNT(col) from footer null counts: rows - nulls
+        val c = countCol(f).get
+        countColumn(m, m.data, c).map(n =>
+          (s"count_$c", org.apache.spark.sql.types.LongType: org.apache
             .spark.sql.types.DataType, n: Any))
       case f @ (_: Min | _: Max) =>
         for {

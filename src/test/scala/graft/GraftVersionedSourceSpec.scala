@@ -472,6 +472,46 @@ class GraftVersionedSourceSpec extends SparkSpec {
     assert(g2.where(col("pk") === 3L).head().getLong(1) == 81L)
   }
 
+  test("metadata COUNT(col): answered from footer null counts (rows " +
+    "minus nulls), bare and grouped; DISTINCT and uncovered manifests " +
+    "fall back") {
+    import spark.implicits._
+    val path = tmp("graft_ccount_spec")
+    // cents null on every 3rd row
+    VersionedTable.init(
+      (0L until 600L).map(i => (i % 6, i,
+        if (i % 3 == 0) Option.empty[Long] else Some(i)))
+        .toDF("pk", "id", "cents").repartition(3), path)
+    VersionedTable.compactPartitioned(spark, path, "pk")
+    def scanClassOf(df: DataFrame): String =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: BatchScanExec => b.scan.getClass.getSimpleName
+      }.get
+    spark.read.format("graft-versioned").load(path)
+      .createOrReplaceTempView("graft_ccount_t")
+    val bare = spark.sql(
+      "SELECT count(*) AS a, count(cents) AS b FROM graft_ccount_t")
+    assert(scanClassOf(bare) == "GraftMetadataAggScan",
+      s"count(col) planned ${scanClassOf(bare)}")
+    assert(bare.head() == org.apache.spark.sql.Row(600L, 400L))
+    val grouped = spark.sql("SELECT pk, count(*) AS a, " +
+      "count(cents) AS b FROM graft_ccount_t GROUP BY pk ORDER BY pk")
+    assert(scanClassOf(grouped) == "GraftMetadataAggScan")
+    // pk k holds ids ≡ k (mod 6); of its 100 rows, those with
+    // id % 3 == 0 are null — a third when 3 | gcd steps align:
+    // ids k, k+6, ... → id % 3 cycles {k%3} only, so nulls are ALL
+    // (k%3==0) or NONE (k%3!=0)
+    val exp = (0L until 6L).map(k =>
+      (k, 100L, if (k % 3 == 0) 0L else 100L))
+    assert(grouped.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == exp)
+    // DISTINCT falls back
+    val dist = spark.sql(
+      "SELECT count(DISTINCT cents) AS d FROM graft_ccount_t")
+    assert(scanClassOf(dist) != "GraftMetadataAggScan")
+    assert(dist.head().getLong(0) == 400L)
+  }
+
   test("a snapshot carrying deletion vectors refuses the bare scan " +
     "(no silent resurrection); after OPTIMIZE it serves") {
     val path = tmp("graft_dsv2_spec5")
