@@ -557,13 +557,30 @@ object VersionedTable {
   // ---------------------------------------------------------------- //
   // write path
 
-  /** Create the table at version 0. */
+  /** Create the table at version 0 — or OVERWRITE an existing one
+    * (INSERT OVERWRITE / mode("overwrite") route here). CHECK
+    * constraints SURVIVE a data overwrite and gate the overwriting
+    * batch (the Delta discipline: an overwrite replaces the data, not
+    * the table's quality contract) — the batch is validated BEFORE the
+    * old state is deleted, so a violating overwrite leaves the table
+    * untouched.
+    */
   def init(df: DataFrame, path: String): Unit = {
+    val cs = constraints(path)
+    cs.foreach { case (name, e) =>
+      val bad = df.where(coalesce(expr(e), lit(true)) === false)
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' ($e) violated at $path — " +
+            s"overwrite refused, table unchanged; sample row: ${bad.head}")
+    }
     TableFs.deleteRecursive(path)
     val files = writeCommitData(df, path, 0)
     writeManifest(path, 0, Manifest(files, Nil, Map.empty, None, Nil,
       footerCounts(path, files),
       nullCounts = footerNullCounts(path, files)))
+    if (cs.nonEmpty) writeConstraints(path, cs)
   }
 
   private def appendInternal(df: DataFrame, path: String,

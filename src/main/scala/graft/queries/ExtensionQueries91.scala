@@ -18,13 +18,15 @@ object ExtensionQueries91 {
     // ------------------------------------------------------------------
     // q500: TOP-N PUSHDOWN. ORDER BY the clustered column + LIMIT k
     // keeps file F only when fewer than k rows PROVABLY sort before it
-    // (footer-count sum of files whose whole band precedes F's) — on a
-    // range-clustered table that is one band per direction. NULLS are
-    // the trap (stats ignore them, Spark's default ASC is NULLS
-    // FIRST), so only NULLS LAST orderings engage; partial-pushdown
-    // semantics keep Spark's TakeOrderedAndProject on top. The gated
-    // rows are the exact top/bottom-3 by (bucket, event_id) with the
-    // capped file counts as pins; at 100 TB "show me the earliest
+    // — on a range-clustered table that is one band per direction.
+    // NULLS are the trap (zone stats describe only non-null values),
+    // so the budget counts NON-NULL footer rows (rc − nc) and the
+    // null prefix comes from the manifest's per-file null counts:
+    // since r12, Spark's DEFAULT ASC (NULLS FIRST) engages too — leg 2
+    // orders a genuinely nullable column NULLS FIRST and still caps,
+    // returning the null rows first (r11 this refused and scanned
+    // everything). Partial-pushdown semantics keep Spark's
+    // TakeOrderedAndProject on top. At 100 TB "show me the earliest
     // rows" stops being a table scan.
     Q(
       "q500_topn_pushdown",
@@ -41,7 +43,23 @@ object ExtensionQueries91 {
         val view = s"graft_topn_view$tag"
         s.read.format("graft-versioned").load(path)
           .createOrReplaceTempView(view)
-        def leg(label: Long, sql: String) = {
+        // second table: nullable sort column (cents NULL for clicks)
+        // exercising the NULLS FIRST prefix algebra
+        val pathN =
+          s"${System.getProperty("java.io.tmpdir")}/graft_topn_n$tag"
+        VersionedTable.init(
+          Tables.load(s, dir, "events")
+            .select(col("event_id"),
+              (col("event_id") % 1000).as("bucket"),
+              when(col("event_type") === "click", lit(null))
+                .otherwise(floor(col("value") * 100 + 0.5))
+                .cast("long").as("cents"))
+            .repartition(4), pathN)
+        VersionedTable.compactClustered(s, pathN, 8, "cents")
+        val viewN = s"graft_topn_nview$tag"
+        s.read.format("graft-versioned").load(pathN)
+          .createOrReplaceTempView(viewN)
+        def leg(label: Long, sql: String, total: Int) = {
           val q = s.sql(sql)
           val opened = q.queryExecution.sparkPlan.collectFirst {
             case b: org.apache.spark.sql.execution.datasources.v2
@@ -50,24 +68,35 @@ object ExtensionQueries91 {
                 .fileIndex.inputFiles.length.toLong
           }.getOrElse(sys.error("no V2 scan planned under TOP-N"))
           q.select(lit(label).as("leg"),
-            lit(if (opened < 8) 1L else 0L).as("capped"),
+            lit(if (opened < total) 1L else 0L).as("capped"),
             col("event_id"), col("bucket"), col("cents"))
         }
         leg(0L, s"SELECT event_id, bucket, cents FROM $view " +
-          "ORDER BY bucket ASC NULLS LAST, event_id LIMIT 3")
+          "ORDER BY bucket ASC NULLS LAST, event_id LIMIT 3", 8)
           .unionByName(leg(1L,
             s"SELECT event_id, bucket, cents FROM $view " +
-              "ORDER BY bucket DESC, event_id LIMIT 3"))
+              "ORDER BY bucket DESC, event_id LIMIT 3", 8))
+          .unionByName(leg(2L,
+            s"SELECT event_id, bucket, cents FROM $viewN " +
+              "ORDER BY cents ASC NULLS FIRST, event_id LIMIT 3", 8))
           .orderBy("leg", "bucket", "event_id")
       },
       Some("""WITH ev AS (
              |  SELECT event_id, event_id % 1000 AS bucket,
              |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
              |  FROM events),
+             |evn AS (
+             |  SELECT event_id, event_id % 1000 AS bucket,
+             |    CASE WHEN event_type = 'click' THEN NULL
+             |         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+             |    END AS cents
+             |  FROM events),
              |lo AS (SELECT * FROM ev ORDER BY bucket ASC, event_id
              |       LIMIT 3),
              |hi AS (SELECT * FROM ev ORDER BY bucket DESC, event_id
-             |       LIMIT 3)
+             |       LIMIT 3),
+             |nf AS (SELECT * FROM evn
+             |       ORDER BY cents ASC NULLS FIRST, event_id LIMIT 3)
              |SELECT CAST(0 AS BIGINT) AS leg, CAST(1 AS BIGINT) AS capped,
              |  event_id, CAST(bucket AS BIGINT) AS bucket, cents
              |FROM lo
@@ -75,6 +104,10 @@ object ExtensionQueries91 {
              |SELECT 1, CAST(1 AS BIGINT), event_id,
              |  CAST(bucket AS BIGINT), cents
              |FROM hi
+             |UNION ALL
+             |SELECT 2, CAST(1 AS BIGINT), event_id,
+             |  CAST(bucket AS BIGINT), cents
+             |FROM nf
              |ORDER BY leg, bucket, event_id""".stripMargin)),
 
     // ------------------------------------------------------------------

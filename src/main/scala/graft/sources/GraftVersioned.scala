@@ -244,17 +244,29 @@ class GraftVersionedScanBuilder(spark: SparkSession,
   // ---- TOP-N pushdown: ORDER-AWARE file capping via stats ---- //
   // ORDER BY c LIMIT k over a stats-covered column keeps file F only
   // when FEWER than k rows provably sort before it: for ascending,
-  // rows below F's min are at least the footer-count sum of files
-  // whose max < F.min — if that sum reaches k, none of F's rows can be
-  // in the top k. Sound for any overlap pattern; on a range-clustered
-  // table it opens ~one band. NULLS are the trap: Spark's default
-  // ASC is NULLS FIRST and stats ignore nulls, so a dropped file's
-  // null rows could belong to the top k — we therefore accept only
-  // NULLS LAST orderings (if k exceeds the non-null count the kept
-  // set still holds every non-null candidate, and all-null files have
-  // no stats → conservatively kept). Partial pushdown: Spark's own
+  // rows below F's min are at least the NON-NULL footer-count sum of
+  // files whose max < F.min — if that sum reaches k, none of F's rows
+  // can be in the top k. Sound for any overlap pattern; on a
+  // range-clustered table it opens ~one band. NULLS are the trap:
+  // stats describe only non-null values, so both the budget and the
+  // null prefix must come from the manifest's per-file null counts
+  // (`nc` lines) — capping therefore requires null-count coverage of
+  // the sort column for EVERY kept file and is skipped otherwise.
+  //   NULLS LAST: null rows sort after every non-null row, so "rows
+  //   before F" counts only non-null rows of preceding bands.
+  //   NULLS FIRST (Spark's ASC default): every null row precedes every
+  //   non-null row. If the total null count already reaches k, any k
+  //   null rows are a valid top-k under the pushed ordering, so only
+  //   null-carrying files are kept (ALL of them — a secondary sort key
+  //   may discriminate among nulls, and stats can't see it). Otherwise
+  //   null-carrying files are all kept and a null-free file F is
+  //   dropped when totalNulls + non-null rows provably before F >= k.
+  // Capping keys off the FIRST sort key only, which is sound: a
+  // dropped file's rows all sort strictly after >= k rows on the
+  // first key, and later tiebreak keys cannot reorder a strict
+  // first-key inequality. Partial pushdown: Spark's own
   // TakeOrderedAndProject still runs on top.
-  private var pushedTopN: Option[(String, Boolean, Int)] = None
+  private var pushedTopN: Option[(String, Boolean, Boolean, Int)] = None
 
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
@@ -263,13 +275,13 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     val ok = for {
       first <- orders.headOption
       if pushed.isEmpty
-      if first.nullOrdering() == NullOrdering.NULLS_LAST
       ref <- first.expression() match {
         case r: NamedReference if r.fieldNames().length == 1 =>
           Some(r.fieldNames()(0))
         case _ => None
       }
-    } yield (ref, first.direction() == SortDirection.ASCENDING, limit)
+    } yield (ref, first.direction() == SortDirection.ASCENDING,
+      first.nullOrdering() == NullOrdering.NULLS_FIRST, limit)
     pushedTopN = ok
     ok.isDefined
   }
@@ -375,6 +387,24 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       case _ => false
     }
 
+  /** Whether the stored Double stat PROVABLY equals the true column
+    * extreme. Long stats come from `cast(col as double)` which rounds
+    * past 2^53 — and a mere round-trip check is not enough (2^53+1
+    * casts DOWN to 2^53, which round-trips yet is not a column value),
+    * so the sound guard is |stat| strictly under 2^53: every long in
+    * that range casts exactly, and no out-of-range long can cast into
+    * it, so the stat IS the true extreme. Float stats came from a
+    * widening (exact, injective) cast and always qualify; int and
+    * narrower fit Double exactly.
+    */
+  private def statRoundTrips(d: Double,
+                             dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      math.abs(d) < (1L << 53).toDouble
+    case _ => true
+  }
+
   private def statValue(d: Double,
                         dt: org.apache.spark.sql.types.DataType): Any =
     dt match {
@@ -431,10 +461,13 @@ class GraftVersionedScanBuilder(spark: SparkSession,
             .getOrElse(s"count_star_$i"),
             org.apache.spark.sql.types.LongType, nullable = false)
         }
+      // m.partValues stores the Hive-ESCAPED __pv dir name; unescape
+      // before parsing so string keys with ':','/','%','=' match the
+      // file-scan path (which unescapes via GraftPartitionedScan)
       val rows = m.data.groupBy(m.partValues).toSeq
         .sortBy(_._1)
         .map { case (raw, files) =>
-          parse(raw) +: aggs.map(f =>
+          parse(GraftPartitionedScan.unescape(raw)) +: aggs.map(f =>
             countCol(f) match {
               case Some(c) => countColumn(m, files, c).get: Any
               case None => files.map(m.rowCounts).sum: Any
@@ -495,6 +528,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
           field <- dataSchema.fields.find(_.name == c)
           if statExact(field.dataType)
           (lo, hi) <- colStats(c)
+          if statRoundTrips(lo, field.dataType) &&
+            statRoundTrips(hi, field.dataType)
         } yield f match {
           case _: Min => (s"min_$c", field.dataType,
             statValue(lo, field.dataType))
@@ -579,20 +614,46 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       case _ => keep
     }
     // TOP-N capping: drop every file with >= k rows provably sorting
-    // before it (stats-complete, DV-free snapshots only)
+    // before it (stats-complete, null-count-complete, DV-free
+    // snapshots only — see the pushTopN comment for the null algebra)
     val ordered = pushedTopN match {
-      case Some((c, asc, k)) if m.dvs.isEmpty &&
+      case Some((c, asc, nullsFirst, k)) if m.dvs.isEmpty &&
         capped.forall(m.rowCounts.contains) &&
-        capped.forall(r => m.stats.get(r).exists(_.contains(c))) =>
+        capped.forall(r => m.nullCounts.get(r).exists(_.contains(c))) &&
+        // band stats required only where a non-null value exists —
+        // an ALL-null file (range clustering parks nulls together)
+        // legitimately has no zs line and is ranked by counts alone
+        capped.forall(r => m.stats.get(r).exists(_.contains(c)) ||
+          m.rowCounts(r) == m.nullCounts(r)(c)) =>
+        def nulls(r: String) = m.nullCounts(r)(c)
+        def nonNull(r: String) = m.rowCounts(r) - nulls(r)
         def band(r: String) = m.stats(r)(c)
-        capped.filter { f =>
-          val rowsBefore =
-            if (asc) capped.filter(g => band(g)._2 < band(f)._1)
-              .map(m.rowCounts).sum
-            else capped.filter(g => band(g)._1 > band(f)._2)
-              .map(m.rowCounts).sum
-          rowsBefore < k
-        }
+        val statted = capped.filter(r => nonNull(r) > 0)
+        def nonNullBefore(f: String): Long =
+          if (asc) statted.filter(g => band(g)._2 < band(f)._1)
+            .map(nonNull).sum
+          else statted.filter(g => band(g)._1 > band(f)._2)
+            .map(nonNull).sum
+        val totalNulls = capped.map(nulls).sum
+        val totalNonNull = capped.map(nonNull).sum
+        if (!nullsFirst)
+          // nulls sort last: a statted file dropped on its non-null
+          // budget cannot hold a top-k null row either (its nulls sit
+          // past ALL non-nulls >= k); an all-null file is needed only
+          // when k exceeds the non-null total
+          capped.filter(f =>
+            (if (nonNull(f) == 0) totalNonNull else nonNullBefore(f)) < k)
+        else if (totalNulls >= k)
+          // the top k is k null rows; stats can't rank nulls against
+          // each other (a tiebreak key might), so keep every
+          // null-carrying file and nothing else
+          capped.filter(f => nulls(f) > 0)
+        else
+          // all nulls fit in the prefix: null-carrying files always
+          // stay; a null-free file needs the prefix + its preceding
+          // non-null bands to stay under k
+          capped.filter(f =>
+            nulls(f) > 0 || totalNulls + nonNullBefore(f) < k)
       case _ => capped
     }
     val index = new InMemoryFileIndex(spark,
@@ -796,7 +857,7 @@ object GraftPartitionedScan {
   /** Hive-style %XX unescape (the parquet writer escapes partition
     * dir names this way).
     */
-  private def unescape(s: String): String = {
+  private[sources] def unescape(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {

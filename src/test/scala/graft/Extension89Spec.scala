@@ -72,4 +72,34 @@ class Extension89Spec extends SparkSpec {
     assert(VersionedTable.read(spark, path)
       .where(col("cents") < 0).count() == 1)
   }
+  test("CHECK constraints survive a data OVERWRITE and gate the " +
+    "overwriting batch (r11 ADVICE: init silently dropped them)") {
+    import spark.implicits._
+    val path = tmp("graft_constraint_overwrite_spec")
+    VersionedTable.init(Seq((1L, 5L)).toDF("id", "cents"), path)
+    VersionedTable.addConstraint(spark, path, "nonneg", "cents >= 0")
+    // violating overwrite: refused, table unchanged, constraint intact
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.init(Seq((2L, -3L)).toDF("id", "cents"), path)
+    }
+    assert(e.getMessage.contains("nonneg"))
+    assert(VersionedTable.read(spark, path).count() == 1)
+    assert(VersionedTable.constraints(path).map(_._1) == Seq("nonneg"))
+    // clean overwrite: data replaced, constraint STILL gates appends
+    VersionedTable.init(Seq((3L, 7L)).toDF("id", "cents"), path)
+    assert(VersionedTable.read(spark, path).head().getLong(0) == 3L)
+    assert(VersionedTable.constraints(path).map(_._1) == Seq("nonneg"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((4L, -1L)).toDF("id", "cents"), path)
+    }
+    assert(e2.getMessage.contains("nonneg"))
+    // the DSv2 overwrite path rides the same verb
+    val e3 = intercept[Exception] {
+      Seq((5L, -9L)).toDF("id", "cents").write
+        .format("graft-versioned").mode("overwrite").save(path)
+    }
+    assert(e3.getMessage.contains("nonneg") ||
+      Option(e3.getCause).exists(_.getMessage.contains("nonneg")))
+    assert(VersionedTable.read(spark, path).head().getLong(0) == 3L)
+  }
 }

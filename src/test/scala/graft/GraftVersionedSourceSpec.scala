@@ -408,9 +408,9 @@ class GraftVersionedSourceSpec extends SparkSpec {
     assert(big.collect().length == 1000)
   }
 
-  test("TOP-N pushdown: ORDER BY the clustered column NULLS LAST " +
-    "opens only the band that can hold the top k (both directions); " +
-    "default NULLS FIRST is refused (stats ignore nulls); rows exact") {
+  test("TOP-N pushdown: ORDER BY the clustered column opens only the " +
+    "band that can hold the top k (both directions); default NULLS " +
+    "FIRST engages on a null-free table via the nc lines; rows exact") {
     val path = tmp("graft_topn_spec")
     buildTable(path) // 5 range-clustered files, bucket 0..99, 1000 rows
     val t = spark.read.format("graft-versioned").load(path)
@@ -427,13 +427,58 @@ class GraftVersionedSourceSpec extends SparkSpec {
     assert(scanFiles(desc) < 5 && scanFiles(desc) >= 1,
       s"desc top-5 opened ${scanFiles(desc)} of 5")
     assert(desc.collect().map(_.getLong(1)).forall(_ == 99L))
-    // Spark's default ASC is NULLS FIRST — the cap must NOT engage
-    // (a dropped file's unstatted null rows could be the top k)
+    // Spark's default ASC is NULLS FIRST — on a null-free table the
+    // manifest null counts prove the null prefix is empty, so the cap
+    // ENGAGES (r11: this case refused; the nc lines make it sound)
     val nf = spark.sql("SELECT id, bucket FROM graft_topn_t " +
       "ORDER BY bucket LIMIT 5")
-    assert(scanFiles(nf) == 5,
-      s"NULLS FIRST top-5 wrongly capped to ${scanFiles(nf)}")
-    assert(nf.collect().length == 5)
+    assert(scanFiles(nf) < 5 && scanFiles(nf) >= 1,
+      s"null-free NULLS FIRST top-5 opened ${scanFiles(nf)} of 5")
+    assert(nf.collect().map(_.getLong(1)).forall(_ == 0L))
+  }
+
+  test("TOP-N null algebra: NULLS LAST budgets count NON-NULL rows " +
+    "only (r11 ADVICE: inflated budgets dropped live files); NULLS " +
+    "FIRST keeps the null prefix and caps past it") {
+    import spark.implicits._
+    val path = tmp("graft_topn_nulls_spec")
+    // bucket: 5 nulls + 0..9 low band, 10..19 high band; clustered
+    // compaction range-partitions nulls into the FIRST file
+    val rows =
+      (0L until 5L).map(i => (i, Option.empty[Long])) ++
+        (0L until 15L).map(i => (100L + i, Some(i))) ++
+        (0L until 15L).map(i => (200L + i, Some(15L + i)))
+    VersionedTable.init(
+      rows.toDF("id", "bucket").repartition(2), path)
+    VersionedTable.compactClustered(spark, path, 3, "bucket")
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_topn_nulls_t")
+    // ASC NULLS LAST LIMIT 8: top-8 = buckets 0..7. The first file
+    // holds ~5 nulls + the low values; the r11 budget counted its
+    // nulls and dropped the next band — rows must span into it when
+    // k exceeds the first file's non-null count
+    val nl = spark.sql("SELECT id, bucket FROM graft_topn_nulls_t " +
+      "ORDER BY bucket ASC NULLS LAST, id LIMIT 8")
+    assert(nl.collect().map(_.getLong(1)).toSeq == (0L until 8L),
+      s"NULLS LAST top-8 wrong: ${nl.collect().mkString(",")}")
+    // ASC NULLS FIRST LIMIT 3: the 5 nulls cover k — only
+    // null-carrying files are kept, and the rows are all null
+    val nf3 = spark.sql("SELECT id, bucket FROM graft_topn_nulls_t " +
+      "ORDER BY bucket ASC NULLS FIRST, id LIMIT 3")
+    assert(nf3.collect().forall(_.isNullAt(1)))
+    assert(nf3.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(scanFiles(nf3) < 3,
+      s"null-prefix top-3 opened ${scanFiles(nf3)} of 3")
+    // ASC NULLS FIRST LIMIT 8: 5 nulls + buckets 0..2 — the high band
+    // is provably past the budget and drops; rows exact
+    val nf8 = spark.sql("SELECT id, bucket FROM graft_topn_nulls_t " +
+      "ORDER BY bucket ASC NULLS FIRST, id LIMIT 8")
+    assert(scanFiles(nf8) < 3,
+      s"NULLS FIRST top-8 opened ${scanFiles(nf8)} of 3")
+    val got = nf8.collect().map(r =>
+      if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq
+    assert(got == Seq(-1L, -1L, -1L, -1L, -1L, 0L, 1L, 2L),
+      s"NULLS FIRST top-8 wrong: $got")
   }
 
   test("metadata GROUP BY the partition key: per-key COUNT(*) answered " +
@@ -525,5 +570,70 @@ class GraftVersionedSourceSpec extends SparkSpec {
     val served = spark.read.format("graft-versioned").load(path)
     assert(served.count() == 1000 - 10)
     assert(served.where(col("bucket") === 7).isEmpty)
+  }
+  test("grouped metadata COUNT over an ESCAPABLE string partition key " +
+    "returns UNESCAPED key values, matching the file-scan path " +
+    "(r11 ADVICE: raw __pv dir names leaked through)") {
+    import spark.implicits._
+    val path = tmp("graft_gcount_escape_spec")
+    // ':' and '%' are Hive-escaped in partition dir names
+    val keys = Seq("a:b", "p%q", "plain")
+    VersionedTable.init(
+      (0L until 30L).map(i => (keys((i % 3).toInt), i))
+        .toDF("pk", "id").repartition(2), path)
+    VersionedTable.compactPartitioned(spark, path, "pk")
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_gcount_escape_t")
+    val g = spark.sql("SELECT pk, count(*) AS n " +
+      "FROM graft_gcount_escape_t GROUP BY pk ORDER BY pk")
+    val scanClass = g.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b.scan.getClass.getSimpleName
+    }.get
+    assert(scanClass == "GraftMetadataAggScan",
+      s"grouped count planned $scanClass")
+    assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      keys.sorted.map(k => (k, 10L)))
+    // and the file-scan path agrees (sum forces real data)
+    val f = spark.sql("SELECT pk, count(id) + 0 * sum(id) AS n " +
+      "FROM graft_gcount_escape_t GROUP BY pk ORDER BY pk")
+    assert(f.collect().map(_.getString(0)).toSeq == keys.sorted)
+  }
+
+  test("metadata MIN/MAX refuses Long stats at or past 2^53 (Double " +
+    "stats round there — r11 ADVICE) and falls back to the file scan " +
+    "with the exact answer") {
+    import spark.implicits._
+    val path = tmp("graft_minmax_bigint_spec")
+    val big = (1L << 53) + 1L // rounds DOWN to 2^53 in Double stats
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, big), (3L, 20L)).toDF("id", "v")
+        .repartition(1), path)
+    VersionedTable.compactClustered(spark, path, 2, "v")
+    val t = spark.read.format("graft-versioned").load(path)
+    t.createOrReplaceTempView("graft_minmax_bigint_t")
+    def scanClassOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: BatchScanExec => b.scan.getClass.getSimpleName
+      }.get
+    val mx = spark.sql("SELECT max(v) AS hi FROM graft_minmax_bigint_t")
+    assert(scanClassOf(mx) != "GraftMetadataAggScan",
+      "MAX past 2^53 wrongly served from rounded Double stats")
+    assert(mx.head().getLong(0) == big)
+    // min is small and provably exact, but the ANSWER set is per-scan:
+    // min+max together must fall back too (max is unservable)
+    val both = spark.sql(
+      "SELECT min(v) AS lo, max(v) AS hi FROM graft_minmax_bigint_t")
+    assert(scanClassOf(both) != "GraftMetadataAggScan")
+    assert(both.head().getLong(1) == big)
+    // a safely-ranged table still serves from metadata
+    val path2 = tmp("graft_minmax_bigint_spec2")
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").repartition(1), path2)
+    VersionedTable.compactClustered(spark, path2, 1, "v")
+    val t2 = spark.read.format("graft-versioned").load(path2)
+    t2.createOrReplaceTempView("graft_minmax_bigint_t2")
+    val ok = spark.sql("SELECT max(v) AS hi FROM graft_minmax_bigint_t2")
+    assert(scanClassOf(ok) == "GraftMetadataAggScan")
+    assert(ok.head().getLong(0) == 20L)
   }
 }
