@@ -742,6 +742,64 @@ object VersionedTable {
         m.rowCounts))
   }
 
+  /** Commit a GROUP-BASED copy-on-write rewrite prepared by an external
+    * writer (the DataSource V2 row-level path: SQL UPDATE / MERGE /
+    * non-translatable DELETE): the files `replaced` — exactly the
+    * groups the row-level scan read — are swapped for the pre-written
+    * `staged` files (relative paths under this table, already on
+    * disk), everything else carries over by reference. `baseVersion`
+    * is the snapshot the scan pinned: if the table moved past it the
+    * commit ABORTS loudly (write-write conflict) and the staged files
+    * are left orphaned for vacuum — never silently lost-update.
+    * Per-file footer row/null counts are recorded for the staged
+    * files; clustering stats and partition values survive only on
+    * carried files (the rewrite changed the others).
+    */
+  def commitReplace(path: String, baseVersion: Int, replaced: Seq[String],
+                    staged: Seq[String]): Unit = {
+    val v = latestVersion(path)
+    require(v == baseVersion,
+      s"concurrent write detected at $path: row-level operation read " +
+        s"version $baseVersion but the table is now at v$v — aborting " +
+        "the commit (re-run the statement)")
+    val m = readManifest(path, v)
+    require(m.dvs.isEmpty,
+      s"row-level rewrite at $path: snapshot carries deletion vectors")
+    val replacedSet = replaced.toSet
+    val unknown = replacedSet -- m.data.toSet
+    require(unknown.isEmpty,
+      s"row-level rewrite at $path names files not in v$v: $unknown")
+    val carried = m.data.filterNot(replacedSet.contains)
+    writeManifest(path, v + 1, Manifest(
+      carried ++ staged, Nil,
+      m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
+      m.rowCounts.view.filterKeys(carried.contains).toMap ++
+        footerCounts(path, staged),
+      None, m.partCol,
+      m.partValues.view.filterKeys(carried.contains).toMap,
+      m.nullCounts.view.filterKeys(carried.contains).toMap ++
+        footerNullCounts(path, staged)))
+  }
+
+  /** Validate `df` against the table's CHECK constraints (fails loudly
+    * on the first violating row). Exposed for external write paths
+    * (the DSv2 row-level operations) that commit through
+    * [[commitReplace]] instead of the library verbs.
+    */
+  def validateAgainstConstraints(path: String, df: DataFrame): Unit =
+    validateConstraints(path, df)
+
+  /** The relative paths a new commit directory holds, in manifest
+    * form — for external writers staging commit `n` data themselves.
+    */
+  def listCommitFiles(path: String, commit: Int): Seq[String] = {
+    val sub = f"c$commit%05d"
+    TableFs.listNames(s"$path/$sub")
+      .filter(_.endsWith(".parquet"))
+      .sorted
+      .map(n => s"$sub/$n")
+  }
+
   // ---------------------------------------------------------------- //
   // MERGE (upsert)
 

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.VersionedTable
+
+/** Round-12 first wave — SQL row-level DML through the catalog (the
+  * r11 verdict's top item): q503 DELETE FROM on the deletion-vector
+  * metadata path with the merge-on-read SELECT that follows; q504
+  * UPDATE + MERGE INTO through the group-based copy-on-write rewrite,
+  * with the carried-files pin proving only the touched band rewrote.
+  */
+object ExtensionQueries92 {
+
+  private def catalogFor(s: org.apache.spark.sql.SparkSession,
+                         tag: String): (String, String) = {
+    val cat = s"gsql$tag"
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_sqlwh$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q503: SQL DELETE, METADATA PATH. A translatable predicate routes
+    // through SupportsDeleteV2 (Catalyst's metadata-only delete
+    // optimization) to a DELETION-VECTOR commit: the manifest's data
+    // file list is UNCHANGED and a tombstone sidecar appears — at
+    // 100 TB the point-delete writes bytes, not rewritten gigabytes.
+    // The SELECT that follows serves through the merge-on-read scan
+    // (GraftDvAwareScan — r11 refused DV snapshots outright), and time
+    // travel still sees the pre-delete state. Pins: dv_path (files
+    // unchanged + vector present), mor_scan (the planned scan class),
+    // pre-delete row count via VERSION AS OF.
+    Q(
+      "q503_sql_delete_dv",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val (cat, wh) = catalogFor(s, tag)
+        val path = s"$wh/t503"
+        graft.io.FsUtil.deleteRecursively(path)
+        VersionedTable.init(
+          Tables.load(s, dir, "events")
+            .select(col("event_id"),
+              (col("event_id") % 100).as("bucket"),
+              floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+            .repartition(4), path)
+        val v0 = VersionedTable.latestVersion(path)
+        val filesBefore = VersionedTable.manifestFiles(path, v0)
+        s.sql(s"DELETE FROM $cat.t503 WHERE bucket >= 10 AND bucket <= 19")
+        val v1 = VersionedTable.latestVersion(path)
+        val m = VersionedTable.readManifest(path, v1)
+        val dvPath =
+          if (m.dvs.nonEmpty && m.data == filesBefore && v1 == v0 + 1) 1L
+          else 0L
+        val q = s.sql(
+          s"""SELECT CAST(floor(bucket / 10) AS BIGINT) AS dec,
+             |  count(*) AS n, sum(cents) AS s
+             |FROM $cat.t503 GROUP BY 1""".stripMargin)
+        val morScan = q.queryExecution.sparkPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan.getClass.getSimpleName
+        }.getOrElse("none")
+        val preRows = s.sql(
+          s"SELECT count(*) AS n FROM $cat.t503 VERSION AS OF $v0")
+          .head().getLong(0)
+        q.select(col("dec"), col("n"), col("s"),
+          lit(dvPath).as("dv_path"),
+          lit(if (morScan == "GraftDvAwareScan") 1L else 0L)
+            .as("mor_scan"),
+          lit(preRows).as("pre_rows"))
+          .orderBy("dec")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_id % 100 AS bucket,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |kept AS (SELECT * FROM ev WHERE bucket < 10 OR bucket > 19)
+             |SELECT CAST(floor(bucket / 10) AS BIGINT) AS dec,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS s,
+             |  CAST(1 AS BIGINT) AS dv_path,
+             |  CAST(1 AS BIGINT) AS mor_scan,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS pre_rows
+             |FROM kept GROUP BY 1
+             |ORDER BY dec""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q504: SQL UPDATE + MERGE INTO, GROUP-BASED CoW. The row-level
+    // scan prunes the file list with the command condition (band
+    // stats), so `UPDATE ... WHERE bucket < 20` on a range-clustered
+    // table rewrites ONE BAND and carries the rest by reference — the
+    // carried_ok pin counts surviving manifest entries. MERGE then
+    // updates matched keys and inserts unmatched ones in a single
+    // manifest version. Everything from SQL; oracle recomputes the
+    // final table in DuckDB.
+    Q(
+      "q504_sql_update_merge",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val (cat, wh) = catalogFor(s, tag)
+        val path = s"$wh/t504"
+        graft.io.FsUtil.deleteRecursively(path)
+        VersionedTable.init(
+          Tables.load(s, dir, "events")
+            .select(col("event_id"),
+              (col("event_id") % 100).as("bucket"),
+              floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+            .repartition(4), path)
+        VersionedTable.compactClustered(s, path, 8, "bucket")
+        val v0 = VersionedTable.latestVersion(path)
+        val before = VersionedTable.manifestFiles(path, v0)
+        s.sql(s"UPDATE $cat.t504 SET cents = cents + 1000000 " +
+          "WHERE bucket < 20")
+        val v1 = VersionedTable.latestVersion(path)
+        val carried = VersionedTable.manifestFiles(path, v1)
+          .toSet.intersect(before.toSet).size
+        // 8 clustered files over bucket 0..99: a 20-wide band touches
+        // 1-3 of them; at least half the table must carry by reference
+        val carriedOk = if (carried >= 4 && carried < 8) 1L else 0L
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_id") % 100).as("bucket"))
+          .where(col("bucket") === 50)
+          .select(col("event_id"), lit(0L).as("new_cents"))
+          .unionByName(Seq(-1L, -2L, -3L).toDF("event_id")
+            .select(col("event_id"), lit(5L).as("new_cents")))
+          .createOrReplaceTempView(s"q504_src$tag")
+        s.sql(
+          s"""MERGE INTO $cat.t504 t USING q504_src$tag r
+             |ON t.event_id = r.event_id
+             |WHEN MATCHED THEN UPDATE SET cents = r.new_cents
+             |WHEN NOT MATCHED THEN
+             |  INSERT (event_id, bucket, cents)
+             |  VALUES (r.event_id, 999, r.new_cents)
+             |""".stripMargin)
+        val oneVersionEach =
+          if (VersionedTable.latestVersion(path) == v0 + 2) 1L else 0L
+        s.sql(
+          s"""SELECT CASE WHEN bucket < 20 THEN 0
+             |            WHEN bucket = 50 THEN 1
+             |            WHEN bucket = 999 THEN 2
+             |            ELSE 3 END AS band,
+             |  count(*) AS n, sum(cents) AS s
+             |FROM $cat.t504 GROUP BY 1""".stripMargin)
+          .select(col("band").cast("long").as("band"), col("n"),
+            col("s"), lit(carriedOk).as("carried_ok"),
+            lit(oneVersionEach).as("one_version_each"))
+          .orderBy("band")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_id % 100 AS bucket,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |updated AS (
+             |  SELECT event_id, bucket,
+             |    CASE WHEN bucket = 50 THEN 0
+             |         WHEN bucket < 20 THEN cents + 1000000
+             |         ELSE cents END AS cents
+             |  FROM ev),
+             |final AS (
+             |  SELECT * FROM updated
+             |  UNION ALL
+             |  SELECT v.i, 999, 5 FROM (VALUES (-1), (-2), (-3)) v(i))
+             |SELECT CAST(CASE WHEN bucket < 20 THEN 0
+             |            WHEN bucket = 50 THEN 1
+             |            WHEN bucket = 999 THEN 2
+             |            ELSE 3 END AS BIGINT) AS band,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS s,
+             |  CAST(1 AS BIGINT) AS carried_ok,
+             |  CAST(1 AS BIGINT) AS one_version_each
+             |FROM final GROUP BY 1
+             |ORDER BY band""".stripMargin)))
+}

@@ -53,11 +53,11 @@ import graft.ops.VersionedTable
   * (exactly like Delta/Iceberg planning); data never moves until the
   * distributed ParquetScan executes.
   *
-  * Deletion vectors: a snapshot carrying un-compacted vectors cannot
-  * be served through a bare file scan (the anti-join belongs to the
-  * library read path), so the scan REFUSES loudly rather than
-  * resurrect deleted rows — run OPTIMIZE (`compact*`) first, or read
-  * via `VersionedTable.read`.
+  * Deletion vectors: a snapshot carrying un-compacted vectors serves
+  * through the merge-on-read scan ([[GraftDvAwareScan]]) — tombstoned
+  * files read row-wise in storage order with positional skipping, the
+  * usual MoR tax until OPTIMIZE folds the vectors in. Vectors past a
+  * bounded driver cap refuse loudly instead of collecting unbounded.
   */
 class GraftVersioned extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider {
@@ -109,6 +109,12 @@ class GraftVersioned extends TableProvider with DataSourceRegister
 
 object GraftVersioned {
 
+  /** Max tombstones a DSv2 scan will materialize driver-side to serve
+    * a DV-carrying snapshot (per-file lists ride in their own input
+    * partitions). Past this, the scan refuses loudly — compact first.
+    */
+  private[sources] val dvServeCap = 4000000
+
   private[sources] def tablePath(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
@@ -138,11 +144,86 @@ object GraftVersioned {
       .parquet(m.data.map(r => VersionedTable.absPath(path, r)): _*)
       .schema
   }
+
+  /** Conjunctive numeric bounds per column, closed on both ends (a
+    * strict bound relaxed to closed only ever keeps MORE files).
+    */
+  private[sources] def bounds(fs: Seq[Filter]): Map[String, (Double, Double)] = {
+    val m = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def upd(c: String, lo: Double, hi: Double): Unit = {
+      val (l, h) = m.getOrElse(c,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      m(c) = (math.max(l, lo), math.min(h, hi))
+    }
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    fs.foreach {
+      case GreaterThan(c, v) =>
+        num(v).foreach(d => upd(c, d, Double.PositiveInfinity))
+      case GreaterThanOrEqual(c, v) =>
+        num(v).foreach(d => upd(c, d, Double.PositiveInfinity))
+      case LessThan(c, v) =>
+        num(v).foreach(d => upd(c, Double.NegativeInfinity, d))
+      case LessThanOrEqual(c, v) =>
+        num(v).foreach(d => upd(c, Double.NegativeInfinity, d))
+      case EqualTo(c, v) => num(v).foreach(d => upd(c, d, d))
+      case And(l, r) => bounds(Seq(l, r)).foreach {
+        case (c, (lo, hi)) => upd(c, lo, hi)
+      }
+      case _ => ()
+    }
+    m.toMap
+  }
+
+  /** Equality probes on bloom-indexed columns, as (column, literal). */
+  private[sources] def equalityProbes(fs: Seq[Filter]): Seq[(String, Any)] =
+    fs.flatMap {
+      case EqualTo(c, v) => Seq(c -> v)
+      case And(l, r) => equalityProbes(Seq(l, r))
+      case _ => Nil
+    }
+
+  /** Manifest consultation shared by the SELECT scan and the row-level
+    * (UPDATE/MERGE/DELETE-rewrite) scan: drop every data file whose
+    * recorded stats bands cannot intersect the pushed bounds (ALL
+    * recorded columns must intersect — conjunctive, so a z-order
+    * layout prunes on a 2-D box), then keep only bloom-candidate files
+    * for equality probes on bloom-indexed columns. Conservative at
+    * every step: files without stats/sidecar coverage always survive.
+    */
+  private[sources] def consultManifest(
+      spark: SparkSession, path: String, version: Int,
+      m: VersionedTable.Manifest, pushed: Seq[Filter]): Seq[String] = {
+    val b = bounds(pushed)
+    val statsKeep = m.data.filter { rel =>
+      m.stats.get(rel) match {
+        case Some(byCol) =>
+          byCol.forall { case (zc, (zmin, zmax)) =>
+            b.get(zc).forall { case (lo, hi) => zmax >= lo && zmin <= hi }
+          }
+        case None => true
+      }
+    }
+    val bloomCols = m.blooms.map(_.keyCol).toSet
+    equalityProbes(pushed)
+      .filter { case (c, _) => bloomCols.contains(c) }
+      .foldLeft(statsKeep) { case (files, (c, v)) =>
+        val (open, _) = VersionedTable.keyLookupFiles(
+          spark, path, version, c,
+          org.apache.spark.sql.functions.lit(v))
+        val openSet = open.toSet
+        files.filter(openSet.contains)
+      }
+  }
 }
 
 class GraftVersionedTable(tableSchema: StructType,
                           tableOptions: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String =
     s"graft_versioned(${GraftVersioned.tablePath(tableOptions)}, " +
@@ -184,6 +265,36 @@ class GraftVersionedTable(tableSchema: StructType,
       GraftVersioned.tablePath(
         if (info.options.containsKey("path")) info.options
         else tableOptions))
+
+  // ---- SQL DELETE, metadata path (SupportsDeleteV2) ---- //
+  // A translatable DELETE condition routes here (Catalyst's
+  // OptimizeMetadataOnlyDeleteFromTable converts the row-level plan
+  // back when canDeleteWhere agrees) and commits a DELETION-VECTOR
+  // snapshot: tombstone (file, row) positions, zero data files
+  // written. Non-translatable conditions fall through to the
+  // group-based row-level rewrite below.
+
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    GraftRowLevel.predicatesToColumn(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val cond = GraftRowLevel.predicatesToColumn(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"untranslatable DELETE predicates: ${predicates.mkString(", ")}"))
+    VersionedTable.deleteWhereDV(SparkSession.active,
+      GraftVersioned.tablePath(tableOptions), cond)
+  }
+
+  // ---- SQL UPDATE / MERGE / complex DELETE (group-based CoW) ---- //
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(
+      GraftVersioned.tablePath(tableOptions), info)
 }
 
 class GraftVersionedWriteBuilder(path: String)
@@ -299,46 +410,6 @@ class GraftVersionedScanBuilder(spark: SparkSession,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-
-  /** Conjunctive numeric bounds per column, closed on both ends (a
-    * strict bound relaxed to closed only ever keeps MORE files).
-    */
-  private def bounds(fs: Seq[Filter]): Map[String, (Double, Double)] = {
-    val m = scala.collection.mutable.Map.empty[String, (Double, Double)]
-    def upd(c: String, lo: Double, hi: Double): Unit = {
-      val (l, h) = m.getOrElse(c,
-        (Double.NegativeInfinity, Double.PositiveInfinity))
-      m(c) = (math.max(l, lo), math.min(h, hi))
-    }
-    def num(v: Any): Option[Double] = v match {
-      case n: Number => Some(n.doubleValue())
-      case _ => None
-    }
-    fs.foreach {
-      case GreaterThan(c, v) =>
-        num(v).foreach(d => upd(c, d, Double.PositiveInfinity))
-      case GreaterThanOrEqual(c, v) =>
-        num(v).foreach(d => upd(c, d, Double.PositiveInfinity))
-      case LessThan(c, v) =>
-        num(v).foreach(d => upd(c, Double.NegativeInfinity, d))
-      case LessThanOrEqual(c, v) =>
-        num(v).foreach(d => upd(c, Double.NegativeInfinity, d))
-      case EqualTo(c, v) => num(v).foreach(d => upd(c, d, d))
-      case And(l, r) => bounds(Seq(l, r)).foreach {
-        case (c, (lo, hi)) => upd(c, lo, hi)
-      }
-      case _ => ()
-    }
-    m.toMap
-  }
-
-  /** Equality probes on bloom-indexed columns, as (column, literal). */
-  private def equalityProbes(fs: Seq[Filter]): Seq[(String, Any)] =
-    fs.flatMap {
-      case EqualTo(c, v) => Seq(c -> v)
-      case And(l, r) => equalityProbes(Seq(l, r))
-      case _ => Nil
-    }
 
   // ---- metadata-only COUNT(*) / MIN / MAX (aggregate pushdown) ---- //
   // Spark offers the aggregate only after every filter was fully
@@ -570,35 +641,10 @@ class GraftVersionedScanBuilder(spark: SparkSession,
 
   private def buildFileScan(): Scan = {
     val m = VersionedTable.readManifest(path, version)
-    require(m.dvs.isEmpty,
-      s"graft-versioned scan of $path v$version: snapshot carries " +
-        "deletion vectors — OPTIMIZE (compact) first, or read via " +
-        "VersionedTable.read")
-    // manifest consultation: drop every file whose recorded stats bands
-    // cannot intersect the pushed bounds — ALL recorded columns must
-    // intersect (conjunctive), so a z-order layout prunes on a 2-D box
-    val b = bounds(pushed.toSeq)
-    val statsKeep = m.data.filter { rel =>
-      m.stats.get(rel) match {
-        case Some(byCol) =>
-          byCol.forall { case (zc, (zmin, zmax)) =>
-            b.get(zc).forall { case (lo, hi) => zmax >= lo && zmin <= hi }
-          }
-        case None => true
-      }
-    }
-    // bloom consultation: an equality probe on a bloom-indexed column
-    // keeps only candidate files (+ files the sidecar doesn't cover)
-    val bloomCols = m.blooms.map(_.keyCol).toSet
-    val keep = equalityProbes(pushed.toSeq)
-      .filter { case (c, _) => bloomCols.contains(c) }
-      .foldLeft(statsKeep) { case (files, (c, v)) =>
-        val (open, _) = VersionedTable.keyLookupFiles(
-          spark, path, version, c,
-          org.apache.spark.sql.functions.lit(v))
-        val openSet = open.toSet
-        files.filter(openSet.contains)
-      }
+    // manifest consultation (stats bands + bloom sidecars) — shared
+    // with the row-level scan; see GraftVersioned.consultManifest
+    val keep = GraftVersioned.consultManifest(
+      spark, path, version, m, pushed.toSeq)
     // LIMIT capping: keep only the first files whose cumulative footer
     // counts reach the pushed limit (filter-free scans only; Spark's
     // own Limit still applies on top — partial pushdown)
@@ -659,6 +705,40 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     val index = new InMemoryFileIndex(spark,
       ordered.map(r => new HPath(VersionedTable.absPath(path, r))),
       Map.empty, Some(dataSchema))
+    // ---- deletion-vector (merge-on-read) serve path ---- //
+    // Tombstone skipping counts emitted rows against recorded
+    // _metadata.row_index positions, so the inner scan must read
+    // tombstoned files in full storage order: NO parquet-level filter
+    // pushdown (the query's own Filter still applies — all pushed
+    // filters are residuals) and row-based reads. Bounded, fail-loud
+    // driver materialization of the vector, like every manifest probe.
+    if (m.dvs.nonEmpty) {
+      val dvRows = spark.read
+        .parquet(m.dvs.map(r => VersionedTable.absPath(path, r)): _*)
+        .select("file", "pos")
+        .limit(GraftVersioned.dvServeCap + 1).collect()
+      require(dvRows.length <= GraftVersioned.dvServeCap,
+        s"graft-versioned scan of $path v$version: deletion vector " +
+          s"exceeds ${GraftVersioned.dvServeCap} tombstones — OPTIMIZE " +
+          "(compact) first, or read via VersionedTable.read")
+      val orderedSet = ordered.toSet
+      val dvByFile = dvRows.toSeq
+        .map(r => (r.getString(0), r.getLong(1)))
+        .filter { case (f, _) => orderedSet.contains(f) }
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted.toArray).toMap
+      val bare = ParquetScan(spark,
+        spark.sessionState.newHadoopConfWithOptions(
+          options.asScala.toMap),
+        index, dataSchema, required, new StructType(),
+        Array.empty, options)
+      val exactDvRows =
+        if (ordered.forall(m.rowCounts.contains))
+          Some(ordered.map(m.rowCounts).sum -
+            dvByFile.values.map(_.length.toLong).sum)
+        else None
+      return new GraftDvAwareScan(bare, exactDvRows, dvByFile)
+    }
     val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
         options.asScala.toMap),

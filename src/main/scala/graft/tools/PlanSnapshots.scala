@@ -221,6 +221,42 @@ object PlanSnapshots {
       graft.io.FsUtil.deleteRecursively(spjAp)
       graft.io.FsUtil.deleteRecursively(spjBp)
     }
+
+    // round 12: SQL row-level DML (q503/q504). Snapshot (a) the
+    // optimized DELETE plan — must stay the metadata DeleteFromTable
+    // shape, NOT a ReplaceData rewrite; (b) the UPDATE plan — a
+    // ReplaceData over the row-level scan; (c) the merge-on-read scan
+    // a post-DELETE SELECT plans (GraftDvAwareScan in the BatchScan).
+    val dmlWh = Files.createTempDirectory("graft_plansnap_dml")
+    try {
+      spark.conf.set("spark.sql.catalog.plansnap_dml",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.plansnap_dml.warehouse",
+        dmlWh.toString)
+      val ev = graft.io.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), (col("event_id") % 100).as("bucket"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      graft.ops.VersionedTable.init(ev.repartition(4), s"$dmlWh/t")
+      graft.ops.VersionedTable.compactClustered(
+        spark, s"$dmlWh/t", 8, "bucket")
+      def optimizedSection(explainSql: String): String = {
+        val full = spark.sql(explainSql).head().getString(0)
+        val i = full.indexOf("== Optimized Logical Plan ==")
+        if (i >= 0) full.substring(i) else full
+      }
+      write("q503_sql_delete_metadata_plan",
+        optimizedSection("EXPLAIN EXTENDED DELETE FROM plansnap_dml.t " +
+          "WHERE bucket = 7"))
+      write("q504_sql_update_replace_data_plan",
+        optimizedSection("EXPLAIN EXTENDED UPDATE plansnap_dml.t " +
+          "SET cents = 0 WHERE bucket < 20"))
+      spark.sql("DELETE FROM plansnap_dml.t WHERE bucket = 7")
+      write("q503_mor_scan_after_delete",
+        spark.sql("SELECT bucket, count(*) AS n FROM plansnap_dml.t " +
+          "GROUP BY bucket").queryExecution.explainString(mode))
+    } finally {
+      graft.io.FsUtil.deleteRecursively(dmlWh)
+    }
     spark.stop()
   }
 }

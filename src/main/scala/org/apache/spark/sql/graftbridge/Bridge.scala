@@ -25,6 +25,21 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Translate DataSource V2 `Predicate`s to V1 `Filter`s (Spark's own
+    * converter, `internal.connector.PredicateUtils`, is private[sql]).
+    * None when any predicate has no V1 equivalent — the caller must
+    * then refuse the pushdown / metadata operation.
+    */
+  def v2ToV1Filters(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate])
+      : Option[Array[org.apache.spark.sql.sources.Filter]] = {
+    val converted = predicates.map(
+      org.apache.spark.sql.internal.connector.PredicateUtils.toV1)
+    if (converted.forall(_.isDefined)) Some(converted.map(_.get))
+    else None
+  }
+
   /** Register a temp SQL function backed by a Catalyst expression builder
     * (FunctionRegistry is private[sql] too).
     */

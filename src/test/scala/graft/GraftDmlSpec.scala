@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.VersionedTable
+
+/** Contract tests for SQL row-level DML through the catalog (r12):
+  * DELETE FROM routes translatable predicates to the deletion-vector
+  * metadata path (zero data files written); UPDATE / MERGE INTO /
+  * non-translatable DELETE run the group-based copy-on-write
+  * ReplaceData plan, rewriting ONLY the files the pruned row-level
+  * scan read; a stale snapshot aborts the commit loudly.
+  */
+class GraftDmlSpec extends SparkSpec {
+
+  private lazy val warehouse = {
+    val w = s"${System.getProperty("java.io.tmpdir")}/graft_dml_wh"
+    spark.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", w)
+    w
+  }
+
+  private def freshTable(name: String, clustered: Boolean = false)
+      : String = {
+    import spark.implicits._
+    warehouse
+    val path = s"$warehouse/$name"
+    graft.io.FsUtil.deleteRecursively(path)
+    VersionedTable.init(
+      (0L until 1000L).map(i => (i, i % 100, i * 3L))
+        .toDF("id", "bucket", "cents").repartition(4), path)
+    if (clustered) VersionedTable.compactClustered(spark, path, 5, "bucket")
+    path
+  }
+
+  test("SQL DELETE with a translatable predicate takes the METADATA " +
+    "path: a deletion-vector commit, zero data files written, rows " +
+    "gone; TRUNCATE-grade DELETE without WHERE also works") {
+    val path = freshTable("del_dv")
+    val v0 = VersionedTable.latestVersion(path)
+    val filesBefore = VersionedTable.manifestFiles(path, v0)
+    spark.sql("DELETE FROM gdml.del_dv WHERE bucket = 7")
+    val v1 = VersionedTable.latestVersion(path)
+    assert(v1 == v0 + 1, "DELETE must mint exactly one version")
+    val m = VersionedTable.readManifest(path, v1)
+    assert(m.dvs.nonEmpty, "translatable DELETE must commit a DV")
+    assert(m.data == filesBefore,
+      "DV delete must not rewrite or add data files")
+    assert(spark.sql("SELECT count(*) FROM gdml.del_dv")
+      .head().getLong(0) == 990)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdml.del_dv WHERE bucket = 7")
+      .head().getLong(0) == 0)
+    // time travel still sees the pre-delete snapshot
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdml.del_dv VERSION AS OF $v0")
+      .head().getLong(0) == 1000)
+    // unconditional DELETE = truncate-by-DV
+    spark.sql("DELETE FROM gdml.del_dv")
+    assert(spark.sql("SELECT count(*) FROM gdml.del_dv")
+      .head().getLong(0) == 0)
+  }
+
+  test("SQL UPDATE runs group-based CoW: only the files the pruned " +
+    "row-level scan read are rewritten (clustered band -> one band of " +
+    "files), carried files stay by reference, rows exact") {
+    val path = freshTable("upd_cow", clustered = true)
+    val v0 = VersionedTable.latestVersion(path)
+    val before = VersionedTable.manifestFiles(path, v0)
+    assert(before.length == 5)
+    spark.sql(
+      "UPDATE gdml.upd_cow SET cents = cents + 1000000 WHERE bucket < 20")
+    val v1 = VersionedTable.latestVersion(path)
+    assert(v1 == v0 + 1)
+    val after = VersionedTable.manifestFiles(path, v1)
+    val carried = after.toSet.intersect(before.toSet)
+    // 5 range-clustered files over bucket 0..99: bucket < 20 is ~1
+    // band — at least 3 files must carry over UNREWRITTEN
+    assert(carried.size >= 3,
+      s"banded UPDATE rewrote ${before.length - carried.size} of 5 files")
+    assert(carried.size < 5, "some file must have been rewritten")
+    // row correctness: updated band bumped, rest untouched
+    val got = spark.sql(
+      "SELECT sum(cents) AS s FROM gdml.upd_cow").head().getLong(0)
+    val want = (0L until 1000L).map(i =>
+      if (i % 100 < 20) i * 3L + 1000000L else i * 3L).sum
+    assert(got == want)
+    assert(spark.sql("SELECT count(*) FROM gdml.upd_cow")
+      .head().getLong(0) == 1000)
+  }
+
+  test("SQL MERGE INTO: matched rows update, unmatched rows insert, " +
+    "one manifest version, oracle-exact result") {
+    import spark.implicits._
+    val path = freshTable("merge_t")
+    val v0 = VersionedTable.latestVersion(path)
+    Seq((5L, 999L), (1500L, 111L))
+      .toDF("id", "new_cents").createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO gdml.merge_t t USING merge_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET cents = s.new_cents
+        |WHEN NOT MATCHED THEN
+        |  INSERT (id, bucket, cents) VALUES (s.id, s.id % 100, s.new_cents)
+        |""".stripMargin)
+    assert(VersionedTable.latestVersion(path) == v0 + 1)
+    val rows = spark.sql(
+      "SELECT id, bucket, cents FROM gdml.merge_t " +
+        "WHERE id IN (5, 1500) ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((5L, 5L, 999L), (1500L, 0L, 111L)))
+    assert(spark.sql("SELECT count(*) FROM gdml.merge_t")
+      .head().getLong(0) == 1001)
+    // untouched row sanity
+    assert(spark.sql("SELECT cents FROM gdml.merge_t WHERE id = 6")
+      .head().getLong(0) == 18L)
+  }
+
+  test("non-translatable DELETE (IN subquery) falls through to the " +
+    "group-based rewrite: rows gone, NO deletion vector minted") {
+    import spark.implicits._
+    val path = freshTable("del_cow")
+    val v0 = VersionedTable.latestVersion(path)
+    Seq(3L, 4L, 5L).toDF("kid").createOrReplaceTempView("del_keys")
+    spark.sql(
+      "DELETE FROM gdml.del_cow WHERE id IN (SELECT kid FROM del_keys)")
+    val v1 = VersionedTable.latestVersion(path)
+    assert(v1 == v0 + 1)
+    assert(VersionedTable.readManifest(path, v1).dvs.isEmpty,
+      "group-based DELETE must not mint a DV")
+    assert(spark.sql("SELECT count(*) FROM gdml.del_cow")
+      .head().getLong(0) == 997)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdml.del_cow WHERE id IN (3, 4, 5)")
+      .head().getLong(0) == 0)
+  }
+
+  test("a stale row-level commit aborts loudly: commitReplace refuses " +
+    "when the table moved past the scanned version, and the staged " +
+    "lost-update never becomes visible") {
+    import spark.implicits._
+    val path = freshTable("stale_rlo")
+    val v0 = VersionedTable.latestVersion(path)
+    val victim = VersionedTable.manifestFiles(path, v0).head
+    // another writer commits first
+    VersionedTable.append(
+      Seq((5000L, 1L, 1L)).toDF("id", "bucket", "cents"), path)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitReplace(path, v0, Seq(victim), Nil)
+    }
+    assert(e.getMessage.contains("concurrent write"))
+    // the conflicting append's row is intact
+    assert(spark.sql("SELECT count(*) FROM gdml.stale_rlo")
+      .head().getLong(0) == 1001)
+  }
+
+  test("row-level DML refuses a DV-carrying snapshot loudly (a group " +
+    "rewrite would resurrect deleted rows) and works after OPTIMIZE") {
+    val path = freshTable("dv_then_upd")
+    spark.sql("DELETE FROM gdml.dv_then_upd WHERE id = 1") // DV commit
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gdml.dv_then_upd SET cents = 0 WHERE id = 2")
+    }
+    assert(e.getMessage.contains("deletion vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
+    VersionedTable.compact(spark, path, 4) // folds the DV in
+    spark.sql("UPDATE gdml.dv_then_upd SET cents = 0 WHERE id = 2")
+    assert(spark.sql("SELECT cents FROM gdml.dv_then_upd WHERE id = 2")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM gdml.dv_then_upd")
+      .head().getLong(0) == 999)
+  }
+}

@@ -22,9 +22,13 @@ class GraftVersionedSourceSpec extends SparkSpec {
     */
   private def scanFiles(df: DataFrame): Int =
     df.queryExecution.sparkPlan.collectFirst {
-      case b: BatchScanExec =>
-        b.scan.asInstanceOf[graft.sources.GraftVersionedFileScan]
-          .fileIndex.inputFiles.length
+      case b: BatchScanExec => b.scan match {
+        case s: graft.sources.GraftVersionedFileScan =>
+          s.fileIndex.inputFiles.length
+        case d: graft.sources.GraftDvAwareScan =>
+          d.fileIndex.inputFiles.length
+        case other => fail(s"unexpected scan ${other.getClass}")
+      }
     }.getOrElse(fail("no BatchScanExec in the plan"))
 
   private def buildTable(path: String): Unit = {
@@ -366,15 +370,16 @@ class GraftVersionedSourceSpec extends SparkSpec {
       "SELECT max(bucket) AS hi FROM graft_minmax_t3"))
       == "GraftMetadataAggScan")
     VersionedTable.deleteWhereDV(spark, path, col("id") === 1L)
-    // DV snapshots refuse the bare scan entirely, so the min/max
-    // shortcut can never serve them (metadataAnswer returns None and
-    // the file scan refuses loudly)
+    // a DV disables the metadata shortcut (a vector could hide the
+    // extreme row) — since r12 the query still ANSWERS, through the
+    // merge-on-read scan, with the deleted row excluded
     val t4 = spark.read.format("graft-versioned").load(path)
     t4.createOrReplaceTempView("graft_minmax_t4")
-    val e = intercept[Exception] {
-      spark.sql("SELECT max(bucket) AS hi FROM graft_minmax_t4").head()
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    val mm4 = spark.sql(
+      "SELECT max(bucket) AS hi, count(*) AS n FROM graft_minmax_t4")
+    assert(scanClassOf(mm4) == "GraftDvAwareScan",
+      s"DV snapshot planned ${scanClassOf(mm4)}")
+    assert(mm4.head() == org.apache.spark.sql.Row(500L, 1000L))
   }
 
   test("LIMIT pushdown caps the planned file list via footer counts; " +
@@ -557,18 +562,32 @@ class GraftVersionedSourceSpec extends SparkSpec {
     assert(dist.head().getLong(0) == 400L)
   }
 
-  test("a snapshot carrying deletion vectors refuses the bare scan " +
-    "(no silent resurrection); after OPTIMIZE it serves") {
+  test("a snapshot carrying deletion vectors SERVES through the " +
+    "merge-on-read scan (r12): tombstoned rows gone, residual filters " +
+    "exact, band pruning still prunes, stacked DVs compose; OPTIMIZE " +
+    "folds back to the plain scan") {
     val path = tmp("graft_dsv2_spec5")
     buildTable(path)
     VersionedTable.deleteWhereDV(spark, path, col("bucket") === 7)
     val t = spark.read.format("graft-versioned").load(path)
-    val e = intercept[Exception] { t.count() }
-    assert(e.getMessage.contains("deletion vectors"),
-      s"wrong refusal: ${e.getMessage}")
+    assert(t.count() == 1000 - 10)
+    assert(t.where(col("bucket") === 7).isEmpty)
+    assert(t.where(col("bucket") === 8).count() == 10)
+    assert(t.agg(sum("cents")).head().getLong(0) ==
+      (0L until 1000L).filter(_ % 100 != 7).map(_ * 3L).sum)
+    // stacked second vector composes
+    VersionedTable.deleteWhereDV(spark, path, col("id") === 8L)
+    val t2 = spark.read.format("graft-versioned").load(path)
+    assert(t2.count() == 1000 - 11)
+    // band pruning still engages under DVs (file skipping unaffected)
+    val banded = t2.where(col("bucket") >= 20 && col("bucket") < 40)
+    assert(scanFiles(banded) < 5 && scanFiles(banded) >= 1)
+    assert(banded.count() ==
+      (0L until 1000L).count(i => i % 100 >= 20 && i % 100 < 40))
+    // OPTIMIZE folds the vectors in; the plain columnar scan returns
     VersionedTable.compact(spark, path, 2)
     val served = spark.read.format("graft-versioned").load(path)
-    assert(served.count() == 1000 - 10)
+    assert(served.count() == 1000 - 11)
     assert(served.where(col("bucket") === 7).isEmpty)
   }
   test("grouped metadata COUNT over an ESCAPABLE string partition key " +
