@@ -175,5 +175,79 @@ object ExtensionQueries92 {
              |  CAST(1 AS BIGINT) AS carried_ok,
              |  CAST(1 AS BIGINT) AS one_version_each
              |FROM final GROUP BY 1
-             |ORDER BY band""".stripMargin)))
+             |ORDER BY band""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q505: STREAM ADMISSION CONTROL (DSv2 MicroBatchStream). The
+    // versioned-table stream now rides the public connector API with
+    // rate limiting: a standing 3-version backlog under
+    // maxVersionsPerTrigger=1 catches up in THREE batches instead of
+    // one giant first batch (paced_ok pins applied-batch count), the
+    // progress log proves the DSv2 stream served it (dsv2_engaged),
+    // and a commit made while the stream is DOWN arrives alone after
+    // the checkpoint restart (the q492 exactly-once discipline, now
+    // rate-limited). Oracle = the full source table.
+    Q(
+      "q505_stream_admission",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = System.getProperty("java.io.tmpdir")
+        val src = s"$tmp/graft_adm_src$tag"
+        val dst = s"$tmp/graft_adm_dst$tag"
+        val ckpt =
+          java.nio.file.Files.createTempDirectory("graft_adm_ckpt")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 4 === 0), src)
+        VersionedTable.append(ev.where(col("event_id") % 4 === 1), src)
+        VersionedTable.append(ev.where(col("event_id") % 4 === 2), src)
+        VersionedTable.init(ev.limit(0), dst)
+        def runOnce(): String = {
+          val q = s.readStream.format("graft-versioned")
+            .option("maxVersionsPerTrigger", "1").load(src)
+            .writeStream
+            .foreachBatch((df: org.apache.spark.sql.DataFrame,
+                           bid: Long) => {
+              VersionedTable.appendIdempotent(df, dst, bid); ()
+            })
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try {
+            q.awaitTermination()
+            q.recentProgress.flatMap(_.sources.map(_.description))
+              .mkString("\n")
+          } finally q.stop()
+        }
+        val (pacedOk, dsv2) =
+          try {
+            val descr = runOnce() // 3 backlog versions, 1 per batch
+            val afterCatchup = VersionedTable.appliedBatches(dst).size
+            VersionedTable.append(ev.where(col("event_id") % 4 === 3), src)
+            runOnce() // only the while-down commit
+            val afterResume = VersionedTable.appliedBatches(dst).size
+            (if (afterCatchup == 3 && afterResume == 4) 1L else 0L,
+              if (descr.contains("GraftVersionedMicroBatchStream")) 1L
+              else 0L)
+          } finally graft.io.FsUtil.deleteRecursively(ckpt)
+        VersionedTable.read(s, dst)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(col("event_type"), col("n"), col("sum_cents"),
+            lit(pacedOk).as("paced_ok"), lit(dsv2).as("dsv2_engaged"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS paced_ok,
+             |  CAST(1 AS BIGINT) AS dsv2_engaged
+             |FROM ev
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)))
 }

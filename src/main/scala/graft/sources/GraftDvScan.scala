@@ -36,8 +36,16 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftDvAwareScan(val inner: ParquetScan,
                        exactRows: Option[Long],
-                       dvByFile: Map[String, Array[Long]])
+                       dvByFile: Map[String, Array[Long]],
+                       streamFactory: Option[String =>
+                         org.apache.spark.sql.connector.read
+                           .streaming.MicroBatchStream] = None)
     extends Scan with Batch with SupportsReportStatistics {
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFactory.map(_(checkpointLocation))
+      .getOrElse(super.toMicroBatchStream(checkpointLocation))
 
   /** Exposed for plan tests/queries that pin the pruned file count. */
   def fileIndex: org.apache.spark.sql.execution.datasources

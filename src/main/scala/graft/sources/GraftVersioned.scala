@@ -234,10 +234,13 @@ class GraftVersionedTable(tableSchema: StructType,
   // BATCH_WRITE rides along with V1_BATCH_WRITE: DataFrameWriter's
   // TableProvider path gates on the former even when the write itself
   // is the V1 fallback (the physical planner then dispatches on the
-  // returned V1Write, never calling toBatch)
+  // returned V1Write, never calling toBatch). MICRO_BATCH_READ routes
+  // readStream through the DSv2 GraftVersionedMicroBatchStream (with
+  // admission control) instead of the legacy V1 Source.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   /** Catalog-resolved relations pass EMPTY scan options (the path
     * lives in the table's own options), path reads pass everything in
@@ -639,6 +642,16 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     case None => buildFileScan()
   }
 
+  /** readStream entry: every scan shape hands micro-batch planning to
+    * [[GraftVersionedMicroBatchStream]] (versions as offsets, with
+    * admission control) — the batch-side file list is irrelevant to a
+    * stream that reads per-commit deltas.
+    */
+  private def mbStreamFactory: Option[String =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
+    Some(_ => new GraftVersionedMicroBatchStream(
+      spark, path, options, dataSchema, required, pushed))
+
   private def buildFileScan(): Scan = {
     val m = VersionedTable.readManifest(path, version)
     // manifest consultation (stats bands + bloom sidecars) — shared
@@ -737,7 +750,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
           Some(ordered.map(m.rowCounts).sum -
             dvByFile.values.map(_.length.toLong).sum)
         else None
-      return new GraftDvAwareScan(bare, exactDvRows, dvByFile)
+      return new GraftDvAwareScan(bare, exactDvRows, dvByFile,
+        mbStreamFactory)
     }
     val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
@@ -767,8 +781,9 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       field <- dataSchema.fields.find(_.name == pc)
       parse <- GraftPartitionedScan.keyParser(field.dataType)
     } yield new GraftPartitionedScan(parquet, exactRows, pc, parse,
-      keep.map(m.partValues).distinct.length)
-    spj.getOrElse(new GraftVersionedFileScan(parquet, exactRows))
+      keep.map(m.partValues).distinct.length, mbStreamFactory)
+    spj.getOrElse(new GraftVersionedFileScan(parquet, exactRows,
+      mbStreamFactory))
   }
 }
 
@@ -782,13 +797,20 @@ class GraftVersionedScanBuilder(spark: SparkSession,
   * skipping composes with broadcast selection at zero I/O cost.
   */
 class GraftVersionedFileScan(val inner: ParquetScan,
-                             exactRows: Option[Long])
+                             exactRows: Option[Long],
+                             streamFactory: Option[String =>
+                               org.apache.spark.sql.connector.read
+                                 .streaming.MicroBatchStream] = None)
     extends Scan with Batch with SupportsReportStatistics {
   /** Exposed for plan tests/queries that pin the pruned file count. */
   def fileIndex: InMemoryFileIndex =
     inner.fileIndex.asInstanceOf[InMemoryFileIndex]
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFactory.map(_(checkpointLocation))
+      .getOrElse(super.toMicroBatchStream(checkpointLocation))
   override def planInputPartitions(): Array[InputPartition] =
     inner.toBatch.planInputPartitions()
   override def createReaderFactory(): PartitionReaderFactory =
@@ -846,8 +868,11 @@ class GraftMetadataCountScan(path: String, version: Int, n: Long)
 class GraftPartitionedScan(
     inner: ParquetScan, exactRows: Option[Long], partColName: String,
     parseKey: String => org.apache.spark.sql.catalyst.InternalRow,
-    numKeys: Int)
-    extends GraftVersionedFileScan(inner, exactRows)
+    numKeys: Int,
+    streamFactory: Option[String =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
+      None)
+    extends GraftVersionedFileScan(inner, exactRows, streamFactory)
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 

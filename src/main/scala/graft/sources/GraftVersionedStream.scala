@@ -74,31 +74,7 @@ class GraftVersionedStreamSource(
     * per commit.
     */
   private def addedFiles(fromV: Int, toV: Int): Seq[String] =
-    (fromV to toV).flatMap { v =>
-      val m = VersionedTable.readManifest(path, v)
-      if (v == 0) m.data
-      else {
-        val prev =
-          try VersionedTable.readManifest(path, v - 1)
-          catch {
-            case e: IllegalArgumentException => throw new IllegalStateException(
-              s"graft-versioned stream at $path: version ${v - 1} was " +
-                s"vacuumed — cannot derive the change set of v$v", e)
-          }
-        val prevData = prev.data.toSet
-        val removed = prevData -- m.data.toSet
-        val dvChanged = prev.dvs.toSet != m.dvs.toSet
-        if ((removed.nonEmpty || dvChanged) && !ignoreChanges)
-          throw new IllegalStateException(
-            s"graft-versioned stream at $path: version $v is not " +
-              s"append-only (${removed.size} files removed" +
-              (if (dvChanged) ", deletion vectors changed" else "") +
-              ") — a change feed that dropped deletes silently would " +
-              "be wrong; pass ignoreChanges=true to stream only added " +
-              "files (rewritten rows re-emit, deletes vanish)")
-        m.data.filterNot(prevData.contains)
-      }
-    }
+    GraftVersionedStreamSource.addedFiles(path, ignoreChanges, fromV, toV)
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     // a checkpointed start offset takes precedence over
@@ -133,6 +109,38 @@ class GraftVersionedStreamSource(
 }
 
 object GraftVersionedStreamSource {
+
+  /** Data files ADDED by each of versions fromV..toV (v0 counts whole),
+    * append-only enforced per commit unless `ignoreChanges` — shared
+    * by the V1 Source and the DSv2 [[GraftVersionedMicroBatchStream]].
+    */
+  private[sources] def addedFiles(path: String, ignoreChanges: Boolean,
+                                  fromV: Int, toV: Int): Seq[String] =
+    (fromV to toV).flatMap { v =>
+      val m = VersionedTable.readManifest(path, v)
+      if (v == 0) m.data
+      else {
+        val prev =
+          try VersionedTable.readManifest(path, v - 1)
+          catch {
+            case e: IllegalArgumentException => throw new IllegalStateException(
+              s"graft-versioned stream at $path: version ${v - 1} was " +
+                s"vacuumed — cannot derive the change set of v$v", e)
+          }
+        val prevData = prev.data.toSet
+        val removed = prevData -- m.data.toSet
+        val dvChanged = prev.dvs.toSet != m.dvs.toSet
+        if ((removed.nonEmpty || dvChanged) && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft-versioned stream at $path: version $v is not " +
+              s"append-only (${removed.size} files removed" +
+              (if (dvChanged) ", deletion vectors changed" else "") +
+              ") — a change feed that dropped deletes silently would " +
+              "be wrong; pass ignoreChanges=true to stream only added " +
+              "files (rewritten rows re-emit, deletes vanish)")
+        m.data.filterNot(prevData.contains)
+      }
+    }
 
   private[sources] def resolveStart(path: String, opt: Option[String]): Int =
     opt match {
