@@ -64,14 +64,33 @@ object TableFs {
   /** Create-exclusive write — THE commit point. Fails if `path` already
     * exists, so a lost race (or a replayed writer racing a live one)
     * surfaces as an error, never as a silent overwrite.
+    *
+    * Implementation is write-temp + NO-OVERWRITE RENAME, not a direct
+    * create: a direct `create(p, false)` makes the file VISIBLE before
+    * its bytes land, so a concurrent reader (an optimistic appender
+    * re-reading the latest manifest) could see an empty commit and
+    * rebase onto nothing — a lost update. Rename is atomic and
+    * refuses an existing destination on HDFS/local (the Delta-on-HDFS
+    * commit discipline); object stores without atomic rename need a
+    * commit service, exactly as Delta documents.
     */
   def writeUtf8Exclusive(path: String, content: String): Unit = {
     val p = new HPath(path)
     val f = fs(p)
     f.mkdirs(p.getParent)
-    val out = f.create(p, false)
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, false)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    val renamed =
+      try f.rename(tmp, p)
+      catch { case e: Throwable => f.delete(tmp, false); throw e }
+    if (!renamed) {
+      f.delete(tmp, false)
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"commit point already exists: $path")
+    }
   }
 
   /** Idempotent (overwriting) small-file write — for non-commit-point

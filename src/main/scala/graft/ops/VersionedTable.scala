@@ -316,6 +316,60 @@ object VersionedTable {
     }.toMap
   }
 
+  /** Per-file [min, max] of `col` straight from the parquet FOOTERS'
+    * column-chunk statistics — the zero-extra-scan way to record zone
+    * stats at WRITE time (compactClustered's re-read pass exists only
+    * because Spark surfaces no footer hook inside its write path; an
+    * external footer open after the write does the same job for one
+    * metadata read per new file). Files whose chunks lack stats or
+    * whose values are all null are omitted — they simply stay
+    * unpruned, the standing conservative contract. Doubles here round
+    * exactly like compactClustered's `cast(col as double)`, so every
+    * consumer (band pruning, TOP-N capping, metadata MIN/MAX with its
+    * 2^53 guard) reads them identically.
+    */
+  private def footerZoneStats(path: String, rels: Seq[String],
+                              zoneCol: String)
+      : Map[String, Map[String, (Double, Double)]] = {
+    import org.apache.parquet.column.statistics._
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    rels.flatMap { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(absPath(path, rel)), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val chunks = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == zoneCol)
+        def bound(s: Statistics[_], min: Boolean): Option[Double] =
+          s match {
+            case l: LongStatistics =>
+              Some(if (min) l.getMin.toDouble else l.getMax.toDouble)
+            case i: IntStatistics =>
+              Some(if (min) i.getMin.toDouble else i.getMax.toDouble)
+            case d: DoubleStatistics =>
+              Some(if (min) d.getMin else d.getMax)
+            case f: FloatStatistics =>
+              Some(if (min) f.getMin.toDouble else f.getMax.toDouble)
+            case _ => None
+          }
+        val perChunk = chunks.map(c => Option(c.getStatistics)
+          .filter(s => !s.isEmpty && s.hasNonNullValue)
+          .flatMap(s => for {
+            lo <- bound(s, min = true)
+            hi <- bound(s, min = false)
+          } yield (lo, hi)))
+        if (perChunk.nonEmpty && perChunk.forall(_.isDefined)) {
+          val bounds = perChunk.flatten
+          Some(rel -> Map(zoneCol ->
+            (bounds.map(_._1).min, bounds.map(_._2).max)))
+        } else None
+      } finally r.close()
+    }.toMap
+  }
+
   // ---------------------------------------------------------------- //
   // read path (deletion-vector-aware)
 
@@ -327,7 +381,7 @@ object VersionedTable {
     */
   private def relExpr: Column =
     regexp_extract(input_file_name(),
-      "([cd]\\d{5}(?:/[^/]+=[^/]*)?/[^/]+)$", 1)
+      "((?:[cd]\\d{5}|a[0-9a-f]{12})(?:/[^/]+=[^/]*)?/[^/]+)$", 1)
 
   private def readDv(spark: SparkSession, path: String,
                      dvs: Seq[String]): DataFrame =
@@ -565,7 +619,8 @@ object VersionedTable {
     * old state is deleted, so a violating overwrite leaves the table
     * untouched.
     */
-  def init(df: DataFrame, path: String): Unit = {
+  def init(df: DataFrame, path: String,
+           clusterBy: Option[String] = None): Unit = {
     val cs = constraints(path)
     cs.foreach { case (name, e) =>
       val bad = df.where(coalesce(expr(e), lit(true)) === false)
@@ -577,14 +632,18 @@ object VersionedTable {
     }
     TableFs.deleteRecursive(path)
     val files = writeCommitData(df, path, 0)
-    writeManifest(path, 0, Manifest(files, Nil, Map.empty, None, Nil,
+    writeManifest(path, 0, Manifest(files, Nil,
+      clusterBy.map(c => footerZoneStats(path, files, c))
+        .getOrElse(Map.empty),
+      None, Nil,
       footerCounts(path, files),
       nullCounts = footerNullCounts(path, files)))
     if (cs.nonEmpty) writeConstraints(path, cs)
   }
 
   private def appendInternal(df: DataFrame, path: String,
-                             batch: Option[Long]): Unit = {
+                             batch: Option[Long],
+                             clusterBy: Option[String] = None): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
     validateConstraints(path, df)
@@ -592,7 +651,10 @@ object VersionedTable {
     val newFiles = writeCommitData(df, path, v + 1)
     writeManifest(path, v + 1, Manifest(
       prev.data ++ newFiles,
-      prev.dvs, prev.stats, batch, prev.blooms,
+      prev.dvs,
+      prev.stats ++ clusterBy.map(c =>
+        footerZoneStats(path, newFiles, c)).getOrElse(Map.empty),
+      batch, prev.blooms,
       prev.rowCounts ++ footerCounts(path, newFiles),
       None, prev.partCol, prev.partValues,
       prev.nullCounts ++ footerNullCounts(path, newFiles)))
@@ -600,11 +662,135 @@ object VersionedTable {
 
   /** Append-only commit: new files join the manifest; no existing file
     * is read or rewritten. Existing deletion vectors and clustering
-    * stats carry over (the new files simply have no stats — they are
-    * always read until the next [[compactClustered]]).
+    * stats carry over. With `clusterBy`, the NEW files' zone stats are
+    * recorded straight from their parquet footers at commit (no extra
+    * data scan) — a batch the writer range-distributed on that column
+    * (the DSv2 path under RequiresDistributionAndOrdering) lands
+    * band-prunable immediately, no OPTIMIZE needed. Without it the new
+    * files simply have no stats and always read until the next
+    * [[compactClustered]].
     */
-  def append(df: DataFrame, path: String): Unit =
-    appendInternal(df, path, None)
+  def append(df: DataFrame, path: String,
+             clusterBy: Option[String] = None): Unit =
+    appendInternal(df, path, None, clusterBy)
+
+  // ---------------------------------------------------------------- //
+  // optimistic concurrent appends (unique data dirs + commit rebase)
+
+  /** A fresh append-data directory name: UNIQUE per write attempt (not
+    * version-numbered like `cNNNNN`), so two concurrent appenders can
+    * never clobber each other's data files — only the manifest
+    * create-exclusive then arbitrates, and a pure append REBASES
+    * cleanly on whoever won.
+    */
+  private[graft] def newAppendDir(): String =
+    "a" + java.util.UUID.randomUUID().toString.replace("-", "")
+      .substring(0, 12)
+
+  /** Files a staged append directory holds, in manifest-relative form. */
+  private[graft] def listStagedFiles(path: String, dir: String): Seq[String] =
+    TableFs.listNames(s"$path/$dir")
+      .filter(_.endsWith(".parquet"))
+      .sorted
+      .map(n => s"$dir/$n")
+
+  /** Commit pre-staged append files with OPTIMISTIC RETRY (the Delta
+    * discipline for the one always-rebasable conflict class): read the
+    * latest manifest, attempt the create-exclusive write at latest+1;
+    * if another writer took that version, re-read and try again — a
+    * pure append conflicts with NOTHING (its files are disjoint by
+    * unique-dir construction and it removes none), so rebasing on any
+    * winner (append, OPTIMIZE, delete, merge) is always correct.
+    * CHECK constraints are validated on the staged rows BEFORE the
+    * first attempt. Returns the committed version. An empty table
+    * commits version 0.
+    */
+  def commitStagedAppend(path: String, staged: Seq[String],
+                         clusterBy: Option[String] = None,
+                         batch: Option[Long] = None,
+                         maxAttempts: Int = 20): Int = {
+    if (constraints(path).nonEmpty && staged.nonEmpty)
+      validateConstraints(path,
+        org.apache.spark.sql.SparkSession.active.read
+          .parquet(staged.map(r => absPath(path, r)): _*))
+    val zone = clusterBy.map(c => footerZoneStats(path, staged, c))
+      .getOrElse(Map.empty[String, Map[String, (Double, Double)]])
+    val rc = footerCounts(path, staged)
+    val nc = footerNullCounts(path, staged)
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(path)
+      val prev =
+        if (v >= 0) readManifest(path, v)
+        else Manifest(Nil, Nil, Map.empty, None)
+      try {
+        writeManifest(path, v + 1, Manifest(
+          prev.data ++ staged, prev.dvs, prev.stats ++ zone, batch,
+          prev.blooms, prev.rowCounts ++ rc, None, prev.partCol,
+          prev.partValues, prev.nullCounts ++ nc))
+        return v + 1
+      } catch {
+        case e: java.io.IOException =>
+          // collision iff the target manifest now exists — rebase and
+          // retry; any other I/O failure surfaces
+          attempt += 1
+          if (!TableFs.exists(manifestFile(path, v + 1)) ||
+            attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"append commit at $path failed after $attempt attempts", e)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Commit a pre-staged OVERWRITE: the table's history RESTARTS at
+    * version 0 holding exactly the staged files (the INSERT OVERWRITE
+    * / mode("overwrite") re-init contract), CHECK constraints survive
+    * and were already validated by the caller against the staged rows.
+    * Everything else under the table path — old commit dirs, old
+    * manifests — is deleted, EXCEPT the staging directory itself
+    * (manifest v0 references it in place; no rename on object stores).
+    */
+  def commitStagedOverwrite(path: String, dir: String,
+                            staged: Seq[String],
+                            clusterBy: Option[String] = None): Unit = {
+    val cs = constraints(path)
+    if (cs.nonEmpty && staged.nonEmpty)
+      validateConstraints(path,
+        org.apache.spark.sql.SparkSession.active.read
+          .parquet(staged.map(r => absPath(path, r)): _*))
+    TableFs.listNames(path).foreach { n =>
+      if (n != dir) TableFs.deleteRecursive(s"$path/$n")
+    }
+    writeManifest(path, 0, Manifest(staged, Nil,
+      clusterBy.map(c => footerZoneStats(path, staged, c))
+        .getOrElse(Map.empty),
+      None, Nil, footerCounts(path, staged),
+      nullCounts = footerNullCounts(path, staged)))
+    if (cs.nonEmpty) writeConstraints(path, cs)
+  }
+
+  /** Concurrency-safe append: data lands in a unique directory, then
+    * [[commitStagedAppend]] serializes racing appenders into
+    * consecutive versions — BOTH succeed, both rows visible (plain
+    * [[append]] keeps the simpler version-numbered layout and the
+    * single-maintenance-writer assumption). With `clusterBy` the batch
+    * is range-clustered before writing and its zone stats recorded.
+    */
+  def appendConcurrent(df: DataFrame, path: String,
+                       clusterBy: Option[String] = None): Int = {
+    require(latestVersion(path) >= 0,
+      s"no table at $path — call init first")
+    validateConstraints(path, df)
+    val dir = newAppendDir()
+    val out = clusterBy match {
+      case Some(c) =>
+        df.repartitionByRange(col(c)).sortWithinPartitions(c)
+      case None => df
+    }
+    out.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$dir")
+    commitStagedAppend(path, listStagedFiles(path, dir), clusterBy)
+  }
 
   /** Exactly-once streaming append (`foreachBatch` discipline): a
     * RE-DELIVERED batch id is a no-op, returning false. The batch id
@@ -1208,7 +1394,8 @@ object VersionedTable {
       }
     }
     var filesRemoved = 0
-    TableFs.listNames(path).filter(_.matches("[cdf]\\d{5}")).foreach { d =>
+    TableFs.listNames(path)
+      .filter(_.matches("[cdf]\\d{5}|a[0-9a-f]{12}")).foreach { d =>
       // flat layout + one level of __pv=value partition subdirs
       val rels = TableFs.listNames(s"$path/$d").flatMap { n =>
         if (n.endsWith(".parquet")) Seq(s"$d/$n")

@@ -249,5 +249,79 @@ object ExtensionQueries92 {
              |  CAST(1 AS BIGINT) AS dsv2_engaged
              |FROM ev
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q506: WRITE-SIDE CLUSTERING. df.write with clusterBy declares
+    // RequiresDistributionAndOrdering on a TRUE DSv2 batch write, so
+    // Catalyst range-partitions + sorts the batch before the files
+    // land, and the commit records each file's [min, max] straight
+    // from its parquet FOOTER (zero extra scan). Result: both the
+    // initial load AND a later append are band-prunable IMMEDIATELY —
+    // no OPTIMIZE between ingest and pruned serving (at 100 TB that
+    // deletes the second full pass every fresh corpus used to need).
+    // Pins: all files statted, band probe opens a strict fraction,
+    // the DSv2 SELECT's planned file count agrees.
+    Q(
+      "q506_write_side_clustering",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_wcluster$tag"
+        graft.io.FsUtil.deleteRecursively(path)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_id") % 100).as("bucket"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        ev.where(col("event_id") % 2 === 0)
+          .repartition(4) // deliberately scrambled input
+          .write.format("graft-versioned")
+          .option("clusterBy", "bucket")
+          .option("clusterPartitions", "6")
+          .mode("overwrite").save(path)
+        ev.where(col("event_id") % 2 === 1)
+          .repartition(4)
+          .write.format("graft-versioned")
+          .option("clusterBy", "bucket")
+          .option("clusterPartitions", "6")
+          .mode("append").save(path)
+        val v = VersionedTable.latestVersion(path)
+        val m = VersionedTable.readManifest(path, v)
+        val allStatted =
+          if (m.data.nonEmpty && m.data.forall(r =>
+            m.stats.get(r).exists(_.contains("bucket")))) 1L
+          else 0L
+        val (open, total) = VersionedTable.bandFiles(path, v, "bucket",
+          20, 40)
+        val pruned = if (open.length < total && open.nonEmpty) 1L else 0L
+        val q = s.read.format("graft-versioned").load(path)
+          .where(col("bucket") >= 20 && col("bucket") < 40)
+          .groupBy((col("bucket") % 4).as("g"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("s2"))
+        val planned = q.queryExecution.sparkPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec =>
+            b.scan.asInstanceOf[graft.sources.GraftVersionedFileScan]
+              .fileIndex.inputFiles.length
+        }.getOrElse(-1)
+        q.select(col("g"), col("n"), col("s2"),
+          lit(allStatted).as("all_statted"),
+          lit(pruned).as("band_pruned"),
+          lit(if (planned == open.length) 1L else 0L)
+            .as("plan_agrees"))
+          .orderBy("g")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_id % 100 AS bucket,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT bucket % 4 AS g, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS s2,
+             |  CAST(1 AS BIGINT) AS all_statted,
+             |  CAST(1 AS BIGINT) AS band_pruned,
+             |  CAST(1 AS BIGINT) AS plan_agrees
+             |FROM ev WHERE bucket >= 20 AND bucket < 40
+             |GROUP BY 1
+             |ORDER BY g""".stripMargin)))
 }

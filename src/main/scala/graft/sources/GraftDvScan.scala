@@ -119,7 +119,7 @@ object GraftDvAwareScan {
     * optional partition subdir + part file.
     */
   private[sources] val relRe =
-    "([cd]\\d{5}(?:/[^/]+=[^/]*)?/[^/]+)$".r
+    "((?:[cd]\\d{5}|a[0-9a-f]{12})(?:/[^/]+=[^/]*)?/[^/]+)$".r
 }
 
 /** One tombstoned file's splits, offset-ordered, plus its sorted

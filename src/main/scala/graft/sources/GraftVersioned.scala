@@ -231,16 +231,14 @@ class GraftVersionedTable(tableSchema: StructType,
 
   override def schema(): StructType = tableSchema
 
-  // BATCH_WRITE rides along with V1_BATCH_WRITE: DataFrameWriter's
-  // TableProvider path gates on the former even when the write itself
-  // is the V1 fallback (the physical planner then dispatches on the
-  // returned V1Write, never calling toBatch). MICRO_BATCH_READ routes
+  // All-V2 writes since r12 (V1_BATCH_WRITE forces EVERY write through
+  // the V1 fallback, which discards Catalyst-prepared distributions —
+  // the write-side clustering requirement). MICRO_BATCH_READ routes
   // readStream through the DSv2 GraftVersionedMicroBatchStream (with
   // admission control) instead of the legacy V1 Source.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** Catalog-resolved relations pass EMPTY scan options (the path
     * lives in the table's own options), path reads pass everything in
@@ -253,21 +251,30 @@ class GraftVersionedTable(tableSchema: StructType,
     new GraftVersionedScanBuilder(SparkSession.active, tableSchema, merged)
   }
 
-  /** WRITE path, via the V1 fallback (the Delta-on-Spark shape): the
-    * connector's job is the COMMIT protocol, not the file encoding, and
-    * `VersionedTable.append`/`init` already are the commit protocol —
-    * a distributed parquet write followed by one atomic manifest
-    * creation. So `df.write.format("graft-versioned").mode("append")`
-    * and SQL `INSERT INTO` mint a new manifest version (existing files
-    * untouched), `mode("overwrite")` / `INSERT OVERWRITE` re-inits.
-    * Snapshot isolation holds for free: concurrent readers pinned an
-    * older manifest and never see the in-flight commit.
+  /** WRITE path — a true DataSource V2 batch write (r12): data stages
+    * through Spark's own distributed parquet writer into a unique
+    * append directory, then ONE atomic manifest creation commits it
+    * (with optimistic rebase for racing appenders). So
+    * `df.write.format("graft-versioned").mode("append")` and SQL
+    * `INSERT INTO` mint a new manifest version (existing files
+    * untouched), `mode("overwrite")` / `INSERT OVERWRITE` restarts
+    * history at version 0. Snapshot isolation holds for free:
+    * concurrent readers pinned an older manifest and never see the
+    * in-flight commit. See [[GraftVersionedWriteBuilder]] for the
+    * write-side clustering contract.
     */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts =
+      if (info.options.containsKey("path")) info.options else tableOptions
     new GraftVersionedWriteBuilder(
-      GraftVersioned.tablePath(
-        if (info.options.containsKey("path")) info.options
-        else tableOptions))
+      GraftVersioned.tablePath(opts),
+      Option(info.options.get("clusterBy"))
+        .orElse(Option(tableOptions.get("clusterBy")))
+        .map(_.trim).filter(_.nonEmpty),
+      Option(info.options.get("clusterPartitions"))
+        .map(_.trim.toInt),
+      info)
+  }
 
   // ---- SQL DELETE, metadata path (SupportsDeleteV2) ---- //
   // A translatable DELETE condition routes here (Catalyst's
@@ -300,24 +307,131 @@ class GraftVersionedTable(tableSchema: StructType,
       GraftVersioned.tablePath(tableOptions), info)
 }
 
-class GraftVersionedWriteBuilder(path: String)
+/** The versioned table's write builder.
+  *
+  * APPEND is a true DataSource V2 batch write since r12: data stages
+  * through Spark's own distributed parquet writer into a UNIQUE
+  * append directory, and the commit is
+  * [[graft.ops.VersionedTable.commitStagedAppend]] — optimistic
+  * rebase-and-retry, so two racing appenders BOTH succeed in
+  * consecutive versions (unique dirs mean their data can never
+  * clobber; a pure append conflicts with nothing). With a `clusterBy`
+  * write/table option the Write declares
+  * `RequiresDistributionAndOrdering`: Catalyst prepends a
+  * range-repartition + within-partition sort on that column to the
+  * write query (the same `DistributionAndOrderingUtils` hook Iceberg
+  * uses) — every file lands single-banded and the commit records its
+  * [min, max] straight from the parquet footer, so appends are
+  * band-prunable IMMEDIATELY, no OPTIMIZE between ingest and pruned
+  * serving. `clusterPartitions` pins the output file count (default:
+  * Spark/AQE decides).
+  *
+  * OVERWRITE stages the same way and then commits a HISTORY RESTART
+  * ([[graft.ops.VersionedTable.commitStagedOverwrite]]): version 0
+  * holds exactly the staged files, CHECK constraints survive and gate
+  * the overwriting batch, old data dirs and manifests are reclaimed.
+  */
+class GraftVersionedWriteBuilder(path: String,
+                                 clusterBy: Option[String] = None,
+                                 clusterPartitions: Option[Int] = None,
+                                 info: LogicalWriteInfo = null)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): V1Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
-          val exists = graft.ops.VersionedTable.latestVersion(path) >= 0
-          if (overwrite || legacyOverwrite || !exists)
-            graft.ops.VersionedTable.init(data, path)
-          else
-            graft.ops.VersionedTable.append(data, path)
-        }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write
+        with org.apache.spark.sql.connector.write
+          .RequiresDistributionAndOrdering {
+
+      private def sortOrders = clusterBy.toArray.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING))
+
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        if (clusterBy.isEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+        else
+          org.apache.spark.sql.connector.distributions.Distributions
+            .ordered(sortOrders.map(s => s:
+              org.apache.spark.sql.connector.expressions.SortOrder))
+
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        sortOrders.map(s => s:
+          org.apache.spark.sql.connector.expressions.SortOrder)
+
+      override def requiredNumPartitions(): Int =
+        clusterPartitions.getOrElse(0)
+
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite = {
+        val spark = SparkSession.active
+        // first write to a fresh path creates the table (version 0)
+        val dir = graft.ops.VersionedTable.newAppendDir()
+        val staging = s"$path/$dir"
+        val delegate = new org.apache.spark.sql.execution.datasources
+          .v2.parquet.ParquetTable("graft_versioned_write",
+          spark, CaseInsensitiveStringMap.empty(), Seq(staging),
+          Some(info.schema()),
+          classOf[org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat])
+          .newWriteBuilder(info).build().toBatch
+        new GraftStagedAppendBatchWrite(delegate, path, dir, clusterBy,
+          overwrite)
       }
+    }
+}
+
+/** Job-commit wrapper for the staged V2 append: the delegate
+  * FileBatchWrite lands the files, then the manifest commit rebases
+  * onto whatever version is latest (optimistic concurrency). Abort
+  * removes the staged directory.
+  */
+class GraftStagedAppendBatchWrite(
+    delegate: org.apache.spark.sql.connector.write.BatchWrite,
+    path: String, dir: String, clusterBy: Option[String],
+    overwrite: Boolean = false)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    delegate.createBatchWriterFactory(info)
+
+  override def useCommitCoordinator(): Boolean =
+    delegate.useCommitCoordinator()
+
+  override def onDataWriterCommit(
+      message: org.apache.spark.sql.connector.write.WriterCommitMessage)
+      : Unit = delegate.onDataWriterCommit(message)
+
+  override def commit(
+      messages: Array[
+        org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    delegate.commit(messages)
+    val staged = graft.ops.VersionedTable.listStagedFiles(path, dir)
+    if (overwrite)
+      graft.ops.VersionedTable.commitStagedOverwrite(
+        path, dir, staged, clusterBy)
+    else
+      graft.ops.VersionedTable.commitStagedAppend(path, staged, clusterBy)
+  }
+
+  override def abort(
+      messages: Array[
+        org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    delegate.abort(messages)
+    graft.io.TableFs.deleteRecursive(s"$path/$dir")
   }
 }
 

@@ -76,6 +76,9 @@ class Extension89Spec extends SparkSpec {
     "overwriting batch (r11 ADVICE: init silently dropped them)") {
     import spark.implicits._
     val path = tmp("graft_constraint_overwrite_spec")
+    // constraints now SURVIVE overwrite, so a prior run's table must
+    // be fully removed, not just re-inited
+    graft.io.FsUtil.deleteRecursively(path)
     VersionedTable.init(Seq((1L, 5L)).toDF("id", "cents"), path)
     VersionedTable.addConstraint(spark, path, "nonneg", "cents >= 0")
     // violating overwrite: refused, table unchanged, constraint intact

@@ -655,4 +655,58 @@ class GraftVersionedSourceSpec extends SparkSpec {
     assert(scanClassOf(ok) == "GraftMetadataAggScan")
     assert(ok.head().getLong(0) == 20L)
   }
+
+  test("write-side clustering: df.write with clusterBy range-sorts the " +
+    "batch (RequiresDistributionAndOrdering) and records footer zone " +
+    "stats at commit — band-prunable with NO OPTIMIZE; plain appends " +
+    "stay unstatted and conservative") {
+    import spark.implicits._
+    val path = tmp("graft_writecluster_spec")
+    graft.io.FsUtil.deleteRecursively(path)
+    val df = (0L until 1000L).map(i => (i, i % 100, i * 3L))
+      .toDF("id", "bucket", "cents")
+    df.repartition(7) // deliberately scrambled input
+      .write.format("graft-versioned")
+      .option("clusterBy", "bucket")
+      .option("clusterPartitions", "5")
+      .mode("overwrite").save(path)
+    val v0 = VersionedTable.latestVersion(path)
+    val m = VersionedTable.readManifest(path, v0)
+    assert(m.data.length == 5, s"expected 5 files, got ${m.data.length}")
+    assert(m.data.forall(r => m.stats.get(r).exists(_.contains("bucket"))),
+      "every written file must carry footer zone stats")
+    // band probe opens a fraction immediately — no OPTIMIZE ran
+    val (open, total) = VersionedTable.bandFiles(path, v0, "bucket", 20, 40)
+    assert(total == 5 && open.length < 5 && open.nonEmpty,
+      s"write-side clustering not prunable: ${open.length} of $total")
+    // the DSv2 SELECT prunes too, rows exact
+    val t = spark.read.format("graft-versioned").load(path)
+    val banded = t.where(col("bucket") >= 20 && col("bucket") < 40)
+    assert(scanFiles(banded) < 5 && scanFiles(banded) >= 1)
+    assert(banded.count() ==
+      (0L until 1000L).count(i => i % 100 >= 20 && i % 100 < 40))
+    // clustered APPEND extends coverage: new files also get stats
+    Seq((5000L, 55L, 1L), (5001L, 85L, 2L)).toDF("id", "bucket", "cents")
+      .write.format("graft-versioned")
+      .option("clusterBy", "bucket")
+      .mode("append").save(path)
+    val v1 = VersionedTable.latestVersion(path)
+    val m1 = VersionedTable.readManifest(path, v1)
+    assert(m1.data.forall(r => m1.stats.get(r).exists(_.contains("bucket"))))
+    val (open2, total2) = VersionedTable.bandFiles(path, v1, "bucket", 0, 5)
+    assert(open2.length < total2,
+      s"clustered append broke pruning: ${open2.length} of $total2")
+    // a PLAIN append has no stats and always opens (conservative)
+    Seq((6000L, 7L, 1L)).toDF("id", "bucket", "cents")
+      .write.format("graft-versioned").mode("append").save(path)
+    val v2 = VersionedTable.latestVersion(path)
+    val (open3, total3) = VersionedTable.bandFiles(path, v2, "bucket", 90, 95)
+    assert(open3.exists(r =>
+      !VersionedTable.readManifest(path, v2).stats.contains(r)),
+      "unstatted plain-append file must open unconditionally")
+    assert(total3 == total2 + 1)
+    // rows exact across the mixed layouts
+    val all = spark.read.format("graft-versioned").load(path)
+    assert(all.count() == 1003)
+  }
 }
