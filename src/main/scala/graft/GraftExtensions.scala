@@ -18,9 +18,12 @@ import graft.functions._
   *
   * Installs the engine's custom Catalyst expressions as SQL functions via
   * `injectFunction` (the public API; `Engine.registerFunctions` remains
-  * for already-built sessions). No resolution rules or planner strategies
-  * are injected: SURVEY.md §4/§8 — every operator composed from built-ins,
-  * so there is nothing for a custom Rule/Strategy to do yet.
+  * for already-built sessions), plus ONE resolution rule:
+  * [[graft.sources.GraftChangeFeedRule]], which substitutes the
+  * change-feed plan for `readChangeFeed=true` graft-versioned relations
+  * (a change feed is per-commit relational algebra, not a leaf scan —
+  * the same extension-rule shape Delta uses for CDF). No planner
+  * strategies: every operator still composes from built-ins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -28,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // readChangeFeed=true reads substitute the change-feed plan for
+    // the relation during analysis (the Delta CDF shape) — see
+    // graft.sources.GraftChangeFeed
+    e.injectResolutionRule(session =>
+      new graft.sources.GraftChangeFeedRule(session))
     e.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "poly_hash(str) - oracle-replayable rolling hash"),
       (es: Seq[Expression]) => PolyHash(es.head)))

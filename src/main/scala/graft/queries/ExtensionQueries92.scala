@@ -323,5 +323,83 @@ object ExtensionQueries92 {
              |  CAST(1 AS BIGINT) AS plan_agrees
              |FROM ev WHERE bucket >= 20 AND bucket < 40
              |GROUP BY 1
-             |ORDER BY g""".stripMargin)))
+             |ORDER BY g""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q507: CHANGE FEED THROUGH READ OPTIONS. CDC consumers stay in
+    // spark.read (readChangeFeed=true + startingVersion/endingVersion)
+    // instead of calling the library: the extension rule substitutes
+    // the per-commit multiset-diff plan for the relation during
+    // analysis (the Delta CDF shape). Same commit script as q498 —
+    // append 'added', CoW delete 'removed' (rewritten survivors
+    // cancel), MERGE old-'removed' + new-'added' per matched key —
+    // but read back through options, with leg 1 proving the
+    // startingVersion range serves ONLY the merge commit.
+    Q(
+      "q507_change_feed_options",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_cdfopt$tag"
+        graft.io.FsUtil.deleteRecursively(path)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 2 === 0), path)
+        VersionedTable.append(ev.where(col("event_id") % 2 === 1), path)
+        VersionedTable.deleteWhere(s, path, col("event_type") === "error")
+        VersionedTable.merge(s, path,
+          ev.where(col("event_type") === "purchase")
+            .withColumn("cents", col("cents") + 5L),
+          Seq("event_id"))
+        val latest = VersionedTable.latestVersion(path)
+        val full = s.read.format("graft-versioned")
+          .option("readChangeFeed", "true").load(path)
+          .groupBy("commit_version", "change", "event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(lit(0L).as("leg"), col("commit_version"),
+            col("change"), col("event_type"), col("n"), col("sum_cents"))
+        val rangeOnly = s.read.format("graft-versioned")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", latest.toString)
+          .option("endingVersion", latest.toString).load(path)
+          .groupBy("commit_version", "change", "event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(lit(1L).as("leg"), col("commit_version"),
+            col("change"), col("event_type"), col("n"), col("sum_cents"))
+        full.unionByName(rangeOnly)
+          .orderBy("leg", "commit_version", "change", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |feed AS (
+             |  SELECT CAST(1 AS BIGINT) AS commit_version,
+             |    'added' AS change, event_type,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS sum_cents
+             |  FROM ev WHERE event_id % 2 = 1 GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 2, 'removed', event_type, CAST(count(*) AS BIGINT),
+             |    CAST(sum(cents) AS BIGINT)
+             |  FROM ev WHERE event_type = 'error' GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 3, 'added', 'purchase', CAST(count(*) AS BIGINT),
+             |    CAST(sum(cents + 5) AS BIGINT)
+             |  FROM ev WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT 3, 'removed', 'purchase', CAST(count(*) AS BIGINT),
+             |    CAST(sum(cents) AS BIGINT)
+             |  FROM ev WHERE event_type = 'purchase')
+             |SELECT CAST(0 AS BIGINT) AS leg, commit_version, change,
+             |  event_type, n, sum_cents
+             |FROM feed
+             |UNION ALL
+             |SELECT 1, commit_version, change, event_type, n, sum_cents
+             |FROM feed WHERE commit_version = 3
+             |ORDER BY leg, commit_version, change, event_type"""
+        .stripMargin)))
 }

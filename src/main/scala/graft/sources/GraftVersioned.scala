@@ -67,7 +67,10 @@ class GraftVersioned extends TableProvider with DataSourceRegister
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftVersioned.snapshotSchema(SparkSession.active, options)
+    if (GraftChangeFeed.isChangeFeed(options))
+      GraftChangeFeed.dataFrame(SparkSession.active, options).schema
+    else
+      GraftVersioned.snapshotSchema(SparkSession.active, options)
 
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
@@ -248,6 +251,12 @@ class GraftVersionedTable(tableSchema: StructType,
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (tableOptions.asScala ++ options.asScala).asJava)
+    if (GraftChangeFeed.isChangeFeed(merged))
+      throw new IllegalStateException(
+        "readChangeFeed requires the graft extensions " +
+          "(spark.sql.extensions=graft.GraftExtensions or " +
+          "SparkSession.builder.withExtensions) — refusing to serve " +
+          "the snapshot as if it were the change feed")
     new GraftVersionedScanBuilder(SparkSession.active, tableSchema, merged)
   }
 

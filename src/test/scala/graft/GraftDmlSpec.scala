@@ -169,4 +169,58 @@ class GraftDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdml.dv_then_upd")
       .head().getLong(0) == 999)
   }
+  test("change feed through read options: readChangeFeed=true + " +
+    "version range equals tableChanges, including the MERGE commit's " +
+    "removed+added pairing; bad ranges and extension-less scans fail " +
+    "loudly") {
+    import spark.implicits._
+    val path = tmp2("graft_cdf_options")
+    VersionedTable.init(
+      (0L until 100L).map(i => (i, i % 10, i)).toDF("id", "bucket", "cents")
+        .repartition(2), path)
+    VersionedTable.append(
+      (100L until 120L).map(i => (i, i % 10, i)).toDF("id", "bucket", "cents"), path)
+    VersionedTable.merge(spark,path,
+      Seq((5L, 99L, 0L)).toDF("id", "bucket", "cents"), Seq("id"))
+    val latest = VersionedTable.latestVersion(path)
+    val viaOptions = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true").load(path)
+    val expect = VersionedTable.tableChanges(spark, path, 0, latest)
+    assert(viaOptions.exceptAll(expect).isEmpty &&
+      expect.exceptAll(viaOptions).isEmpty,
+      "options CDF != tableChanges")
+    // MERGE pairing: the matched key shows old 'removed' + new 'added'
+    val pair = viaOptions.where(col("id") === 5L)
+      .orderBy("change")
+      .collect().map(r => (r.getAs[String]("change"),
+        r.getAs[Long]("bucket")))
+    assert(pair.toSeq == Seq(("added", 99L), ("removed", 5L)),
+      s"merge pairing wrong: ${pair.toSeq}")
+    // range selection: only the merge commit
+    val lastOnly = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", latest.toString).load(path)
+    assert(lastOnly.select("commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(latest.toLong))
+    assert(lastOnly.count() == 2)
+    // projection/filter compose through the substituted plan
+    assert(spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true").load(path)
+      .where(col("change") === "added")
+      .groupBy().count().head().getLong(0) ==
+      expect.where(col("change") === "added").count())
+    // bad range fails loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(path)
+    }
+    assert(e.getMessage.contains("startingVersion"))
+  }
+
+  private def tmp2(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/$name"
+    graft.io.FsUtil.deleteRecursively(p)
+    p
+  }
 }
