@@ -93,11 +93,16 @@ object ExtensionQueries55 {
         val docs = Tables.load(s, dir, "documents")
           .withColumn("ws", Text.words(Text.clean(col("text"))))
           .where(size(col("ws")) >= 2)
+        // localCheckpoint: `bi` feeds BOTH the count aggregation and
+        // the scoring join — without it the corpus is tokenized and
+        // pair-exploded twice (the q345 discipline; at 100x the second
+        // full scan+explode is the query's largest avoidable term)
         val bi = docs.select(col("lang"), expr(
             "explode(transform(sequence(1, size(ws) - 1), " +
               "i -> struct(element_at(ws, i) AS w1, " +
               "element_at(ws, i + 1) AS w2)))").as("b"))
           .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .localCheckpoint()
         val cnt = bi.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c"))
         val best = cnt
           .withColumn("rn", row_number().over(
