@@ -262,6 +262,25 @@ object VersionedTable {
       .sortBy(_._1)
   }
 
+  /** Commit-data write into a UNIQUE (non-version-numbered) directory —
+    * for the copy-on-write REWRITE paths (delete/merge/CDC), which can
+    * race other writers: with version-coupled dirs a losing racer's
+    * `SaveMode.Overwrite` could clobber files the winner's manifest
+    * already references BEFORE the loser even reaches its (failing)
+    * manifest write. Unique dirs make data writes conflict-free; the
+    * manifest create stays the only arbitration point. A crashed
+    * attempt leaves an orphan dir that vacuum reclaims (unreferenced).
+    */
+  private def writeCommitDataUnique(df: DataFrame,
+                                    path: String): Seq[String] = {
+    val sub = newAppendDir()
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
+    TableFs.listNames(s"$path/$sub")
+      .filter(_.endsWith(".parquet"))
+      .sorted
+      .map(n => s"$sub/$n")
+  }
+
   /** Per-file row counts from the parquet FOOTERS — metadata only, no
     * data pages read; one cheap driver-side footer open per NEW file
     * per commit. These feed the manifest's `rc` lines, which let a
@@ -874,12 +893,12 @@ object VersionedTable {
     val carried = m.data.filterNot(affected.contains)
     val rewritten =
       if (affected.isEmpty) Seq.empty[String]
-      else writeCommitData(
+      else writeCommitDataUnique(
         // keep every live row where pred is not TRUE — `!pred` alone
         // would also drop pred-NULL rows, which the probe never selected
         readFiles(spark, path, affected, m.dvs)
           .where(coalesce(pred, lit(false)) === false),
-        path, v + 1)
+        path)
     // DV refs carry over: entries naming rewritten files dangle
     // harmlessly (the new file names never match); entries naming
     // carried files still apply. Stats for rewritten files drop.
@@ -949,15 +968,17 @@ object VersionedTable {
         s"version $baseVersion but the table is now at v$v — aborting " +
         "the commit (re-run the statement)")
     val m = readManifest(path, v)
-    require(m.dvs.isEmpty,
-      s"row-level rewrite at $path: snapshot carries deletion vectors")
+    // deletion vectors carry over: the scan read the replaced files
+    // UNDER their tombstones (GraftDvAwareScan), so entries naming
+    // replaced files dangle harmlessly and entries naming carried
+    // files still apply — the deleteWhere discipline
     val replacedSet = replaced.toSet
     val unknown = replacedSet -- m.data.toSet
     require(unknown.isEmpty,
       s"row-level rewrite at $path names files not in v$v: $unknown")
     val carried = m.data.filterNot(replacedSet.contains)
     writeManifest(path, v + 1, Manifest(
-      carried ++ staged, Nil,
+      carried ++ staged, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
         footerCounts(path, staged),
@@ -1023,9 +1044,9 @@ object VersionedTable {
     // allowMissingColumns: an update batch may CARRY a new column
     // (schema evolution through MERGE) or lack a recently-added one —
     // either side null-fills
-    val rewritten = writeCommitData(
+    val rewritten = writeCommitDataUnique(
       survivors.unionByName(updates, allowMissingColumns = true),
-      path, v + 1)
+      path)
     writeManifest(path, v + 1, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
@@ -1091,9 +1112,9 @@ object VersionedTable {
       else readFiles(spark, path, affected, m.dvs)
         .join(keys, keyCols, "left_anti")
     val upserts = batch.where(col(opCol) === 1).drop(opCol)
-    val rewritten = writeCommitData(
+    val rewritten = writeCommitDataUnique(
       survivors.unionByName(upserts, allowMissingColumns = true),
-      path, v + 1)
+      path)
     writeManifest(path, v + 1, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, batchId,

@@ -42,7 +42,11 @@ import graft.ops.VersionedTable
   * group to SURVIVE into the replacement, so pushed filters may only
   * eliminate whole groups (files), never rows — row-group or page
   * skipping inside a kept file would silently drop live rows. The
-  * rewritten query's own condition handles row semantics.
+  * rewritten query's own condition handles row semantics. DV-carrying
+  * snapshots read through the merge-on-read scan (tombstones applied,
+  * so the rewrite cannot resurrect deleted rows) and the commit
+  * carries the vectors for unscanned files — SQL DELETE-then-UPDATE
+  * composes with no OPTIMIZE in between.
   *
   * Scale: the condition's selectivity maps to files touched, not rows
   * scanned twice — a banded `UPDATE ... WHERE day = X` on a clustered
@@ -147,10 +151,6 @@ class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
     val v = VersionedTable.latestVersion(path)
     require(v >= 0, s"no graft-versioned table at $path")
     val m = VersionedTable.readManifest(path, v)
-    require(m.dvs.isEmpty,
-      s"row-level SQL DML at $path v$v: snapshot carries deletion " +
-        "vectors — OPTIMIZE (compact) first (a group rewrite of a " +
-        "DV'd file would resurrect its deleted rows)")
     val keep = GraftVersioned.consultManifest(spark, path, v, m,
       groupFilters.toSeq)
     op.scannedVersion = v
@@ -167,11 +167,27 @@ class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
       index, schema, schema, new StructType(),
       Array.empty, // NO row filters: unmodified rows must survive
       CaseInsensitiveStringMap.empty())
-    val exactRows =
-      if (keep.forall(m.rowCounts.contains))
-        Some(keep.map(m.rowCounts).sum)
-      else None
-    new GraftVersionedFileScan(parquet, exactRows)
+    if (m.dvs.isEmpty) {
+      val exactRows =
+        if (keep.forall(m.rowCounts.contains))
+          Some(keep.map(m.rowCounts).sum)
+        else None
+      new GraftVersionedFileScan(parquet, exactRows)
+    } else {
+      // DV-carrying snapshot: the group rewrite must read files UNDER
+      // their tombstones (a bare scan would resurrect deleted rows
+      // into the replacement) — the same merge-on-read scan the
+      // SELECT path uses; commitReplace then carries the vectors for
+      // unscanned files (entries naming replaced files dangle
+      // harmlessly — new file names never match)
+      val dvByFile = GraftVersioned.loadDvMap(spark, path, v, m, keep)
+      val exactRows =
+        if (keep.forall(m.rowCounts.contains))
+          Some(keep.map(m.rowCounts).sum -
+            dvByFile.values.map(_.length.toLong).sum)
+        else None
+      new GraftDvAwareScan(parquet, exactRows, dvByFile)
+    }
   }
 }
 
@@ -183,11 +199,12 @@ class GraftRowLevelWriteBuilder(op: GraftRowLevelOperation,
       val spark = SparkSession.active
       require(op.scannedVersion >= 0,
         "row-level write built before its scan — no snapshot pinned")
-      val commit = op.scannedVersion + 1
-      val staging = f"${op.path}/c$commit%05d"
-      // a crashed prior attempt may have left an orphan commit dir;
-      // the manifest is the commit point, so clearing it is safe
-      graft.io.TableFs.deleteRecursive(staging)
+      // UNIQUE staging dir (never version-coupled): a racing writer's
+      // data can't clobber committed files; the manifest swap stays
+      // the only arbitration point, and a crashed attempt's orphan is
+      // vacuum-reclaimed
+      val dir = VersionedTable.newAppendDir()
+      val staging = s"${op.path}/$dir"
       // Spark's own DSv2 parquet write stack does the distributed file
       // writing (task commit protocol, speculation-safe); this wrapper
       // only adds the manifest swap at job commit
@@ -197,7 +214,7 @@ class GraftRowLevelWriteBuilder(op: GraftRowLevelOperation,
         classOf[org.apache.spark.sql.execution.datasources.parquet
           .ParquetFileFormat])
         .newWriteBuilder(info).build().toBatch
-      new GraftReplaceDataBatchWrite(delegate, op, commit, info.schema())
+      new GraftReplaceDataBatchWrite(delegate, op, dir, info.schema())
     }
   }
 }
@@ -211,7 +228,7 @@ class GraftRowLevelWriteBuilder(op: GraftRowLevelOperation,
   */
 class GraftReplaceDataBatchWrite(delegate: BatchWrite,
                                  op: GraftRowLevelOperation,
-                                 commit: Int,
+                                 stagingDir: String,
                                  dataSchema: StructType) extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -228,7 +245,7 @@ class GraftReplaceDataBatchWrite(delegate: BatchWrite,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     delegate.commit(messages)
     val spark = SparkSession.active
-    val staged = VersionedTable.listCommitFiles(op.path, commit)
+    val staged = VersionedTable.listStagedFiles(op.path, stagingDir)
     if (staged.nonEmpty)
       VersionedTable.validateAgainstConstraints(op.path,
         spark.read.parquet(staged.map(r =>
@@ -239,7 +256,7 @@ class GraftReplaceDataBatchWrite(delegate: BatchWrite,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     delegate.abort(messages)
-    graft.io.TableFs.deleteRecursive(f"${op.path}/c$commit%05d")
+    graft.io.TableFs.deleteRecursive(s"${op.path}/$stagingDir")
   }
 }
 

@@ -188,6 +188,30 @@ object GraftVersioned {
       case _ => Nil
     }
 
+  /** Per-file deletion-vector positions for the kept files, loaded
+    * driver-side with a fail-loud cap — shared by the merge-on-read
+    * SELECT scan and the DV-aware row-level scan.
+    */
+  private[sources] def loadDvMap(
+      spark: SparkSession, path: String, version: Int,
+      m: VersionedTable.Manifest,
+      kept: Seq[String]): Map[String, Array[Long]] = {
+    val dvRows = spark.read
+      .parquet(m.dvs.map(r => VersionedTable.absPath(path, r)): _*)
+      .select("file", "pos")
+      .limit(dvServeCap + 1).collect()
+    require(dvRows.length <= dvServeCap,
+      s"graft-versioned scan of $path v$version: deletion vector " +
+        s"exceeds $dvServeCap tombstones — OPTIMIZE (compact) first, " +
+        "or read via VersionedTable.read")
+    val keptSet = kept.toSet
+    dvRows.toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (f, _) => keptSet.contains(f) }
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.toArray).toMap
+  }
+
   /** Manifest consultation shared by the SELECT scan and the row-level
     * (UPDATE/MERGE/DELETE-rewrite) scan: drop every data file whose
     * recorded stats bands cannot intersect the pushed bounds (ALL
@@ -849,20 +873,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     // filters are residuals) and row-based reads. Bounded, fail-loud
     // driver materialization of the vector, like every manifest probe.
     if (m.dvs.nonEmpty) {
-      val dvRows = spark.read
-        .parquet(m.dvs.map(r => VersionedTable.absPath(path, r)): _*)
-        .select("file", "pos")
-        .limit(GraftVersioned.dvServeCap + 1).collect()
-      require(dvRows.length <= GraftVersioned.dvServeCap,
-        s"graft-versioned scan of $path v$version: deletion vector " +
-          s"exceeds ${GraftVersioned.dvServeCap} tombstones — OPTIMIZE " +
-          "(compact) first, or read via VersionedTable.read")
-      val orderedSet = ordered.toSet
-      val dvByFile = dvRows.toSeq
-        .map(r => (r.getString(0), r.getLong(1)))
-        .filter { case (f, _) => orderedSet.contains(f) }
-        .groupBy(_._1).view
-        .mapValues(_.map(_._2).distinct.sorted.toArray).toMap
+      val dvByFile = GraftVersioned.loadDvMap(
+        spark, path, version, m, ordered)
       val bare = ParquetScan(spark,
         spark.sessionState.newHadoopConfWithOptions(
           options.asScala.toMap),

@@ -63,10 +63,10 @@ class Extension88Spec extends SparkSpec {
     val withDv = VersionedTable.read(spark, path).count()
     assert(withDv == 270)
     VersionedTable.deleteWhere(spark, path, col("id") < 150) // v4: bad
-    val dirsBefore = TableFs.listNames(path).filter(_.matches("c\\d{5}"))
+    val dirsBefore = TableFs.listNames(path).filter(_.matches("c\\d{5}|a[0-9a-f]{12}"))
     VersionedTable.restore(path, 3) // v5 == v3
     // no new commit directory appeared
-    assert(TableFs.listNames(path).filter(_.matches("c\\d{5}"))
+    assert(TableFs.listNames(path).filter(_.matches("c\\d{5}|a[0-9a-f]{12}"))
       == dirsBefore)
     assert(VersionedTable.latestVersion(path) == 5)
     // restored state == v3 exactly, DV still applied
@@ -97,14 +97,14 @@ class Extension88Spec extends SparkSpec {
     TableFs.deleteRecursive(dst2)
     VersionedTable.cloneTable(src, dst)
     // zero-copy: no local commit dirs in the clone
-    assert(!TableFs.listNames(dst).exists(_.matches("c\\d{5}")))
+    assert(!TableFs.listNames(dst).exists(_.matches("c\\d{5}|a[0-9a-f]{12}")))
     assert(VersionedTable.read(spark, dst).count() == 300)
     // manifest row counts carried → metadata count works on the clone
     assert(VersionedTable.metadataCount(dst, 0).contains(300L))
     // CoW delete on the clone rewrites INTO the clone
     val srcBytes = TableFs.listNames(s"$src/c00000")
     VersionedTable.deleteWhere(spark, dst, col("b") === 0)
-    assert(TableFs.listNames(dst).exists(_.matches("c\\d{5}")),
+    assert(TableFs.listNames(dst).exists(_.matches("c\\d{5}|a[0-9a-f]{12}")),
       "clone CoW did not write locally")
     assert(TableFs.listNames(s"$src/c00000") == srcBytes,
       "clone CoW touched the source commit dir")

@@ -153,21 +153,38 @@ class GraftDmlSpec extends SparkSpec {
       .head().getLong(0) == 1001)
   }
 
-  test("row-level DML refuses a DV-carrying snapshot loudly (a group " +
-    "rewrite would resurrect deleted rows) and works after OPTIMIZE") {
+  test("SQL DML composes across engine paths: UPDATE after a DV " +
+    "DELETE reads through the merge-on-read scan (no resurrection, no " +
+    "OPTIMIZE needed), carries the vectors for unscanned files, and " +
+    "the deleted row stays gone") {
     val path = freshTable("dv_then_upd")
     spark.sql("DELETE FROM gdml.dv_then_upd WHERE id = 1") // DV commit
-    val e = intercept[Exception] {
-      spark.sql("UPDATE gdml.dv_then_upd SET cents = 0 WHERE id = 2")
-    }
-    assert(e.getMessage.contains("deletion vector") ||
-      Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
-    VersionedTable.compact(spark, path, 4) // folds the DV in
+    // group-based UPDATE straight on the DV snapshot: the row-level
+    // scan applies the tombstones, so the rewrite cannot resurrect
     spark.sql("UPDATE gdml.dv_then_upd SET cents = 0 WHERE id = 2")
     assert(spark.sql("SELECT cents FROM gdml.dv_then_upd WHERE id = 2")
       .head().getLong(0) == 0L)
     assert(spark.sql("SELECT count(*) FROM gdml.dv_then_upd")
       .head().getLong(0) == 999)
+    assert(spark.sql("SELECT count(*) FROM gdml.dv_then_upd WHERE id = 1")
+      .head().getLong(0) == 0, "DV'd row resurrected by the rewrite")
+    // a second DV delete then MERGE also composes
+    spark.sql("DELETE FROM gdml.dv_then_upd WHERE id = 3")
+    import spark.implicits._
+    Seq((4L, 777L)).toDF("id", "nc")
+      .createOrReplaceTempView("dv_merge_src")
+    spark.sql(
+      """MERGE INTO gdml.dv_then_upd t USING dv_merge_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET cents = s.nc
+        |""".stripMargin)
+    assert(spark.sql("SELECT cents FROM gdml.dv_then_upd WHERE id = 4")
+      .head().getLong(0) == 777L)
+    assert(spark.sql("SELECT count(*) FROM gdml.dv_then_upd")
+      .head().getLong(0) == 998)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdml.dv_then_upd WHERE id IN (1, 3)")
+      .head().getLong(0) == 0)
   }
   test("change feed through read options: readChangeFeed=true + " +
     "version range equals tableChanges, including the MERGE commit's " +
