@@ -401,5 +401,88 @@ object ExtensionQueries92 {
              |SELECT 1, commit_version, change, event_type, n, sum_cents
              |FROM feed WHERE commit_version = 3
              |ORDER BY leg, commit_version, change, event_type"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q508: OPTIMISTIC CONCURRENT APPENDS. Two appenders race from the
+    // same base version: data lands in UNIQUE directories (never
+    // version-coupled — no clobber is possible by construction), the
+    // manifest commit is an atomic no-overwrite rename, and the loser
+    // REBASES onto the winner — both succeed, serialized into
+    // consecutive versions (the Delta retry discipline for the one
+    // always-safe conflict class; at 100 TB this is "ingest pipelines
+    // don't take a table lock"). SQL TRUNCATE then proves the DV
+    // metadata path one more way: all rows gone, zero data files
+    // written, and VERSION AS OF still serves the pre-truncate state.
+    Q(
+      "q508_concurrent_appends",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_concwh$tag"
+        val cat = s"gconc$tag"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val path = s"$wh/t508"
+        graft.io.FsUtil.deleteRecursively(path)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 3 === 0), path)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val bothCommitted =
+          try {
+            val futures = Seq(1, 2).map { slice =>
+              pool.submit(new java.util.concurrent.Callable[Int] {
+                override def call(): Int = {
+                  gate.await()
+                  VersionedTable.appendConcurrent(
+                    ev.where(col("event_id") % 3 === slice), path)
+                }
+              })
+            }
+            gate.countDown()
+            val versions = futures
+              .map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+              .sorted
+            if (versions == Seq(1, 2)) 1L else 0L
+          } finally pool.shutdownNow()
+        val preTruncate = VersionedTable.latestVersion(path)
+        val full = VersionedTable.read(s, path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(lit(0L).as("leg"), col("event_type"), col("n"),
+            col("sum_cents"))
+        s.sql(s"TRUNCATE TABLE $cat.t508")
+        val mAfter = VersionedTable.readManifest(path,
+          VersionedTable.latestVersion(path))
+        val truncDv =
+          if (mAfter.dvs.nonEmpty &&
+            mAfter.data == VersionedTable.manifestFiles(path, preTruncate) &&
+            s.sql(s"SELECT count(*) FROM $cat.t508").head().getLong(0) == 0L)
+            1L
+          else 0L
+        val preImage = s.sql(
+          s"SELECT count(*) FROM $cat.t508 VERSION AS OF $preTruncate")
+          .head().getLong(0)
+        full
+          .withColumn("both_committed", lit(bothCommitted))
+          .withColumn("truncate_dv", lit(truncDv))
+          .withColumn("pre_image_rows", lit(preImage))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(0 AS BIGINT) AS leg, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS both_committed,
+             |  CAST(1 AS BIGINT) AS truncate_dv,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS pre_image_rows
+             |FROM ev
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)))
 }

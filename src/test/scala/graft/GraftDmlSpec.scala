@@ -240,4 +240,25 @@ class GraftDmlSpec extends SparkSpec {
     graft.io.FsUtil.deleteRecursively(p)
     p
   }
+  test("SQL TRUNCATE TABLE routes through the deletion-vector path: " +
+    "all rows gone, zero data files written, history intact") {
+    val path = freshTable("trunc_t")
+    val v0 = VersionedTable.latestVersion(path)
+    val filesBefore = VersionedTable.manifestFiles(path, v0)
+    spark.sql("TRUNCATE TABLE gdml.trunc_t")
+    val v1 = VersionedTable.latestVersion(path)
+    assert(v1 == v0 + 1)
+    val m = VersionedTable.readManifest(path, v1)
+    assert(m.data == filesBefore && m.dvs.nonEmpty,
+      "TRUNCATE must be a DV commit, not a rewrite")
+    assert(spark.sql("SELECT count(*) FROM gdml.trunc_t")
+      .head().getLong(0) == 0)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdml.trunc_t VERSION AS OF $v0")
+      .head().getLong(0) == 1000)
+    // the table accepts inserts again
+    spark.sql("INSERT INTO gdml.trunc_t VALUES (7, 7, 7)")
+    assert(spark.sql("SELECT count(*) FROM gdml.trunc_t")
+      .head().getLong(0) == 1)
+  }
 }
