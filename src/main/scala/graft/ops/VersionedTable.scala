@@ -996,17 +996,6 @@ object VersionedTable {
   def validateAgainstConstraints(path: String, df: DataFrame): Unit =
     validateConstraints(path, df)
 
-  /** The relative paths a new commit directory holds, in manifest
-    * form — for external writers staging commit `n` data themselves.
-    */
-  def listCommitFiles(path: String, commit: Int): Seq[String] = {
-    val sub = f"c$commit%05d"
-    TableFs.listNames(s"$path/$sub")
-      .filter(_.endsWith(".parquet"))
-      .sorted
-      .map(n => s"$sub/$n")
-  }
-
   // ---------------------------------------------------------------- //
   // MERGE (upsert)
 
