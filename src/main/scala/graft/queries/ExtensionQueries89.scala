@@ -254,6 +254,9 @@ object ExtensionQueries89 {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
         val path =
           s"${System.getProperty("java.io.tmpdir")}/graft_check$tag"
+        // full removal, not just re-init: constraints SURVIVE overwrite
+        // since r12, so a prior run's table would refuse the re-add
+        graft.io.FsUtil.deleteRecursively(path)
         val ev = Tables.load(s, dir, "events")
           .select(col("event_id"), col("event_type"),
             abs(floor(col("value") * 100 + 0.5)).cast("long").as("cents"))

@@ -8,8 +8,16 @@ import org.apache.spark.sql.types.StructType
 
 import graft.ops.VersionedTable
 
-/** Streaming SOURCE over a [[graft.ops.VersionedTable]] — the missing
-  * half of the round-11 streaming story: q477/q485 stream INTO the
+/** LEGACY V1 streaming SOURCE over a [[graft.ops.VersionedTable]] —
+  * superseded in r12 by the DataSource V2
+  * [[GraftVersionedMicroBatchStream]] (public connector API + admission
+  * control), which `readStream` now selects via the table's
+  * MICRO_BATCH_READ capability; this class remains as the documented
+  * V1 shape and for explicit `StreamSourceProvider` consumers. Offsets
+  * and semantics are identical (the wire form of the offset json is
+  * shared), so checkpoints are interchangeable.
+  *
+  * Original r11 role: q477/q485 stream INTO the
   * table exactly-once; this streams OUT of it, turning every committed
   * manifest version into micro-batch input
   * (`spark.readStream.format("graft-versioned").load(path)`).
