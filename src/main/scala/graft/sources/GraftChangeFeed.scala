@@ -76,7 +76,18 @@ object GraftChangeFeed {
 class GraftChangeFeedRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  private def isCdfRelation(p: LogicalPlan): Boolean = p match {
+    case r: DataSourceV2Relation =>
+      r.table.isInstanceOf[GraftVersionedTable] &&
+        GraftChangeFeed.isChangeFeed(r.options)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fast bail: resolveOperatorsUp pays per-node bookkeeping on EVERY
+    // analysis iteration of EVERY query in the session — a plain
+    // existence fold first keeps the no-CDF cost at a tree walk
+    if (!plan.exists(isCdfRelation)) return plan
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
         if r.table.isInstanceOf[GraftVersionedTable] &&
@@ -94,4 +105,5 @@ class GraftChangeFeedRule(spark: SparkSession)
           Alias(src, o.name)(exprId = o.exprId)
         }, child)
     }
+  }
 }
