@@ -91,7 +91,7 @@ object PlanSnapshots {
         .replaceAll("graft_plansnap_[a-z]+\\d*", "graft_plansnap_*")
         // part-file names embed write-task UUIDs that the Location
         // string may truncate mid-UUID — normalize the whole tail
-        .replaceAll("part-\\d{5}-[0-9a-f.*-]*", "part-*")
+        .replaceAll("part-\\d{5}(-[0-9a-f.*-]*|\\.\\.\\.)", "part-*")
       Files.writeString(Paths.get(s"$outDir/$name.txt"), stable)
       println(s"PLAN_SNAPSHOT $outDir/$name.txt")
     }
