@@ -616,9 +616,12 @@ object ExtensionQueries26 {
         val cnt = bi.groupBy("w1", "w2")
           .agg(count(lit(1)).cast("double").as("c12"))
           .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
-          .withColumn("vv", size(collect_set("w2").over(Window.partitionBy()))
-            .cast("double"))
-        val scored = bi.join(broadcast(cnt), Seq("w1", "w2"))
+        // scalar vocab count as a 1-row broadcast cross join; no
+        // broadcast hint on the corpus-growing bigram-count frame and
+        // no single-partition window — see q110 for the full rationale
+        val vv = cnt.agg(countDistinct("w2").cast("double").as("vv"))
+        val scored = bi.join(cnt, Seq("w1", "w2"))
+          .crossJoin(broadcast(vv))
           .groupBy("doc_id", "lang")
           .agg(floor(avg(-log((col("c12") + 1.0) /
             (col("c1") + col("vv")))) * lit(1000000.0) + lit(0.5))

@@ -613,9 +613,15 @@ object ExtensionQueries3 {
           .agg(count(lit(1)).cast("double").as("c12"))
           .withColumn("c1",
             sum("c12").over(Window.partitionBy("w1")))
-          .withColumn("vv", size(collect_set("w2").over(Window.partitionBy()))
-            .cast("double"))
-        bi.join(broadcast(cnt), Seq("w1", "w2"))
+        // vocabulary size as a SCALAR agg cross-joined as a 1-row
+        // broadcast — NOT a no-partition window (which funnels the
+        // whole distinct-bigram frame into one partition) and NOT a
+        // broadcast() hint on `cnt` (distinct bigrams grow with the
+        // corpus — Heaps' law — so a forced broadcast is an OOM at
+        // 100 TB; AQE decides the bigram join). The r12 verdict's
+        // q110/q235 item; q359 is the scale-safe exemplar.
+        val vv = cnt.agg(countDistinct("w2").cast("double").as("vv"))
+        bi.join(cnt, Seq("w1", "w2")).crossJoin(broadcast(vv))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_bigrams"),
             Rounding.stableRound6(

@@ -400,10 +400,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
-  test("q235: the bigram count table meets the token stream via broadcast") {
-    val p = planOf("q235_perplexity_buckets")
-    assert(p.contains("BroadcastHashJoin"),
-      s"bigram LM join not broadcast:\n${p.take(600)}")
+  // the r12 verdict's bigram-LM scale pin: distinct bigrams grow with
+  // the corpus (Heaps' law), so the count frame may NOT carry a
+  // broadcast hint (size-based/AQE planning stays free to broadcast at
+  // tiny SF — that's legitimate; the HINT is the 100 TB OOM) and no
+  // window may funnel it into a single partition. The only allowed
+  // hint is the 1-row scalar vocab-count cross join.
+  private def assertBigramScaleShape(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    val hints = df.queryExecution.optimizedPlan.toString
+      .linesIterator.count(_.contains("strategy=broadcast"))
+    assert(hints <= 1,
+      s"$name: ${hints} broadcast hints — the corpus-growing " +
+        "bigram-count frame must be AQE-decided, only the 1-row vocab " +
+        "scalar may be hinted")
+    val p = planOf(name)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"scalar vocab count not a 1-row broadcast cross join:\n${p.take(600)}")
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+      s"single-partition window in the plan:\n${p.take(600)}")
+  }
+
+  test("q235: no broadcast hint on the corpus-growing bigram-count " +
+    "frame and no single-partition window (r12 verdict)") {
+    assertBigramScaleShape("q235_perplexity_buckets")
+  }
+
+  test("q110: no broadcast hint on the bigram-count frame and no " +
+    "single-partition window (r12 verdict)") {
+    assertBigramScaleShape("q110_bigram_logprob")
   }
 
   test("q236: the top-100 token frame plans as TakeOrderedAndProject") {
