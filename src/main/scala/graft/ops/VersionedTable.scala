@@ -119,10 +119,52 @@ object VersionedTable {
       .map(_.slice(1, 6).toInt)
       .foldLeft(-1)(math.max)
 
-  def readManifest(path: String, v: Int): Manifest = {
+  // ---------------------------------------------------------------- //
+  // DELTA-LOG manifests (r12 verdict #1): a commit writes either a
+  // CHECKPOINT (the full snapshot — the pre-r13 format, so every
+  // existing manifest parses unchanged) or a DELTA — only the commit's
+  // add/remove actions plus metadata for the ADDED files. Cost of a
+  // commit is then O(delta), not O(table-files): appending one file to
+  // a million-file table writes a few lines, not a million. Reads fold
+  // the nearest checkpoint at-or-below `v` forward through the delta
+  // tail; [[checkpointInterval]] bounds the fold depth (every Nth
+  // version checkpoints), whole-snapshot verbs (init/OPTIMIZE/
+  // overwrite) checkpoint naturally via the size heuristic, and
+  // [[vacuum]] materializes the earliest kept version into a
+  // checkpoint before dropping its ancestors so the kept tail keeps
+  // folding.
+  //
+  // Delta file format: first line `#delta`, then
+  //   `#ts=` / `#batch=`       this commit's tags (not inherited)
+  //   `+<rel>` / `-<rel>`      data file added / removed
+  //   `+dv:<rel>` / `-dv:<rel>` deletion-vector sidecar added / removed
+  //   `zs/bf/rc/pv/nc` lines   metadata for ADDED files (additive;
+  //                            removed files implicitly drop theirs)
+  //   `bfx\t<keyCol>`          drop every bloom ref for the column
+  //                            (before this delta's `bf` adds apply)
+
+  /** Versions folding a delta chain may walk back through before a
+    * checkpoint MUST appear — the commit writer checkpoints at every
+    * multiple of this (and whenever a delta would not be smaller).
+    */
+  private[graft] val checkpointInterval = 10
+
+  private def rawManifest(path: String, v: Int): Seq[String] = {
     val f = manifestFile(path, v)
     require(TableFs.exists(f), s"no version $v at $path")
-    val lines = TableFs.readUtf8(f).split("\n").toSeq.filter(_.nonEmpty)
+    TableFs.readUtf8(f).split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def isDelta(lines: Seq[String]): Boolean =
+    lines.headOption.contains("#delta")
+
+  def readManifest(path: String, v: Int): Manifest = {
+    val lines = rawManifest(path, v)
+    if (isDelta(lines)) foldDelta(readManifest(path, v - 1), lines)
+    else parseCheckpoint(manifestFile(path, v), lines)
+  }
+
+  private def parseCheckpoint(f: String, lines: Seq[String]): Manifest = {
     val stats = lines.filter(_.startsWith("zs\t")).map { l =>
       val p = l.split("\t")
       require(p.length == 5, s"bad stats line in $f: $l")
@@ -179,40 +221,202 @@ object VersionedTable {
   def manifestDvFiles(path: String, v: Int): Seq[String] =
     readManifest(path, v).dvs
 
+  /** Apply a delta manifest's actions to its predecessor snapshot.
+    * `batch`/`ts` are per-version tags (never inherited); metadata of
+    * removed files drops implicitly; `bfx` clears a column's bloom
+    * refs before the delta's own `bf` adds apply.
+    */
+  private def foldDelta(base: Manifest, lines: Seq[String]): Manifest = {
+    val body = lines.drop(1)
+    def data(prefix: String) = body
+      .filter(l => l.startsWith(prefix) && !l.startsWith(prefix + "dv:"))
+      .map(_.stripPrefix(prefix))
+    val addData = data("+")
+    val removeData = data("-").toSet
+    val addDv = body.filter(_.startsWith("+dv:")).map(_.stripPrefix("+dv:"))
+    val removeDv = body.filter(_.startsWith("-dv:"))
+      .map(_.stripPrefix("-dv:")).toSet
+    val meta = parseCheckpoint("<delta>", body.filter(l =>
+      l.startsWith("zs\t") || l.startsWith("bf\t") ||
+        l.startsWith("rc\t") || l.startsWith("pv\t") ||
+        l.startsWith("nc\t") || l.startsWith("#")))
+    val bfx = body.filter(_.startsWith("bfx\t"))
+      .map(_.split("\t")(1)).toSet
+    Manifest(
+      data = base.data.filterNot(removeData) ++ addData,
+      dvs = base.dvs.filterNot(removeDv) ++ addDv,
+      stats = (base.stats -- removeData) ++ meta.stats,
+      batch = meta.batch,
+      blooms = base.blooms.filterNot(b => bfx.contains(b.keyCol)) ++
+        meta.blooms,
+      rowCounts = (base.rowCounts -- removeData) ++ meta.rowCounts,
+      ts = meta.ts,
+      partCol = meta.partCol.orElse(base.partCol),
+      partValues = (base.partValues -- removeData) ++ meta.partValues,
+      nullCounts = (base.nullCounts -- removeData) ++ meta.nullCounts)
+  }
+
+  /** The add/remove actions of commit `v`: (added data files, removed
+    * data files, deletion vectors changed?). O(delta) for delta
+    * commits — the actions are literally the file's lines, NO
+    * predecessor fold; a checkpoint commit diffs against v-1 (v0 is
+    * all-added by definition). Feeds the streaming sources' per-commit
+    * change sets and the micro-batch admission control (r12 ADVICE:
+    * the old loop re-read two full manifests per candidate version).
+    */
+  def commitChanges(path: String, v: Int): (Seq[String], Seq[String], Boolean) = {
+    val lines = rawManifest(path, v)
+    if (isDelta(lines)) {
+      val body = lines.drop(1)
+      def data(prefix: String) = body
+        .filter(l => l.startsWith(prefix) && !l.startsWith(prefix + "dv:"))
+        .map(_.stripPrefix(prefix))
+      (data("+"), data("-"),
+        body.exists(l => l.startsWith("+dv:") || l.startsWith("-dv:")))
+    } else {
+      val m = parseCheckpoint(manifestFile(path, v), lines)
+      if (v == 0) (m.data, Nil, false)
+      else {
+        val prev = readManifest(path, v - 1)
+        val prevData = prev.data.toSet
+        val curData = m.data.toSet
+        (m.data.filterNot(prevData), prev.data.filterNot(curData),
+          prev.dvs.toSet != m.dvs.toSet)
+      }
+    }
+  }
+
+  /** Full-snapshot (checkpoint) body of `m`. */
+  private def checkpointLines(m: Manifest): Seq[String] =
+    m.ts.map(t => s"#ts=$t").toSeq ++
+      m.batch.map(b => s"#batch=$b").toSeq ++
+      m.data.sorted ++
+      m.dvs.sorted.map("dv:" + _) ++
+      statLines(m.stats) ++
+      bloomLines(m.blooms) ++
+      rcLines(m.rowCounts) ++
+      pvLines(m.partCol, m.partValues) ++
+      ncLines(m.nullCounts)
+
+  private def statLines(
+      stats: Map[String, Map[String, (Double, Double)]]): Seq[String] =
+    stats.toSeq.sortBy(_._1).flatMap { case (rel, byCol) =>
+      byCol.toSeq.sortBy(_._1).map { case (zc, (lo, hi)) =>
+        s"zs\t$zc\t$lo\t$hi\t$rel"
+      }
+    }
+
+  private def bloomLines(blooms: Seq[BloomRef]): Seq[String] =
+    blooms.sortBy(_.rel).map(b =>
+      s"bf\t${b.keyCol}\t${b.bits}\t${b.hashes}\t${b.rel}")
+
+  private def rcLines(rowCounts: Map[String, Long]): Seq[String] =
+    rowCounts.toSeq.sortBy(_._1).map { case (rel, n) => s"rc\t$n\t$rel" }
+
+  private def pvLines(partCol: Option[String],
+                      partValues: Map[String, String]): Seq[String] =
+    partValues.toSeq.sortBy(_._1).flatMap { case (rel, v2) =>
+      partCol.map(pc => s"pv\t$pc\t$v2\t$rel")
+    }
+
+  private def ncLines(
+      nullCounts: Map[String, Map[String, Long]]): Seq[String] =
+    nullCounts.toSeq.sortBy(_._1).flatMap { case (rel, byCol) =>
+      byCol.toSeq.sortBy(_._1).map { case (c, n) => s"nc\t$c\t$n\t$rel" }
+    }
+
+  /** Commit timestamp: wall clock, forced STRICTLY monotonic per table
+    * (two commits inside one millisecond would otherwise tie, making
+    * timestamp time travel ambiguous — the Delta discipline).
+    */
+  private def nextTs(prevTs: Option[Long]): Long =
+    math.max(System.currentTimeMillis(), prevTs.map(_ + 1L).getOrElse(0L))
+
+  /** Full-snapshot manifest write — the path for commits with no usable
+    * predecessor (v0 init/clone) and for whole-snapshot rewrites
+    * (OPTIMIZE), whose delta would be remove-all + add-all anyway.
+    */
   private def writeManifest(path: String, v: Int, m: Manifest): Unit = {
-    // commit timestamp: wall clock, forced STRICTLY monotonic per table
-    // (two commits inside one millisecond would otherwise tie, making
-    // timestamp time travel ambiguous — the Delta discipline)
     val prevTs =
       if (v > 0 && TableFs.exists(manifestFile(path, v - 1)))
         readManifest(path, v - 1).ts
       else None
-    val ts = math.max(System.currentTimeMillis(),
-      prevTs.map(_ + 1L).getOrElse(0L))
-    val lines =
-      Seq(s"#ts=$ts") ++
-        m.batch.map(b => s"#batch=$b").toSeq ++
-        m.data.sorted ++
-        m.dvs.sorted.map("dv:" + _) ++
-        m.stats.toSeq.sortBy(_._1).flatMap { case (rel, byCol) =>
-          byCol.toSeq.sortBy(_._1).map { case (zc, (lo, hi)) =>
-            s"zs\t$zc\t$lo\t$hi\t$rel"
-          }
-        } ++
-        m.blooms.sortBy(_.rel).map(b =>
-          s"bf\t${b.keyCol}\t${b.bits}\t${b.hashes}\t${b.rel}") ++
-        m.rowCounts.toSeq.sortBy(_._1).map { case (rel, n) =>
-          s"rc\t$n\t$rel"
-        } ++
-        m.partValues.toSeq.sortBy(_._1).flatMap { case (rel, v2) =>
-          m.partCol.map(pc => s"pv\t$pc\t$v2\t$rel")
-        } ++
-        m.nullCounts.toSeq.sortBy(_._1).flatMap { case (rel, byCol) =>
-          byCol.toSeq.sortBy(_._1).map { case (c, n) =>
-            s"nc\t$c\t$n\t$rel"
-          }
-        }
-    TableFs.writeUtf8Exclusive(manifestFile(path, v), lines.mkString("\n"))
+    TableFs.writeUtf8Exclusive(manifestFile(path, v),
+      checkpointLines(m.copy(ts = Some(nextTs(prevTs)))).mkString("\n"))
+  }
+
+  /** Delta body representing `next` relative to `prev` — None when the
+    * change is not delta-representable: metadata vanished from a
+    * CARRIED file (the fold can only drop metadata with its file), or
+    * the partition column changed.
+    */
+  private def deltaBody(prev: Manifest, next: Manifest): Option[Seq[String]] = {
+    if (prev.partCol.isDefined && next.partCol != prev.partCol) return None
+    val prevData = prev.data.toSet
+    val nextData = next.data.toSet
+    val addData = next.data.filterNot(prevData)
+    val removeData = prev.data.filterNot(nextData)
+    val removedSet = removeData.toSet
+    val addDv = next.dvs.filterNot(prev.dvs.toSet)
+    val removeDv = prev.dvs.filterNot(next.dvs.toSet)
+    // per-file metadata: the delta may only ADD/OVERRIDE entries; an
+    // entry a carried file LOST is unrepresentable
+    def diffMap[A](prevM: Map[String, A],
+                   nextM: Map[String, A]): Option[Map[String, A]] = {
+      val carried = prevM -- removedSet
+      if ((carried.keySet -- nextM.keySet).nonEmpty) None
+      else Some(nextM.filter { case (k, a) => !carried.get(k).contains(a) })
+    }
+    for {
+      statAdd <- diffMap(prev.stats, next.stats)
+      rcAdd <- diffMap(prev.rowCounts, next.rowCounts)
+      ncAdd <- diffMap(prev.nullCounts, next.nullCounts)
+      pvAdd <- diffMap(prev.partValues, next.partValues)
+    } yield {
+      def byCol(b: Seq[BloomRef]) =
+        b.groupBy(_.keyCol).view.mapValues(_.toSet).toMap
+      val pb = byCol(prev.blooms)
+      val nb = byCol(next.blooms)
+      val bloomCols = (pb.keySet ++ nb.keySet)
+        .filter(c => pb.get(c) != nb.get(c)).toSeq.sorted
+      next.ts.map(t => s"#ts=$t").toSeq ++
+        next.batch.map(b => s"#batch=$b").toSeq ++
+        addData.sorted.map("+" + _) ++
+        removeData.sorted.map("-" + _) ++
+        addDv.sorted.map("+dv:" + _) ++
+        removeDv.sorted.map("-dv:" + _) ++
+        statLines(statAdd) ++
+        bloomCols.map(c => s"bfx\t$c") ++
+        bloomLines(next.blooms.filter(b => bloomCols.contains(b.keyCol))) ++
+        rcLines(rcAdd) ++
+        pvLines(next.partCol, pvAdd) ++
+        ncLines(ncAdd)
+    }
+  }
+
+  /** THE commit writer for every verb that holds its predecessor
+    * snapshot: writes a DELTA manifest when one is representable and
+    * smaller than the full snapshot, a CHECKPOINT otherwise — and
+    * always a checkpoint at multiples of [[checkpointInterval]], so a
+    * read folds at most that many deltas. Same create-exclusive commit
+    * point as ever.
+    */
+  private def commitManifest(path: String, v: Int, prev: Manifest,
+                             next: Manifest): Unit = {
+    val stamped = next.copy(ts = Some(nextTs(prev.ts)))
+    val fullCount = 2 + stamped.data.size + stamped.dvs.size +
+      stamped.stats.valuesIterator.map(_.size).sum +
+      stamped.blooms.size + stamped.rowCounts.size +
+      stamped.partValues.size +
+      stamped.nullCounts.valuesIterator.map(_.size).sum
+    val out =
+      if (v % checkpointInterval == 0) checkpointLines(stamped)
+      else deltaBody(prev, stamped) match {
+        case Some(body) if body.size + 1 < fullCount => "#delta" +: body
+        case _ => checkpointLines(stamped)
+      }
+    TableFs.writeUtf8Exclusive(manifestFile(path, v),
+      out.mkString("\n"))
   }
 
   /** Write commit data with OVERWRITE: the manifest is the commit
@@ -402,6 +606,21 @@ object VersionedTable {
     regexp_extract(input_file_name(),
       "((?:[cd]\\d{5}|a[0-9a-f]{12})(?:/[^/]+=[^/]*)?/[^/]+)$", 1)
 
+  /** Percent-decode a manifest-relative path recorded from
+    * `input_file_name()` (URI-encoded) back to the LITERAL on-disk
+    * name the manifests store. A Hive-escaped partition dir keeps its
+    * literal `%XX` bytes on disk (e.g. `__pv=a%3Ab`), which the scan
+    * URI re-encodes (`%` → `%25`) — so any comparison of a recorded
+    * rel against manifest entries must decode ONE layer first (r12
+    * ADVICE: loadDvMap silently dropped tombstones on escapable keys).
+    * The literal-`+` pre-escape keeps URLDecoder from turning a plus
+    * in a dir name into a space.
+    */
+  private[graft] def percentDecode(s: String): String =
+    if (!s.contains('%')) s
+    else java.net.URLDecoder.decode(
+      s.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
+
   private def readDv(spark: SparkSession, path: String,
                      dvs: Seq[String]): DataFrame =
     spark.read.parquet(dvs.map(r => absPath(path, r)): _*)
@@ -519,7 +738,8 @@ object VersionedTable {
     val latest = latestVersion(path)
     require(latest >= 0, s"no table at $path — call init first")
     val m = readManifest(path, v) // fails loudly if v was vacuumed
-    writeManifest(path, latest + 1, m.copy(batch = None, ts = None))
+    commitManifest(path, latest + 1, readManifest(path, latest),
+      m.copy(batch = None, ts = None))
   }
 
   /** SHALLOW CLONE: create an independent table at `dst` whose version
@@ -668,7 +888,7 @@ object VersionedTable {
     validateConstraints(path, df)
     val prev = readManifest(path, v)
     val newFiles = writeCommitData(df, path, v + 1)
-    writeManifest(path, v + 1, Manifest(
+    commitManifest(path, v + 1, prev, Manifest(
       prev.data ++ newFiles,
       prev.dvs,
       prev.stats ++ clusterBy.map(c =>
@@ -727,8 +947,13 @@ object VersionedTable {
   def commitStagedAppend(path: String, staged: Seq[String],
                          clusterBy: Option[String] = None,
                          batch: Option[Long] = None,
-                         maxAttempts: Int = 20): Int = {
-    if (constraints(path).nonEmpty && staged.nonEmpty)
+                         maxAttempts: Int = 20,
+                         preValidated: Boolean = false): Int = {
+    // preValidated: the caller already ran validateConstraints on the
+    // exact rows it staged (appendConcurrent does) — re-reading the
+    // staged parquet to validate again would double the constraint
+    // scan per commit (r12 ADVICE)
+    if (!preValidated && constraints(path).nonEmpty && staged.nonEmpty)
       validateConstraints(path,
         org.apache.spark.sql.SparkSession.active.read
           .parquet(staged.map(r => absPath(path, r)): _*))
@@ -743,7 +968,7 @@ object VersionedTable {
         if (v >= 0) readManifest(path, v)
         else Manifest(Nil, Nil, Map.empty, None)
       try {
-        writeManifest(path, v + 1, Manifest(
+        commitManifest(path, v + 1, prev, Manifest(
           prev.data ++ staged, prev.dvs, prev.stats ++ zone, batch,
           prev.blooms, prev.rowCounts ++ rc, None, prev.partCol,
           prev.partValues, prev.nullCounts ++ nc))
@@ -808,7 +1033,8 @@ object VersionedTable {
       case None => df
     }
     out.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$dir")
-    commitStagedAppend(path, listStagedFiles(path, dir), clusterBy)
+    commitStagedAppend(path, listStagedFiles(path, dir), clusterBy,
+      preValidated = true)
   }
 
   /** Exactly-once streaming append (`foreachBatch` discipline): a
@@ -833,8 +1059,12 @@ object VersionedTable {
   def appliedBatches(path: String): Set[Long] =
     TableFs.listNames(manifestDir(path))
       .filter(_.matches("v\\d{5}\\.txt"))
-      .map(_.slice(1, 6).toInt)
-      .flatMap(v => readManifest(path, v).batch)
+      // the batch tag is a PER-VERSION line present in the raw file
+      // (checkpoint or delta) — scan the raw text instead of folding
+      // each version's delta chain
+      .flatMap(n => TableFs.readUtf8(s"${manifestDir(path)}/$n")
+        .linesIterator.find(_.startsWith("#batch="))
+        .map(_.stripPrefix("#batch=").trim.toLong))
       .toSet
 
   // ---------------------------------------------------------------- //
@@ -902,7 +1132,7 @@ object VersionedTable {
     // DV refs carry over: entries naming rewritten files dangle
     // harmlessly (the new file names never match); entries naming
     // carried files still apply. Stats for rewritten files drop.
-    writeManifest(path, v + 1, Manifest(
+    commitManifest(path, v + 1, m, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
@@ -942,9 +1172,13 @@ object VersionedTable {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$sub")
     val dvFiles = TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
-    writeManifest(path, v + 1,
-      Manifest(m.data, m.dvs ++ dvFiles, m.stats, None, m.blooms,
-        m.rowCounts))
+    // carry the FULL metadata (nc/pv included): every metadata-only
+    // consumer (COUNT shortcuts, TOP-N capping, SPJ) already guards on
+    // dvs.isEmpty, and preserving it keeps the commit a tiny delta —
+    // the pre-r13 drop turned a bytes-sized DV commit into an O(table)
+    // manifest rewrite
+    commitManifest(path, v + 1, m,
+      m.copy(dvs = m.dvs ++ dvFiles, batch = None, ts = None))
   }
 
   /** Commit a GROUP-BASED copy-on-write rewrite prepared by an external
@@ -977,7 +1211,7 @@ object VersionedTable {
     require(unknown.isEmpty,
       s"row-level rewrite at $path names files not in v$v: $unknown")
     val carried = m.data.filterNot(replacedSet.contains)
-    writeManifest(path, v + 1, Manifest(
+    commitManifest(path, v + 1, m, Manifest(
       carried ++ staged, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
@@ -1036,7 +1270,7 @@ object VersionedTable {
     val rewritten = writeCommitDataUnique(
       survivors.unionByName(updates, allowMissingColumns = true),
       path)
-    writeManifest(path, v + 1, Manifest(
+    commitManifest(path, v + 1, m, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
@@ -1104,7 +1338,7 @@ object VersionedTable {
     val rewritten = writeCommitDataUnique(
       survivors.unionByName(upserts, allowMissingColumns = true),
       path)
-    writeManifest(path, v + 1, Manifest(
+    commitManifest(path, v + 1, m, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, batchId,
       m.blooms,
@@ -1391,6 +1625,13 @@ object VersionedTable {
     val latest = latestVersion(path)
     require(latest >= 0, s"no table at $path — call init first")
     val keepFrom = math.max(0, latest - keepVersions + 1)
+    // the earliest KEPT version may be a DELTA whose fold chain runs
+    // through manifests this vacuum is about to delete — materialize
+    // it into an equivalent checkpoint FIRST (same Manifest, ts/batch
+    // preserved; an idempotent rewrite, not a commit point)
+    if (keepFrom > 0 && isDelta(rawManifest(path, keepFrom)))
+      TableFs.writeUtf8Overwrite(manifestFile(path, keepFrom),
+        checkpointLines(readManifest(path, keepFrom)).mkString("\n"))
     val kept: Set[String] = (keepFrom to latest).flatMap { v =>
       val m = readManifest(path, v)
       m.data ++ m.dvs ++ m.blooms.map(_.rel)
@@ -1475,7 +1716,7 @@ object VersionedTable {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$sub")
     val sidecars = TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
-    writeManifest(path, v + 1, m.copy(
+    commitManifest(path, v + 1, m, m.copy(
       batch = None,
       blooms = m.blooms.filterNot(_.keyCol == keyCol) ++
         sidecars.map(r => BloomRef(keyCol, bits, hashes, r))))
@@ -1583,7 +1824,11 @@ object VersionedTable {
         case _ => dvA.orElse(dvB).get // sets differ, so one is non-empty
       }
       val changedArr = changed.select("__rel").distinct()
-        .limit(probeCap + 1).collect().map(_.getString(0))
+        .limit(probeCap + 1).collect()
+        // __rel carries input_file_name()'s URI encoding; `shared`
+        // holds literal manifest names — decode before comparing (the
+        // loadDvMap representation bug, same class)
+        .map(r => percentDecode(r.getString(0)))
       require(changedArr.length <= probeCap,
         s"tombstone-changed file set at $path exceeds $probeCap files")
       shared = shared.filterNot(changedArr.toSet.contains)

@@ -205,8 +205,15 @@ object GraftVersioned {
         s"exceeds $dvServeCap tombstones — OPTIMIZE (compact) first, " +
         "or read via VersionedTable.read")
     val keptSet = kept.toSet
+    // DV 'file' values were recorded from input_file_name() and are
+    // URI-ENCODED; manifest/kept names (and the split paths relOf
+    // decodes) are the LITERAL on-disk names — decode one layer so
+    // Hive-escaped partition keys (':','%','=' → literal %XX on disk,
+    // %25XX in the scan URI) match instead of silently dropping their
+    // tombstones (r12 ADVICE)
     dvRows.toSeq
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (VersionedTable.percentDecode(r.getString(0)),
+        r.getLong(1)))
       .filter { case (f, _) => keptSet.contains(f) }
       .groupBy(_._1).view
       .mapValues(_.map(_._2).distinct.sorted.toArray).toMap
@@ -857,9 +864,15 @@ class GraftVersionedScanBuilder(spark: SparkSession,
         else
           // all nulls fit in the prefix: null-carrying files always
           // stay; a null-free file needs the prefix + its preceding
-          // non-null bands to stay under k
+          // non-null bands to stay under k. A ZERO-ROW file (no nulls,
+          // no non-nulls, hence no stats band — init(df.limit(0)) +
+          // appends produce these) must not reach band(): rank it by
+          // the total counts like the NULLS LAST branch does (r12
+          // ADVICE: it threw NoSuchElementException here)
           capped.filter(f =>
-            nulls(f) > 0 || totalNulls + nonNullBefore(f) < k)
+            nulls(f) > 0 || totalNulls +
+              (if (nonNull(f) == 0) totalNonNull else nonNullBefore(f))
+              < k)
       case _ => capped
     }
     val index = new InMemoryFileIndex(spark,

@@ -106,16 +106,20 @@ class GraftVersionedMicroBatchStream(
       end = math.min(end, s + mv))
     maxFilesPerTrigger.foreach { mf =>
       // accumulate versions until the file budget is spent; always
-      // admit at least one version so the stream can't stall
+      // admit at least one version so the stream can't stall. One
+      // commitChanges per candidate version — O(1) manifest reads for
+      // delta commits, and a vacuumed predecessor surfaces through the
+      // shared descriptive error instead of a raw require (r12 ADVICE:
+      // this loop re-read two full manifests per step)
       var v = s + 1
       var files = 0L
       var last = s + 1
       while (v <= end && (files == 0L || files < mf)) {
-        val m = VersionedTable.readManifest(path, v.toInt)
         files +=
-          (if (v == 0) m.data.length
-           else (m.data.toSet --
-             VersionedTable.readManifest(path, v.toInt - 1).data).size)
+          (if (v == 0)
+            VersionedTable.readManifest(path, 0).data.length
+          else
+            GraftVersionedStreamSource.changesOf(path, v.toInt)._1.length)
         last = v
         v += 1
       }

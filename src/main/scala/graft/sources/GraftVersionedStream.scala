@@ -122,22 +122,26 @@ object GraftVersionedStreamSource {
     * append-only enforced per commit unless `ignoreChanges` — shared
     * by the V1 Source and the DSv2 [[GraftVersionedMicroBatchStream]].
     */
+  /** Per-commit change set with the vacuumed-predecessor error
+    * wrapped descriptively — commitChanges on a delta manifest reads
+    * ONE file (its actions are literal lines); only checkpoint commits
+    * fold their predecessor.
+    */
+  private[sources] def changesOf(path: String,
+                                 v: Int): (Seq[String], Seq[String], Boolean) =
+    try VersionedTable.commitChanges(path, v)
+    catch {
+      case e: IllegalArgumentException => throw new IllegalStateException(
+        s"graft-versioned stream at $path: a predecessor of v$v was " +
+          s"vacuumed — cannot derive the change set of v$v", e)
+    }
+
   private[sources] def addedFiles(path: String, ignoreChanges: Boolean,
                                   fromV: Int, toV: Int): Seq[String] =
     (fromV to toV).flatMap { v =>
-      val m = VersionedTable.readManifest(path, v)
-      if (v == 0) m.data
+      if (v == 0) VersionedTable.readManifest(path, 0).data
       else {
-        val prev =
-          try VersionedTable.readManifest(path, v - 1)
-          catch {
-            case e: IllegalArgumentException => throw new IllegalStateException(
-              s"graft-versioned stream at $path: version ${v - 1} was " +
-                s"vacuumed — cannot derive the change set of v$v", e)
-          }
-        val prevData = prev.data.toSet
-        val removed = prevData -- m.data.toSet
-        val dvChanged = prev.dvs.toSet != m.dvs.toSet
+        val (added, removed, dvChanged) = changesOf(path, v)
         if ((removed.nonEmpty || dvChanged) && !ignoreChanges)
           throw new IllegalStateException(
             s"graft-versioned stream at $path: version $v is not " +
@@ -146,7 +150,7 @@ object GraftVersionedStreamSource {
               ") — a change feed that dropped deletes silently would " +
               "be wrong; pass ignoreChanges=true to stream only added " +
               "files (rewritten rows re-emit, deletes vanish)")
-        m.data.filterNot(prevData.contains)
+        added
       }
     }
 
