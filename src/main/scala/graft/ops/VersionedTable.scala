@@ -987,31 +987,54 @@ object VersionedTable {
     -1 // unreachable
   }
 
-  /** Commit a pre-staged OVERWRITE: the table's history RESTARTS at
-    * version 0 holding exactly the staged files (the INSERT OVERWRITE
-    * / mode("overwrite") re-init contract), CHECK constraints survive
-    * and were already validated by the caller against the staged rows.
-    * Everything else under the table path — old commit dirs, old
-    * manifests — is deleted, EXCEPT the staging directory itself
-    * (manifest v0 references it in place; no rename on object stores).
+  /** Commit a pre-staged OVERWRITE as a NORMAL COMMIT at latest+1
+    * whose snapshot is exactly the staged files — the Delta `INSERT
+    * OVERWRITE` shape. History is PRESERVED: prior versions stay
+    * time-travelable until [[vacuum]] reclaims them, and NOTHING is
+    * deleted at commit time — which is what makes the verb
+    * concurrency-safe (the pre-r13 form deleted every sibling of its
+    * staging dir, including other writers' in-flight staged data and
+    * the old manifests, so a racing appender could commit a manifest
+    * referencing deleted files: a silently corrupted table — r12
+    * ADVICE). Arbitration is the same optimistic create-exclusive
+    * retry as [[commitStagedAppend]]: an overwrite's file list doesn't
+    * depend on the previous state, so rebasing on any winner is always
+    * correct. CHECK constraints live in their sidecar and simply
+    * survive; they were already validated against the staged rows.
+    * Returns the committed version (0 on a fresh table).
     */
-  def commitStagedOverwrite(path: String, dir: String,
-                            staged: Seq[String],
-                            clusterBy: Option[String] = None): Unit = {
-    val cs = constraints(path)
-    if (cs.nonEmpty && staged.nonEmpty)
+  def commitStagedOverwrite(path: String, staged: Seq[String],
+                            clusterBy: Option[String] = None,
+                            maxAttempts: Int = 20): Int = {
+    if (constraints(path).nonEmpty && staged.nonEmpty)
       validateConstraints(path,
         org.apache.spark.sql.SparkSession.active.read
           .parquet(staged.map(r => absPath(path, r)): _*))
-    TableFs.listNames(path).foreach { n =>
-      if (n != dir) TableFs.deleteRecursive(s"$path/$n")
-    }
-    writeManifest(path, 0, Manifest(staged, Nil,
+    val next = Manifest(staged, Nil,
       clusterBy.map(c => footerZoneStats(path, staged, c))
         .getOrElse(Map.empty),
       None, Nil, footerCounts(path, staged),
-      nullCounts = footerNullCounts(path, staged)))
-    if (cs.nonEmpty) writeConstraints(path, cs)
+      nullCounts = footerNullCounts(path, staged))
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(path)
+      val prev =
+        if (v >= 0) readManifest(path, v)
+        else Manifest(Nil, Nil, Map.empty, None)
+      try {
+        commitManifest(path, v + 1, prev, next)
+        return v + 1
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (!TableFs.exists(manifestFile(path, v + 1)) ||
+            attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"overwrite commit at $path failed after $attempt attempts",
+              e)
+      }
+    }
+    -1 // unreachable
   }
 
   /** Concurrency-safe append: data lands in a unique directory, then

@@ -24,10 +24,13 @@ object ExtensionQueries87 {
     // then TWO DataFrameWriter appends (each a manifest commit: new
     // files by reference, nothing rewritten) bring in %4==1 and the
     // rest. A second table proves mode("overwrite"): a junk slice is
-    // replaced wholesale by a re-init (version history restarts at 0).
-    // The gated rows carry the post-write latest-version numbers next
-    // to per-type logical aggregates of BOTH tables, all replayed by
-    // the oracle from raw events.
+    // replaced wholesale by a SNAPSHOT COMMIT at latest+1 (r13: history
+    // is preserved, the Delta INSERT OVERWRITE shape — nothing is
+    // deleted at commit, so a racing appender's staged data can't be
+    // destroyed; time travel still reaches the pre-overwrite junk,
+    // pinned via pre_rows). The gated rows carry the post-write
+    // latest-version numbers next to per-type logical aggregates of
+    // BOTH tables, all replayed by the oracle from raw events.
     Q(
       "q481_dsv2_versioned_write",
       (s, dir) => {
@@ -44,12 +47,16 @@ object ExtensionQueries87 {
           .write.format("graft-versioned").mode("append").save(pathA)
         ev.where(col("event_id") % 4 > 1)
           .write.format("graft-versioned").mode("append").save(pathA)
-        // table B: junk content, then a connector OVERWRITE re-init
+        // table B: junk content, then a connector OVERWRITE — a
+        // snapshot commit at latest+1 (v2); the pre-overwrite junk
+        // stays time-travelable (pre_rows pins it via VERSION AS OF)
         VersionedTable.init(ev.where(col("event_id") % 10 === 0), pathB)
         VersionedTable.append(ev.where(col("event_id") % 10 === 1), pathB)
         ev.where(col("event_type") === "purchase")
           .write.format("graft-versioned").mode("overwrite").save(pathB)
-        def leg(label: Long, path: String) =
+        val preRows = s.read.format("graft-versioned")
+          .option("versionAsOf", 1).load(pathB).count()
+        def leg(label: Long, path: String, pre: Long) =
           s.read.format("graft-versioned").load(path)
             .groupBy("event_type")
             .agg(count(lit(1)).cast("long").as("n"),
@@ -57,8 +64,9 @@ object ExtensionQueries87 {
             .select(lit(label).as("tbl"),
               lit(VersionedTable.latestVersion(path).toLong)
                 .as("latest_version"),
-              col("event_type"), col("n"), col("sum_cents"))
-        leg(0L, pathA).unionByName(leg(1L, pathB))
+              col("event_type"), col("n"), col("sum_cents"),
+              lit(pre).as("pre_rows"))
+        leg(0L, pathA, 0L).unionByName(leg(1L, pathB, preRows))
           .orderBy("tbl", "event_type")
       },
       Some("""WITH ev AS (
@@ -68,12 +76,15 @@ object ExtensionQueries87 {
              |SELECT CAST(0 AS BIGINT) AS tbl,
              |  CAST(2 AS BIGINT) AS latest_version,
              |  event_type, CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(0 AS BIGINT) AS pre_rows
              |FROM ev GROUP BY event_type
              |UNION ALL
-             |SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT),
              |  event_type, CAST(count(*) AS BIGINT),
-             |  CAST(sum(cents) AS BIGINT)
+             |  CAST(sum(cents) AS BIGINT),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+             |   WHERE event_id % 10 IN (0, 1))
              |FROM ev WHERE event_type = 'purchase'
              |GROUP BY event_type
              |ORDER BY tbl, event_type""".stripMargin)),

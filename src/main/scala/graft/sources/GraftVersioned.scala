@@ -272,7 +272,8 @@ class GraftVersionedTable(tableSchema: StructType,
   // admission control) instead of the legacy V1 Source.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** Catalog-resolved relations pass EMPTY scan options (the path
     * lives in the table's own options), path reads pass everything in
@@ -297,8 +298,9 @@ class GraftVersionedTable(tableSchema: StructType,
     * (with optimistic rebase for racing appenders). So
     * `df.write.format("graft-versioned").mode("append")` and SQL
     * `INSERT INTO` mint a new manifest version (existing files
-    * untouched), `mode("overwrite")` / `INSERT OVERWRITE` restarts
-    * history at version 0. Snapshot isolation holds for free:
+    * untouched), `mode("overwrite")` / `INSERT OVERWRITE` commits a
+    * replacement SNAPSHOT at latest+1 (history preserved until
+    * VACUUM — the Delta shape). Snapshot isolation holds for free:
     * concurrent readers pinned an older manifest and never see the
     * in-flight commit. See [[GraftVersionedWriteBuilder]] for the
     * write-side clustering contract.
@@ -366,10 +368,13 @@ class GraftVersionedTable(tableSchema: StructType,
   * serving. `clusterPartitions` pins the output file count (default:
   * Spark/AQE decides).
   *
-  * OVERWRITE stages the same way and then commits a HISTORY RESTART
-  * ([[graft.ops.VersionedTable.commitStagedOverwrite]]): version 0
-  * holds exactly the staged files, CHECK constraints survive and gate
-  * the overwriting batch, old data dirs and manifests are reclaimed.
+  * OVERWRITE stages the same way and then commits a NORMAL VERSION
+  * whose snapshot is exactly the staged files
+  * ([[graft.ops.VersionedTable.commitStagedOverwrite]], the Delta
+  * INSERT OVERWRITE shape): history is preserved (time travel reaches
+  * the pre-overwrite state until VACUUM), nothing is deleted at commit
+  * time — so a racing appender's staged data can never be destroyed —
+  * and CHECK constraints survive and gate the overwriting batch.
   */
 class GraftVersionedWriteBuilder(path: String,
                                  clusterBy: Option[String] = None,
@@ -413,21 +418,123 @@ class GraftVersionedWriteBuilder(path: String,
 
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite = {
-        val spark = SparkSession.active
-        // first write to a fresh path creates the table (version 0)
-        val dir = graft.ops.VersionedTable.newAppendDir()
-        val staging = s"$path/$dir"
-        val delegate = new org.apache.spark.sql.execution.datasources
-          .v2.parquet.ParquetTable("graft_versioned_write",
-          spark, CaseInsensitiveStringMap.empty(), Seq(staging),
-          Some(info.schema()),
-          classOf[org.apache.spark.sql.execution.datasources.parquet
-            .ParquetFileFormat])
-          .newWriteBuilder(info).build().toBatch
+        val (dir, delegate) = GraftVersionedWriteBuilder
+          .stagedParquetWrite(path, info)
         new GraftStagedAppendBatchWrite(delegate, path, dir, clusterBy,
           overwrite)
       }
+
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftStreamingWrite(path, clusterBy, info)
     }
+}
+
+object GraftVersionedWriteBuilder {
+  /** A fresh unique staging dir under the table plus Spark's own DSv2
+    * parquet BatchWrite into it — the physical-write delegate every
+    * graft commit wraps (task commit protocol, speculation-safe).
+    * First write to a fresh path creates the table (version 0).
+    */
+  private[sources] def stagedParquetWrite(
+      path: String, info: LogicalWriteInfo)
+      : (String, org.apache.spark.sql.connector.write.BatchWrite) = {
+    val spark = SparkSession.active
+    val dir = graft.ops.VersionedTable.newAppendDir()
+    val staging = s"$path/$dir"
+    val delegate = new org.apache.spark.sql.execution.datasources
+      .v2.parquet.ParquetTable("graft_versioned_write",
+      spark, CaseInsensitiveStringMap.empty(), Seq(staging),
+      Some(info.schema()),
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat])
+      .newWriteBuilder(info).build().toBatch
+    (dir, delegate)
+  }
+}
+
+/** NATIVE exactly-once streaming sink (r12 verdict #2):
+  * `df.writeStream.format("graft-versioned")` / `.toTable(...)` works
+  * with no `foreachBatch` wrapper. Each epoch stages through Spark's
+  * distributed parquet writer into a UNIQUE directory (a replayed
+  * crashed attempt gets a fresh dir — stale task files can never leak
+  * into a commit), then `commit(epochId, ...)` lands ONE manifest
+  * version carrying the epoch id as its `#batch=` tag — the
+  * [[graft.ops.VersionedTable.appendIdempotent]] protocol, so a
+  * REDELIVERED epoch (post-crash re-run of a committed batch) is
+  * detected via [[graft.ops.VersionedTable.appliedBatches]] and
+  * becomes a no-op (its staged files are dropped for vacuum). "Files
+  * visible" and "epoch recorded" are one atomic create-exclusive
+  * manifest write: exactly-once end to end.
+  *
+  * Serial micro-batch epochs are assumed (Spark's micro-batch engine
+  * guarantees this; continuous mode is not supported) — each epoch's
+  * staging state replaces the previous in [[current]].
+  */
+class GraftStreamingWrite(path: String, clusterBy: Option[String],
+                          info: LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  @volatile private var current:
+    (String, org.apache.spark.sql.connector.write.BatchWrite) = _
+
+  override def createStreamingWriterFactory(
+      pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    val staged = GraftVersionedWriteBuilder.stagedParquetWrite(path, info)
+    current = staged
+    val batchFactory = staged._2.createBatchWriterFactory(pinfo)
+    new org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long)
+          : org.apache.spark.sql.connector.write.DataWriter[
+            org.apache.spark.sql.catalyst.InternalRow] =
+        batchFactory.createWriter(partitionId, taskId)
+    }
+  }
+
+  // the FileBatchWrite delegate's hadoop commit protocol does its own
+  // driver-side task-commit arbitration (SparkHadoopMapRedUtil) —
+  // adding the V2 coordinator on top DENIES the inner commit ("driver
+  // did not authorize"), so follow the delegate exactly as the batch
+  // path does
+  override def useCommitCoordinator(): Boolean =
+    current match {
+      case null => false
+      case (_, d) => d.useCommitCoordinator()
+    }
+
+  override def commit(epochId: Long,
+                      messages: Array[
+                        org.apache.spark.sql.connector.write
+                          .WriterCommitMessage]): Unit = {
+    val (dir, delegate) = current
+    if (graft.ops.VersionedTable.appliedBatches(path).contains(epochId)) {
+      // redelivered epoch: the manifest already records it — drop the
+      // replay's staged data and change NOTHING (exactly-once)
+      delegate.abort(messages)
+      graft.io.TableFs.deleteRecursive(s"$path/$dir")
+    } else {
+      delegate.commit(messages)
+      graft.ops.VersionedTable.commitStagedAppend(path,
+        graft.ops.VersionedTable.listStagedFiles(path, dir), clusterBy,
+        batch = Some(epochId))
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[
+                       org.apache.spark.sql.connector.write
+                         .WriterCommitMessage]): Unit = {
+    val (dir, delegate) = current
+    delegate.abort(messages)
+    graft.io.TableFs.deleteRecursive(s"$path/$dir")
+  }
+
+  override def toString: String =
+    s"GraftStreamingWrite[$path, clusterBy=${clusterBy.getOrElse("-")}]"
 }
 
 /** Job-commit wrapper for the staged V2 append: the delegate
@@ -460,8 +567,8 @@ class GraftStagedAppendBatchWrite(
     delegate.commit(messages)
     val staged = graft.ops.VersionedTable.listStagedFiles(path, dir)
     if (overwrite)
-      graft.ops.VersionedTable.commitStagedOverwrite(
-        path, dir, staged, clusterBy)
+      graft.ops.VersionedTable.commitStagedOverwrite(path, staged,
+        clusterBy)
     else
       graft.ops.VersionedTable.commitStagedAppend(path, staged, clusterBy)
   }

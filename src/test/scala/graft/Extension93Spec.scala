@@ -188,6 +188,35 @@ class Extension93Spec extends SparkSpec {
     assert(last.map(_.getLong(1)).toSeq == Seq(5L, 6L, 7L))
   }
 
+  test("overwrite vs in-flight append (r12 ADVICE): the overwrite " +
+    "deletes nothing, the append's staged files survive, both commits " +
+    "land in order, and history stays time-travelable") {
+    import spark.implicits._
+    val path = tmp("graft_ow_race_spec")
+    VersionedTable.init(
+      spark.range(10).select(col("id"), lit(0L).as("tag")), path)
+    // an appender stages its data (pre-commit)...
+    val dir = VersionedTable.newAppendDir()
+    spark.range(100, 105).select(col("id"), lit(1L).as("tag"))
+      .write.parquet(s"$path/$dir")
+    val staged = VersionedTable.listStagedFiles(path, dir)
+    // ...and the overwrite lands FIRST (the race the old
+    // delete-everything overwrite corrupted: it destroyed the staged
+    // files, then the append committed a manifest referencing them)
+    Seq((500L, 2L)).toDF("id", "tag")
+      .write.format("graft-versioned").mode("overwrite").save(path)
+    assert(VersionedTable.latestVersion(path) == 1)
+    // the append rebases cleanly onto the overwritten snapshot
+    val vAppend = VersionedTable.commitStagedAppend(path, staged)
+    assert(vAppend == 2)
+    val now = VersionedTable.read(spark, path)
+    assert(now.count() == 6)
+    assert(now.where(col("tag") === 2L).count() == 1)
+    assert(now.where(col("tag") === 1L).count() == 5)
+    // pre-overwrite snapshot still reachable
+    assert(VersionedTable.readVersion(spark, path, 0).count() == 10)
+  }
+
   test("appendConcurrent validates constraints exactly once and still " +
     "refuses a violating batch (r12 ADVICE)") {
     import spark.implicits._

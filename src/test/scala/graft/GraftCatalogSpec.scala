@@ -35,11 +35,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM gtest.lifecycle VERSION AS OF 0")
       .head().getLong(0) == 0, "the CREATE version must be empty")
-    // overwrite re-inits: history restarts
+    // overwrite commits a replacement SNAPSHOT at latest+1 (r13):
+    // history is preserved and the pre-overwrite state stays
+    // time-travelable
     spark.sql("INSERT OVERWRITE gtest.lifecycle VALUES (9, 90)")
-    assert(VersionedTable.latestVersion(s"$warehouse/lifecycle") == 0)
+    assert(VersionedTable.latestVersion(s"$warehouse/lifecycle") == 3)
     assert(spark.sql("SELECT sum(v) FROM gtest.lifecycle")
       .head().getLong(0) == 90)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.lifecycle VERSION AS OF 2")
+      .head().getLong(0) == 3,
+      "pre-overwrite snapshot must stay time-travelable")
     assert(spark.sql("SHOW TABLES IN gtest").collect()
       .map(_.getString(1)).contains("lifecycle"))
     spark.sql("DROP TABLE gtest.lifecycle")
@@ -89,7 +95,8 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("DSv2 writer: append commits a manifest version without " +
-    "rewriting existing files; overwrite restarts history") {
+    "rewriting existing files; overwrite commits a replacement " +
+    "snapshot with history preserved") {
     import spark.implicits._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_w_spec"
     graft.io.FsUtil.deleteRecursively(path)
@@ -106,8 +113,19 @@ class GraftCatalogSpec extends SparkSpec {
       Seq(1L, 2L))
     Seq((9L, 90L)).toDF("id", "v")
       .write.format("graft-versioned").mode("overwrite").save(path)
-    assert(VersionedTable.latestVersion(path) == 0)
+    assert(VersionedTable.latestVersion(path) == 2)
     assert(spark.read.format("graft-versioned").load(path)
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // the replaced snapshot is still one VERSION AS OF away
+    assert(spark.read.format("graft-versioned")
+      .option("versionAsOf", 1).load(path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    // and vacuum reclaims the replaced files once retention expires
+    val (_, reclaimed) = VersionedTable.vacuum(path, 1)
+    assert(reclaimed >= 1, "vacuum must reclaim the replaced files")
+    intercept[IllegalArgumentException] {
+      VersionedTable.readManifest(path, 1)
+    }
   }
 }
