@@ -265,23 +265,43 @@ object VersionedTable {
     * the old loop re-read two full manifests per candidate version).
     */
   def commitChanges(path: String, v: Int): (Seq[String], Seq[String], Boolean) = {
+    val a = commitActions(path, v)
+    (a.addedData, a.removedData,
+      a.addedDvs.nonEmpty || a.removedDvs.nonEmpty)
+  }
+
+  /** Full action set of one commit — the [[commitChanges]] triple plus
+    * the deletion-vector sidecar adds/removes (the streaming change
+    * feed turns a commit's added DV positions into exact 'removed'
+    * rows).
+    */
+  final case class CommitActions(addedData: Seq[String],
+                                 removedData: Seq[String],
+                                 addedDvs: Seq[String],
+                                 removedDvs: Seq[String])
+
+  def commitActions(path: String, v: Int): CommitActions = {
     val lines = rawManifest(path, v)
     if (isDelta(lines)) {
       val body = lines.drop(1)
       def data(prefix: String) = body
         .filter(l => l.startsWith(prefix) && !l.startsWith(prefix + "dv:"))
         .map(_.stripPrefix(prefix))
-      (data("+"), data("-"),
-        body.exists(l => l.startsWith("+dv:") || l.startsWith("-dv:")))
+      def dv(prefix: String) = body
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      CommitActions(data("+"), data("-"), dv("+dv:"), dv("-dv:"))
     } else {
       val m = parseCheckpoint(manifestFile(path, v), lines)
-      if (v == 0) (m.data, Nil, false)
+      if (v == 0) CommitActions(m.data, Nil, m.dvs, Nil)
       else {
         val prev = readManifest(path, v - 1)
         val prevData = prev.data.toSet
         val curData = m.data.toSet
-        (m.data.filterNot(prevData), prev.data.filterNot(curData),
-          prev.dvs.toSet != m.dvs.toSet)
+        val prevDv = prev.dvs.toSet
+        val curDv = m.dvs.toSet
+        CommitActions(
+          m.data.filterNot(prevData), prev.data.filterNot(curData),
+          m.dvs.filterNot(prevDv), prev.dvs.filterNot(curDv))
       }
     }
   }

@@ -182,5 +182,108 @@ object ExtensionQueries93 {
              |  CAST(1 AS BIGINT) AS replay_noop
              |FROM ev
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q511: STREAMING CHANGE FEED. readStream + readChangeFeed=true
+    // serves PER-COMMIT row diffs as micro-batches: the append commit
+    // arrives 'added' (its files, scan-only), the deletion-vector
+    // commit arrives as the EXACT 'removed' rows (a storage-order
+    // position scan of this commit's tombstones — no join, no state).
+    // The drill is the q498 algebra driven live: first run serves
+    // v1+v2, then MID-STREAM commits land (an append and another DV
+    // delete) and a checkpoint RESTART serves exactly the new commits
+    // (batch_eq pins stream rows == batch tableChanges over the full
+    // range; restart_ok pins the increment). Copy-on-write commits
+    // refuse by design (no scan-only diff without write-time CDC
+    // files — Delta's streaming-CDF stance; batch readChangeFeed
+    // handles those), so the pipeline uses append+DV shapes, the 100 TB
+    // streaming-GDPR pattern.
+    Q(
+      "q511_streaming_change_feed",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val id = runId.incrementAndGet()
+        val tmp = System.getProperty("java.io.tmpdir")
+        val path = s"$tmp/graft_scdf${tag}_$id"
+        val out = s"$tmp/graft_scdf_out${tag}_$id"
+        graft.io.FsUtil.deleteRecursively(path)
+        graft.io.FsUtil.deleteRecursively(out)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_scdf_ckpt").toString
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 2 === 0), path)
+        VersionedTable.append(ev.where(col("event_id") % 2 === 1), path)
+        VersionedTable.deleteWhereDV(s, path,
+          col("event_type") === "error")
+        def run(): Unit = {
+          val q = s.readStream.format("graft-versioned")
+            .option("readChangeFeed", "true").load(path)
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        run()
+        val firstRows = s.read.parquet(out).count()
+        // mid-stream commits: an append and another DV delete, then a
+        // checkpoint restart serves exactly the increment
+        VersionedTable.append(
+          ev.where(col("event_type") === "view")
+            .withColumn("cents", col("cents") + 7L), path)
+        VersionedTable.deleteWhereDV(s, path,
+          col("event_type") === "click" && col("event_id") % 7 === 0)
+        run()
+        val sink = s.read.parquet(out)
+        val restartOk =
+          if (sink.count() > firstRows && firstRows > 0) 1L else 0L
+        // stream rows must equal the batch change feed over the range
+        val batch = VersionedTable.tableChanges(s, path, 0,
+          VersionedTable.latestVersion(path))
+        val batchEq =
+          if (sink.select("event_id", "cents", "change", "commit_version")
+            .exceptAll(batch.select("event_id", "cents", "change",
+              "commit_version")).isEmpty &&
+            batch.select("event_id", "cents", "change", "commit_version")
+              .exceptAll(sink.select("event_id", "cents", "change",
+                "commit_version")).isEmpty) 1L
+          else 0L
+        graft.io.FsUtil.deleteRecursively(ckpt)
+        sink.groupBy("commit_version", "change", "event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(col("commit_version"), col("change"), col("event_type"),
+            col("n"), col("sum_cents"),
+            lit(restartOk).as("restart_ok"),
+            lit(batchEq).as("batch_eq"))
+          .orderBy("commit_version", "change", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(1 AS BIGINT) AS commit_version,
+             |  'added' AS change, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS restart_ok,
+             |  CAST(1 AS BIGINT) AS batch_eq
+             |FROM ev WHERE event_id % 2 = 1 GROUP BY event_type
+             |UNION ALL
+             |SELECT 2, 'removed', 'error', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT), 1, 1
+             |FROM ev WHERE event_type = 'error'
+             |UNION ALL
+             |SELECT 3, 'added', 'view', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents + 7) AS BIGINT), 1, 1
+             |FROM ev WHERE event_type = 'view'
+             |UNION ALL
+             |SELECT 4, 'removed', 'click', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT), 1, 1
+             |FROM ev WHERE event_type = 'click' AND event_id % 7 = 0
+             |ORDER BY commit_version, change, event_type""".stripMargin)))
 }

@@ -284,12 +284,14 @@ class GraftVersionedTable(tableSchema: StructType,
     val merged = new CaseInsensitiveStringMap(
       (tableOptions.asScala ++ options.asScala).asJava)
     if (GraftChangeFeed.isChangeFeed(merged))
-      throw new IllegalStateException(
-        "readChangeFeed requires the graft extensions " +
-          "(spark.sql.extensions=graft.GraftExtensions or " +
-          "SparkSession.builder.withExtensions) — refusing to serve " +
-          "the snapshot as if it were the change feed")
-    new GraftVersionedScanBuilder(SparkSession.active, tableSchema, merged)
+      // STREAMING change feed builds a real micro-batch scan here;
+      // batch CDF substitutes during analysis (GraftChangeFeedRule)
+      // and must never reach toBatch — the scan keeps that refusal
+      new GraftChangeFeedScanBuilder(SparkSession.active, tableSchema,
+        merged)
+    else
+      new GraftVersionedScanBuilder(SparkSession.active, tableSchema,
+        merged)
   }
 
   /** WRITE path — a true DataSource V2 batch write (r12): data stages
