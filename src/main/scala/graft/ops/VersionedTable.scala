@@ -1265,6 +1265,34 @@ object VersionedTable {
         footerNullCounts(path, staged)))
   }
 
+  /** Commit a MERGE-ON-READ row-level operation prepared by the DSv2
+    * delta write (SQL UPDATE / MERGE / non-translatable DELETE under
+    * `spark.graft.rowLevel.mode=merge-on-read`): every existing data
+    * file carries over UNTOUCHED (clustering stats, row counts,
+    * partition values all stay valid), the staged deletion-vector
+    * sidecars join `dvs`, the staged replacement/insert rows join
+    * `data`. `baseVersion` is the snapshot the delta scan pinned — a
+    * table that moved aborts loudly, staged files orphan for vacuum.
+    */
+  def commitDelta(path: String, baseVersion: Int, stagedData: Seq[String],
+                  stagedDvs: Seq[String]): Unit = {
+    val v = latestVersion(path)
+    require(v == baseVersion,
+      s"concurrent write detected at $path: delta row-level operation " +
+        s"read version $baseVersion but the table is now at v$v — " +
+        "aborting the commit (re-run the statement)")
+    val m = readManifest(path, v)
+    commitManifest(path, v + 1, m, Manifest(
+      m.data ++ stagedData, m.dvs ++ stagedDvs, m.stats, None, m.blooms,
+      m.rowCounts ++ footerCounts(path, stagedData),
+      None, m.partCol, m.partValues,
+      m.nullCounts ++ footerNullCounts(path, stagedData)))
+  }
+
+  /** Footer row count of a single staged file (metadata-only read). */
+  def fileRowCount(path: String, rel: String): Long =
+    footerCounts(path, Seq(rel))(rel)
+
   /** Validate `df` against the table's CHECK constraints (fails loudly
     * on the first violating row). Exposed for external write paths
     * (the DSv2 row-level operations) that commit through

@@ -285,5 +285,86 @@ object ExtensionQueries93 {
              |SELECT 4, 'removed', 'click', CAST(count(*) AS BIGINT),
              |  CAST(sum(cents) AS BIGINT), 1, 1
              |FROM ev WHERE event_type = 'click' AND event_id % 7 = 0
-             |ORDER BY commit_version, change, event_type""".stripMargin)))
+             |ORDER BY commit_version, change, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q512: MERGE-ON-READ SQL UPDATE (SupportsDelta / WriteDelta). With
+    // spark.graft.rowLevel.mode=merge-on-read, a banded UPDATE on a
+    // range-clustered table writes TOMBSTONES + the replaced band's new
+    // rows — every pre-update data file survives in the new manifest
+    // (data_files_same=1: write bytes ∝ changed rows, the Delta-3.x DV
+    // shape; the default group-CoW rewrites whole files, pinned by
+    // q504), their clustering stats stay valid, the pre-image is one
+    // VERSION AS OF away (pre_sum), and OPTIMIZE folds the vectors in
+    // (folded=1: no dvs after compaction, totals unchanged). Oracle
+    // replays the post-update table.
+    Q(
+      "q512_mor_sql_update",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val cat = s"gmor$tag"
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_morwh$tag"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val path = s"$wh/t512"
+        graft.io.FsUtil.deleteRecursively(path)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_id") % 100).as("bucket"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(4), path)
+        VersionedTable.compactClustered(s, path, 8, "bucket")
+        val v0 = VersionedTable.latestVersion(path)
+        val before = VersionedTable.manifestFiles(path, v0)
+        s.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+        try
+          s.sql(s"UPDATE $cat.t512 SET cents = cents + 1000000 " +
+            "WHERE bucket = 7")
+        finally s.conf.unset("spark.graft.rowLevel.mode")
+        val v1 = VersionedTable.latestVersion(path)
+        val m = VersionedTable.readManifest(path, v1)
+        val dataFilesSame =
+          if (before.forall(m.data.contains) && m.dvs.nonEmpty &&
+            v1 == v0 + 1) 1L
+          else 0L
+        val preSum = s.sql(
+          s"SELECT sum(cents) FROM $cat.t512 VERSION AS OF $v0")
+          .head().getLong(0)
+        val postSum = s.sql(s"SELECT sum(cents) FROM $cat.t512")
+          .head().getLong(0)
+        VersionedTable.compact(s, path, 4)
+        val mOpt = VersionedTable.readManifest(path,
+          VersionedTable.latestVersion(path))
+        val folded =
+          if (mOpt.dvs.isEmpty &&
+            s.sql(s"SELECT sum(cents) FROM $cat.t512")
+              .head().getLong(0) == postSum) 1L
+          else 0L
+        s.sql(
+          s"""SELECT CAST(bucket % 10 AS BIGINT) AS bd,
+             |  count(*) AS n, sum(cents) AS sum_cents
+             |FROM $cat.t512 GROUP BY 1""".stripMargin)
+          .select(col("bd"), col("n"), col("sum_cents"),
+            lit(dataFilesSame).as("data_files_same"),
+            lit(if (postSum > preSum) 1L else 0L).as("pre_image_ok"),
+            lit(folded).as("folded"))
+          .orderBy("bd")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_id % 100 AS bucket,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |upd AS (
+             |  SELECT bucket,
+             |    CASE WHEN bucket = 7 THEN cents + 1000000 ELSE cents
+             |    END AS cents
+             |  FROM ev)
+             |SELECT CAST(bucket % 10 AS BIGINT) AS bd,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS data_files_same,
+             |  CAST(1 AS BIGINT) AS pre_image_ok,
+             |  CAST(1 AS BIGINT) AS folded
+             |FROM upd GROUP BY 1
+             |ORDER BY bd""".stripMargin)))
 }

@@ -46,7 +46,8 @@ import graft.ops.VersionedTable
   * unsupported (an object-store rename is a copy; snapshot ids are
   * path-bound) — fail loudly.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -146,4 +147,17 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft catalog: rename is a copy on object stores and snapshot " +
         "ids are path-bound — create + insert + drop instead")
+
+  // ---- SQL maintenance: CALL graft.system.<proc>(...) ---- //
+  // optimize / vacuum / restore / clone through Spark's
+  // stored-procedure API (r12 verdict #7) — see GraftProcedures.
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.toSeq == Seq("system")) GraftProcedures.list(warehouse)
+    else Array.empty
 }

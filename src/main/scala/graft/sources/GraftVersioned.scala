@@ -257,7 +257,15 @@ class GraftVersionedTable(tableSchema: StructType,
                           tableOptions: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Position identity (__graft_file, __graft_pos) — the rowId the
+    * MERGE-ON-READ delta operations bind ([[GraftDelta]]).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftDelta.metadataColumns()
 
   override def name(): String =
     s"graft_versioned(${GraftVersioned.tablePath(tableOptions)}, " +
@@ -343,12 +351,23 @@ class GraftVersionedTable(tableSchema: StructType,
       GraftVersioned.tablePath(tableOptions), cond)
   }
 
-  // ---- SQL UPDATE / MERGE / complex DELETE (group-based CoW) ---- //
+  // ---- SQL UPDATE / MERGE / complex DELETE ---- //
+  // Two engines, like Delta 3.x: the default GROUP-BASED copy-on-write
+  // (ReplaceData — rewrite matched files), or MERGE-ON-READ position
+  // deltas (WriteDelta — tombstone + replacement rows, files
+  // untouched) when the session sets
+  // `spark.graft.rowLevel.mode=merge-on-read`.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GraftRowLevelOperationBuilder(
-      GraftVersioned.tablePath(tableOptions), info)
+    if (SparkSession.active.conf
+      .get("spark.graft.rowLevel.mode", "copy-on-write")
+      .trim.equalsIgnoreCase("merge-on-read"))
+      new GraftDeltaOperationBuilder(
+        GraftVersioned.tablePath(tableOptions), info)
+    else
+      new GraftRowLevelOperationBuilder(
+        GraftVersioned.tablePath(tableOptions), info)
 }
 
 /** The versioned table's write builder.

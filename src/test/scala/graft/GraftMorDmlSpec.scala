@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.VersionedTable
+
+/** Contract tests for MERGE-ON-READ row-level DML (r12 verdict item 4,
+  * SupportsDelta): under `spark.graft.rowLevel.mode=merge-on-read` a
+  * SQL UPDATE leaves every data file untouched (data_files_same) and
+  * lands tombstones + replacement rows; time travel sees the
+  * pre-image; OPTIMIZE folds the vectors; MERGE and non-translatable
+  * DELETE ride the same path; the default mode stays group CoW.
+  */
+class GraftMorDmlSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/$name"
+    graft.io.FsUtil.deleteRecursively(p)
+    p
+  }
+
+  private def withCatalog(name: String)(body: String => Unit): Unit = {
+    val wh = tmp(s"graft_morwh_$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    try body(wh)
+    finally spark.conf.unset("spark.graft.rowLevel.mode")
+  }
+
+  test("merge-on-read UPDATE: data files untouched, tombstones + " +
+    "replacement rows land in one version, pre-image time-travels, " +
+    "OPTIMIZE folds the vectors") {
+    import spark.implicits._
+    withCatalog("gmor1") { wh =>
+      val path = s"$wh/t1"
+      VersionedTable.init(
+        spark.range(100).select(col("id"), (col("id") % 10).as("b"),
+          lit(0L).as("cents")).repartition(4), path)
+      val v0 = VersionedTable.latestVersion(path)
+      val before = VersionedTable.manifestFiles(path, v0)
+      spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+      spark.sql("UPDATE gmor1.t1 SET cents = 777 WHERE id = 42")
+      val v1 = VersionedTable.latestVersion(path)
+      assert(v1 == v0 + 1)
+      val m = VersionedTable.readManifest(path, v1)
+      assert(before.forall(m.data.contains),
+        "merge-on-read UPDATE rewrote a data file")
+      assert(m.dvs.nonEmpty, "no deletion vector landed")
+      assert(m.data.size == before.size + 1,
+        s"expected exactly one replacement file, got ${m.data.size - before.size}")
+      // content: the update applied, nothing else changed
+      val now = VersionedTable.read(spark, path)
+      assert(now.count() == 100)
+      assert(now.where(col("id") === 42).head().getLong(2) == 777L)
+      assert(now.where(col("cents") =!= 0L).count() == 1)
+      // DSv2 merge-on-read SELECT agrees
+      val sql = spark.sql("SELECT sum(cents) FROM gmor1.t1").head().getLong(0)
+      assert(sql == 777L)
+      // pre-image
+      assert(VersionedTable.readVersion(spark, path, v0)
+        .where(col("id") === 42).head().getLong(2) == 0L)
+      // OPTIMIZE folds the vectors
+      VersionedTable.compact(spark, path, 2)
+      val m2 = VersionedTable.readManifest(path,
+        VersionedTable.latestVersion(path))
+      assert(m2.dvs.isEmpty)
+      assert(VersionedTable.read(spark, path).count() == 100)
+      assert(VersionedTable.read(spark, path)
+        .where(col("id") === 42).head().getLong(2) == 777L)
+    }
+  }
+
+  test("merge-on-read MERGE INTO and a second UPDATE over an existing " +
+    "vector: updates tombstone + re-add, inserts append, prior " +
+    "tombstones respected") {
+    import spark.implicits._
+    withCatalog("gmor2") { wh =>
+      val path = s"$wh/t2"
+      VersionedTable.init(
+        spark.range(50).select(col("id"), lit(1L).as("cents"))
+          .repartition(2), path)
+      spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+      spark.sql("UPDATE gmor2.t2 SET cents = 100 WHERE id < 5")
+      Seq((3L, 1000L), (60L, 2000L), (61L, 3000L))
+        .toDF("id", "cents").createOrReplaceTempView("mor_updates")
+      spark.sql(
+        """MERGE INTO gmor2.t2 t USING mor_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET t.cents = u.cents
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val now = VersionedTable.read(spark, path)
+      assert(now.count() == 52)
+      assert(now.where(col("id") === 3).head().getLong(1) == 1000L)
+      assert(now.where(col("id") === 4).head().getLong(1) == 100L)
+      assert(now.where(col("id") === 60).head().getLong(1) == 2000L)
+      assert(now.agg(sum("cents")).head().getLong(0) ==
+        45L * 1 + 4 * 100 + 1000 + 2000 + 3000)
+      // a non-translatable DELETE rides the delta path too (no file
+      // rewritten, tombstones only)
+      val filesBefore = VersionedTable.manifestFiles(path,
+        VersionedTable.latestVersion(path))
+      spark.sql("DELETE FROM gmor2.t2 WHERE cents = 100 AND id % 2 = 0")
+      val m = VersionedTable.readManifest(path,
+        VersionedTable.latestVersion(path))
+      assert(filesBefore.forall(m.data.contains))
+      // cents=100 rows are ids 0,1,2,4 — the even ones (0,2,4) go
+      assert(VersionedTable.read(spark, path).count() == 49)
+    }
+  }
+
+  test("default mode stays group copy-on-write (q504 contract)") {
+    import spark.implicits._
+    withCatalog("gmor3") { wh =>
+      val path = s"$wh/t3"
+      VersionedTable.init(
+        spark.range(40).select(col("id"), lit(0L).as("cents"))
+          .repartition(2), path)
+      val before = VersionedTable.manifestFiles(path, 0)
+      spark.sql("UPDATE gmor3.t3 SET cents = 5 WHERE id = 7")
+      val m = VersionedTable.readManifest(path,
+        VersionedTable.latestVersion(path))
+      assert(m.dvs.isEmpty, "CoW mode must not write deletion vectors")
+      assert(!before.forall(m.data.contains),
+        "CoW UPDATE must rewrite the matched file")
+      assert(VersionedTable.read(spark, path)
+        .where(col("id") === 7).head().getLong(1) == 5L)
+    }
+  }
+}
