@@ -92,7 +92,8 @@ object VersionedTable {
       ts: Option[Long] = None,
       partCol: Option[String] = None,
       partValues: Map[String, String] = Map.empty,
-      nullCounts: Map[String, Map[String, Long]] = Map.empty)
+      nullCounts: Map[String, Map[String, Long]] = Map.empty,
+      extraCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
 
   /** A manifest entry is either table-relative (`cNNNNN/part-..`) or an
     * absolute/URI reference into ANOTHER table (shallow clones).
@@ -186,6 +187,11 @@ object VersionedTable {
       require(p.length == 4, s"bad null-count line in $f: $l")
       (p(3), p(1), p(2).toLong) // (rel, col, nulls)
     }
+    val xcLines = lines.filter(_.startsWith("xc\t")).map { l =>
+      val p = l.split("\t")
+      require(p.length == 3, s"bad extra-column line in $f: $l")
+      p(1) -> org.apache.spark.sql.types.DataType.fromJson(p(2))
+    }
     val pvLines = lines.filter(_.startsWith("pv\t")).map { l =>
       val p = l.split("\t")
       require(p.length == 4, s"bad partition-value line in $f: $l")
@@ -196,7 +202,7 @@ object VersionedTable {
         l.startsWith("dv:") || l.startsWith("zs\t") ||
           l.startsWith("bf\t") || l.startsWith("rc\t") ||
           l.startsWith("pv\t") || l.startsWith("nc\t") ||
-          l.startsWith("#")),
+          l.startsWith("xc\t") || l.startsWith("#")),
       dvs = lines.filter(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
       stats = stats,
       batch = lines.find(_.startsWith("#batch="))
@@ -208,7 +214,8 @@ object VersionedTable {
       partCol = pvLines.headOption.map(_._1),
       partValues = pvLines.map(t => t._2 -> t._3).toMap,
       nullCounts = ncLines.groupBy(_._1).view.mapValues(
-        _.map(t => t._2 -> t._3).toMap).toMap)
+        _.map(t => t._2 -> t._3).toMap).toMap,
+      extraCols = xcLines)
   }
 
   /** Data files of version `v`, as `commitDir/partFile` relative paths
@@ -239,7 +246,8 @@ object VersionedTable {
     val meta = parseCheckpoint("<delta>", body.filter(l =>
       l.startsWith("zs\t") || l.startsWith("bf\t") ||
         l.startsWith("rc\t") || l.startsWith("pv\t") ||
-        l.startsWith("nc\t") || l.startsWith("#")))
+        l.startsWith("nc\t") || l.startsWith("xc\t") ||
+        l.startsWith("#")))
     val bfx = body.filter(_.startsWith("bfx\t"))
       .map(_.split("\t")(1)).toSet
     Manifest(
@@ -253,7 +261,9 @@ object VersionedTable {
       ts = meta.ts,
       partCol = meta.partCol.orElse(base.partCol),
       partValues = (base.partValues -- removeData) ++ meta.partValues,
-      nullCounts = (base.nullCounts -- removeData) ++ meta.nullCounts)
+      nullCounts = (base.nullCounts -- removeData) ++ meta.nullCounts,
+      extraCols = base.extraCols ++
+        meta.extraCols.filterNot(x => base.extraCols.exists(_._1 == x._1)))
   }
 
   /** The add/remove actions of commit `v`: (added data files, removed
@@ -316,7 +326,8 @@ object VersionedTable {
       bloomLines(m.blooms) ++
       rcLines(m.rowCounts) ++
       pvLines(m.partCol, m.partValues) ++
-      ncLines(m.nullCounts)
+      ncLines(m.nullCounts) ++
+      xcLines(m.extraCols)
 
   private def statLines(
       stats: Map[String, Map[String, (Double, Double)]]): Seq[String] =
@@ -338,6 +349,11 @@ object VersionedTable {
     partValues.toSeq.sortBy(_._1).flatMap { case (rel, v2) =>
       partCol.map(pc => s"pv\t$pc\t$v2\t$rel")
     }
+
+  private def xcLines(
+      extraCols: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Seq[String] =
+    extraCols.map { case (n, dt) => s"xc\t$n\t${dt.json}" }
 
   private def ncLines(
       nullCounts: Map[String, Map[String, Long]]): Seq[String] =
@@ -387,6 +403,11 @@ object VersionedTable {
       if ((carried.keySet -- nextM.keySet).nonEmpty) None
       else Some(nextM.filter { case (k, a) => !carried.get(k).contains(a) })
     }
+    // extra (ALTER-added) columns: the fold only appends, so a
+    // removed/changed entry is unrepresentable
+    val prevXc = prev.extraCols.toMap
+    if (!prev.extraCols.forall(x => next.extraCols.contains(x))) return None
+    val xcAdd = next.extraCols.filterNot(x => prevXc.get(x._1).contains(x._2))
     for {
       statAdd <- diffMap(prev.stats, next.stats)
       rcAdd <- diffMap(prev.rowCounts, next.rowCounts)
@@ -410,7 +431,8 @@ object VersionedTable {
         bloomLines(next.blooms.filter(b => bloomCols.contains(b.keyCol))) ++
         rcLines(rcAdd) ++
         pvLines(next.partCol, pvAdd) ++
-        ncLines(ncAdd)
+        ncLines(ncAdd) ++
+        xcLines(xcAdd)
     }
   }
 
@@ -427,7 +449,7 @@ object VersionedTable {
     val fullCount = 2 + stamped.data.size + stamped.dvs.size +
       stamped.stats.valuesIterator.map(_.size).sum +
       stamped.blooms.size + stamped.rowCounts.size +
-      stamped.partValues.size +
+      stamped.partValues.size + stamped.extraCols.size +
       stamped.nullCounts.valuesIterator.map(_.size).sum
     val out =
       if (v % checkpointInterval == 0) checkpointLines(stamped)
@@ -694,7 +716,14 @@ object VersionedTable {
     */
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
     val m = readManifest(path, v)
-    readFiles(spark, path, m.data, m.dvs)
+    val base = readFiles(spark, path, m.data, m.dvs)
+    // ALTER-added columns not yet materialized in any file surface
+    // null-filled (files written after the ALTER carry them for real,
+    // at which point mergeSchema already includes them)
+    m.extraCols.foldLeft(base) { case (df, (n, dt)) =>
+      if (df.columns.contains(n)) df
+      else df.withColumn(n, lit(null).cast(dt))
+    }
   }
 
   /** Read the current version. */
@@ -791,7 +820,34 @@ object VersionedTable {
       m.rowCounts.map { case (rel, n) => abs(rel) -> n },
       None, m.partCol,
       m.partValues.map { case (rel, pv2) => abs(rel) -> pv2 },
-      m.nullCounts.map { case (rel, mm) => abs(rel) -> mm }))
+      m.nullCounts.map { case (rel, mm) => abs(rel) -> mm },
+      m.extraCols))
+  }
+
+  // ---------------------------------------------------------------- //
+  // schema evolution: ALTER TABLE ADD COLUMN
+
+  /** ADD COLUMN as a metadata-only commit: the manifest gains an `xc`
+    * line and NOT ONE data file is touched — reads null-fill the
+    * column for pre-evolution files (the same union-schema machinery
+    * appends already use), writes after the ALTER materialize it, and
+    * older snapshots keep their original schema (their manifests carry
+    * no `xc` line). Constraints, stats, partition values all survive
+    * (the manifest is copied). The added column is nullable by
+    * construction.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val m = readManifest(path, v)
+    val existing = readVersion(spark, path, v).columns.toSet
+    require(!existing.contains(name) &&
+      !m.extraCols.exists(_._1 == name),
+      s"column '$name' already exists at $path")
+    commitManifest(path, v + 1, m,
+      m.copy(batch = None, ts = None,
+        extraCols = m.extraCols :+ (name -> dataType)))
   }
 
   // ---------------------------------------------------------------- //
@@ -916,7 +972,8 @@ object VersionedTable {
       batch, prev.blooms,
       prev.rowCounts ++ footerCounts(path, newFiles),
       None, prev.partCol, prev.partValues,
-      prev.nullCounts ++ footerNullCounts(path, newFiles)))
+      prev.nullCounts ++ footerNullCounts(path, newFiles),
+      prev.extraCols))
   }
 
   /** Append-only commit: new files join the manifest; no existing file
@@ -991,7 +1048,7 @@ object VersionedTable {
         commitManifest(path, v + 1, prev, Manifest(
           prev.data ++ staged, prev.dvs, prev.stats ++ zone, batch,
           prev.blooms, prev.rowCounts ++ rc, None, prev.partCol,
-          prev.partValues, prev.nullCounts ++ nc))
+          prev.partValues, prev.nullCounts ++ nc, prev.extraCols))
         return v + 1
       } catch {
         case e: java.io.IOException =>
@@ -1183,7 +1240,8 @@ object VersionedTable {
       None, m.partCol,
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
-        footerNullCounts(path, rewritten)))
+        footerNullCounts(path, rewritten),
+      m.extraCols))
   }
 
   /** MERGE-ON-READ delete via deletion vectors: writes NO data file at
@@ -1262,7 +1320,8 @@ object VersionedTable {
       None, m.partCol,
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
-        footerNullCounts(path, staged)))
+        footerNullCounts(path, staged),
+      m.extraCols))
   }
 
   /** Commit a MERGE-ON-READ row-level operation prepared by the DSv2
@@ -1286,7 +1345,8 @@ object VersionedTable {
       m.data ++ stagedData, m.dvs ++ stagedDvs, m.stats, None, m.blooms,
       m.rowCounts ++ footerCounts(path, stagedData),
       None, m.partCol, m.partValues,
-      m.nullCounts ++ footerNullCounts(path, stagedData)))
+      m.nullCounts ++ footerNullCounts(path, stagedData),
+      m.extraCols))
   }
 
   /** Footer row count of a single staged file (metadata-only read). */
@@ -1349,7 +1409,8 @@ object VersionedTable {
       None, m.partCol,
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
-        footerNullCounts(path, rewritten)))
+        footerNullCounts(path, rewritten),
+      m.extraCols))
   }
 
   /** Apply a CDC batch ATOMICALLY — upserts and deletes in ONE
@@ -1418,7 +1479,8 @@ object VersionedTable {
       None, m.partCol,
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
-        footerNullCounts(path, rewritten)))
+        footerNullCounts(path, rewritten),
+      m.extraCols))
   }
 
   // ---------------------------------------------------------------- //

@@ -130,11 +130,31 @@ class GraftCatalog extends TableCatalog
     load(ident, None)
   }
 
+  /** ALTER TABLE ADD COLUMN(S): a metadata-only manifest commit (r12
+    * verdict #8) — no data file is touched, old snapshots keep their
+    * schema, constraints and stats survive. Other ALTER shapes
+    * (drop/rename/retype) stay unsupported: they would silently change
+    * the meaning of immutable historical files.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: schema evolves through appends/MERGE " +
-        "(mergeSchema), not ALTER TABLE")
+                          changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    if (!isTable(path))
+      throw new NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ ident.name())
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft catalog: nested ADD COLUMN is unsupported")
+        VersionedTable.addColumn(SparkSession.active, path,
+          add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — only " +
+          "ADD COLUMN evolves the schema (drop/rename/retype would " +
+          "reinterpret immutable historical files)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = pathOf(ident)

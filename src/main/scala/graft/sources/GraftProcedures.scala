@@ -182,32 +182,14 @@ class GraftCloneProcedure(tablePath: String => String)
   }
 }
 
-/** One-row local result set for a procedure call. */
+/** One-row LOCAL result set for a procedure call — Catalyst's
+  * procedure invocation accepts only `LocalScan` outputs.
+  */
 class GraftProcedureResultScan(schema: StructType, values: Seq[Any])
-    extends Scan with Batch {
+    extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftProcedureResultPartition(values.map {
-      case s: String => UTF8String.fromString(s)
-      case other => other
-    }))
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftProcedureResultReaderFactory
-}
-
-case class GraftProcedureResultPartition(values: Seq[Any])
-    extends InputPartition
-
-object GraftProcedureResultReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition)
-      : PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = InternalRow(
-        p.asInstanceOf[GraftProcedureResultPartition].values: _*)
-      override def close(): Unit = ()
-    }
+  override def rows(): Array[InternalRow] = Array(InternalRow(values.map {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }: _*))
 }

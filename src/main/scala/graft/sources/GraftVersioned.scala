@@ -143,9 +143,15 @@ object GraftVersioned {
       spark: SparkSession, options: CaseInsensitiveStringMap): StructType = {
     val path = tablePath(options)
     val m = VersionedTable.readManifest(path, version(options))
-    spark.read.option("mergeSchema", "true")
+    val fromFiles = spark.read.option("mergeSchema", "true")
       .parquet(m.data.map(r => VersionedTable.absPath(path, r)): _*)
       .schema
+    // ALTER-added columns not yet materialized in any file (the
+    // parquet reader null-fills columns absent from a file, so the
+    // scan serves them for free)
+    m.extraCols.foldLeft(fromFiles) { case (st, (n, dt)) =>
+      if (st.fieldNames.contains(n)) st else st.add(n, dt)
+    }
   }
 
   /** Conjunctive numeric bounds per column, closed on both ends (a
