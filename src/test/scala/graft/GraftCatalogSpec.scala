@@ -74,13 +74,15 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.head().getLong(0) == 200)
   }
 
-  test("refusals are loud: rename, ALTER, static partitioning, " +
-    "missing table") {
+  test("refusals are loud: rename, destructive ALTER, static " +
+    "partitioning, missing table") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gtest.refuse")
     spark.sql("CREATE TABLE gtest.refuse (id BIGINT)")
+    // ADD COLUMN is supported since r13 (GraftAlterTableSpec); the
+    // destructive shapes still refuse
     intercept[Exception] {
-      spark.sql("ALTER TABLE gtest.refuse ADD COLUMN x BIGINT")
+      spark.sql("ALTER TABLE gtest.refuse DROP COLUMN id")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE gtest.refuse RENAME TO refuse2")
