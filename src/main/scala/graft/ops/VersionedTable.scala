@@ -93,7 +93,8 @@ object VersionedTable {
       partCol: Option[String] = None,
       partValues: Map[String, String] = Map.empty,
       nullCounts: Map[String, Map[String, Long]] = Map.empty,
-      extraCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+      extraCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+      cdc: Seq[String] = Nil)
 
   /** A manifest entry is either table-relative (`cNNNNN/part-..`) or an
     * absolute/URI reference into ANOTHER table (shallow clones).
@@ -211,6 +212,8 @@ object VersionedTable {
       rowCounts = rowCounts,
       ts = lines.find(_.startsWith("#ts="))
         .map(_.stripPrefix("#ts=").trim.toLong),
+      cdc = lines.filter(_.startsWith("#cdc="))
+        .map(_.stripPrefix("#cdc=").trim),
       partCol = pvLines.headOption.map(_._1),
       partValues = pvLines.map(t => t._2 -> t._3).toMap,
       nullCounts = ncLines.groupBy(_._1).view.mapValues(
@@ -263,7 +266,8 @@ object VersionedTable {
       partValues = (base.partValues -- removeData) ++ meta.partValues,
       nullCounts = (base.nullCounts -- removeData) ++ meta.nullCounts,
       extraCols = base.extraCols ++
-        meta.extraCols.filterNot(x => base.extraCols.exists(_._1 == x._1)))
+        meta.extraCols.filterNot(x => base.extraCols.exists(_._1 == x._1)),
+      cdc = meta.cdc)
   }
 
   /** The add/remove actions of commit `v`: (added data files, removed
@@ -288,7 +292,8 @@ object VersionedTable {
   final case class CommitActions(addedData: Seq[String],
                                  removedData: Seq[String],
                                  addedDvs: Seq[String],
-                                 removedDvs: Seq[String])
+                                 removedDvs: Seq[String],
+                                 cdcFiles: Seq[String] = Nil)
 
   def commitActions(path: String, v: Int): CommitActions = {
     val lines = rawManifest(path, v)
@@ -299,10 +304,11 @@ object VersionedTable {
         .map(_.stripPrefix(prefix))
       def dv(prefix: String) = body
         .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-      CommitActions(data("+"), data("-"), dv("+dv:"), dv("-dv:"))
+      CommitActions(data("+"), data("-"), dv("+dv:"), dv("-dv:"),
+        body.filter(_.startsWith("#cdc=")).map(_.stripPrefix("#cdc=")))
     } else {
       val m = parseCheckpoint(manifestFile(path, v), lines)
-      if (v == 0) CommitActions(m.data, Nil, m.dvs, Nil)
+      if (v == 0) CommitActions(m.data, Nil, m.dvs, Nil, m.cdc)
       else {
         val prev = readManifest(path, v - 1)
         val prevData = prev.data.toSet
@@ -311,7 +317,7 @@ object VersionedTable {
         val curDv = m.dvs.toSet
         CommitActions(
           m.data.filterNot(prevData), prev.data.filterNot(curData),
-          m.dvs.filterNot(prevDv), prev.dvs.filterNot(curDv))
+          m.dvs.filterNot(prevDv), prev.dvs.filterNot(curDv), m.cdc)
       }
     }
   }
@@ -320,6 +326,7 @@ object VersionedTable {
   private def checkpointLines(m: Manifest): Seq[String] =
     m.ts.map(t => s"#ts=$t").toSeq ++
       m.batch.map(b => s"#batch=$b").toSeq ++
+      m.cdc.map(r => s"#cdc=$r") ++
       m.data.sorted ++
       m.dvs.sorted.map("dv:" + _) ++
       statLines(m.stats) ++
@@ -422,6 +429,7 @@ object VersionedTable {
         .filter(c => pb.get(c) != nb.get(c)).toSeq.sorted
       next.ts.map(t => s"#ts=$t").toSeq ++
         next.batch.map(b => s"#batch=$b").toSeq ++
+        next.cdc.map(r => s"#cdc=$r") ++
         addData.sorted.map("+" + _) ++
         removeData.sorted.map("-" + _) ++
         addDv.sorted.map("+dv:" + _) ++
@@ -788,7 +796,7 @@ object VersionedTable {
     require(latest >= 0, s"no table at $path — call init first")
     val m = readManifest(path, v) // fails loudly if v was vacuumed
     commitManifest(path, latest + 1, readManifest(path, latest),
-      m.copy(batch = None, ts = None))
+      m.copy(batch = None, ts = None, cdc = Nil))
   }
 
   /** SHALLOW CLONE: create an independent table at `dst` whose version
@@ -846,7 +854,7 @@ object VersionedTable {
       !m.extraCols.exists(_._1 == name),
       s"column '$name' already exists at $path")
     commitManifest(path, v + 1, m,
-      m.copy(batch = None, ts = None,
+      m.copy(batch = None, ts = None, cdc = Nil,
         extraCols = m.extraCols :+ (name -> dataType)))
   }
 
@@ -1198,6 +1206,50 @@ object VersionedTable {
   private val probeCap = 1000000
 
   // ---------------------------------------------------------------- //
+  // CHANGE DATA FEED sidecars for copy-on-write commits
+
+  private def cdfMarker(path: String): String =
+    s"${manifestDir(path)}/cdf_enabled"
+
+  /** Opt a table into WRITE-TIME CDC files (the Delta
+    * `enableChangeDataFeed` shape): from now on every copy-on-write
+    * verb ([[deleteWhere]], [[merge]], [[applyCdc]]) ALSO writes the
+    * commit's exact row-level diff — the q498 multiset-diff semantics
+    * (survivors cancel: only truly removed/added rows appear) — as a
+    * `_change`-tagged parquet sidecar referenced by a per-version
+    * `#cdc=` manifest tag. The STREAMING change feed then serves CoW
+    * commits as leaf scans of these files instead of refusing; batch
+    * `tableChanges` is unaffected (its algebra never needed them).
+    * Cost: one pred-sized distributed write per CoW commit — exactly
+    * Delta's documented CDF tax. Append and DV commits never need
+    * sidecars (their diffs are already scan-only).
+    */
+  def enableChangeDataFeed(path: String): Unit =
+    TableFs.writeUtf8Overwrite(cdfMarker(path), "enabled")
+
+  def disableChangeDataFeed(path: String): Unit =
+    TableFs.deleteFile(cdfMarker(path))
+
+  def changeDataFeedEnabled(path: String): Boolean =
+    TableFs.exists(cdfMarker(path))
+
+  /** The `_change`-tagged diff rows of version `v`'s CoW commit, read
+    * from its CDC sidecars (empty when the commit wrote none).
+    */
+  def readCdc(spark: SparkSession, path: String, v: Int): DataFrame = {
+    val cdc = commitActions(path, v).cdcFiles
+    require(cdc.nonEmpty, s"version $v at $path carries no CDC sidecar")
+    spark.read.option("mergeSchema", "true")
+      .parquet(cdc.map(r => absPath(path, r)): _*)
+  }
+
+  private def writeCdcData(df: DataFrame, path: String): Seq[String] = {
+    val sub = newAppendDir()
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
+    listStagedFiles(path, sub)
+  }
+
+  // ---------------------------------------------------------------- //
   // deletes
 
   /** Copy-on-write delete: files with no matching row carry over BY
@@ -1229,6 +1281,13 @@ object VersionedTable {
         readFiles(spark, path, affected, m.dvs)
           .where(coalesce(pred, lit(false)) === false),
         path)
+    // CDF sidecar: the commit's exact diff is the deleted rows
+    val cdcFiles =
+      if (!changeDataFeedEnabled(path) || affected.isEmpty) Nil
+      else writeCdcData(
+        readFiles(spark, path, affected, m.dvs)
+          .where(coalesce(pred, lit(false)) === true)
+          .withColumn("_change", lit("removed")), path)
     // DV refs carry over: entries naming rewritten files dangle
     // harmlessly (the new file names never match); entries naming
     // carried files still apply. Stats for rewritten files drop.
@@ -1241,7 +1300,7 @@ object VersionedTable {
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
         footerNullCounts(path, rewritten),
-      m.extraCols))
+      m.extraCols, cdcFiles))
   }
 
   /** MERGE-ON-READ delete via deletion vectors: writes NO data file at
@@ -1279,7 +1338,7 @@ object VersionedTable {
     // the pre-r13 drop turned a bytes-sized DV commit into an O(table)
     // manifest rewrite
     commitManifest(path, v + 1, m,
-      m.copy(dvs = m.dvs ++ dvFiles, batch = None, ts = None))
+      m.copy(dvs = m.dvs ++ dvFiles, batch = None, ts = None, cdc = Nil))
   }
 
   /** Commit a GROUP-BASED copy-on-write rewrite prepared by an external
@@ -1395,6 +1454,20 @@ object VersionedTable {
       if (affected.isEmpty) updates.limit(0)
       else readFiles(spark, path, affected, m.dvs)
         .join(keys, keyCols, "left_anti")
+    // CDF sidecar: matched keys' OLD rows 'removed', every update row
+    // 'added' (survivors cancel in the multiset diff and never appear)
+    val cdcFiles =
+      if (!changeDataFeedEnabled(path)) Nil
+      else {
+        val removed =
+          if (affected.isEmpty) updates.limit(0)
+          else readFiles(spark, path, affected, m.dvs)
+            .join(keys, keyCols, "left_semi")
+        writeCdcData(
+          removed.withColumn("_change", lit("removed"))
+            .unionByName(updates.withColumn("_change", lit("added")),
+              allowMissingColumns = true), path)
+      }
     // allowMissingColumns: an update batch may CARRY a new column
     // (schema evolution through MERGE) or lack a recently-added one —
     // either side null-fills
@@ -1410,7 +1483,7 @@ object VersionedTable {
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
         footerNullCounts(path, rewritten),
-      m.extraCols))
+      m.extraCols, cdcFiles))
   }
 
   /** Apply a CDC batch ATOMICALLY — upserts and deletes in ONE
@@ -1467,6 +1540,20 @@ object VersionedTable {
       else readFiles(spark, path, affected, m.dvs)
         .join(keys, keyCols, "left_anti")
     val upserts = batch.where(col(opCol) === 1).drop(opCol)
+    // CDF sidecar: every batch key's OLD row 'removed' (whether the
+    // key upserts or deletes), upsert payloads 'added'
+    val cdcFiles =
+      if (!changeDataFeedEnabled(path)) Nil
+      else {
+        val removed =
+          if (affected.isEmpty) upserts.limit(0)
+          else readFiles(spark, path, affected, m.dvs)
+            .join(keys, keyCols, "left_semi")
+        writeCdcData(
+          removed.withColumn("_change", lit("removed"))
+            .unionByName(upserts.withColumn("_change", lit("added")),
+              allowMissingColumns = true), path)
+      }
     val rewritten = writeCommitDataUnique(
       survivors.unionByName(upserts, allowMissingColumns = true),
       path)
@@ -1480,7 +1567,7 @@ object VersionedTable {
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
         footerNullCounts(path, rewritten),
-      m.extraCols))
+      m.extraCols, cdcFiles))
   }
 
   // ---------------------------------------------------------------- //
@@ -1767,7 +1854,7 @@ object VersionedTable {
         checkpointLines(readManifest(path, keepFrom)).mkString("\n"))
     val kept: Set[String] = (keepFrom to latest).flatMap { v =>
       val m = readManifest(path, v)
-      m.data ++ m.dvs ++ m.blooms.map(_.rel)
+      m.data ++ m.dvs ++ m.blooms.map(_.rel) ++ m.cdc
     }.toSet
     var manifestsRemoved = 0
     (0 until keepFrom).foreach { v =>
@@ -1850,7 +1937,7 @@ object VersionedTable {
     val sidecars = TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
     commitManifest(path, v + 1, m, m.copy(
-      batch = None,
+      batch = None, ts = None, cdc = Nil,
       blooms = m.blooms.filterNot(_.keyCol == keyCol) ++
         sidecars.map(r => BloomRef(keyCol, bits, hashes, r))))
   }

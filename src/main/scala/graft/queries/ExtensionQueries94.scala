@@ -157,5 +157,89 @@ object ExtensionQueries94 {
              |  CAST(1 AS BIGINT) AS files_same,
              |  CAST(1 AS BIGINT) AS old_schema_ok
              |FROM ev GROUP BY 1, 2
-             |ORDER BY source, event_type""".stripMargin)))
+             |ORDER BY source, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q515: WRITE-TIME CDC SIDECARS — q498's full commit script (append,
+    // copy-on-write DELETE, MERGE) driven as a REAL STREAM. With
+    // enableChangeDataFeed, every CoW verb also records its exact
+    // multiset diff (survivors cancel) as a `_change`-tagged sidecar
+    // referenced by a per-version #cdc manifest tag; the streaming
+    // change feed serves those commits as LEAF SCANS of the sidecars
+    // (no exceptAll inside the incremental execution) instead of
+    // refusing — the Delta enableChangeDataFeed shape. The gated rows
+    // ARE q498's oracle (same script, same per-commit diffs) plus the
+    // stream==batch equality pin, closing the r12 verdict's literal
+    // done-criterion for the streaming feed.
+    Q(
+      "q515_cdc_sidecar_stream",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = System.getProperty("java.io.tmpdir")
+        val path = s"$tmp/graft_cdcsc$tag"
+        val out = s"$tmp/graft_cdcsc_out$tag"
+        graft.io.FsUtil.deleteRecursively(path)
+        graft.io.FsUtil.deleteRecursively(out)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_cdcsc_ckpt").toString
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.where(col("event_id") % 2 === 0), path)
+        VersionedTable.enableChangeDataFeed(path)
+        VersionedTable.append(ev.where(col("event_id") % 2 === 1), path)
+        VersionedTable.deleteWhere(s, path, col("event_type") === "error")
+        VersionedTable.merge(s, path,
+          ev.where(col("event_type") === "purchase")
+            .withColumn("cents", col("cents") + 5L),
+          Seq("event_id"))
+        val q = s.readStream.format("graft-versioned")
+          .option("readChangeFeed", "true").load(path)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val sink = s.read.parquet(out)
+        val batch = VersionedTable.tableChanges(s, path, 0,
+          VersionedTable.latestVersion(path))
+        def key(df: org.apache.spark.sql.DataFrame) =
+          df.select("event_id", "cents", "change", "commit_version")
+        val batchEq =
+          if (key(sink).exceptAll(key(batch)).isEmpty &&
+            key(batch).exceptAll(key(sink)).isEmpty) 1L
+          else 0L
+        graft.io.FsUtil.deleteRecursively(ckpt)
+        sink.groupBy("commit_version", "change", "event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(col("commit_version"), col("change"), col("event_type"),
+            col("n"), col("sum_cents"), lit(batchEq).as("batch_eq"))
+          .orderBy("commit_version", "change", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(1 AS BIGINT) AS commit_version,
+             |  'added' AS change, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS batch_eq
+             |FROM ev WHERE event_id % 2 = 1 GROUP BY event_type
+             |UNION ALL
+             |SELECT 2, 'removed', event_type, CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT), 1
+             |FROM ev WHERE event_type = 'error' GROUP BY event_type
+             |UNION ALL
+             |SELECT 3, 'added', 'purchase', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents + 5) AS BIGINT), 1
+             |FROM ev WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT 3, 'removed', 'purchase', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT), 1
+             |FROM ev WHERE event_type = 'purchase'
+             |ORDER BY commit_version, change, event_type"""
+        .stripMargin)))
 }

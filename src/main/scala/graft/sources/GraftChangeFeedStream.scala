@@ -42,12 +42,15 @@ import graft.ops.VersionedTable
   *     storage order emitting ONLY those positions, tagged
   *     `change='removed'` (the inverse of [[GraftDvReaderFactory]]'s
   *     skip) — exact removed rows, no join;
-  *   - a COPY-ON-WRITE commit (UPDATE/MERGE/OPTIMIZE rewrites) has no
-  *     scan-only diff without write-time CDC files — REFUSE loudly
-  *     (exactly Delta's stance for streaming CDF) unless
-  *     `skipChangeCommits=true` skips them, and point the user at the
-  *     batch `readChangeFeed`, whose exceptAll algebra handles any
-  *     commit shape.
+  *   - a COPY-ON-WRITE commit carrying write-time CDC sidecars
+  *     ([[graft.ops.VersionedTable.enableChangeDataFeed]]) serves as a
+  *     leaf scan of those `_change`-tagged files (the exact multiset
+  *     diff, recorded at write time — Delta's enableChangeDataFeed
+  *     shape); without sidecars it REFUSES loudly (exactly Delta's
+  *     stance) unless `skipChangeCommits=true` skips it, pointing the
+  *     user at batch `readChangeFeed`, whose exceptAll algebra handles
+  *     any commit shape. Merge-on-read DML needs no sidecars at all —
+  *     its commits ARE adds + DV positions, served exactly.
   *
   * Entry point: [[GraftVersionedTable.newScanBuilder]] returns a
   * change-feed scan when the options carry readChangeFeed — its
@@ -78,20 +81,27 @@ class GraftChangeFeedMicroBatchStream(
       .streaming.Offset): Array[InputPartition] = {
     val fromV = start.asInstanceOf[GraftVersionOffset].v + 1
     val toV = end.asInstanceOf[GraftVersionOffset].v
-    // per version: added files and added-DV tombstones
+    // per version: added files, added-DV tombstones, and CoW commits'
+    // write-time CDC sidecars
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val removedByFile = scala.collection.mutable.LinkedHashMap
       .empty[(String, Long), Array[Long]]
+    val cdcByVersion = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)]
     (fromV to toV).foreach { v =>
       val a = VersionedTable.commitActions(path, v.toInt)
       if (a.removedData.nonEmpty) {
-        if (!skipChangeCommits)
+        if (a.cdcFiles.nonEmpty)
+          // the verb recorded its exact diff at write time — serve it
+          cdcByVersion ++= a.cdcFiles.map(_ -> v)
+        else if (!skipChangeCommits)
           throw new IllegalStateException(
             s"graft-versioned change-feed stream at $path: version $v " +
-              s"rewrites data files (${a.removedData.size} removed) — " +
-              "a copy-on-write commit has no scan-only row diff; use " +
-              "batch readChangeFeed for exact diffs of any commit " +
-              "shape, or skipChangeCommits=true to skip such commits")
+              s"rewrites data files (${a.removedData.size} removed) " +
+              "without CDC sidecars — enable write-time CDC " +
+              "(VersionedTable.enableChangeDataFeed) for exact CoW " +
+              "diffs, use batch readChangeFeed (its exceptAll algebra " +
+              "handles any commit shape), or skipChangeCommits=true")
       } else {
         added ++= a.addedData.map(_ -> v)
         if (a.addedDvs.nonEmpty) {
@@ -108,7 +118,27 @@ class GraftChangeFeedMicroBatchStream(
     }
     val allFiles = (added.map(_._1) ++ removedByFile.keys.map(_._1))
       .distinct.toSeq
-    if (allFiles.isEmpty) { cdfScan = null; return Array.empty }
+    if (allFiles.isEmpty && cdcByVersion.isEmpty) {
+      cdfScan = null; cdcScan = null; return Array.empty
+    }
+    // CDC-sidecar partitions: a second inner scan whose read schema
+    // is dataSchema + the recorded `_change` column (positionally the
+    // stream's own `change` slot — the reader appends only the version)
+    cdcScan =
+      if (cdcByVersion.isEmpty) null
+      else {
+        val cdcIndex = new InMemoryFileIndex(spark,
+          cdcByVersion.map(r => new HPath(
+            VersionedTable.absPath(path, r._1))).toSeq.distinct,
+          Map.empty, Some(cdcReadSchema))
+        ParquetScan(spark, spark.sessionState.newHadoopConf(),
+          cdcIndex, cdcReadSchema, cdcReadSchema, new StructType(),
+          Array.empty, options)
+      }
+    if (allFiles.isEmpty) {
+      cdfScan = null
+      return planCdcPartitions(cdcByVersion.toSeq, Nil).toArray
+    }
     val index = new InMemoryFileIndex(spark,
       allFiles.map(r => new HPath(VersionedTable.absPath(path, r))),
       Map.empty, Some(dataSchema))
@@ -147,12 +177,44 @@ class GraftChangeFeedMicroBatchStream(
           splits.sortBy(_.start).toArray, v, "removed", positions)
       }
     }
-    out.toArray
+    (out.toSeq ++ planCdcPartitions(cdcByVersion.toSeq, out.toSeq))
+      .toArray
+  }
+
+  /** Stream schema's data columns + the recorded `_change`. */
+  private def cdcReadSchema: StructType =
+    StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField("_change",
+        org.apache.spark.sql.types.StringType, nullable = false))
+
+  @volatile private var cdcScan: ParquetScan = _
+
+  private def planCdcPartitions(cdc: Seq[(String, Long)],
+                                prior: Seq[InputPartition])
+      : Seq[InputPartition] = {
+    if (cdc.isEmpty) return Nil
+    val versionByRel = cdc.toMap
+    var idx = prior.length
+    cdcScan.toBatch.planInputPartitions().toSeq.flatMap {
+      case fp: FilePartition => fp.files.toSeq.map { pf =>
+        val rel = GraftDvAwareScan.relRe
+          .findFirstMatchIn(pf.filePath.toUri.getPath).map(_.group(1))
+          .getOrElse(sys.error(
+            s"change-feed stream: unmappable CDC split ${pf.filePath}"))
+        val v = versionByRel.getOrElse(rel, sys.error(
+          s"change-feed stream: CDC split $rel not in the batch range"))
+        idx += 1
+        new GraftCdfCdcPartition(idx - 1, Array(pf), v): InputPartition
+      }
+      case other =>
+        sys.error(s"change-feed stream: unexpected CDC partition $other")
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCdfReaderFactory(
-      if (cdfScan == null) null else cdfScan.toBatch.createReaderFactory())
+      if (cdfScan == null) null else cdfScan.toBatch.createReaderFactory(),
+      if (cdcScan == null) null else cdcScan.toBatch.createReaderFactory())
 
   override def toString: String =
     s"GraftChangeFeedMicroBatchStream[$path]"
@@ -211,13 +273,32 @@ class GraftCdfPartition(
     val positions: Array[Long])
     extends FilePartition(idx, fs)
 
-class GraftCdfReaderFactory(delegate: PartitionReaderFactory)
+/** A CDC-sidecar split: rows already carry `_change` in the change
+  * slot; the reader appends only the commit version.
+  */
+class GraftCdfCdcPartition(
+    idx: Int,
+    fs: Array[PartitionedFile],
+    val version: Long)
+    extends FilePartition(idx, fs)
+
+class GraftCdfReaderFactory(delegate: PartitionReaderFactory,
+                            cdcDelegate: PartitionReaderFactory = null)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = p match {
+    case c: GraftCdfCdcPartition =>
+      val inner = cdcDelegate.createReader(FilePartition(c.index, c.files))
+      val tag = new GenericInternalRow(Array[Any](c.version))
+      val joined = new JoinedRow
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = joined(inner.get(), tag)
+        override def close(): Unit = inner.close()
+      }
     case c: GraftCdfPartition =>
       val inner = delegate.createReader(FilePartition(c.index, c.files))
       val tag = new GenericInternalRow(Array[Any](

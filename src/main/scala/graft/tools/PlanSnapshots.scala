@@ -254,6 +254,14 @@ object PlanSnapshots {
       write("q503_mor_scan_after_delete",
         spark.sql("SELECT bucket, count(*) AS n FROM plansnap_dml.t " +
           "GROUP BY bucket").queryExecution.explainString(mode))
+      // round 13: the MERGE-ON-READ UPDATE — must plan WriteDelta over
+      // the graft_delta_scan (not ReplaceData), rows carrying the
+      // position-identity metadata columns
+      spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+      try write("q512_mor_update_write_delta_plan",
+        optimizedSection("EXPLAIN EXTENDED UPDATE plansnap_dml.t " +
+          "SET cents = 1 WHERE bucket = 9"))
+      finally spark.conf.unset("spark.graft.rowLevel.mode")
     } finally {
       graft.io.FsUtil.deleteRecursively(dmlWh)
     }

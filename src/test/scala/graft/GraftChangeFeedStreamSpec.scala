@@ -77,6 +77,43 @@ class GraftChangeFeedStreamSpec extends SparkSpec {
       s"restart served wrong increment: ${got2 -- expected}")
   }
 
+  test("write-time CDC sidecars: with enableChangeDataFeed, CoW " +
+    "delete/merge/CDC commits stream their exact diffs and equal the " +
+    "batch feed; vacuum keeps referenced sidecars") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_sidecar")
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v")
+        .repartition(2), path)
+    VersionedTable.enableChangeDataFeed(path)
+    VersionedTable.append(Seq((5L, 50L)).toDF("id", "v"), path) // v1
+    VersionedTable.deleteWhere(spark, path, col("id") === 2L)   // v2 CoW
+    VersionedTable.merge(spark, path,                            // v3 CoW
+      Seq((3L, 333L), (9L, 900L)).toDF("id", "v"), Seq("id"))
+    VersionedTable.applyCdc(spark, path,                         // v4 CoW
+      Seq((4L, 0L, -1), (6L, 600L, 1)).toDF("id", "v", "op"),
+      Seq("id"), "op")
+    val ckpt = Files.createTempDirectory("graft_cdfsc_ck").toString
+    val got = runFeed(path, ckpt, tmp("graft_cdf_sidecar_out"))
+    val expected = VersionedTable.tableChanges(spark, path, 0, 4)
+      .select("id", "v", "change", "commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == expected,
+      s"CDC stream != batch feed:\n got=$got\n exp=$expected")
+    // the CoW legs really are in there
+    assert(got.contains((2L, 20L, "removed", 2L)))
+    assert(got.contains((3L, 30L, "removed", 3L)))
+    assert(got.contains((3L, 333L, "added", 3L)))
+    assert(got.contains((9L, 900L, "added", 3L)))
+    assert(got.contains((4L, 40L, "removed", 4L)))
+    assert(got.contains((6L, 600L, "added", 4L)))
+    // vacuum keeps kept versions' sidecars, reclaims evicted ones
+    val (_, reclaimed) = VersionedTable.vacuum(path, 2)
+    assert(reclaimed > 0)
+    assert(VersionedTable.readCdc(spark, path, 4).count() == 2)
+  }
+
   test("copy-on-write commits refuse loudly; skipChangeCommits skips " +
     "them; pacing splits the backlog per maxVersionsPerTrigger") {
     import spark.implicits._
@@ -91,7 +128,7 @@ class GraftChangeFeedStreamSpec extends SparkSpec {
       .StreamingQueryException] {
       runFeed(path, ckpt1, tmp("graft_cdf_cow_fail_out"))
     }
-    assert(e.getCause.getMessage.contains("no scan-only row diff"),
+    assert(e.getCause.getMessage.contains("without CDC sidecars"),
       s"wrong refusal: ${e.getCause}")
     // skipChangeCommits: the CoW commit vanishes, appends still serve
     val ckpt2 = Files.createTempDirectory("graft_cdf_cow_ck2").toString
