@@ -195,10 +195,10 @@ object ExtensionQueries93 {
     // delete) and a checkpoint RESTART serves exactly the new commits
     // (batch_eq pins stream rows == batch tableChanges over the full
     // range; restart_ok pins the increment). Copy-on-write commits
-    // refuse by design (no scan-only diff without write-time CDC
-    // files — Delta's streaming-CDF stance; batch readChangeFeed
-    // handles those), so the pipeline uses append+DV shapes, the 100 TB
-    // streaming-GDPR pattern.
+    // refuse by design unless the table opted into write-time CDC
+    // sidecars (q515) — Delta's streaming-CDF stance; batch
+    // readChangeFeed handles any shape. This pipeline uses append+DV
+    // shapes, the 100 TB streaming-GDPR pattern.
     Q(
       "q511_streaming_change_feed",
       (s, dir) => {
@@ -211,7 +211,11 @@ object ExtensionQueries93 {
         graft.io.FsUtil.deleteRecursively(out)
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_scdf_ckpt").toString
+        // a 1-in-5 slice: the gate's value is the per-commit diff
+        // algebra + restart, not sink volume — the full-table shape is
+        // q498's (batch)
         val ev = Tables.load(s, dir, "events")
+          .where(col("event_id") % 5 === 0)
           .select(col("event_id"), col("event_type"),
             floor(col("value") * 100 + 0.5).cast("long").as("cents"))
         VersionedTable.init(ev.where(col("event_id") % 2 === 0), path)
@@ -244,12 +248,11 @@ object ExtensionQueries93 {
         // stream rows must equal the batch change feed over the range
         val batch = VersionedTable.tableChanges(s, path, 0,
           VersionedTable.latestVersion(path))
+        // multiset equality with ONE diff: |A|==|B| and A∖B=∅ ⇒ B∖A=∅
         val batchEq =
-          if (sink.select("event_id", "cents", "change", "commit_version")
-            .exceptAll(batch.select("event_id", "cents", "change",
-              "commit_version")).isEmpty &&
-            batch.select("event_id", "cents", "change", "commit_version")
-              .exceptAll(sink.select("event_id", "cents", "change",
+          if (sink.count() == batch.count() &&
+            sink.select("event_id", "cents", "change", "commit_version")
+              .exceptAll(batch.select("event_id", "cents", "change",
                 "commit_version")).isEmpty) 1L
           else 0L
         graft.io.FsUtil.deleteRecursively(ckpt)
@@ -265,7 +268,7 @@ object ExtensionQueries93 {
       Some("""WITH ev AS (
              |  SELECT event_id, event_type,
              |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-             |  FROM events)
+             |  FROM events WHERE event_id % 5 = 0)
              |SELECT CAST(1 AS BIGINT) AS commit_version,
              |  'added' AS change, event_type,
              |  CAST(count(*) AS BIGINT) AS n,

@@ -182,7 +182,10 @@ object ExtensionQueries94 {
         graft.io.FsUtil.deleteRecursively(out)
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_cdcsc_ckpt").toString
+        // 1-in-3 slice: the gate's value is CoW diffs recorded at
+        // write time + the stream==batch equality, not sink volume
         val ev = Tables.load(s, dir, "events")
+          .where(col("event_id") % 3 === 0)
           .select(col("event_id"), col("event_type"),
             floor(col("value") * 100 + 0.5).cast("long").as("cents"))
         VersionedTable.init(ev.where(col("event_id") % 2 === 0), path)
@@ -206,9 +209,10 @@ object ExtensionQueries94 {
           VersionedTable.latestVersion(path))
         def key(df: org.apache.spark.sql.DataFrame) =
           df.select("event_id", "cents", "change", "commit_version")
+        // multiset equality with ONE diff: |A|==|B| and A∖B=∅ ⇒ B∖A=∅
         val batchEq =
-          if (key(sink).exceptAll(key(batch)).isEmpty &&
-            key(batch).exceptAll(key(sink)).isEmpty) 1L
+          if (sink.count() == batch.count() &&
+            key(sink).exceptAll(key(batch)).isEmpty) 1L
           else 0L
         graft.io.FsUtil.deleteRecursively(ckpt)
         sink.groupBy("commit_version", "change", "event_type")
@@ -221,7 +225,7 @@ object ExtensionQueries94 {
       Some("""WITH ev AS (
              |  SELECT event_id, event_type,
              |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-             |  FROM events)
+             |  FROM events WHERE event_id % 3 = 0)
              |SELECT CAST(1 AS BIGINT) AS commit_version,
              |  'added' AS change, event_type,
              |  CAST(count(*) AS BIGINT) AS n,

@@ -149,17 +149,44 @@ class GraftDeltaScanBuilder(op: GraftDeltaOperation, spark: SparkSession)
   }
 }
 
+/** Position-identity scan: rows of `keep` under existing deletion
+  * vectors, storage-order positions, with (__graft_file, __graft_pos)
+  * appended. Serves the row-level delta operations AND plain
+  * SELECTs that reference the table's metadata columns (`projection`
+  * = the pruned schema then; its metadata fields must be TRAILING,
+  * which is where Catalyst appends metadataOutput).
+  */
 class GraftDeltaScan(spark: SparkSession, path: String,
                      keep: Seq[String], dataSchema: StructType,
                      dvByFile: Map[String, Array[Long]],
-                     exactRows: Option[Long])
+                     exactRows: Option[Long],
+                     projection: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
-  private val outSchema = StructType(dataSchema.fields ++ Seq(
-    org.apache.spark.sql.types.StructField(GraftDelta.FileCol,
-      StringType, nullable = false),
-    org.apache.spark.sql.types.StructField(GraftDelta.PosCol,
-      LongType, nullable = false)))
+  private val metaNames = Seq(GraftDelta.FileCol, GraftDelta.PosCol)
+
+  private val outSchema = projection.getOrElse(
+    StructType(dataSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(GraftDelta.FileCol,
+        StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(GraftDelta.PosCol,
+        LongType, nullable = false))))
+
+  // the reader appends (file, pos) AFTER the data fields — a pruned
+  // schema interleaving them would mis-slot values
+  require({
+    val names = outSchema.fieldNames.toSeq
+    val metaIdx = names.zipWithIndex.filter(t => metaNames.contains(t._1))
+      .map(_._2)
+    metaIdx.isEmpty || metaIdx.min >= names.length - metaIdx.length
+  }, s"metadata columns must trail the schema: $outSchema")
+
+  /** Which of (file, pos) the output carries, in order. */
+  private val metaWanted: Seq[String] =
+    outSchema.fieldNames.filter(metaNames.contains).toSeq
+
+  private val innerSchema = StructType(
+    outSchema.fields.filterNot(f => metaNames.contains(f.name)))
 
   override def readSchema(): StructType = outSchema
 
@@ -174,7 +201,7 @@ class GraftDeltaScan(spark: SparkSession, path: String,
         VersionedTable.absPath(path, r))),
       Map.empty, Some(dataSchema))
     ParquetScan(spark, spark.sessionState.newHadoopConf(),
-      index, dataSchema, dataSchema, new StructType(),
+      index, dataSchema, innerSchema, new StructType(),
       Array.empty, CaseInsensitiveStringMap.empty())
   }
 
@@ -205,7 +232,9 @@ class GraftDeltaScan(spark: SparkSession, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftDeltaReaderFactory(inner.toBatch.createReaderFactory())
+    new GraftDeltaReaderFactory(inner.toBatch.createReaderFactory(),
+      emitFile = metaWanted.contains(GraftDelta.FileCol),
+      emitPos = metaWanted.contains(GraftDelta.PosCol))
 
   override def description(): String =
     s"graft_delta_scan($path, files=${keep.length})"
@@ -226,7 +255,9 @@ class GraftDeltaFilePartition(
     val tombstones: Array[Long])
     extends FilePartition(idx, fs)
 
-class GraftDeltaReaderFactory(delegate: PartitionReaderFactory)
+class GraftDeltaReaderFactory(delegate: PartitionReaderFactory,
+                              emitFile: Boolean = true,
+                              emitPos: Boolean = true)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -237,8 +268,10 @@ class GraftDeltaReaderFactory(delegate: PartitionReaderFactory)
       val inner = delegate.createReader(FilePartition(d.index, d.files))
       val file = UTF8String.fromString(d.encodedRel)
       val tombs = d.tombstones
-      val tag = new GenericInternalRow(2)
-      tag.update(0, file)
+      val width = (if (emitFile) 1 else 0) + (if (emitPos) 1 else 0)
+      val tag = new GenericInternalRow(width)
+      if (emitFile) tag.update(0, file)
+      val posIdx = if (emitFile) 1 else 0
       val joined = new JoinedRow
       new PartitionReader[InternalRow] {
         private var pos = -1L
@@ -252,8 +285,8 @@ class GraftDeltaReaderFactory(delegate: PartitionReaderFactory)
           false
         }
         override def get(): InternalRow = {
-          tag.setLong(1, pos)
-          joined(inner.get(), tag)
+          if (emitPos) tag.setLong(posIdx, pos)
+          if (width == 0) inner.get() else joined(inner.get(), tag)
         }
         override def close(): Unit = inner.close()
       }

@@ -946,6 +946,26 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     // with the row-level scan; see GraftVersioned.consultManifest
     val keep = GraftVersioned.consultManifest(
       spark, path, version, m, pushed.toSeq)
+    // POSITION-IDENTITY reads: a query referencing the table's
+    // metadata columns (__graft_file / __graft_pos) routes through the
+    // delta scan — one offset-ordered partition per file so positions
+    // are the true storage ordinals, existing deletion vectors
+    // applied, NO parquet row filters (a row-group skip would shift
+    // ordinals; Spark's residual Filter still applies). The plain
+    // parquet scan would silently null-fill these columns.
+    if (required.fieldNames.exists(n =>
+      n == GraftDelta.FileCol || n == GraftDelta.PosCol)) {
+      val dvByFile =
+        if (m.dvs.isEmpty) Map.empty[String, Array[Long]]
+        else GraftVersioned.loadDvMap(spark, path, version, m, keep)
+      val exact =
+        if (keep.forall(m.rowCounts.contains))
+          Some(keep.map(m.rowCounts).sum -
+            dvByFile.values.map(_.length.toLong).sum)
+        else None
+      return new GraftDeltaScan(spark, path, keep, dataSchema,
+        dvByFile, exact, Some(required))
+    }
     // LIMIT capping: keep only the first files whose cumulative footer
     // counts reach the pushed limit (filter-free scans only; Spark's
     // own Limit still applies on top — partial pushdown)

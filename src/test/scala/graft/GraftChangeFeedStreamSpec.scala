@@ -12,8 +12,9 @@ import graft.ops.VersionedTable
   * options — appends emit 'added', deletion-vector commits emit the
   * EXACT 'removed' rows (position scans, no joins), the result equals
   * the batch readChangeFeed over the same range, restarts resume from
-  * the checkpoint, and copy-on-write commits refuse loudly unless
-  * skipChangeCommits skips them.
+  * the checkpoint, and copy-on-write commits serve their write-time
+  * CDC sidecars when the table opted in (enableChangeDataFeed) or
+  * refuse loudly unless skipChangeCommits skips them.
   */
 class GraftChangeFeedStreamSpec extends SparkSpec {
 

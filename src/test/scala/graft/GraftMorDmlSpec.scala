@@ -107,6 +107,38 @@ class GraftMorDmlSpec extends SparkSpec {
     }
   }
 
+  test("metadata columns on plain reads: SELECT __graft_file/__graft_pos " +
+    "serves true position identity (DV-aware), never silent nulls") {
+    import spark.implicits._
+    val path = tmp("graft_metacol_read")
+    VersionedTable.init(
+      spark.range(20).select(col("id"), (col("id") % 4).as("b"))
+        .repartition(2), path)
+    VersionedTable.deleteWhereDV(spark, path, col("id") === 5L)
+    val df = spark.read.format("graft-versioned").load(path)
+      .select(col("id"), col("__graft_file"), col("__graft_pos"))
+    val rows = df.collect()
+    assert(rows.length == 19)
+    assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "metadata columns null-filled")
+    // positions are per-file storage ordinals: within a file they are
+    // distinct, and the tombstoned row's position is absent
+    val byFile = rows.groupBy(_.getString(1))
+    assert(byFile.size == 2)
+    byFile.values.foreach { rs =>
+      val ps = rs.map(_.getLong(2)).sorted
+      assert(ps.distinct.length == ps.length, "duplicate positions")
+    }
+    // file names join back to the manifest (encoded rel form)
+    val m = VersionedTable.readManifest(path, 1)
+    assert(byFile.keySet.map(graft.ops.VersionedTable.percentDecode)
+      .subsetOf(m.data.toSet))
+    // filters still apply (as residuals above the position scan)
+    assert(spark.read.format("graft-versioned").load(path)
+      .where(col("b") === 2L)
+      .select(col("id"), col("__graft_pos")).count() == 5)
+  }
+
   test("default mode stays group copy-on-write (q504 contract)") {
     import spark.implicits._
     withCatalog("gmor3") { wh =>
