@@ -252,7 +252,8 @@ object GraftChangeFeedMicroBatchStream {
     */
   private def withDefaultStart(
       options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
-    if (options.containsKey("startingVersion")) options
+    if (options.containsKey("startingVersion") ||
+      options.containsKey("startingTimestamp")) options
     else {
       val m = new java.util.HashMap[String, String](options)
       m.put("startingVersion", "1")

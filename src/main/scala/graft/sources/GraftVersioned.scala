@@ -104,7 +104,8 @@ class GraftVersioned extends TableProvider with DataSourceRegister
       sqlContext,
       path,
       GraftVersionedStreamSource.resolveStart(
-        path, parameters.get("startingVersion")),
+        path, parameters.get("startingVersion"),
+        parameters.get("startingTimestamp")),
       parameters.get("ignoreChanges").exists(_.trim.toBoolean),
       GraftVersionedStreamSource.streamSchema(sqlContext, path, schema))
   }

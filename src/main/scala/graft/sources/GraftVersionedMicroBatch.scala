@@ -57,7 +57,8 @@ class GraftVersionedMicroBatchStream(
     with SupportsTriggerAvailableNow {
 
   private val startingVersion = GraftVersionedStreamSource.resolveStart(
-    path, Option(options.get("startingVersion")))
+    path, Option(options.get("startingVersion")),
+    Option(options.get("startingTimestamp")))
   private val ignoreChanges =
     Option(options.get("ignoreChanges")).exists(_.trim.toBoolean)
   private val maxVersionsPerTrigger =

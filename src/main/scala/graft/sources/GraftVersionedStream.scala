@@ -154,11 +154,23 @@ object GraftVersionedStreamSource {
       }
     }
 
-  private[sources] def resolveStart(path: String, opt: Option[String]): Int =
+  private[sources] def resolveStart(path: String, opt: Option[String],
+                                    tsOpt: Option[String] = None): Int =
     opt match {
       case Some("latest") => VersionedTable.latestVersion(path) + 1
       case Some(v) => v.trim.toInt
-      case None => 0
+      case None => tsOpt match {
+        // startingTimestamp (epoch millis): the first version committed
+        // AT or AFTER the probe — Delta's semantics; a future timestamp
+        // serves only commits made after stream start. startingVersion
+        // wins when both are set.
+        case Some(ts) =>
+          val probe = ts.trim.toLong
+          VersionedTable.history(path)
+            .find(_.tsMillis.exists(_ >= probe)).map(_.version)
+            .getOrElse(VersionedTable.latestVersion(path) + 1)
+        case None => 0
+      }
     }
 
   private[sources] def streamSchema(

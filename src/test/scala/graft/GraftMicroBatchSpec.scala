@@ -156,4 +156,34 @@ class GraftMicroBatchSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not append-only")),
       s"wrong failure: ${msgs(e).mkString(" | ")}")
   }
+  test("startingTimestamp serves the first commit AT or AFTER the " +
+    "probe (Delta semantics); a future timestamp serves only new " +
+    "commits; startingVersion wins when both are set") {
+    val path = tmp("graft_mb_start_ts")
+    backlog(path, 3) // versions 0..3
+    val ts2 = VersionedTable.history(path)
+      .find(_.version == 2).get.tsMillis.get
+    def run(name: String, opts: Map[String, String]): Long = {
+      val ckpt = Files.createTempDirectory(s"graft_mbts_$name").toString
+      var r = spark.readStream.format("graft-versioned")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(path)
+        .groupBy().agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(s"mbts_$name")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.stop()
+      spark.table(s"mbts_$name").head().getLong(0)
+    }
+    // v2's stamp: serves v2 + v3 = 2 rows (one row per append)
+    assert(run("at2", Map("startingTimestamp" -> ts2.toString)) == 2)
+    // far future: nothing in the backlog qualifies
+    assert(run("future", Map(
+      "startingTimestamp" -> (ts2 + 1000L * 3600 * 24 * 365).toString)) == 0)
+    // startingVersion wins over startingTimestamp
+    assert(run("both", Map("startingTimestamp" -> ts2.toString,
+      "startingVersion" -> "1")) == 3)
+  }
 }

@@ -68,6 +68,11 @@ class GraftProceduresSpec extends SparkSpec {
     intercept[Exception] {
       VersionedTable.readVersion(spark, path, 0).count()
     }
+    // SHOW PROCEDURES lists the system namespace
+    val listed = spark.sql("SHOW PROCEDURES IN gproc.system")
+      .collect().map(_.toString).mkString("\n")
+    Seq("optimize", "vacuum", "restore", "clone").foreach(n =>
+      assert(listed.contains(n), s"SHOW PROCEDURES missing $n:\n$listed"))
     // unknown procedure refuses loudly
     val e = intercept[Exception] {
       spark.sql("CALL gproc.system.nope()").collect()

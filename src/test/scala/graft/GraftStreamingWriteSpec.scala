@@ -70,6 +70,33 @@ class GraftStreamingWriteSpec extends SparkSpec {
     assert(out2.agg(sum("v")).head().getLong(0) == 150L)
   }
 
+  test("writeStream.toTable lands in a catalog table (the Delta " +
+    "toTable shape): STREAMING_WRITE resolves through GraftCatalog") {
+    import spark.implicits._
+    val wh = tmp("graft_sw_towh")
+    spark.conf.set("spark.sql.catalog.gswcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gswcat.warehouse", wh)
+    val src = tmp("graft_sw_tosrc")
+    VersionedTable.init(
+      Seq((1L, 10L)).toDF("id", "v").repartition(1), src)
+    (2 to 3).foreach(i => VersionedTable.append(
+      Seq((i.toLong, i * 10L)).toDF("id", "v"), src))
+    spark.sql("DROP TABLE IF EXISTS gswcat.sink")
+    spark.sql("CREATE TABLE gswcat.sink (id BIGINT, v BIGINT)")
+    val ckpt = Files.createTempDirectory("graft_swto_ck").toString
+    val q = spark.readStream.format("graft-versioned").load(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("gswcat.sink")
+    q.awaitTermination(120000)
+    q.stop()
+    assert(spark.sql("SELECT count(*) FROM gswcat.sink")
+      .head().getLong(0) == 3)
+    assert(VersionedTable.appliedBatches(s"$wh/sink").nonEmpty,
+      "epoch tags missing from the catalog sink")
+  }
+
   test("redelivered epoch is a no-op: a replayed commit under an " +
     "already-recorded epoch id changes nothing (exactly-once)") {
     import spark.implicits._
