@@ -1371,6 +1371,37 @@ object VersionedTable {
     require(unknown.isEmpty,
       s"row-level rewrite at $path names files not in v$v: $unknown")
     val carried = m.data.filterNot(replacedSet.contains)
+    // CDF sidecar for the SQL group-CoW path: the exact multiset diff
+    // of replaced-group rows vs their replacements (exceptAll both
+    // ways — survivors cancel), computed ONCE at write time so the
+    // streaming feed serves this commit as a leaf scan. Only when the
+    // table opted in (the Delta CDF tax).
+    val cdcFiles =
+      if (!changeDataFeedEnabled(path) ||
+        (replaced.isEmpty && staged.isEmpty)) Nil
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val oldRows =
+          if (replaced.isEmpty) None
+          else Some(readFiles(spark, path, replaced, m.dvs))
+        val newRows =
+          if (staged.isEmpty) None
+          else Some(spark.read.option("mergeSchema", "true")
+            .parquet(staged.map(r => absPath(path, r)): _*))
+        val diff = (oldRows, newRows) match {
+          case (Some(o), Some(n)) =>
+            require(o.columns.toSet == n.columns.toSet,
+              s"CDC diff at $path: replaced/staged schemas diverge")
+            val oAligned = o.select(n.columns.map(col): _*)
+            oAligned.exceptAll(n).withColumn("_change", lit("removed"))
+              .unionByName(
+                n.exceptAll(oAligned).withColumn("_change", lit("added")))
+          case (Some(o), None) => o.withColumn("_change", lit("removed"))
+          case (None, Some(n)) => n.withColumn("_change", lit("added"))
+          case _ => null
+        }
+        if (diff == null) Nil else writeCdcData(diff, path)
+      }
     commitManifest(path, v + 1, m, Manifest(
       carried ++ staged, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
@@ -1380,7 +1411,7 @@ object VersionedTable {
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
         footerNullCounts(path, staged),
-      m.extraCols))
+      m.extraCols, cdcFiles))
   }
 
   /** Commit a MERGE-ON-READ row-level operation prepared by the DSv2

@@ -115,6 +115,33 @@ class GraftChangeFeedStreamSpec extends SparkSpec {
     assert(VersionedTable.readCdc(spark, path, 4).count() == 2)
   }
 
+  test("SQL group-CoW commits record CDC sidecars too: UPDATE via " +
+    "ReplaceData on a CDF-enabled table streams its exact diff") {
+    import spark.implicits._
+    val wh = tmp("graft_cdf_sqlwh")
+    spark.conf.set("spark.sql.catalog.gcdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdf.warehouse", wh)
+    val path = s"$wh/t"
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+        .repartition(1), path)
+    VersionedTable.enableChangeDataFeed(path)
+    VersionedTable.append(Seq((4L, 40L)).toDF("id", "v"), path) // v1
+    spark.sql("UPDATE gcdf.t SET v = 999 WHERE id = 2")         // v2 CoW
+    val ckpt = Files.createTempDirectory("graft_cdfsql_ck").toString
+    val got = runFeed(path, ckpt, tmp("graft_cdf_sql_out"))
+    val expected = VersionedTable.tableChanges(spark, path, 0, 2)
+      .select("id", "v", "change", "commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == expected,
+      s"SQL-CoW CDC stream != batch feed:\n got=$got\n exp=$expected")
+    assert(got.contains((2L, 20L, "removed", 2L)))
+    assert(got.contains((2L, 999L, "added", 2L)))
+    // survivors of the rewritten file (1, 3) cancel — never emitted
+    assert(!got.exists(t => t._1 == 1L && t._4 == 2L))
+  }
+
   test("copy-on-write commits refuse loudly; skipChangeCommits skips " +
     "them; pacing splits the backlog per maxVersionsPerTrigger") {
     import spark.implicits._
