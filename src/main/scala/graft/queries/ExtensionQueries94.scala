@@ -245,5 +245,80 @@ object ExtensionQueries94 {
              |  CAST(sum(cents) AS BIGINT), 1
              |FROM ev WHERE event_type = 'purchase'
              |ORDER BY commit_version, change, event_type"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q516: POSITION-IDENTITY READS. The table's metadata columns
+    // (__graft_file, __graft_pos) are queryable on a PLAIN read — the
+    // scan routes through the per-file storage-order reader (existing
+    // deletion vectors applied) instead of the parquet scan silently
+    // null-filling advertised columns. The gated pins audit physical
+    // identity against the manifest: countDistinct(__graft_file) ==
+    // the manifest's file count (files_ok); per-file live-row counts +
+    // that file's tombstones == the footer row count recorded at
+    // commit (rc_ok — positions and footer metadata agree exactly);
+    // positions are unique within each file (pos_unique). The logical
+    // agg rides next to the pins; the oracle replays it.
+    Q(
+      "q516_position_identity_read",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_posid$tag"
+        graft.io.FsUtil.deleteRecursively(path)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        VersionedTable.init(ev.repartition(8), path)
+        VersionedTable.deleteWhereDV(s, path,
+          col("event_type") === "error")
+        val v = VersionedTable.latestVersion(path)
+        val m = VersionedTable.readManifest(path, v)
+        val withId = s.read.format("graft-versioned").load(path)
+          .select(col("event_id"), col("event_type"), col("cents"),
+            col("__graft_file"), col("__graft_pos"))
+        val perFile = withId.groupBy("__graft_file")
+          .agg(count(lit(1)).as("live"),
+            countDistinct(col("__graft_pos")).as("distinct_pos"))
+          .collect()
+        val filesOk = if (perFile.length == m.data.length) 1L else 0L
+        val posUnique =
+          if (perFile.forall(r => r.getLong(1) == r.getLong(2))) 1L
+          else 0L
+        // per-file tombstone counts from the DV sidecars
+        val dvCounts = s.read
+          .parquet(m.dvs.map(r => graft.ops.VersionedTable
+            .absPath(path, r)): _*)
+          .groupBy("file").agg(count(lit(1)).as("dead"))
+          .collect()
+          .map(r => graft.ops.VersionedTable.percentDecode(
+            r.getString(0)) -> r.getLong(1)).toMap
+        val rcOk =
+          if (perFile.forall { r =>
+            val rel = graft.ops.VersionedTable.percentDecode(
+              r.getString(0))
+            m.rowCounts.get(rel).contains(
+              r.getLong(1) + dvCounts.getOrElse(rel, 0L))
+          }) 1L
+          else 0L
+        withId.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").as("sum_cents"))
+          .select(col("event_type"), col("n"), col("sum_cents"),
+            lit(filesOk).as("files_ok"),
+            lit(posUnique).as("pos_unique"),
+            lit(rcOk).as("rc_ok"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE event_type <> 'error')
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS files_ok,
+             |  CAST(1 AS BIGINT) AS pos_unique,
+             |  CAST(1 AS BIGINT) AS rc_ok
+             |FROM ev GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)))
 }

@@ -107,6 +107,32 @@ class GraftMorDmlSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read UPDATE over a Hive-escaped partitioned layout: " +
+    "position identities and tombstones use consistent encodings") {
+    import spark.implicits._
+    withCatalog("gmor4") { wh =>
+      val path = s"$wh/t4"
+      VersionedTable.init(
+        spark.range(30).select(col("id"),
+          concat(lit("k:"), (col("id") % 3).cast("string")).as("grp"),
+          lit(0L).as("cents")).repartition(2), path)
+      VersionedTable.compactPartitioned(spark, path, "grp")
+      // pre-existing DV on an escaped key, then a MoR UPDATE over it
+      VersionedTable.deleteWhereDV(spark, path, col("id") === 7L)
+      spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+      spark.sql("UPDATE gmor4.t4 SET cents = 5 WHERE grp = 'k:1'")
+      val now = VersionedTable.read(spark, path)
+      assert(now.count() == 29)
+      // k:1 ids are 1,4,...,28 (10 of them) minus deleted id=7 → 9
+      assert(now.where(col("cents") === 5L).count() == 9)
+      assert(now.where(col("id") === 7L).count() == 0,
+        "MoR update resurrected a tombstoned row on an escaped key")
+      // DSv2 scan agrees
+      assert(spark.sql("SELECT sum(cents) FROM gmor4.t4")
+        .head().getLong(0) == 45L)
+    }
+  }
+
   test("metadata columns on plain reads: SELECT __graft_file/__graft_pos " +
     "serves true position identity (DV-aware), never silent nulls") {
     import spark.implicits._
