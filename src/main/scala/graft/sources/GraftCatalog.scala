@@ -148,10 +148,21 @@ class GraftCatalog extends TableCatalog
           "graft catalog: nested ADD COLUMN is unsupported")
         VersionedTable.addColumn(SparkSession.active, path,
           add.fieldNames()(0), add.dataType())
+      // ALTER TABLE t SET TBLPROPERTIES('graft.enableChangeDataFeed' =
+      // 'true'|'false') — the Delta CDF table-property shape
+      case set: TableChange.SetProperty
+        if set.property() == "graft.enableChangeDataFeed" =>
+        if (set.value().trim.toBoolean)
+          VersionedTable.enableChangeDataFeed(path)
+        else VersionedTable.disableChangeDataFeed(path)
+      case unset: TableChange.RemoveProperty
+        if unset.property() == "graft.enableChangeDataFeed" =>
+        VersionedTable.disableChangeDataFeed(path)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
           "ADD COLUMN evolves the schema (drop/rename/retype would " +
-          "reinterpret immutable historical files)")
+          "reinterpret immutable historical files) and the " +
+          "graft.enableChangeDataFeed property toggles CDC sidecars")
     }
     loadTable(ident)
   }

@@ -45,15 +45,16 @@ object GraftProcedures {
       case "vacuum" => new GraftVacuumProcedure(tablePath)
       case "restore" => new GraftRestoreProcedure(tablePath)
       case "clone" => new GraftCloneProcedure(tablePath)
+      case "history" => new GraftHistoryProcedure(tablePath)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: optimize, " +
-          "vacuum, restore, clone")
+          "vacuum, restore, clone, history")
     }
   }
 
   def list(warehouse: String)
       : Array[org.apache.spark.sql.connector.catalog.Identifier] =
-    Array("optimize", "vacuum", "restore", "clone").map(n =>
+    Array("optimize", "vacuum", "restore", "clone", "history").map(n =>
       org.apache.spark.sql.connector.catalog.Identifier.of(
         Array("system"), n))
 
@@ -182,6 +183,32 @@ class GraftCloneProcedure(tablePath: String => String)
   }
 }
 
+/** The commit log as a result set — Delta's DESCRIBE HISTORY shape:
+  * one row per retained version with its timestamp, file footprint,
+  * and streaming batch tag.
+  */
+class GraftHistoryProcedure(tablePath: String => String)
+    extends GraftProcedure("history") {
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    GraftProcedures.in("table", StringType))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val path = tablePath(str(input, 0))
+    val rows = VersionedTable.history(path).map(c => Seq[Any](
+      c.version, c.tsMillis.map(Long.box).orNull,
+      c.dataFiles, c.dvFiles, c.batch.map(Long.box).orNull))
+    val schema = new StructType()
+      .add("version", IntegerType, nullable = false)
+      .add("timestamp_ms", LongType)
+      .add("data_files", IntegerType, nullable = false)
+      .add("dv_files", IntegerType, nullable = false)
+      .add("batch_id", LongType)
+    Collections.singletonList(
+      new GraftProcedureResultRowsScan(schema, rows): Scan).iterator()
+  }
+}
+
 /** One-row LOCAL result set for a procedure call — Catalyst's
   * procedure invocation accepts only `LocalScan` outputs.
   */
@@ -192,4 +219,16 @@ class GraftProcedureResultScan(schema: StructType, values: Seq[Any])
     case s: String => UTF8String.fromString(s)
     case other => other
   }: _*))
+}
+
+/** Multi-row variant (the history procedure). */
+class GraftProcedureResultRowsScan(schema: StructType,
+                                   rowValues: Seq[Seq[Any]])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = rowValues.map(vs =>
+    InternalRow(vs.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }: _*)).toArray
 }

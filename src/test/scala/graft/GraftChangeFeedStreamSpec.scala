@@ -125,7 +125,10 @@ class GraftChangeFeedStreamSpec extends SparkSpec {
     VersionedTable.init(
       Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
         .repartition(1), path)
-    VersionedTable.enableChangeDataFeed(path)
+    // enable via SQL TBLPROPERTIES (the Delta shape)
+    spark.sql("ALTER TABLE gcdf.t SET TBLPROPERTIES(" +
+      "'graft.enableChangeDataFeed' = 'true')")
+    assert(VersionedTable.changeDataFeedEnabled(path))
     VersionedTable.append(Seq((4L, 40L)).toDF("id", "v"), path) // v1
     spark.sql("UPDATE gcdf.t SET v = 999 WHERE id = 2")         // v2 CoW
     val ckpt = Files.createTempDirectory("graft_cdfsql_ck").toString

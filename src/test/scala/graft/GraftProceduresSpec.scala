@@ -68,10 +68,17 @@ class GraftProceduresSpec extends SparkSpec {
     intercept[Exception] {
       VersionedTable.readVersion(spark, path, 0).count()
     }
+    // history procedure: the commit log from SQL (kept versions only)
+    val hist = spark.sql("CALL gproc.system.history(table => 't')")
+      .collect()
+    assert(hist.length == 2, s"history rows: ${hist.length}")
+    assert(hist.map(_.getInt(0)).sorted.toSeq ==
+      VersionedTable.history(path).map(_.version))
+    assert(hist.forall(!_.isNullAt(1)), "history missing timestamps")
     // SHOW PROCEDURES lists the system namespace
     val listed = spark.sql("SHOW PROCEDURES IN gproc.system")
       .collect().map(_.toString).mkString("\n")
-    Seq("optimize", "vacuum", "restore", "clone").foreach(n =>
+    Seq("optimize", "vacuum", "restore", "clone", "history").foreach(n =>
       assert(listed.contains(n), s"SHOW PROCEDURES missing $n:\n$listed"))
     // unknown procedure refuses loudly
     val e = intercept[Exception] {
