@@ -93,6 +93,42 @@ object TableFs {
     }
   }
 
+  /** ATOMIC-REPLACE small-file write: content lands in a temp file
+    * first, then renames over the target — a reader never observes a
+    * truncated/torn file and a crash mid-write leaves the original
+    * intact (r13 ADVICE: vacuum's checkpoint materialization used the
+    * in-place truncating write, so a crash there permanently corrupted
+    * the fold base of every newer delta). POSIX rename overwrites
+    * atomically; filesystems whose rename refuses an existing target
+    * fall back to delete+rename — a missing-file window, never a torn
+    * one.
+    */
+  def writeUtf8Replace(path: String, content: String): Unit = {
+    val p = new HPath(path)
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val renamed =
+      try f.rename(tmp, p)
+      catch { case e: Throwable => f.delete(tmp, false); throw e }
+    if (!renamed) {
+      // rename-refuses-existing-target semantics: drop the target and
+      // retry once; fail loudly (temp cleaned) rather than leave both
+      f.delete(p, false)
+      val second =
+        try f.rename(tmp, p)
+        catch { case e: Throwable => f.delete(tmp, false); throw e }
+      if (!second) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(s"atomic replace failed: $path")
+      }
+    }
+  }
+
   /** Idempotent (overwriting) small-file write — for non-commit-point
     * metadata where replays should win, not wedge.
     */

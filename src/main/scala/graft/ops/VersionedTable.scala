@@ -94,7 +94,8 @@ object VersionedTable {
       partValues: Map[String, String] = Map.empty,
       nullCounts: Map[String, Map[String, Long]] = Map.empty,
       extraCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
-      cdc: Seq[String] = Nil)
+      cdc: Seq[String] = Nil,
+      txn: Option[String] = None)
 
   /** A manifest entry is either table-relative (`cNNNNN/part-..`) or an
     * absolute/URI reference into ANOTHER table (shallow clones).
@@ -212,6 +213,8 @@ object VersionedTable {
       rowCounts = rowCounts,
       ts = lines.find(_.startsWith("#ts="))
         .map(_.stripPrefix("#ts=").trim.toLong),
+      txn = lines.find(_.startsWith("#txn="))
+        .map(_.stripPrefix("#txn=").trim),
       cdc = lines.filter(_.startsWith("#cdc="))
         .map(_.stripPrefix("#cdc=").trim),
       partCol = pvLines.headOption.map(_._1),
@@ -267,7 +270,8 @@ object VersionedTable {
       nullCounts = (base.nullCounts -- removeData) ++ meta.nullCounts,
       extraCols = base.extraCols ++
         meta.extraCols.filterNot(x => base.extraCols.exists(_._1 == x._1)),
-      cdc = meta.cdc)
+      cdc = meta.cdc,
+      txn = meta.txn)
   }
 
   /** The add/remove actions of commit `v`: (added data files, removed
@@ -326,6 +330,7 @@ object VersionedTable {
   private def checkpointLines(m: Manifest): Seq[String] =
     m.ts.map(t => s"#ts=$t").toSeq ++
       m.batch.map(b => s"#batch=$b").toSeq ++
+      m.txn.map(t => s"#txn=$t").toSeq ++
       m.cdc.map(r => s"#cdc=$r") ++
       m.data.sorted ++
       m.dvs.sorted.map("dv:" + _) ++
@@ -429,6 +434,7 @@ object VersionedTable {
         .filter(c => pb.get(c) != nb.get(c)).toSeq.sorted
       next.ts.map(t => s"#ts=$t").toSeq ++
         next.batch.map(b => s"#batch=$b").toSeq ++
+        next.txn.map(t => s"#txn=$t").toSeq ++
         next.cdc.map(r => s"#cdc=$r") ++
         addData.sorted.map("+" + _) ++
         removeData.sorted.map("-" + _) ++
@@ -796,7 +802,7 @@ object VersionedTable {
     require(latest >= 0, s"no table at $path — call init first")
     val m = readManifest(path, v) // fails loudly if v was vacuumed
     commitManifest(path, latest + 1, readManifest(path, latest),
-      m.copy(batch = None, ts = None, cdc = Nil))
+      m.copy(batch = None, ts = None, cdc = Nil, txn = None))
   }
 
   /** SHALLOW CLONE: create an independent table at `dst` whose version
@@ -854,7 +860,7 @@ object VersionedTable {
       !m.extraCols.exists(_._1 == name),
       s"column '$name' already exists at $path")
     commitManifest(path, v + 1, m,
-      m.copy(batch = None, ts = None, cdc = Nil,
+      m.copy(batch = None, ts = None, cdc = Nil, txn = None,
         extraCols = m.extraCols :+ (name -> dataType)))
   }
 
@@ -1033,7 +1039,8 @@ object VersionedTable {
                          clusterBy: Option[String] = None,
                          batch: Option[Long] = None,
                          maxAttempts: Int = 20,
-                         preValidated: Boolean = false): Int = {
+                         preValidated: Boolean = false,
+                         txn: Option[String] = None): Int = {
     // preValidated: the caller already ran validateConstraints on the
     // exact rows it staged (appendConcurrent does) — re-reading the
     // staged parquet to validate again would double the constraint
@@ -1056,7 +1063,8 @@ object VersionedTable {
         commitManifest(path, v + 1, prev, Manifest(
           prev.data ++ staged, prev.dvs, prev.stats ++ zone, batch,
           prev.blooms, prev.rowCounts ++ rc, None, prev.partCol,
-          prev.partValues, prev.nullCounts ++ nc, prev.extraCols))
+          prev.partValues, prev.nullCounts ++ nc, prev.extraCols,
+          txn = txn))
         return v + 1
       } catch {
         case e: java.io.IOException =>
@@ -1090,7 +1098,8 @@ object VersionedTable {
     */
   def commitStagedOverwrite(path: String, staged: Seq[String],
                             clusterBy: Option[String] = None,
-                            maxAttempts: Int = 20): Int = {
+                            maxAttempts: Int = 20,
+                            txn: Option[String] = None): Int = {
     if (constraints(path).nonEmpty && staged.nonEmpty)
       validateConstraints(path,
         org.apache.spark.sql.SparkSession.active.read
@@ -1099,7 +1108,8 @@ object VersionedTable {
       clusterBy.map(c => footerZoneStats(path, staged, c))
         .getOrElse(Map.empty),
       None, Nil, footerCounts(path, staged),
-      nullCounts = footerNullCounts(path, staged))
+      nullCounts = footerNullCounts(path, staged),
+      txn = txn)
     var attempt = 0
     while (true) {
       val v = latestVersion(path)
@@ -1175,6 +1185,22 @@ object VersionedTable {
         .map(_.stripPrefix("#batch=").trim.toLong))
       .toSet
 
+  /** Sink-transaction identities already committed into this table —
+    * the DSv2 streaming sink's idempotence keys, `queryId:epochId`
+    * (the Delta txn discipline): keying on the epoch id ALONE would
+    * make a SECOND streaming query (or a restart with a fresh
+    * checkpoint, whose epochs restart at 0) silently drop its data as
+    * "already applied" (r13 ADVICE). Same raw-text scan as
+    * [[appliedBatches]].
+    */
+  def appliedTxns(path: String): Set[String] =
+    TableFs.listNames(manifestDir(path))
+      .filter(_.matches("v\\d{5}\\.txt"))
+      .flatMap(n => TableFs.readUtf8(s"${manifestDir(path)}/$n")
+        .linesIterator.find(_.startsWith("#txn="))
+        .map(_.stripPrefix("#txn=").trim))
+      .toSet
+
   // ---------------------------------------------------------------- //
   // probes shared by the copy-on-write paths
 
@@ -1248,6 +1274,22 @@ object VersionedTable {
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
     listStagedFiles(path, sub)
   }
+
+  /** NET multiset diff for a CDC sidecar: rows identical pre/post
+    * (no-op updates) cancel, so the write-time sidecar records the
+    * SAME change set batch `tableChanges` derives by exceptAll — the
+    * stream==batch CDF invariant (r13 ADVICE: merge/applyCdc recorded
+    * every matched old row as 'removed' and every update row as
+    * 'added', disagreeing with batch CDF on no-op updates). When the
+    * two sides carry DIFFERENT column sets (schema evolution through
+    * MERGE), no row can be identical anyway — pass both through.
+    */
+  private def cdcNetDiff(removed: DataFrame, added: DataFrame)
+      : (DataFrame, DataFrame) =
+    if (removed.columns.sorted.sameElements(added.columns.sorted)) {
+      val a = added.select(removed.columns.map(col).toSeq: _*)
+      (removed.exceptAll(a), a.exceptAll(removed))
+    } else (removed, added)
 
   // ---------------------------------------------------------------- //
   // deletes
@@ -1338,7 +1380,7 @@ object VersionedTable {
     // the pre-r13 drop turned a bytes-sized DV commit into an O(table)
     // manifest rewrite
     commitManifest(path, v + 1, m,
-      m.copy(dvs = m.dvs ++ dvFiles, batch = None, ts = None, cdc = Nil))
+      m.copy(dvs = m.dvs ++ dvFiles, batch = None, ts = None, cdc = Nil, txn = None))
   }
 
   /** Commit a GROUP-BASED copy-on-write rewrite prepared by an external
@@ -1485,8 +1527,9 @@ object VersionedTable {
       if (affected.isEmpty) updates.limit(0)
       else readFiles(spark, path, affected, m.dvs)
         .join(keys, keyCols, "left_anti")
-    // CDF sidecar: matched keys' OLD rows 'removed', every update row
-    // 'added' (survivors cancel in the multiset diff and never appear)
+    // CDF sidecar: matched keys' OLD rows 'removed', update rows
+    // 'added' — as the NET multiset diff, so a no-op update (identical
+    // pre/post row) contributes nothing, matching batch tableChanges
     val cdcFiles =
       if (!changeDataFeedEnabled(path)) Nil
       else {
@@ -1494,9 +1537,10 @@ object VersionedTable {
           if (affected.isEmpty) updates.limit(0)
           else readFiles(spark, path, affected, m.dvs)
             .join(keys, keyCols, "left_semi")
+        val (netRemoved, netAdded) = cdcNetDiff(removed, updates)
         writeCdcData(
-          removed.withColumn("_change", lit("removed"))
-            .unionByName(updates.withColumn("_change", lit("added")),
+          netRemoved.withColumn("_change", lit("removed"))
+            .unionByName(netAdded.withColumn("_change", lit("added")),
               allowMissingColumns = true), path)
       }
     // allowMissingColumns: an update batch may CARRY a new column
@@ -1572,7 +1616,8 @@ object VersionedTable {
         .join(keys, keyCols, "left_anti")
     val upserts = batch.where(col(opCol) === 1).drop(opCol)
     // CDF sidecar: every batch key's OLD row 'removed' (whether the
-    // key upserts or deletes), upsert payloads 'added'
+    // key upserts or deletes), upsert payloads 'added' — as the NET
+    // multiset diff so no-op upserts cancel, matching batch CDF
     val cdcFiles =
       if (!changeDataFeedEnabled(path)) Nil
       else {
@@ -1580,9 +1625,10 @@ object VersionedTable {
           if (affected.isEmpty) upserts.limit(0)
           else readFiles(spark, path, affected, m.dvs)
             .join(keys, keyCols, "left_semi")
+        val (netRemoved, netAdded) = cdcNetDiff(removed, upserts)
         writeCdcData(
-          removed.withColumn("_change", lit("removed"))
-            .unionByName(upserts.withColumn("_change", lit("added")),
+          netRemoved.withColumn("_change", lit("removed"))
+            .unionByName(netAdded.withColumn("_change", lit("added")),
               allowMissingColumns = true), path)
       }
     val rewritten = writeCommitDataUnique(
@@ -1880,8 +1926,11 @@ object VersionedTable {
     // through manifests this vacuum is about to delete — materialize
     // it into an equivalent checkpoint FIRST (same Manifest, ts/batch
     // preserved; an idempotent rewrite, not a commit point)
+    // atomic temp+rename, NOT an in-place truncate: a crash mid-write
+    // would otherwise corrupt the fold base of every newer delta and a
+    // concurrent reader could observe a torn manifest (r13 ADVICE)
     if (keepFrom > 0 && isDelta(rawManifest(path, keepFrom)))
-      TableFs.writeUtf8Overwrite(manifestFile(path, keepFrom),
+      TableFs.writeUtf8Replace(manifestFile(path, keepFrom),
         checkpointLines(readManifest(path, keepFrom)).mkString("\n"))
     val kept: Set[String] = (keepFrom to latest).flatMap { v =>
       val m = readManifest(path, v)
@@ -1968,7 +2017,7 @@ object VersionedTable {
     val sidecars = TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
     commitManifest(path, v + 1, m, m.copy(
-      batch = None, ts = None, cdc = Nil,
+      batch = None, ts = None, cdc = Nil, txn = None,
       blooms = m.blooms.filterNot(_.keyCol == keyCol) ++
         sidecars.map(r => BloomRef(keyCol, bits, hashes, r))))
   }

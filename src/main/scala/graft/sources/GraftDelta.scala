@@ -233,8 +233,7 @@ class GraftDeltaScan(spark: SparkSession, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDeltaReaderFactory(inner.toBatch.createReaderFactory(),
-      emitFile = metaWanted.contains(GraftDelta.FileCol),
-      emitPos = metaWanted.contains(GraftDelta.PosCol))
+      metaOrder = metaWanted)
 
   override def description(): String =
     s"graft_delta_scan($path, files=${keep.length})"
@@ -256,8 +255,8 @@ class GraftDeltaFilePartition(
     extends FilePartition(idx, fs)
 
 class GraftDeltaReaderFactory(delegate: PartitionReaderFactory,
-                              emitFile: Boolean = true,
-                              emitPos: Boolean = true)
+                              metaOrder: Seq[String] =
+                                Seq(GraftDelta.FileCol, GraftDelta.PosCol))
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -268,10 +267,14 @@ class GraftDeltaReaderFactory(delegate: PartitionReaderFactory,
       val inner = delegate.createReader(FilePartition(d.index, d.files))
       val file = UTF8String.fromString(d.encodedRel)
       val tombs = d.tombstones
-      val width = (if (emitFile) 1 else 0) + (if (emitPos) 1 else 0)
+      // slot each metadata column at its PROJECTED position — a pruned
+      // schema may order (pos, file); hardcoding file-at-0 would
+      // mis-slot a UTF8String into the long column (r13 ADVICE)
+      val width = metaOrder.length
+      val fileIdx = metaOrder.indexOf(GraftDelta.FileCol)
+      val posIdx = metaOrder.indexOf(GraftDelta.PosCol)
       val tag = new GenericInternalRow(width)
-      if (emitFile) tag.update(0, file)
-      val posIdx = if (emitFile) 1 else 0
+      if (fileIdx >= 0) tag.update(fileIdx, file)
       val joined = new JoinedRow
       new PartitionReader[InternalRow] {
         private var pos = -1L
@@ -285,7 +288,7 @@ class GraftDeltaReaderFactory(delegate: PartitionReaderFactory,
           false
         }
         override def get(): InternalRow = {
-          if (emitPos) tag.setLong(posIdx, pos)
+          if (posIdx >= 0) tag.setLong(posIdx, pos)
           if (width == 0) inner.get() else joined(inner.get(), tag)
         }
         override def close(): Unit = inner.close()

@@ -454,7 +454,7 @@ class GraftVersionedWriteBuilder(path: String,
 
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftStreamingWrite(path, clusterBy, info)
+        new GraftStreamingWrite(path, clusterBy, info, overwrite)
     }
 }
 
@@ -487,20 +487,31 @@ object GraftVersionedWriteBuilder {
   * distributed parquet writer into a UNIQUE directory (a replayed
   * crashed attempt gets a fresh dir — stale task files can never leak
   * into a commit), then `commit(epochId, ...)` lands ONE manifest
-  * version carrying the epoch id as its `#batch=` tag — the
-  * [[graft.ops.VersionedTable.appendIdempotent]] protocol, so a
-  * REDELIVERED epoch (post-crash re-run of a committed batch) is
-  * detected via [[graft.ops.VersionedTable.appliedBatches]] and
-  * becomes a no-op (its staged files are dropped for vacuum). "Files
-  * visible" and "epoch recorded" are one atomic create-exclusive
-  * manifest write: exactly-once end to end.
+  * version carrying `queryId:epochId` as its `#txn=` tag (the Delta
+  * sink-transaction discipline) — a REDELIVERED epoch (post-crash
+  * re-run of a committed batch) is detected via
+  * [[graft.ops.VersionedTable.appliedTxns]] and becomes a no-op (its
+  * staged files are dropped for vacuum). The key is the PAIR: epoch id
+  * alone would make a second streaming query into the same table, or
+  * a restart under a fresh checkpoint whose epochs restart at 0,
+  * silently drop data as "already applied" (r13 ADVICE). The epoch id
+  * additionally rides as `#batch=` for observability. "Files visible"
+  * and "epoch recorded" are one atomic create-exclusive manifest
+  * write: exactly-once end to end.
+  *
+  * OutputMode.Complete (Spark calls `truncate()` on the builder) is
+  * honored: each epoch commits as a staged OVERWRITE — the snapshot
+  * becomes exactly the epoch's recomputed result instead of silently
+  * accumulating every epoch's full output (r13 ADVICE). History stays
+  * time-travelable as with every overwrite commit.
   *
   * Serial micro-batch epochs are assumed (Spark's micro-batch engine
   * guarantees this; continuous mode is not supported) — each epoch's
   * staging state replaces the previous in [[current]].
   */
 class GraftStreamingWrite(path: String, clusterBy: Option[String],
-                          info: LogicalWriteInfo)
+                          info: LogicalWriteInfo,
+                          overwrite: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   @volatile private var current:
@@ -539,16 +550,23 @@ class GraftStreamingWrite(path: String, clusterBy: Option[String],
                         org.apache.spark.sql.connector.write
                           .WriterCommitMessage]): Unit = {
     val (dir, delegate) = current
-    if (graft.ops.VersionedTable.appliedBatches(path).contains(epochId)) {
-      // redelivered epoch: the manifest already records it — drop the
-      // replay's staged data and change NOTHING (exactly-once)
+    val txn = s"${info.queryId()}:$epochId"
+    if (graft.ops.VersionedTable.appliedTxns(path).contains(txn)) {
+      // redelivered epoch OF THIS QUERY: the manifest already records
+      // the (queryId, epochId) txn — drop the replay's staged data and
+      // change NOTHING (exactly-once)
       delegate.abort(messages)
       graft.io.TableFs.deleteRecursive(s"$path/$dir")
     } else {
       delegate.commit(messages)
-      graft.ops.VersionedTable.commitStagedAppend(path,
-        graft.ops.VersionedTable.listStagedFiles(path, dir), clusterBy,
-        batch = Some(epochId))
+      val staged = graft.ops.VersionedTable.listStagedFiles(path, dir)
+      if (overwrite)
+        // OutputMode.Complete: the epoch's result REPLACES the snapshot
+        graft.ops.VersionedTable.commitStagedOverwrite(path, staged,
+          clusterBy, txn = Some(txn))
+      else
+        graft.ops.VersionedTable.commitStagedAppend(path, staged,
+          clusterBy, batch = Some(epochId), txn = Some(txn))
     }
   }
 

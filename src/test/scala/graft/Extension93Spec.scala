@@ -108,6 +108,22 @@ class Extension93Spec extends SparkSpec {
     val dst = tmp("graft_deltalog_clone_spec")
     VersionedTable.cloneTable(path, dst)
     assert(VersionedTable.read(spark, dst).count() == 104)
+    // the materialization was an atomic temp+rename (r13 ADVICE: the
+    // in-place truncating write could leave a torn fold base) — no
+    // temp residue in the manifest dir, and the checkpoint parses
+    assert(!graft.io.TableFs.listNames(s"$path/_manifests")
+      .exists(_.endsWith(".tmp")), "atomic replace left temp files")
+  }
+
+  test("writeUtf8Replace: atomically replaces existing content and " +
+    "creates fresh files; target is never observed torn") {
+    val dir = tmp("graft_replace_spec")
+    val f = s"$dir/m.txt"
+    graft.io.TableFs.writeUtf8Replace(f, "first")
+    assert(graft.io.TableFs.readUtf8(f) == "first")
+    graft.io.TableFs.writeUtf8Replace(f, "second-longer-content")
+    assert(graft.io.TableFs.readUtf8(f) == "second-longer-content")
+    assert(!graft.io.TableFs.listNames(dir).exists(_.endsWith(".tmp")))
   }
 
   test("delta-log: idempotent streaming appends keep their batch tags " +

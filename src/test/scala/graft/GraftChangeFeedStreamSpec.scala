@@ -115,6 +115,44 @@ class GraftChangeFeedStreamSpec extends SparkSpec {
     assert(VersionedTable.readCdc(spark, path, 4).count() == 2)
   }
 
+  test("no-op updates cancel in write-time sidecars: a merge/CDC row " +
+    "identical to its pre-image contributes NOTHING, so stream CDF == " +
+    "batch CDF exactly (r13 ADVICE: preimage/postimage divergence)") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_noop")
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+        .repartition(1), path)
+    VersionedTable.enableChangeDataFeed(path)
+    // v1: merge with one NO-OP row (1,10 == current) and one real
+    // update (2,222) — the sidecar must carry only key 2's pair
+    VersionedTable.merge(spark, path,
+      Seq((1L, 10L), (2L, 222L)).toDF("id", "v"), Seq("id"))
+    val mergeCdc = VersionedTable.readCdc(spark, path, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(mergeCdc == Set((2L, 20L, "removed"), (2L, 222L, "added")),
+      s"no-op merge row leaked into the sidecar: $mergeCdc")
+    // v2: applyCdc with a no-op upsert (3,30) and a delete (1)
+    VersionedTable.applyCdc(spark, path,
+      Seq((3L, 30L, 1), (1L, 0L, -1)).toDF("id", "v", "op"),
+      Seq("id"), "op")
+    val cdcCdc = VersionedTable.readCdc(spark, path, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(cdcCdc == Set((1L, 10L, "removed")),
+      s"no-op upsert leaked into the sidecar: $cdcCdc")
+    // and the invariant the gates pin: stream == batch over the range
+    val ckpt = Files.createTempDirectory("graft_cdfno_ck").toString
+    val got = runFeed(path, ckpt, tmp("graft_cdf_noop_out"))
+    val expected = VersionedTable.tableChanges(spark, path, 0, 2)
+      .select("id", "v", "change", "commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == expected,
+      s"no-op CDC stream != batch feed:\n got=$got\n exp=$expected")
+  }
+
   test("SQL group-CoW commits record CDC sidecars too: UPDATE via " +
     "ReplaceData on a CDF-enabled table streams its exact diff") {
     import spark.implicits._

@@ -165,6 +165,47 @@ class GraftMorDmlSpec extends SparkSpec {
       .select(col("id"), col("__graft_pos")).count() == 5)
   }
 
+  test("pruned projection ordering (pos, file): the reader slots each " +
+    "metadata column at its PROJECTED index, not a hardcoded one " +
+    "(r13 ADVICE: a (pos, file) order mis-slotted a string into the " +
+    "long column)") {
+    import org.apache.spark.sql.types._
+    val path = tmp("graft_metacol_order")
+    VersionedTable.init(
+      spark.range(10).toDF("id").repartition(1), path)
+    val m = VersionedTable.readManifest(path, 0)
+    val dataSchema = StructType(Seq(StructField("id", LongType)))
+    // projection with the metadata columns trailing but REVERSED:
+    // (id, __graft_pos, __graft_file)
+    val proj = StructType(Seq(
+      StructField("id", LongType),
+      StructField(graft.sources.GraftDelta.PosCol, LongType,
+        nullable = false),
+      StructField(graft.sources.GraftDelta.FileCol, StringType,
+        nullable = false)))
+    val scan = new graft.sources.GraftDeltaScan(spark, path, m.data,
+      dataSchema, Map.empty, None, Some(proj))
+    val rf = scan.createReaderFactory()
+    val got = scan.planInputPartitions().flatMap { p =>
+      val r = rf.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(0), row.getLong(1),
+          row.getUTF8String(2).toString))
+      }
+      r.close()
+      buf
+    }
+    assert(got.length == 10)
+    assert(got.map(_._2).toSet == (0L until 10L).toSet,
+      s"positions wrong under reversed projection: ${got.toSeq}")
+    assert(got.forall(t => graft.ops.VersionedTable
+      .percentDecode(t._3) == m.data.head),
+      s"file rel wrong under reversed projection: ${got.toSeq}")
+  }
+
   test("default mode stays group copy-on-write (q504 contract)") {
     import spark.implicits._
     withCatalog("gmor3") { wh =>

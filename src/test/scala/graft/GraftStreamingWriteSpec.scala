@@ -126,6 +126,71 @@ class GraftStreamingWriteSpec extends SparkSpec {
         .STREAMING_WRITE))
   }
 
+  test("outputMode(complete): each epoch OVERWRITES the sink snapshot " +
+    "instead of accumulating every epoch's full recomputed result " +
+    "(r13 ADVICE: truncate() was silently ignored)") {
+    import spark.implicits._
+    val src = tmp("graft_swcm_src")
+    val dst = tmp("graft_swcm_dst")
+    VersionedTable.init(
+      Seq((1L, 1L)).toDF("k", "n").repartition(1), src)
+    (2 to 4).foreach(i => VersionedTable.append(
+      Seq((i.toLong % 2, i.toLong)).toDF("k", "n").repartition(1), src))
+    VersionedTable.init(
+      Seq.empty[(Long, Long)].toDF("k", "cnt").repartition(1), dst)
+    val ckpt = Files.createTempDirectory("graft_swcm_ck").toString
+    // complete-mode aggregation, paced into multiple epochs: the old
+    // append behavior would land sum(epochs' group counts), not the
+    // final counts
+    val q = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", 1).load(src)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .writeStream.format("graft-versioned")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    val out = VersionedTable.read(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // source rows: k=1 n=1, k=0 n=2, k=1 n=3, k=0 n=4
+    assert(out == Set((0L, 2L), (1L, 2L)),
+      s"complete mode accumulated epochs: $out")
+    // multiple epochs really ran (paced), each minting one version
+    assert(VersionedTable.latestVersion(dst) >= 2,
+      "pacing produced a single epoch — the overwrite claim is untested")
+  }
+
+  test("sink-transaction identity is (queryId, epochId): a SECOND " +
+    "query under a fresh checkpoint (epochs restart at 0) is NOT " +
+    "dropped as a replay (r13 ADVICE: epoch-id-only dedupe)") {
+    import spark.implicits._
+    val src = tmp("graft_swq_src")
+    val dst = tmp("graft_swq_dst")
+    VersionedTable.init(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").repartition(1), src)
+    VersionedTable.init(
+      Seq.empty[(Long, Long)].toDF("id", "v").repartition(1), dst)
+    def run(ck: String): Unit = {
+      val q = spark.readStream.format("graft-versioned").load(src)
+        .writeStream.format("graft-versioned")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(120000)
+    }
+    run(Files.createTempDirectory("graft_swq_ck1").toString)
+    assert(VersionedTable.read(spark, dst).count() == 2)
+    // fresh checkpoint → NEW queryId, epochs restart at 0; under the
+    // old epoch-keyed dedupe this run would silently no-op
+    run(Files.createTempDirectory("graft_swq_ck2").toString)
+    assert(VersionedTable.read(spark, dst).count() == 4,
+      "second query's epoch 0 was dropped as an already-applied replay")
+    // and the txn registry holds two DISTINCT query ids for epoch 0
+    val txns = VersionedTable.appliedTxns(dst)
+    assert(txns.count(_.endsWith(":0")) == 2, s"txn tags: $txns")
+  }
+
   test("native sink with write-side clustering: clusterBy on the " +
     "streaming write records band stats for each epoch's files") {
     import spark.implicits._
