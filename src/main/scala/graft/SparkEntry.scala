@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Advanced2, ExtensionQueries, ExtensionQueries2, ExtensionQueries3, ExtensionQueries4, ExtensionQueries5, ExtensionQueries6, ExtensionQueries7, ExtensionQueries8, ExtensionQueries9, ExtensionQueries10, ExtensionQueries11, ExtensionQueries12, ExtensionQueries13, ExtensionQueries14, ExtensionQueries15, ExtensionQueries16, ExtensionQueries17, ExtensionQueries18, ExtensionQueries19, ExtensionQueries20, ExtensionQueries21, ExtensionQueries22, ExtensionQueries23, ExtensionQueries24, ExtensionQueries25, ExtensionQueries26, ExtensionQueries27, ExtensionQueries28, ExtensionQueries29, ExtensionQueries30, ExtensionQueries31, ExtensionQueries32, ExtensionQueries33, ExtensionQueries34, ExtensionQueries35, ExtensionQueries36, ExtensionQueries37, ExtensionQueries38, ExtensionQueries39, ExtensionQueries40, ExtensionQueries41, ExtensionQueries42, ExtensionQueries43, ExtensionQueries44, ExtensionQueries45, ExtensionQueries46, ExtensionQueries47, ExtensionQueries48, ExtensionQueries49, ExtensionQueries50, ExtensionQueries51, ExtensionQueries52, ExtensionQueries53, ExtensionQueries54, ExtensionQueries55, ExtensionQueries56, ExtensionQueries57, ExtensionQueries58, ExtensionQueries59, ExtensionQueries60, ExtensionQueries61, ExtensionQueries62, ExtensionQueries63, ExtensionQueries64, ExtensionQueries65, ExtensionQueries66, ExtensionQueries67, ExtensionQueries68, ExtensionQueries69, ExtensionQueries70, ExtensionQueries71, ExtensionQueries72, ExtensionQueries73, ExtensionQueries74, ExtensionQueries75, ExtensionQueries76, ExtensionQueries77, ExtensionQueries78, ExtensionQueries79, ExtensionQueries80, ExtensionQueries81, ExtensionQueries82, ExtensionQueries83, ExtensionQueries84, ExtensionQueries85, ExtensionQueries86, ExtensionQueries87, ExtensionQueries88, ExtensionQueries89, ExtensionQueries90, ExtensionQueries91, ExtensionQueries92, ExtensionQueries93, ExtensionQueries94, Q, Relational, StreamingQueries, TextQueries}
+import graft.queries.{Advanced, Advanced2, ExtensionQueries, ExtensionQueries2, ExtensionQueries3, ExtensionQueries4, ExtensionQueries5, ExtensionQueries6, ExtensionQueries7, ExtensionQueries8, ExtensionQueries9, ExtensionQueries10, ExtensionQueries11, ExtensionQueries12, ExtensionQueries13, ExtensionQueries14, ExtensionQueries15, ExtensionQueries16, ExtensionQueries17, ExtensionQueries18, ExtensionQueries19, ExtensionQueries20, ExtensionQueries21, ExtensionQueries22, ExtensionQueries23, ExtensionQueries24, ExtensionQueries25, ExtensionQueries26, ExtensionQueries27, ExtensionQueries28, ExtensionQueries29, ExtensionQueries30, ExtensionQueries31, ExtensionQueries32, ExtensionQueries33, ExtensionQueries34, ExtensionQueries35, ExtensionQueries36, ExtensionQueries37, ExtensionQueries38, ExtensionQueries39, ExtensionQueries40, ExtensionQueries41, ExtensionQueries42, ExtensionQueries43, ExtensionQueries44, ExtensionQueries45, ExtensionQueries46, ExtensionQueries47, ExtensionQueries48, ExtensionQueries49, ExtensionQueries50, ExtensionQueries51, ExtensionQueries52, ExtensionQueries53, ExtensionQueries54, ExtensionQueries55, ExtensionQueries56, ExtensionQueries57, ExtensionQueries58, ExtensionQueries59, ExtensionQueries60, ExtensionQueries61, ExtensionQueries62, ExtensionQueries63, ExtensionQueries64, ExtensionQueries65, ExtensionQueries66, ExtensionQueries67, ExtensionQueries68, ExtensionQueries69, ExtensionQueries70, ExtensionQueries71, ExtensionQueries72, ExtensionQueries73, ExtensionQueries74, ExtensionQueries75, ExtensionQueries76, ExtensionQueries77, ExtensionQueries78, ExtensionQueries79, ExtensionQueries80, ExtensionQueries81, ExtensionQueries82, ExtensionQueries83, ExtensionQueries84, ExtensionQueries85, ExtensionQueries86, ExtensionQueries87, ExtensionQueries88, ExtensionQueries89, ExtensionQueries90, ExtensionQueries91, ExtensionQueries92, ExtensionQueries93, ExtensionQueries94, ExtensionQueries95, Q, Relational, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query registry modules live under graft.queries; each module pairs every
@@ -60,7 +60,7 @@ object SparkEntry {
       ExtensionQueries88.queries ++ ExtensionQueries89.queries ++
       ExtensionQueries90.queries ++ ExtensionQueries91.queries ++
       ExtensionQueries92.queries ++ ExtensionQueries93.queries ++
-      ExtensionQueries94.queries ++
+      ExtensionQueries94.queries ++ ExtensionQueries95.queries ++
       StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

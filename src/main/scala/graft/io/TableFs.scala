@@ -34,6 +34,11 @@ object TableFs {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
+  /** The same resolved Hadoop configuration, for sibling low-level
+    * writers (the parquet checkpoint manifests).
+    */
+  private[graft] def hadoopConf: Configuration = conf
+
   private def fs(p: HPath): FileSystem = p.getFileSystem(conf)
 
   def exists(path: String): Boolean = {

@@ -95,7 +95,8 @@ object VersionedTable {
       nullCounts: Map[String, Map[String, Long]] = Map.empty,
       extraCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
       cdc: Seq[String] = Nil,
-      txn: Option[String] = None)
+      txn: Option[String] = None,
+      colMap: Seq[(String, String)] = Nil)
 
   /** A manifest entry is either table-relative (`cNNNNN/part-..`) or an
     * absolute/URI reference into ANOTHER table (shallow clones).
@@ -168,6 +169,22 @@ object VersionedTable {
   }
 
   private def parseCheckpoint(f: String, lines: Seq[String]): Manifest = {
+    // parquet-sidecar checkpoint: the text commit point carries only a
+    // pointer + per-version tags; the snapshot body is columnar
+    lines.find(_.startsWith("#ckpt=")).foreach { ptr =>
+      val dir = f.substring(0, f.lastIndexOf('/'))
+      val base = readCheckpointParquet(
+        s"$dir/${ptr.stripPrefix("#ckpt=").trim}")
+      return base.copy(
+        batch = lines.find(_.startsWith("#batch="))
+          .map(_.stripPrefix("#batch=").trim.toLong),
+        ts = lines.find(_.startsWith("#ts="))
+          .map(_.stripPrefix("#ts=").trim.toLong),
+        txn = lines.find(_.startsWith("#txn="))
+          .map(_.stripPrefix("#txn=").trim),
+        cdc = lines.filter(_.startsWith("#cdc="))
+          .map(_.stripPrefix("#cdc=").trim))
+    }
     val stats = lines.filter(_.startsWith("zs\t")).map { l =>
       val p = l.split("\t")
       require(p.length == 5, s"bad stats line in $f: $l")
@@ -199,12 +216,18 @@ object VersionedTable {
       require(p.length == 4, s"bad partition-value line in $f: $l")
       (p(1), p(3), p(2)) // (col, rel, value)
     }
+    val cmLines = lines.filter(_.startsWith("cm\t")).map { l =>
+      val p = l.split("\t")
+      require(p.length == 3, s"bad column-mapping line in $f: $l")
+      p(1) -> p(2)
+    }
     Manifest(
       data = lines.filterNot(l =>
         l.startsWith("dv:") || l.startsWith("zs\t") ||
           l.startsWith("bf\t") || l.startsWith("rc\t") ||
           l.startsWith("pv\t") || l.startsWith("nc\t") ||
-          l.startsWith("xc\t") || l.startsWith("#")),
+          l.startsWith("xc\t") || l.startsWith("cm\t") ||
+          l.startsWith("#")),
       dvs = lines.filter(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
       stats = stats,
       batch = lines.find(_.startsWith("#batch="))
@@ -221,7 +244,8 @@ object VersionedTable {
       partValues = pvLines.map(t => t._2 -> t._3).toMap,
       nullCounts = ncLines.groupBy(_._1).view.mapValues(
         _.map(t => t._2 -> t._3).toMap).toMap,
-      extraCols = xcLines)
+      extraCols = xcLines,
+      colMap = cmLines)
   }
 
   /** Data files of version `v`, as `commitDir/partFile` relative paths
@@ -253,7 +277,7 @@ object VersionedTable {
       l.startsWith("zs\t") || l.startsWith("bf\t") ||
         l.startsWith("rc\t") || l.startsWith("pv\t") ||
         l.startsWith("nc\t") || l.startsWith("xc\t") ||
-        l.startsWith("#")))
+        l.startsWith("cm\t") || l.startsWith("#")))
     val bfx = body.filter(_.startsWith("bfx\t"))
       .map(_.split("\t")(1)).toSet
     Manifest(
@@ -271,7 +295,10 @@ object VersionedTable {
       extraCols = base.extraCols ++
         meta.extraCols.filterNot(x => base.extraCols.exists(_._1 == x._1)),
       cdc = meta.cdc,
-      txn = meta.txn)
+      txn = meta.txn,
+      // column mapping: a delta's cm lines REPLACE the whole map (a
+      // rename/drop is a map rewrite, not an append); absent → inherit
+      colMap = if (meta.colMap.nonEmpty) meta.colMap else base.colMap)
   }
 
   /** The add/remove actions of commit `v`: (added data files, removed
@@ -326,12 +353,16 @@ object VersionedTable {
     }
   }
 
-  /** Full-snapshot (checkpoint) body of `m`. */
-  private def checkpointLines(m: Manifest): Seq[String] =
+  /** The PER-VERSION tag lines (never inherited across delta folds). */
+  private def tagLines(m: Manifest): Seq[String] =
     m.ts.map(t => s"#ts=$t").toSeq ++
       m.batch.map(b => s"#batch=$b").toSeq ++
       m.txn.map(t => s"#txn=$t").toSeq ++
-      m.cdc.map(r => s"#cdc=$r") ++
+      m.cdc.map(r => s"#cdc=$r")
+
+  /** Full-snapshot (checkpoint) body of `m`. */
+  private[graft] def checkpointLines(m: Manifest): Seq[String] =
+    tagLines(m) ++
       m.data.sorted ++
       m.dvs.sorted.map("dv:" + _) ++
       statLines(m.stats) ++
@@ -339,7 +370,8 @@ object VersionedTable {
       rcLines(m.rowCounts) ++
       pvLines(m.partCol, m.partValues) ++
       ncLines(m.nullCounts) ++
-      xcLines(m.extraCols)
+      xcLines(m.extraCols) ++
+      cmLines(m.colMap)
 
   private def statLines(
       stats: Map[String, Map[String, (Double, Double)]]): Seq[String] =
@@ -373,6 +405,190 @@ object VersionedTable {
       byCol.toSeq.sortBy(_._1).map { case (c, n) => s"nc\t$c\t$n\t$rel" }
     }
 
+  /** Column-mapping lines, IN ORDER (the map's order IS the logical
+    * schema order).
+    */
+  private def cmLines(colMap: Seq[(String, String)]): Seq[String] =
+    colMap.map { case (l, p) => s"cm\t$l\t$p" }
+
+  // ---------------------------------------------------------------- //
+  // PARQUET checkpoint manifests (r13 verdict #2): a checkpoint of a
+  // LARGE table stores its snapshot as one columnar parquet sidecar
+  // (`_manifests/vNNNNN.<uuid>.checkpoint.parquet`, one row per entry,
+  // dictionary+snappy — the Delta parquet-checkpoint shape) instead of
+  // ~320 text bytes per file parsed line-by-line on the driver: at a
+  // million files the text form is a ~300MB string built per
+  // checkpoint and re-parsed on every cold read. The COMMIT POINT is
+  // unchanged — the create-exclusive vNNNNN.txt — it just carries a
+  // `#ckpt=<sidecar>` pointer plus the per-version tags; the sidecar
+  // is written FIRST under a unique name, so a crashed or retried
+  // commit leaves only an orphan sidecar (vacuum reclaims). Small
+  // tables keep inline text checkpoints (below the threshold a second
+  // file costs more than it saves); deltas are text always.
+
+  /** Manifest entry count at/above which a checkpoint writes the
+    * parquet sidecar form. Tunable for probes/tests.
+    */
+  @volatile private[graft] var parquetCheckpointMinEntries: Int = 256
+
+  private val ckptSchema = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    Types.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("kind")
+      .required(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("rel")
+      .optional(PrimitiveType.PrimitiveTypeName.INT64).named("rc")
+      .optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("pv")
+      .optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("stats")
+      .optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("nulls")
+      .optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("bloomKey")
+      .optional(PrimitiveType.PrimitiveTypeName.INT32).named("bloomBits")
+      .optional(PrimitiveType.PrimitiveTypeName.INT32)
+      .named("bloomHashes")
+      .optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("xcType")
+      .optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("phys")
+      .named("graft_ckpt")
+  }
+
+  /** Write `m` (minus per-version tags) as a parquet checkpoint
+    * sidecar; returns the sidecar's file name (relative to
+    * `_manifests/`). Driver-side parquet-mr write — no Spark job.
+    */
+  private[graft] def writeCheckpointParquet(path: String, v: Int,
+                                     m: Manifest): String = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    val name = f"v$v%05d." +
+      java.util.UUID.randomUUID().toString.take(8) + ".checkpoint.parquet"
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"${manifestDir(path)}/$name"))
+      .withConf(TableFs.hadoopConf)
+      .withType(ckptSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      m.data.sorted.foreach { rel =>
+        val g = new SimpleGroup(ckptSchema)
+        g.add("kind", "data"); g.add("rel", rel)
+        m.rowCounts.get(rel).foreach(n => g.add("rc", n))
+        m.partValues.get(rel).foreach(pv => g.add("pv", pv))
+        m.stats.get(rel).foreach(byCol => g.add("stats",
+          byCol.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"$c\t$lo\t$hi" }
+            .mkString("\n")))
+        m.nullCounts.get(rel).foreach(byCol => g.add("nulls",
+          byCol.toSeq.sortBy(_._1)
+            .map { case (c, n) => s"$c\t$n" }.mkString("\n")))
+        w.write(g)
+      }
+      m.dvs.sorted.foreach { rel =>
+        val g = new SimpleGroup(ckptSchema)
+        g.add("kind", "dv"); g.add("rel", rel); w.write(g)
+      }
+      m.blooms.sortBy(_.rel).foreach { b =>
+        val g = new SimpleGroup(ckptSchema)
+        g.add("kind", "bloom"); g.add("rel", b.rel)
+        g.add("bloomKey", b.keyCol); g.add("bloomBits", b.bits)
+        g.add("bloomHashes", b.hashes); w.write(g)
+      }
+      m.extraCols.foreach { case (n, dt) =>
+        val g = new SimpleGroup(ckptSchema)
+        g.add("kind", "xc"); g.add("rel", n); g.add("xcType", dt.json)
+        w.write(g)
+      }
+      m.partCol.foreach { pc =>
+        val g = new SimpleGroup(ckptSchema)
+        g.add("kind", "pc"); g.add("rel", pc); w.write(g)
+      }
+      m.colMap.zipWithIndex.foreach { case ((l, p), i) =>
+        val g = new SimpleGroup(ckptSchema)
+        // rel carries an order prefix: the map's order IS the logical
+        // schema order, and parquet rows have no guaranteed read order
+        g.add("kind", "cm"); g.add("rel", f"$i%05d\t$l"); g.add("phys", p)
+        w.write(g)
+      }
+    } finally w.close()
+    name
+  }
+
+  /** Read a parquet checkpoint sidecar back into a (tagless) Manifest. */
+  private def readCheckpointParquet(file: String): Manifest = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(file))
+      .withConf(TableFs.hadoopConf)
+      .build()
+    val data = Seq.newBuilder[String]
+    val dvs = Seq.newBuilder[String]
+    val blooms = Seq.newBuilder[BloomRef]
+    val xc = Seq.newBuilder[(String, org.apache.spark.sql.types.DataType)]
+    val stats = Map.newBuilder[String, Map[String, (Double, Double)]]
+    val rcs = Map.newBuilder[String, Long]
+    val pvs = Map.newBuilder[String, String]
+    val ncs = Map.newBuilder[String, Map[String, Long]]
+    val cms = Seq.newBuilder[(Int, String, String)]
+    var partCol: Option[String] = None
+    try {
+      var g = reader.read()
+      while (g != null) {
+        def has(f2: String) = g.getFieldRepetitionCount(f2) > 0
+        val rel = g.getString("rel", 0)
+        g.getString("kind", 0) match {
+          case "data" =>
+            data += rel
+            if (has("rc")) rcs += rel -> g.getLong("rc", 0)
+            if (has("pv")) pvs += rel -> g.getString("pv", 0)
+            if (has("stats")) stats += rel ->
+              g.getString("stats", 0).split("\n").map { l =>
+                val p = l.split("\t")
+                p(0) -> (p(1).toDouble, p(2).toDouble)
+              }.toMap
+            if (has("nulls")) ncs += rel ->
+              g.getString("nulls", 0).split("\n").map { l =>
+                val p = l.split("\t")
+                p(0) -> p(1).toLong
+              }.toMap
+          case "dv" => dvs += rel
+          case "bloom" => blooms += BloomRef(g.getString("bloomKey", 0),
+            g.getInteger("bloomBits", 0), g.getInteger("bloomHashes", 0),
+            rel)
+          case "xc" => xc += rel ->
+            org.apache.spark.sql.types.DataType
+              .fromJson(g.getString("xcType", 0))
+          case "pc" => partCol = Some(rel)
+          case "cm" =>
+            val Array(idx, logical) = rel.split("\t", 2)
+            cms += ((idx.toInt, logical, g.getString("phys", 0)))
+          case other => sys.error(s"bad checkpoint row kind '$other' in $file")
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    Manifest(data.result(), dvs.result(), stats.result(), None,
+      blooms.result(), rcs.result(), None, partCol, pvs.result(),
+      ncs.result(), xc.result(),
+      colMap = cms.result().sortBy(_._1).map(t => t._2 -> t._3))
+  }
+
+  /** Checkpoint payload for the commit-point text file: inline text
+    * lines below [[parquetCheckpointMinEntries]], a parquet-sidecar
+    * pointer (written first, unique name) at/above it.
+    */
+  private def checkpointPayload(path: String, v: Int,
+                                m: Manifest): Seq[String] = {
+    val entries = m.data.size + m.dvs.size + m.blooms.size
+    if (entries < parquetCheckpointMinEntries) checkpointLines(m)
+    else tagLines(m) :+
+      s"#ckpt=${writeCheckpointParquet(path, v, m)}"
+  }
+
   /** Commit timestamp: wall clock, forced STRICTLY monotonic per table
     * (two commits inside one millisecond would otherwise tie, making
     * timestamp time travel ambiguous — the Delta discipline).
@@ -390,7 +606,8 @@ object VersionedTable {
         readManifest(path, v - 1).ts
       else None
     TableFs.writeUtf8Exclusive(manifestFile(path, v),
-      checkpointLines(m.copy(ts = Some(nextTs(prevTs)))).mkString("\n"))
+      checkpointPayload(path, v, m.copy(ts = Some(nextTs(prevTs))))
+        .mkString("\n"))
   }
 
   /** Delta body representing `next` relative to `prev` — None when the
@@ -446,7 +663,11 @@ object VersionedTable {
         rcLines(rcAdd) ++
         pvLines(next.partCol, pvAdd) ++
         ncLines(ncAdd) ++
-        xcLines(xcAdd)
+        xcLines(xcAdd) ++
+        // a changed column mapping rides as a REPLACE-ALL set of cm
+        // lines (O(columns), so a rename/drop on a million-file table
+        // is still a few-line delta); unchanged → no lines, inherit
+        (if (next.colMap != prev.colMap) cmLines(next.colMap) else Nil)
     }
   }
 
@@ -466,10 +687,10 @@ object VersionedTable {
       stamped.partValues.size + stamped.extraCols.size +
       stamped.nullCounts.valuesIterator.map(_.size).sum
     val out =
-      if (v % checkpointInterval == 0) checkpointLines(stamped)
+      if (v % checkpointInterval == 0) checkpointPayload(path, v, stamped)
       else deltaBody(prev, stamped) match {
         case Some(body) if body.size + 1 < fullCount => "#delta" +: body
-        case _ => checkpointLines(stamped)
+        case _ => checkpointPayload(path, v, stamped)
       }
     TableFs.writeUtf8Exclusive(manifestFile(path, v),
       out.mkString("\n"))
@@ -482,9 +703,12 @@ object VersionedTable {
     * every subsequent commit at that version).
     */
   private def writeCommitData(df: DataFrame, path: String,
-                              commit: Int): Seq[String] = {
+                              commit: Int,
+                              colMap: Seq[(String, String)] = Nil)
+      : Seq[String] = {
     val sub = f"c$commit%05d"
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/$sub")
+    toPhysicalDf(df, colMap)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$sub")
     TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet"))
       .sorted
@@ -532,9 +756,12 @@ object VersionedTable {
     * attempt leaves an orphan dir that vacuum reclaims (unreferenced).
     */
   private def writeCommitDataUnique(df: DataFrame,
-                                    path: String): Seq[String] = {
+                                    path: String,
+                                    colMap: Seq[(String, String)] = Nil)
+      : Seq[String] = {
     val sub = newAppendDir()
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
+    toPhysicalDf(df, colMap)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
     TableFs.listNames(s"$path/$sub")
       .filter(_.endsWith(".parquet"))
       .sorted
@@ -734,10 +961,13 @@ object VersionedTable {
     // ALTER-added columns not yet materialized in any file surface
     // null-filled (files written after the ALTER carry them for real,
     // at which point mergeSchema already includes them)
-    m.extraCols.foldLeft(base) { case (df, (n, dt)) =>
+    val withXc = m.extraCols.foldLeft(base) { case (df, (n, dt)) =>
       if (df.columns.contains(n)) df
       else df.withColumn(n, lit(null).cast(dt))
     }
+    // column-mapped tables: project the physical scan to THIS
+    // version's logical view (renames applied, dropped columns gone)
+    if (m.colMap.isEmpty) withXc else logicalView(withXc, m)
   }
 
   /** Read the current version. */
@@ -835,7 +1065,8 @@ object VersionedTable {
       None, m.partCol,
       m.partValues.map { case (rel, pv2) => abs(rel) -> pv2 },
       m.nullCounts.map { case (rel, mm) => abs(rel) -> mm },
-      m.extraCols))
+      m.extraCols,
+      colMap = m.colMap))
   }
 
   // ---------------------------------------------------------------- //
@@ -859,9 +1090,148 @@ object VersionedTable {
     require(!existing.contains(name) &&
       !m.extraCols.exists(_._1 == name),
       s"column '$name' already exists at $path")
+    if (m.colMap.isEmpty)
+      commitManifest(path, v + 1, m,
+        m.copy(batch = None, ts = None, cdc = Nil, txn = None,
+          extraCols = m.extraCols :+ (name -> dataType)))
+    else {
+      // COLUMN-MAPPED table: mint a FRESH physical name so a re-add
+      // after DROP can never resurrect the dropped column's old data
+      // from pre-drop files (the Delta column-mapping discipline)
+      val phys = f"${name}__v${v + 1}%05d"
+      require(!m.colMap.exists(_._2 == phys) &&
+        !m.extraCols.exists(_._1 == phys),
+        s"physical name collision for '$name' at $path")
+      commitManifest(path, v + 1, m,
+        m.copy(batch = None, ts = None, cdc = Nil, txn = None,
+          extraCols = m.extraCols :+ (phys -> dataType),
+          colMap = m.colMap :+ (name -> phys)))
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  // COLUMN MAPPING: ALTER TABLE RENAME/DROP COLUMN (r13 verdict #3)
+  //
+  // A manifest may carry an ORDERED logical→physical column map
+  // (`cm` lines). Physical names are what the immutable data files
+  // store; logical names are what users see. RENAME and DROP are then
+  // METADATA-ONLY commits — a map rewrite, no data file touched — and
+  // every historical snapshot keeps ITS OWN map (schema-correct time
+  // travel across the rename). Stats/blooms/null counts/partition
+  // values stay keyed by PHYSICAL name (they describe file contents);
+  // the verbs translate at their boundaries. Tables without a map
+  // behave exactly as before (logical == physical everywhere).
+
+  /** Logical → physical name under `colMap` (identity when unmapped). */
+  private[graft] def toPhysicalName(colMap: Seq[(String, String)],
+                                    name: String): String =
+    colMap.find(_._1 == name).map(_._2).getOrElse(name)
+
+  /** Whether any logical name differs from its physical name. */
+  private[graft] def mappingNontrivial(
+      colMap: Seq[(String, String)]): Boolean =
+    colMap.exists { case (l, p) => l != p }
+
+  /** Project a PHYSICAL-named frame to `m`'s logical view: extraCols
+    * not materialized in the scanned files null-fill first, then the
+    * map renames/reorders (dropped physical columns disappear);
+    * `extra` names internal tag columns (`__file`) that pass through.
+    * IDENTITY when the table carries no map — the legacy read paths
+    * are byte-for-byte unchanged.
+    */
+  private def logicalView(df: DataFrame, m: Manifest,
+                          extra: Seq[String] = Nil): DataFrame =
+    if (m.colMap.isEmpty) df
+    else {
+      val withXc = m.extraCols.foldLeft(df) { case (d, (n, dt)) =>
+        if (d.columns.contains(n)) d
+        else d.withColumn(n, lit(null).cast(dt))
+      }
+      val have = withXc.columns.toSet
+      m.colMap.foreach { case (l, p) => require(have.contains(p),
+        s"column mapping names physical column '$p' (logical '$l') " +
+          s"absent from the scan: ${withXc.columns.mkString(", ")}") }
+      withXc.select((m.colMap.map { case (l, p) => col(p).as(l) } ++
+        extra.map(col)): _*)
+    }
+
+  /** Rename a LOGICAL-named frame to physical names for a file write.
+    * Columns outside the map (internal tags like `__file`) pass
+    * through.
+    */
+  private def toPhysicalDf(df: DataFrame,
+                           colMap: Seq[(String, String)]): DataFrame =
+    if (!mappingNontrivial(colMap)) df
+    else df.select(df.columns.toSeq.map { c =>
+      col(c).as(toPhysicalName(colMap, c))
+    }: _*)
+
+  /** The table's effective logical→physical map: the stored one, or an
+    * IDENTITY map over the current logical schema when none is stored
+    * yet (the first rename/drop materializes it).
+    */
+  private def effectiveColMap(spark: SparkSession, path: String,
+                              m: Manifest): Seq[(String, String)] =
+    if (m.colMap.nonEmpty) m.colMap
+    else {
+      val fromFiles = spark.read.option("mergeSchema", "true")
+        .parquet(m.data.map(r => absPath(path, r)): _*)
+        .schema.fieldNames.toSeq
+      (fromFiles ++ m.extraCols.map(_._1).filterNot(fromFiles.contains))
+        .map(n => n -> n)
+    }
+
+  private def requireNoConstraintOn(path: String, name: String,
+                                    verb: String): Unit = {
+    val hit = constraints(path).find(_._2
+      .matches(s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*"))
+    require(hit.isEmpty,
+      s"$verb refused at $path: CHECK constraint '${hit.get._1}' " +
+        s"(${hit.get._2}) references column '$name' — drop the " +
+        "constraint first")
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a metadata-only commit: the map entry
+    * flips its logical name; the physical name — and every data file —
+    * stays. Old snapshots keep the old name (their manifests carry the
+    * old map).
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   from: String, to: String): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val m = readManifest(path, v)
+    val cur = effectiveColMap(spark, path, m)
+    require(cur.exists(_._1 == from), s"no column '$from' at $path")
+    require(!cur.exists(_._1 == to),
+      s"column '$to' already exists at $path")
+    requireNoConstraintOn(path, from, "RENAME COLUMN")
     commitManifest(path, v + 1, m,
       m.copy(batch = None, ts = None, cdc = Nil, txn = None,
-        extraCols = m.extraCols :+ (name -> dataType)))
+        colMap = cur.map { case (l, p) =>
+          if (l == from) (to, p) else (l, p) }))
+  }
+
+  /** ALTER TABLE DROP COLUMN as a metadata-only commit: the map entry
+    * vanishes; the physical column stays in the immutable files and
+    * old snapshots still read it. The partition column cannot drop
+    * (it is load-bearing for pruning and the key-grouped layout).
+    */
+  def dropColumn(spark: SparkSession, path: String,
+                 name: String): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path — call init first")
+    val m = readManifest(path, v)
+    val cur = effectiveColMap(spark, path, m)
+    require(cur.exists(_._1 == name), s"no column '$name' at $path")
+    require(cur.length > 1, s"cannot drop the only column at $path")
+    val phys = toPhysicalName(cur, name)
+    require(!m.partCol.contains(phys),
+      s"DROP COLUMN refused at $path: '$name' is the partition column")
+    requireNoConstraintOn(path, name, "DROP COLUMN")
+    commitManifest(path, v + 1, m,
+      m.copy(batch = None, ts = None, cdc = Nil, txn = None,
+        colMap = cur.filterNot(_._1 == name)))
   }
 
   // ---------------------------------------------------------------- //
@@ -977,17 +1347,17 @@ object VersionedTable {
     require(v >= 0, s"no table at $path — call init first")
     validateConstraints(path, df)
     val prev = readManifest(path, v)
-    val newFiles = writeCommitData(df, path, v + 1)
+    val newFiles = writeCommitData(df, path, v + 1, prev.colMap)
     commitManifest(path, v + 1, prev, Manifest(
       prev.data ++ newFiles,
       prev.dvs,
-      prev.stats ++ clusterBy.map(c =>
-        footerZoneStats(path, newFiles, c)).getOrElse(Map.empty),
+      prev.stats ++ clusterBy.map(c => footerZoneStats(path, newFiles,
+        toPhysicalName(prev.colMap, c))).getOrElse(Map.empty),
       batch, prev.blooms,
       prev.rowCounts ++ footerCounts(path, newFiles),
       None, prev.partCol, prev.partValues,
       prev.nullCounts ++ footerNullCounts(path, newFiles),
-      prev.extraCols))
+      prev.extraCols, colMap = prev.colMap))
   }
 
   /** Append-only commit: new files join the manifest; no existing file
@@ -1041,15 +1411,27 @@ object VersionedTable {
                          maxAttempts: Int = 20,
                          preValidated: Boolean = false,
                          txn: Option[String] = None): Int = {
+    // staged files carry PHYSICAL names (the DSv2 write physicalizes);
+    // constraints and the clusterBy option name LOGICAL columns
+    val cm0 = {
+      val v0 = latestVersion(path)
+      if (v0 >= 0) readManifest(path, v0).colMap else Nil
+    }
     // preValidated: the caller already ran validateConstraints on the
     // exact rows it staged (appendConcurrent does) — re-reading the
     // staged parquet to validate again would double the constraint
     // scan per commit (r12 ADVICE)
-    if (!preValidated && constraints(path).nonEmpty && staged.nonEmpty)
+    if (!preValidated && constraints(path).nonEmpty && staged.nonEmpty) {
+      val raw = org.apache.spark.sql.SparkSession.active.read
+        .parquet(staged.map(r => absPath(path, r)): _*)
       validateConstraints(path,
-        org.apache.spark.sql.SparkSession.active.read
-          .parquet(staged.map(r => absPath(path, r)): _*))
-    val zone = clusterBy.map(c => footerZoneStats(path, staged, c))
+        if (!mappingNontrivial(cm0)) raw
+        else raw.select(cm0.collect {
+          case (l, p) if raw.columns.contains(p) => col(p).as(l)
+        }: _*))
+    }
+    val zone = clusterBy.map(c => footerZoneStats(path, staged,
+      toPhysicalName(cm0, c)))
       .getOrElse(Map.empty[String, Map[String, (Double, Double)]])
     val rc = footerCounts(path, staged)
     val nc = footerNullCounts(path, staged)
@@ -1064,7 +1446,7 @@ object VersionedTable {
           prev.data ++ staged, prev.dvs, prev.stats ++ zone, batch,
           prev.blooms, prev.rowCounts ++ rc, None, prev.partCol,
           prev.partValues, prev.nullCounts ++ nc, prev.extraCols,
-          txn = txn))
+          txn = txn, colMap = prev.colMap))
         return v + 1
       } catch {
         case e: java.io.IOException =>
@@ -1100,12 +1482,22 @@ object VersionedTable {
                             clusterBy: Option[String] = None,
                             maxAttempts: Int = 20,
                             txn: Option[String] = None): Int = {
-    if (constraints(path).nonEmpty && staged.nonEmpty)
+    val cm0 = {
+      val v0 = latestVersion(path)
+      if (v0 >= 0) readManifest(path, v0).colMap else Nil
+    }
+    if (constraints(path).nonEmpty && staged.nonEmpty) {
+      val raw = org.apache.spark.sql.SparkSession.active.read
+        .parquet(staged.map(r => absPath(path, r)): _*)
       validateConstraints(path,
-        org.apache.spark.sql.SparkSession.active.read
-          .parquet(staged.map(r => absPath(path, r)): _*))
+        if (!mappingNontrivial(cm0)) raw
+        else raw.select(cm0.collect {
+          case (l, p) if raw.columns.contains(p) => col(p).as(l)
+        }: _*))
+    }
     val next = Manifest(staged, Nil,
-      clusterBy.map(c => footerZoneStats(path, staged, c))
+      clusterBy.map(c => footerZoneStats(path, staged,
+        toPhysicalName(cm0, c)))
         .getOrElse(Map.empty),
       None, Nil, footerCounts(path, staged),
       nullCounts = footerNullCounts(path, staged),
@@ -1117,7 +1509,9 @@ object VersionedTable {
         if (v >= 0) readManifest(path, v)
         else Manifest(Nil, Nil, Map.empty, None)
       try {
-        commitManifest(path, v + 1, prev, next)
+        // the overwrite's files were physicalized under the CURRENT
+        // mapping — carry it so the logical view survives the replace
+        commitManifest(path, v + 1, prev, next.copy(colMap = prev.colMap))
         return v + 1
       } catch {
         case e: java.io.IOException =>
@@ -1150,7 +1544,9 @@ object VersionedTable {
         df.repartitionByRange(col(c)).sortWithinPartitions(c)
       case None => df
     }
-    out.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$dir")
+    toPhysicalDf(out,
+      readManifest(path, latestVersion(path)).colMap)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$dir")
     commitStagedAppend(path, listStagedFiles(path, dir), clusterBy,
       preValidated = true)
   }
@@ -1306,8 +1702,11 @@ object VersionedTable {
     require(v >= 0, s"no table at $path — call init first")
     val m = readManifest(path, v)
     // distributed affected-file probe: one column-pruned pass over the
-    // current snapshot's LIVE rows; result is file-count-bounded
-    val affectedUris = readFilesTagged(spark, path, m.data, m.dvs)
+    // current snapshot's LIVE rows; result is file-count-bounded.
+    // Predicates name LOGICAL columns — the probe frame serves the
+    // logical view (identity on unmapped tables)
+    val affectedUris = logicalView(
+      readFilesTagged(spark, path, m.data, m.dvs), m, Seq("__file"))
       .where(pred)
       .select("__file").distinct()
       .limit(probeCap + 1).collect().map(_.getString(0)).toSeq
@@ -1320,14 +1719,14 @@ object VersionedTable {
       else writeCommitDataUnique(
         // keep every live row where pred is not TRUE — `!pred` alone
         // would also drop pred-NULL rows, which the probe never selected
-        readFiles(spark, path, affected, m.dvs)
+        logicalView(readFiles(spark, path, affected, m.dvs), m)
           .where(coalesce(pred, lit(false)) === false),
-        path)
+        path, m.colMap)
     // CDF sidecar: the commit's exact diff is the deleted rows
     val cdcFiles =
       if (!changeDataFeedEnabled(path) || affected.isEmpty) Nil
       else writeCdcData(
-        readFiles(spark, path, affected, m.dvs)
+        logicalView(readFiles(spark, path, affected, m.dvs), m)
           .where(coalesce(pred, lit(false)) === true)
           .withColumn("_change", lit("removed")), path)
     // DV refs carry over: entries naming rewritten files dangle
@@ -1342,7 +1741,7 @@ object VersionedTable {
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
         footerNullCounts(path, rewritten),
-      m.extraCols, cdcFiles))
+      m.extraCols, cdcFiles, colMap = m.colMap))
   }
 
   /** MERGE-ON-READ delete via deletion vectors: writes NO data file at
@@ -1369,7 +1768,7 @@ object VersionedTable {
       if (m.dvs.isEmpty) data
       else data.join(readDv(spark, path, m.dvs),
         Seq("__rel", "__pos"), "left_anti")
-    live.where(pred)
+    logicalView(live, m, Seq("__rel", "__pos")).where(pred)
       .select(col("__rel").as("file"), col("__pos").as("pos"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$sub")
     val dvFiles = TableFs.listNames(s"$path/$sub")
@@ -1453,7 +1852,7 @@ object VersionedTable {
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
         footerNullCounts(path, staged),
-      m.extraCols, cdcFiles))
+      m.extraCols, cdcFiles, colMap = m.colMap))
   }
 
   /** Commit a MERGE-ON-READ row-level operation prepared by the DSv2
@@ -1478,7 +1877,7 @@ object VersionedTable {
       m.rowCounts ++ footerCounts(path, stagedData),
       None, m.partCol, m.partValues,
       m.nullCounts ++ footerNullCounts(path, stagedData),
-      m.extraCols))
+      m.extraCols, colMap = m.colMap))
   }
 
   /** Footer row count of a single staged file (metadata-only read). */
@@ -1515,7 +1914,8 @@ object VersionedTable {
     validateConstraints(path, updates)
     val m = readManifest(path, v)
     val keys = broadcast(updates.select(keyCols.map(col): _*).distinct())
-    val scan = readFilesTagged(spark, path, m.data, m.dvs)
+    val scan = logicalView(
+      readFilesTagged(spark, path, m.data, m.dvs), m, Seq("__file"))
     val affectedUris = scan.join(keys, keyCols, "left_semi")
       .select("__file").distinct()
       .limit(probeCap + 1).collect().map(_.getString(0)).toSeq
@@ -1525,7 +1925,7 @@ object VersionedTable {
     val carried = m.data.filterNot(affected.contains)
     val survivors =
       if (affected.isEmpty) updates.limit(0)
-      else readFiles(spark, path, affected, m.dvs)
+      else logicalView(readFiles(spark, path, affected, m.dvs), m)
         .join(keys, keyCols, "left_anti")
     // CDF sidecar: matched keys' OLD rows 'removed', update rows
     // 'added' — as the NET multiset diff, so a no-op update (identical
@@ -1535,7 +1935,7 @@ object VersionedTable {
       else {
         val removed =
           if (affected.isEmpty) updates.limit(0)
-          else readFiles(spark, path, affected, m.dvs)
+          else logicalView(readFiles(spark, path, affected, m.dvs), m)
             .join(keys, keyCols, "left_semi")
         val (netRemoved, netAdded) = cdcNetDiff(removed, updates)
         writeCdcData(
@@ -1548,7 +1948,7 @@ object VersionedTable {
     // either side null-fills
     val rewritten = writeCommitDataUnique(
       survivors.unionByName(updates, allowMissingColumns = true),
-      path)
+      path, m.colMap)
     commitManifest(path, v + 1, m, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
@@ -1558,7 +1958,7 @@ object VersionedTable {
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
         footerNullCounts(path, rewritten),
-      m.extraCols, cdcFiles))
+      m.extraCols, cdcFiles, colMap = m.colMap))
   }
 
   /** Apply a CDC batch ATOMICALLY — upserts and deletes in ONE
@@ -1602,7 +2002,8 @@ object VersionedTable {
     validateConstraints(path, batch.where(col(opCol) === 1).drop(opCol))
     val m = readManifest(path, v)
     val keys = broadcast(batch.select(keyCols.map(col): _*).distinct())
-    val scan = readFilesTagged(spark, path, m.data, m.dvs)
+    val scan = logicalView(
+      readFilesTagged(spark, path, m.data, m.dvs), m, Seq("__file"))
     val affectedUris = scan.join(keys, keyCols, "left_semi")
       .select("__file").distinct()
       .limit(probeCap + 1).collect().map(_.getString(0)).toSeq
@@ -1612,7 +2013,7 @@ object VersionedTable {
     val carried = m.data.filterNot(affected.contains)
     val survivors =
       if (affected.isEmpty) batch.drop(opCol).limit(0)
-      else readFiles(spark, path, affected, m.dvs)
+      else logicalView(readFiles(spark, path, affected, m.dvs), m)
         .join(keys, keyCols, "left_anti")
     val upserts = batch.where(col(opCol) === 1).drop(opCol)
     // CDF sidecar: every batch key's OLD row 'removed' (whether the
@@ -1623,7 +2024,7 @@ object VersionedTable {
       else {
         val removed =
           if (affected.isEmpty) upserts.limit(0)
-          else readFiles(spark, path, affected, m.dvs)
+          else logicalView(readFiles(spark, path, affected, m.dvs), m)
             .join(keys, keyCols, "left_semi")
         val (netRemoved, netAdded) = cdcNetDiff(removed, upserts)
         writeCdcData(
@@ -1633,7 +2034,7 @@ object VersionedTable {
       }
     val rewritten = writeCommitDataUnique(
       survivors.unionByName(upserts, allowMissingColumns = true),
-      path)
+      path, m.colMap)
     commitManifest(path, v + 1, m, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, batchId,
@@ -1644,7 +2045,7 @@ object VersionedTable {
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
         footerNullCounts(path, rewritten),
-      m.extraCols, cdcFiles))
+      m.extraCols, cdcFiles, colMap = m.colMap))
   }
 
   // ---------------------------------------------------------------- //
@@ -1847,9 +2248,10 @@ object VersionedTable {
     val pred = col(colX) >= loX && col(colX) < hiX &&
       col(colY) >= loY && col(colY) < hiY
     if (open.isEmpty)
-      readFiles(spark, path, m.data, m.dvs).where(lit(false))
+      logicalView(readFiles(spark, path, m.data, m.dvs), m)
+        .where(lit(false))
     else
-      readFiles(spark, path, open, m.dvs).where(pred)
+      logicalView(readFiles(spark, path, open, m.dvs), m).where(pred)
   }
 
   /** Manifest consultation for a band probe on `zoneCol` over version
@@ -1861,8 +2263,10 @@ object VersionedTable {
   def bandFiles(path: String, v: Int, zoneCol: String, lo: Double,
                 hi: Double): (Seq[String], Int) = {
     val m = readManifest(path, v)
+    // stats are keyed by PHYSICAL column name; callers pass logical
+    val zc = toPhysicalName(m.colMap, zoneCol)
     val open = m.data.filter { rel =>
-      m.stats.get(rel).flatMap(_.get(zoneCol)) match {
+      m.stats.get(rel).flatMap(_.get(zc)) match {
         case Some((zmin, zmax)) => zmax >= lo && zmin < hi
         case None => true
       }
@@ -1882,9 +2286,10 @@ object VersionedTable {
     val (open, _) = bandFiles(path, v, zoneCol, lo, hi)
     val pred = col(zoneCol) >= lo && col(zoneCol) < hi
     if (open.isEmpty)
-      readFiles(spark, path, m.data, m.dvs).where(lit(false))
+      logicalView(readFiles(spark, path, m.data, m.dvs), m)
+        .where(lit(false))
     else
-      readFiles(spark, path, open, m.dvs).where(pred)
+      logicalView(readFiles(spark, path, open, m.dvs), m).where(pred)
   }
 
   /** Metadata-only COUNT(*) of version `v`: the sum of the manifest's
@@ -1931,7 +2336,8 @@ object VersionedTable {
     // concurrent reader could observe a torn manifest (r13 ADVICE)
     if (keepFrom > 0 && isDelta(rawManifest(path, keepFrom)))
       TableFs.writeUtf8Replace(manifestFile(path, keepFrom),
-        checkpointLines(readManifest(path, keepFrom)).mkString("\n"))
+        checkpointPayload(path, keepFrom, readManifest(path, keepFrom))
+          .mkString("\n"))
     val kept: Set[String] = (keepFrom to latest).flatMap { v =>
       val m = readManifest(path, v)
       m.data ++ m.dvs ++ m.blooms.map(_.rel) ++ m.cdc
@@ -1945,6 +2351,23 @@ object VersionedTable {
       }
     }
     var filesRemoved = 0
+    // parquet checkpoint sidecars: drop any belonging to a removed
+    // version, plus orphans of kept versions (crashed/retried commits
+    // wrote a uniquely-named sidecar their commit point never
+    // referenced) — computed AFTER the keepFrom materialization so a
+    // freshly-written sidecar is referenced
+    val refdCkpts: Set[String] = (keepFrom to latest).flatMap { v2 =>
+      rawManifest(path, v2).find(_.startsWith("#ckpt="))
+        .map(_.stripPrefix("#ckpt=").trim)
+    }.toSet
+    TableFs.listNames(manifestDir(path))
+      .filter(_.matches("v\\d{5}\\.[0-9a-f]{8}\\.checkpoint\\.parquet"))
+      .foreach { n =>
+        if (n.slice(1, 6).toInt < keepFrom || !refdCkpts.contains(n)) {
+          TableFs.deleteFile(s"${manifestDir(path)}/$n")
+          filesRemoved += 1
+        }
+      }
     TableFs.listNames(path)
       .filter(_.matches("[cdf]\\d{5}|a[0-9a-f]{12}")).foreach { d =>
       // flat layout + one level of __pv=value partition subdirs
@@ -2154,8 +2577,14 @@ object VersionedTable {
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(types(c))))
         .select(allCols.map(col): _*)
-    val ao = align(ao0)
-    val bo = align(bo0)
+    // column-mapped tables: compare under the TO-version's LOGICAL
+    // view (renames applied, dropped columns excluded — a row whose
+    // only difference lives in a dropped column is no change to a
+    // reader of this feed)
+    def view(df: DataFrame): DataFrame =
+      if (mB.colMap.isEmpty) df else logicalView(df, mB)
+    val ao = view(align(ao0))
+    val bo = view(align(bo0))
     bo.exceptAll(ao).withColumn("change", lit("added"))
       .unionByName(ao.exceptAll(bo).withColumn("change", lit("removed")))
   }

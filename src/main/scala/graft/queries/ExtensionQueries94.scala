@@ -168,9 +168,11 @@ object ExtensionQueries94 {
     // change feed serves those commits as LEAF SCANS of the sidecars
     // (no exceptAll inside the incremental execution) instead of
     // refusing — the Delta enableChangeDataFeed shape. The gated rows
-    // ARE q498's oracle (same script, same per-commit diffs) plus the
-    // stream==batch equality pin, closing the r12 verdict's literal
-    // done-criterion for the streaming feed.
+    // ARE q498's oracle (same script, same per-commit diffs). The
+    // former in-gate stream==batch equality leg is gone (r13 verdict
+    // #5): q498 pins batch tableChanges == the same oracle on the
+    // same script, so stream==oracle here closes stream==batch
+    // transitively with each leg reading on its own line.
     Q(
       "q515_cdc_sidecar_stream",
       (s, dir) => {
@@ -183,7 +185,7 @@ object ExtensionQueries94 {
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_cdcsc_ckpt").toString
         // 1-in-3 slice: the gate's value is CoW diffs recorded at
-        // write time + the stream==batch equality, not sink volume
+        // write time and served by the stream, not sink volume
         val ev = Tables.load(s, dir, "events")
           .where(col("event_id") % 3 === 0)
           .select(col("event_id"), col("event_type"),
@@ -204,22 +206,11 @@ object ExtensionQueries94 {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
-        val sink = s.read.parquet(out)
-        val batch = VersionedTable.tableChanges(s, path, 0,
-          VersionedTable.latestVersion(path))
-        def key(df: org.apache.spark.sql.DataFrame) =
-          df.select("event_id", "cents", "change", "commit_version")
-        // multiset equality with ONE diff: |A|==|B| and A∖B=∅ ⇒ B∖A=∅
-        val batchEq =
-          if (sink.count() == batch.count() &&
-            key(sink).exceptAll(key(batch)).isEmpty) 1L
-          else 0L
         graft.io.FsUtil.deleteRecursively(ckpt)
-        sink.groupBy("commit_version", "change", "event_type")
+        s.read.parquet(out)
+          .groupBy("commit_version", "change", "event_type")
           .agg(count(lit(1)).cast("long").as("n"),
             sum("cents").as("sum_cents"))
-          .select(col("commit_version"), col("change"), col("event_type"),
-            col("n"), col("sum_cents"), lit(batchEq).as("batch_eq"))
           .orderBy("commit_version", "change", "event_type")
       },
       Some("""WITH ev AS (
@@ -229,20 +220,19 @@ object ExtensionQueries94 {
              |SELECT CAST(1 AS BIGINT) AS commit_version,
              |  'added' AS change, event_type,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-             |  CAST(1 AS BIGINT) AS batch_eq
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM ev WHERE event_id % 2 = 1 GROUP BY event_type
              |UNION ALL
              |SELECT 2, 'removed', event_type, CAST(count(*) AS BIGINT),
-             |  CAST(sum(cents) AS BIGINT), 1
+             |  CAST(sum(cents) AS BIGINT)
              |FROM ev WHERE event_type = 'error' GROUP BY event_type
              |UNION ALL
              |SELECT 3, 'added', 'purchase', CAST(count(*) AS BIGINT),
-             |  CAST(sum(cents + 5) AS BIGINT), 1
+             |  CAST(sum(cents + 5) AS BIGINT)
              |FROM ev WHERE event_type = 'purchase'
              |UNION ALL
              |SELECT 3, 'removed', 'purchase', CAST(count(*) AS BIGINT),
-             |  CAST(sum(cents) AS BIGINT), 1
+             |  CAST(sum(cents) AS BIGINT)
              |FROM ev WHERE event_type = 'purchase'
              |ORDER BY commit_version, change, event_type"""
         .stripMargin)),
@@ -277,30 +267,41 @@ object ExtensionQueries94 {
         val withId = s.read.format("graft-versioned").load(path)
           .select(col("event_id"), col("event_type"), col("cents"),
             col("__graft_file"), col("__graft_pos"))
-        val perFile = withId.groupBy("__graft_file")
+        // DISTRIBUTED audit fold (r13 verdict #6): join the per-file
+        // live/tombstone aggregates against a manifest-derived frame
+        // and collect ONE row of booleans — at a million files the
+        // old per-file collects materialized 1M rows driver-side.
+        // The manifest frame itself is driver-built (the manifest is
+        // already driver-resident by design, like all planning).
+        import s.implicits._
+        val live = withId
+          .groupBy(col("__graft_file").as("f"))
           .agg(count(lit(1)).as("live"),
             countDistinct(col("__graft_pos")).as("distinct_pos"))
-          .collect()
-        val filesOk = if (perFile.length == m.data.length) 1L else 0L
-        val posUnique =
-          if (perFile.forall(r => r.getLong(1) == r.getLong(2))) 1L
-          else 0L
-        // per-file tombstone counts from the DV sidecars
-        val dvCounts = s.read
+        // DV 'file' carries the same input_file_name encoding as
+        // __graft_file — join the two URI-encoded sides directly,
+        // decode ONE layer only to meet the manifest's literal names
+        val dead = s.read
           .parquet(m.dvs.map(r => graft.ops.VersionedTable
             .absPath(path, r)): _*)
-          .groupBy("file").agg(count(lit(1)).as("dead"))
-          .collect()
-          .map(r => graft.ops.VersionedTable.percentDecode(
-            r.getString(0)) -> r.getLong(1)).toMap
-        val rcOk =
-          if (perFile.forall { r =>
-            val rel = graft.ops.VersionedTable.percentDecode(
-              r.getString(0))
-            m.rowCounts.get(rel).contains(
-              r.getLong(1) + dvCounts.getOrElse(rel, 0L))
-          }) 1L
-          else 0L
+          .groupBy(col("file").as("f")).agg(count(lit(1)).as("dead"))
+        val mf = m.data.map(rel => (rel, m.rowCounts(rel)))
+          .toDF("rel", "rc")
+        val auditRow = mf.join(
+          live.join(dead, Seq("f"), "left_outer")
+            .withColumn("rel", url_decode(col("f"))),
+          Seq("rel"), "full_outer")
+          .agg(
+            min(when(col("f").isNotNull && col("rc").isNotNull, 1L)
+              .otherwise(0L)).as("files_ok"),
+            min(when(col("live") === col("distinct_pos"), 1L)
+              .otherwise(0L)).as("pos_unique"),
+            min(when(col("live") + coalesce(col("dead"), lit(0L))
+              === col("rc"), 1L).otherwise(0L)).as("rc_ok"))
+          .head()
+        val filesOk = auditRow.getLong(0)
+        val posUnique = auditRow.getLong(1)
+        val rcOk = auditRow.getLong(2)
         withId.groupBy("event_type")
           .agg(count(lit(1)).cast("long").as("n"),
             sum("cents").as("sum_cents"))

@@ -130,11 +130,15 @@ class GraftCatalog extends TableCatalog
     load(ident, None)
   }
 
-  /** ALTER TABLE ADD COLUMN(S): a metadata-only manifest commit (r12
-    * verdict #8) — no data file is touched, old snapshots keep their
-    * schema, constraints and stats survive. Other ALTER shapes
-    * (drop/rename/retype) stay unsupported: they would silently change
-    * the meaning of immutable historical files.
+  /** ALTER TABLE ADD/RENAME/DROP COLUMN: metadata-only manifest
+    * commits — no data file is touched, old snapshots keep their
+    * schema, constraints and stats survive. RENAME/DROP go through
+    * column mapping (r13 verdict #3): the manifest records a
+    * logical→physical name map, so a rename flips only the logical
+    * name and a drop removes only the map entry — the physical column
+    * stays in the immutable files and historical snapshots (whose
+    * manifests carry the old map) still read it. RETYPE stays
+    * unsupported: it would reinterpret bytes already written.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -148,6 +152,16 @@ class GraftCatalog extends TableCatalog
           "graft catalog: nested ADD COLUMN is unsupported")
         VersionedTable.addColumn(SparkSession.active, path,
           add.fieldNames()(0), add.dataType())
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "graft catalog: nested RENAME COLUMN is unsupported")
+        VersionedTable.renameColumn(SparkSession.active, path,
+          ren.fieldNames()(0), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft catalog: nested DROP COLUMN is unsupported")
+        VersionedTable.dropColumn(SparkSession.active, path,
+          del.fieldNames()(0))
       // ALTER TABLE t SET TBLPROPERTIES('graft.enableChangeDataFeed' =
       // 'true'|'false') — the Delta CDF table-property shape
       case set: TableChange.SetProperty
@@ -159,8 +173,8 @@ class GraftCatalog extends TableCatalog
         if unset.property() == "graft.enableChangeDataFeed" =>
         VersionedTable.disableChangeDataFeed(path)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMN evolves the schema (drop/rename/retype would " +
+        s"graft catalog: unsupported ALTER TABLE change $other — " +
+          "ADD/RENAME/DROP COLUMN evolve the schema (retype would " +
           "reinterpret immutable historical files) and the " +
           "graft.enableChangeDataFeed property toggles CDC sidecars")
     }

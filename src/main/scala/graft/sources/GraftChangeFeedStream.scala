@@ -68,6 +68,16 @@ class GraftChangeFeedMicroBatchStream(
       cdfSchema, cdfSchema, Array.empty)
     with MicroBatchStream {
 
+  // streaming CDF serves raw per-commit files/sidecars by PHYSICAL
+  // name — refuse a mapped table rather than emit wrong column names
+  // (batch tableChanges IS mapping-aware via diffVersions)
+  require(!VersionedTable.mappingNontrivial(
+    VersionedTable.readManifest(path,
+      VersionedTable.latestVersion(path)).colMap),
+    s"graft-versioned change-feed stream at $path: the table carries " +
+      "a non-trivial column mapping (RENAME COLUMN history) — use " +
+      "batch readChangeFeed, or OPTIMIZE (compact) first")
+
   private val skipChangeCommits =
     Option(options.get("skipChangeCommits")).exists(_.trim.toBoolean)
 

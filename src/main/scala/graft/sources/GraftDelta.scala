@@ -98,8 +98,10 @@ class GraftDeltaOperation(val path: String,
         .column(GraftDelta.PosCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
+      : ScanBuilder = {
+    GraftRowLevel.refuseColumnMapped(path)
     new GraftDeltaScanBuilder(this, SparkSession.active)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new GraftDeltaWriteBuilder(this, info)
@@ -160,7 +162,8 @@ class GraftDeltaScan(spark: SparkSession, path: String,
                      keep: Seq[String], dataSchema: StructType,
                      dvByFile: Map[String, Array[Long]],
                      exactRows: Option[Long],
-                     projection: Option[StructType] = None)
+                     projection: Option[StructType] = None,
+                     reportSchema: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   private val metaNames = Seq(GraftDelta.FileCol, GraftDelta.PosCol)
@@ -188,7 +191,8 @@ class GraftDeltaScan(spark: SparkSession, path: String,
   private val innerSchema = StructType(
     outSchema.fields.filterNot(f => metaNames.contains(f.name)))
 
-  override def readSchema(): StructType = outSchema
+  override def readSchema(): StructType =
+    reportSchema.getOrElse(outSchema)
 
   override def toBatch: Batch = this
 

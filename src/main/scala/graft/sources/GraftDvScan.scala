@@ -39,7 +39,8 @@ class GraftDvAwareScan(val inner: ParquetScan,
                        dvByFile: Map[String, Array[Long]],
                        streamFactory: Option[String =>
                          org.apache.spark.sql.connector.read
-                           .streaming.MicroBatchStream] = None)
+                           .streaming.MicroBatchStream] = None,
+                       reportSchema: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -53,7 +54,8 @@ class GraftDvAwareScan(val inner: ParquetScan,
     inner.fileIndex.asInstanceOf[
       org.apache.spark.sql.execution.datasources.InMemoryFileIndex]
 
-  override def readSchema(): StructType = inner.readSchema()
+  override def readSchema(): StructType =
+    reportSchema.getOrElse(inner.readSchema())
   override def toBatch: Batch = this
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =

@@ -55,6 +55,22 @@ import graft.ops.VersionedTable
   */
 object GraftRowLevel {
 
+  /** Column-mapped tables refuse the row-level REWRITE machinery
+    * (both CoW and merge-on-read): it stages scans/writes against
+    * physical file schemas and is not mapping-aware — refuse loudly
+    * rather than corrupt. Checked at newScanBuilder time, i.e. at
+    * scan PUSHDOWN, so a translatable DELETE has already been
+    * converted to the mapping-aware deleteWhereDV metadata path.
+    */
+  private[sources] def refuseColumnMapped(path: String): Unit =
+    require(!VersionedTable.mappingNontrivial(
+      VersionedTable.readManifest(path,
+        VersionedTable.latestVersion(path)).colMap),
+      s"SQL row-level rewrite on $path: the table carries a " +
+        "non-trivial column mapping (RENAME COLUMN history) — use " +
+        "VersionedTable.merge/deleteWhereDV, or OPTIMIZE (compact) " +
+        "to materialize the logical schema first")
+
   /** V1 `Filter` → `Column`, total on the filter algebra the metadata
     * delete accepts; None = not translatable (the caller must refuse,
     * pushing Catalyst to the row-level rewrite instead).
@@ -118,8 +134,10 @@ class GraftRowLevelOperation(val path: String,
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
+      : ScanBuilder = {
+    GraftRowLevel.refuseColumnMapped(path)
     new GraftRowLevelScanBuilder(this, SparkSession.active)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftRowLevelWriteBuilder(this, info)

@@ -100,6 +100,12 @@ class GraftVersioned extends TableProvider with DataSourceRegister
       parameters: Map[String, String]): org.apache.spark.sql
       .execution.streaming.Source = {
     val path = streamPath(parameters)
+    require(!VersionedTable.mappingNontrivial(
+      VersionedTable.readManifest(path,
+        VersionedTable.latestVersion(path)).colMap),
+      s"graft-versioned streaming read of $path: the table carries a " +
+        "non-trivial column mapping (RENAME COLUMN history) — " +
+        "OPTIMIZE (compact) to materialize the logical schema first")
     new GraftVersionedStreamSource(
       sqlContext,
       path,
@@ -150,9 +156,18 @@ object GraftVersioned {
     // ALTER-added columns not yet materialized in any file (the
     // parquet reader null-fills columns absent from a file, so the
     // scan serves them for free)
-    m.extraCols.foldLeft(fromFiles) { case (st, (n, dt)) =>
+    val full = m.extraCols.foldLeft(fromFiles) { case (st, (n, dt)) =>
       if (st.fieldNames.contains(n)) st else st.add(n, dt)
     }
+    // COLUMN-MAPPED table (post RENAME/DROP): the served schema is the
+    // LOGICAL view — map order, logical names, types from the physical
+    // fields the immutable files store
+    if (m.colMap.isEmpty) full
+    else StructType(m.colMap.map { case (l, p) =>
+      full.fields.find(_.name == p).map(_.copy(name = l)).getOrElse(
+        sys.error(s"column mapping at $path names unknown physical " +
+          s"column '$p' (logical '$l')"))
+    })
   }
 
   /** Conjunctive numeric bounds per column, closed on both ends (a
@@ -366,15 +381,20 @@ class GraftVersionedTable(tableSchema: StructType,
   // `spark.graft.rowLevel.mode=merge-on-read`.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val path = GraftVersioned.tablePath(tableOptions)
+    // column-mapped tables refuse the row-level REWRITE paths — but
+    // the check lives in the operations' newScanBuilder, NOT here:
+    // this builder is constructed during ANALYSIS for every DELETE,
+    // before OptimizeMetadataOnlyDeleteFromTable can convert a
+    // translatable one to the mapping-aware deleteWhereDV path
     if (SparkSession.active.conf
       .get("spark.graft.rowLevel.mode", "copy-on-write")
       .trim.equalsIgnoreCase("merge-on-read"))
-      new GraftDeltaOperationBuilder(
-        GraftVersioned.tablePath(tableOptions), info)
+      new GraftDeltaOperationBuilder(path, info)
     else
-      new GraftRowLevelOperationBuilder(
-        GraftVersioned.tablePath(tableOptions), info)
+      new GraftRowLevelOperationBuilder(path, info)
+  }
 }
 
 /** The versioned table's write builder.
@@ -470,13 +490,36 @@ object GraftVersionedWriteBuilder {
     val spark = SparkSession.active
     val dir = graft.ops.VersionedTable.newAppendDir()
     val staging = s"$path/$dir"
+    // COLUMN-MAPPED table: data files store PHYSICAL names; the
+    // incoming query speaks logical. Rename the write schema (rows are
+    // positional — only the parquet field names change)
+    val cm = {
+      val v = graft.ops.VersionedTable.latestVersion(path)
+      if (v >= 0) graft.ops.VersionedTable.readManifest(path, v).colMap
+      else Nil
+    }
+    val writeSchema =
+      if (!graft.ops.VersionedTable.mappingNontrivial(cm)) info.schema()
+      else StructType(info.schema().fields.map(f =>
+        f.copy(name = graft.ops.VersionedTable.toPhysicalName(cm, f.name))))
+    val physInfo: LogicalWriteInfo =
+      if (writeSchema == info.schema()) info
+      else new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap = info.options()
+        override def queryId(): String = info.queryId()
+        override def schema(): StructType = writeSchema
+        override def rowIdSchema(): java.util.Optional[StructType] =
+          info.rowIdSchema()
+        override def metadataSchema(): java.util.Optional[StructType] =
+          info.metadataSchema()
+      }
     val delegate = new org.apache.spark.sql.execution.datasources
       .v2.parquet.ParquetTable("graft_versioned_write",
       spark, CaseInsensitiveStringMap.empty(), Seq(staging),
-      Some(info.schema()),
+      Some(writeSchema),
       classOf[org.apache.spark.sql.execution.datasources.parquet
         .ParquetFileFormat])
-      .newWriteBuilder(info).build().toBatch
+      .newWriteBuilder(physInfo).build().toBatch
     (dir, delegate)
   }
 }
@@ -640,6 +683,65 @@ class GraftVersionedScanBuilder(spark: SparkSession,
 
   private val path = GraftVersioned.tablePath(options)
   private val version = GraftVersioned.version(options)
+
+  // ---- column mapping (RENAME/DROP COLUMN support) ---- //
+  // The table's served schema — and therefore everything Catalyst
+  // hands this builder (pruned columns, filters, sort orders, agg
+  // references) — speaks LOGICAL names; the immutable data files and
+  // the manifest's per-file metadata (zs/nc/bf/pv lines) speak
+  // PHYSICAL names. Translation happens exactly here, at the planning
+  // edge: schemas and filters physicalize before they reach the
+  // parquet machinery or a manifest consult, and the built Scan
+  // reports the LOGICAL read schema back to Spark (InternalRow output
+  // is positional, so the physical-named inner scan's rows bind
+  // unchanged). Identity — zero overhead, byte-identical plans — for
+  // the common unmapped table.
+  private lazy val colMap =
+    VersionedTable.readManifest(path, version).colMap
+  private lazy val mapped = VersionedTable.mappingNontrivial(colMap)
+  private def phys(n: String): String =
+    if (n == GraftDelta.FileCol || n == GraftDelta.PosCol) n
+    else VersionedTable.toPhysicalName(colMap, n)
+  private def physSchema(st: StructType): StructType =
+    if (!mapped) st
+    else StructType(st.fields.map(f => f.copy(name = phys(f.name))))
+  /** Filter with attribute names physicalized; None when the filter
+    * shape is untranslated — it is then simply NOT pushed (all pushed
+    * filters are residuals anyway, so dropping one is conservative).
+    */
+  private def physFilter(f: Filter): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(phys(a), v))
+    case org.apache.spark.sql.sources.EqualNullSafe(a, v) =>
+      Some(org.apache.spark.sql.sources.EqualNullSafe(phys(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
+    case LessThan(a, v) => Some(LessThan(phys(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
+    case org.apache.spark.sql.sources.In(a, vs) =>
+      Some(org.apache.spark.sql.sources.In(phys(a), vs))
+    case org.apache.spark.sql.sources.IsNull(a) =>
+      Some(org.apache.spark.sql.sources.IsNull(phys(a)))
+    case org.apache.spark.sql.sources.IsNotNull(a) =>
+      Some(org.apache.spark.sql.sources.IsNotNull(phys(a)))
+    case org.apache.spark.sql.sources.StringStartsWith(a, v) =>
+      Some(org.apache.spark.sql.sources.StringStartsWith(phys(a), v))
+    case org.apache.spark.sql.sources.StringEndsWith(a, v) =>
+      Some(org.apache.spark.sql.sources.StringEndsWith(phys(a), v))
+    case org.apache.spark.sql.sources.StringContains(a, v) =>
+      Some(org.apache.spark.sql.sources.StringContains(phys(a), v))
+    case And(l, r) =>
+      for { lp <- physFilter(l); rp <- physFilter(r) } yield And(lp, rp)
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      for { lp <- physFilter(l); rp <- physFilter(r) } yield
+        org.apache.spark.sql.sources.Or(lp, rp)
+    case org.apache.spark.sql.sources.Not(c) =>
+      physFilter(c).map(org.apache.spark.sql.sources.Not)
+    case _: org.apache.spark.sql.sources.AlwaysTrue |
+         _: org.apache.spark.sql.sources.AlwaysFalse => Some(f)
+    case _ => None
+  }
+  private def physPushed: Array[Filter] =
+    if (!mapped) pushed else pushed.flatMap(physFilter(_))
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = dataSchema
@@ -823,20 +925,20 @@ class GraftVersionedScanBuilder(spark: SparkSession,
         case _ => None
       }
       pc <- m.partCol
-      if pc == g
+      if pc == phys(g)
       if m.data.nonEmpty && m.data.forall(m.partValues.contains) &&
         m.data.forall(m.rowCounts.contains)
       if agg.aggregateExpressions().nonEmpty &&
         agg.aggregateExpressions().forall(f =>
           f.isInstanceOf[CountStar] ||
             countCol(f).exists(c =>
-              countColumn(m, m.data, c).isDefined))
-      field <- dataSchema.fields.find(_.name == pc)
+              countColumn(m, m.data, phys(c)).isDefined))
+      field <- dataSchema.fields.find(_.name == g)
       parse <- rawParser(field.dataType)
     } yield {
       val aggs = agg.aggregateExpressions().toSeq
       val schema = aggs.zipWithIndex
-        .foldLeft(new StructType().add(pc, field.dataType,
+        .foldLeft(new StructType().add(g, field.dataType,
           nullable = false)) { case (st, (f, i)) =>
           st.add(countCol(f).map(c => s"count_${c}_$i")
             .getOrElse(s"count_star_$i"),
@@ -850,7 +952,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
         .map { case (raw, files) =>
           parse(GraftPartitionedScan.unescape(raw)) +: aggs.map(f =>
             countCol(f) match {
-              case Some(c) => countColumn(m, files, c).get: Any
+              case Some(c) => countColumn(m, files, phys(c)).get: Any
               case None => files.map(m.rowCounts).sum: Any
             })
         }
@@ -900,7 +1002,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       case f @ (_: Count) if countCol(f).isDefined =>
         // COUNT(col) from footer null counts: rows - nulls
         val c = countCol(f).get
-        countColumn(m, m.data, c).map(n =>
+        countColumn(m, m.data, phys(c)).map(n =>
           (s"count_$c", org.apache.spark.sql.types.LongType: org.apache
             .spark.sql.types.DataType, n: Any))
       case f @ (_: Min | _: Max) =>
@@ -908,7 +1010,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
           c <- singleCol(f)
           field <- dataSchema.fields.find(_.name == c)
           if statExact(field.dataType)
-          (lo, hi) <- colStats(c)
+          (lo, hi) <- colStats(phys(c))
           if statRoundTrips(lo, field.dataType) &&
             statRoundTrips(hi, field.dataType)
         } yield f match {
@@ -956,15 +1058,23 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     */
   private def mbStreamFactory: Option[String =>
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
-    Some(_ => new GraftVersionedMicroBatchStream(
-      spark, path, options, dataSchema, required, pushed))
+    Some { _ =>
+      require(!mapped,
+        s"graft-versioned streaming read of $path: the table carries " +
+          "a non-trivial column mapping (RENAME COLUMN history) — " +
+          "stream from a pre-rename version, or OPTIMIZE (compact) " +
+          "to materialize the logical schema first")
+      new GraftVersionedMicroBatchStream(
+        spark, path, options, dataSchema, required, pushed)
+    }
 
   private def buildFileScan(): Scan = {
     val m = VersionedTable.readManifest(path, version)
     // manifest consultation (stats bands + bloom sidecars) — shared
-    // with the row-level scan; see GraftVersioned.consultManifest
+    // with the row-level scan; see GraftVersioned.consultManifest.
+    // Filters physicalize first: zs/bf lines describe file contents
     val keep = GraftVersioned.consultManifest(
-      spark, path, version, m, pushed.toSeq)
+      spark, path, version, m, physPushed.toSeq)
     // POSITION-IDENTITY reads: a query referencing the table's
     // metadata columns (__graft_file / __graft_pos) routes through the
     // delta scan — one offset-ordered partition per file so positions
@@ -982,8 +1092,10 @@ class GraftVersionedScanBuilder(spark: SparkSession,
           Some(keep.map(m.rowCounts).sum -
             dvByFile.values.map(_.length.toLong).sum)
         else None
-      return new GraftDeltaScan(spark, path, keep, dataSchema,
-        dvByFile, exact, Some(required))
+      return new GraftDeltaScan(spark, path, keep,
+        physSchema(dataSchema), dvByFile, exact,
+        Some(physSchema(required)),
+        reportSchema = if (mapped) Some(required) else None)
     }
     // LIMIT capping: keep only the first files whose cumulative footer
     // counts reach the pushed limit (filter-free scans only; Spark's
@@ -1002,7 +1114,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     // TOP-N capping: drop every file with >= k rows provably sorting
     // before it (stats-complete, null-count-complete, DV-free
     // snapshots only — see the pushTopN comment for the null algebra)
-    val ordered = pushedTopN match {
+    val ordered = pushedTopN.map { case (c0, a, nf, k0) =>
+      (phys(c0), a, nf, k0) } match {
       case Some((c, asc, nullsFirst, k)) if m.dvs.isEmpty &&
         capped.forall(m.rowCounts.contains) &&
         capped.forall(r => m.nullCounts.get(r).exists(_.contains(c))) &&
@@ -1050,7 +1163,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     }
     val index = new InMemoryFileIndex(spark,
       ordered.map(r => new HPath(VersionedTable.absPath(path, r))),
-      Map.empty, Some(dataSchema))
+      Map.empty, Some(physSchema(dataSchema)))
     // ---- deletion-vector (merge-on-read) serve path ---- //
     // Tombstone skipping counts emitted rows against recorded
     // _metadata.row_index positions, so the inner scan must read
@@ -1064,20 +1177,22 @@ class GraftVersionedScanBuilder(spark: SparkSession,
       val bare = ParquetScan(spark,
         spark.sessionState.newHadoopConfWithOptions(
           options.asScala.toMap),
-        index, dataSchema, required, new StructType(),
-        Array.empty, options)
+        index, physSchema(dataSchema), physSchema(required),
+        new StructType(), Array.empty, options)
       val exactDvRows =
         if (ordered.forall(m.rowCounts.contains))
           Some(ordered.map(m.rowCounts).sum -
             dvByFile.values.map(_.length.toLong).sum)
         else None
       return new GraftDvAwareScan(bare, exactDvRows, dvByFile,
-        mbStreamFactory)
+        mbStreamFactory,
+        reportSchema = if (mapped) Some(required) else None)
     }
     val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
         options.asScala.toMap),
-      index, dataSchema, required, new StructType(), pushed, options)
+      index, physSchema(dataSchema), physSchema(required),
+      new StructType(), physPushed, options)
     // manifest-exact statistics for the PRUNED file set: the footer
     // row counts recorded at commit make numRows exact (not an
     // estimate), and sizeInBytes comes from the kept files only — so
@@ -1097,6 +1212,10 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     // shape (a capped file list no longer covers every key).
     val spj = for {
       pc <- m.partCol
+      // key-grouped reporting names the partition column; under a
+      // non-trivial mapping the logical attribute Spark matches could
+      // differ from the physical name — skip the shape (conservative)
+      if !mapped
       if pushedLimit.isEmpty && pushedTopN.isEmpty
       if keep.nonEmpty && keep.forall(m.partValues.contains)
       field <- dataSchema.fields.find(_.name == pc)
@@ -1104,7 +1223,8 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     } yield new GraftPartitionedScan(parquet, exactRows, pc, parse,
       keep.map(m.partValues).distinct.length, mbStreamFactory)
     spj.getOrElse(new GraftVersionedFileScan(parquet, exactRows,
-      mbStreamFactory))
+      mbStreamFactory,
+      reportSchema = if (mapped) Some(required) else None))
   }
 }
 
@@ -1121,12 +1241,17 @@ class GraftVersionedFileScan(val inner: ParquetScan,
                              exactRows: Option[Long],
                              streamFactory: Option[String =>
                                org.apache.spark.sql.connector.read
-                                 .streaming.MicroBatchStream] = None)
+                                 .streaming.MicroBatchStream] = None,
+                             reportSchema: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics {
   /** Exposed for plan tests/queries that pin the pruned file count. */
   def fileIndex: InMemoryFileIndex =
     inner.fileIndex.asInstanceOf[InMemoryFileIndex]
-  override def readSchema(): StructType = inner.readSchema()
+  // column-mapped tables: the inner scan reads PHYSICAL names; Spark
+  // binds the relation's (logical) output to this schema — positional,
+  // so the physical rows serve unchanged
+  override def readSchema(): StructType =
+    reportSchema.getOrElse(inner.readSchema())
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

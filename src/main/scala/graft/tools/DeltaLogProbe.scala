@@ -55,6 +55,52 @@ object DeltaLogProbe {
       time(VersionedTable.readManifest(path, 0))).min
     println(f"readManifest fold(9 deltas) ${foldMs}%.1f ms vs " +
       f"checkpoint ${ckptMs}%.1f ms at 800 files")
+
+    // PARQUET CHECKPOINT (r13 verdict #2): a synthetic 100k-entry
+    // manifest (rc + nc + one zone-stat band per file — the shape a
+    // real clustered table carries) written in BOTH checkpoint forms.
+    // Claim: the columnar sidecar is >= 5x smaller than the text form
+    // and a COLD readManifest off it is sub-second.
+    val nBig = 100000
+    val bigData = (0 until nBig)
+      .map(i => f"c00000/part-$i%06d-4f9e2b1c.snappy.parquet")
+    val big = VersionedTable.Manifest(
+      data = bigData, dvs = Nil,
+      stats = bigData.zipWithIndex.map { case (r, i) =>
+        r -> Map("id" -> (i * 1000.0, i * 1000.0 + 999.0))
+      }.toMap,
+      batch = None,
+      rowCounts = bigData.map(_ -> 50000L).toMap,
+      nullCounts = bigData.map(_ -> Map("id" -> 0L)).toMap)
+    val tmpdir = System.getProperty("java.io.tmpdir")
+    val textPath = s"$tmpdir/graft_dlp_text100k"
+    val pqPath = s"$tmpdir/graft_dlp_pq100k"
+    Seq(textPath, pqPath).foreach(graft.io.FsUtil.deleteRecursively)
+    graft.io.TableFs.writeUtf8Exclusive(
+      s"$textPath/_manifests/v00000.txt",
+      VersionedTable.checkpointLines(big).mkString("\n"))
+    val rel = VersionedTable.writeCheckpointParquet(pqPath, 0, big)
+    graft.io.TableFs.writeUtf8Exclusive(
+      s"$pqPath/_manifests/v00000.txt", s"#ckpt=$rel")
+    val textBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$textPath/_manifests/v00000.txt"))
+    val pqBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$pqPath/_manifests/$rel"))
+    // COLD = first read in this JVM (no warm pass)
+    val textCold = time {
+      assert(VersionedTable.readManifest(textPath, 0)
+        .data.length == nBig)
+    }
+    val pqCold = time {
+      assert(VersionedTable.readManifest(pqPath, 0)
+        .data.length == nBig)
+    }
+    val pqWarm = (1 to 3).map(_ =>
+      time(VersionedTable.readManifest(pqPath, 0))).min
+    println(f"100k-file checkpoint: text ${textBytes / 1024}%d KB " +
+      f"(cold read $textCold%.0f ms) vs parquet ${pqBytes / 1024}%d KB " +
+      f"(cold read $pqCold%.0f ms, warm $pqWarm%.0f ms) — " +
+      f"${textBytes.toDouble / pqBytes}%.1fx smaller")
     spark.stop()
   }
 }

@@ -115,6 +115,69 @@ class Extension93Spec extends SparkSpec {
       .exists(_.endsWith(".tmp")), "atomic replace left temp files")
   }
 
+  test("parquet checkpoint manifests: at/above the entry threshold a " +
+    "checkpoint commits as a #ckpt= pointer + columnar sidecar that " +
+    "round-trips every manifest field; vacuum reclaims removed and " +
+    "orphan sidecars") {
+    import spark.implicits._
+    val path = tmp("graft_pq_ckpt_spec")
+    val saved = VersionedTable.parquetCheckpointMinEntries
+    VersionedTable.parquetCheckpointMinEntries = 4
+    try {
+      // v0: 6 files with cluster stats → parquet checkpoint
+      VersionedTable.init(
+        spark.range(600).select(col("id"), (col("id") % 7).as("k"))
+          .repartitionByRange(6, col("id")).sortWithinPartitions("id"),
+        path, clusterBy = Some("id"))
+      val raw0 = manifestText(path, 0)
+      assert(raw0.linesIterator.exists(_.startsWith("#ckpt=")),
+        s"expected a parquet checkpoint pointer, got:\n$raw0")
+      assert(!raw0.contains("zs\t"), "stats leaked into the text form")
+      val m0 = VersionedTable.readManifest(path, 0)
+      assert(m0.data.length == 6)
+      assert(m0.data.forall(m0.rowCounts.contains), "rowCounts lost")
+      assert(m0.data.forall(f => m0.stats.get(f).exists(_.contains("id"))),
+        "zone stats lost through the parquet round-trip")
+      assert(m0.data.forall(f => m0.nullCounts.contains(f)),
+        "null counts lost")
+      assert(VersionedTable.read(spark, path).count() == 600)
+      // deltas on top still fold off the parquet base
+      (1 to 3).foreach(i => VersionedTable.append(
+        Seq((10000L + i, 1L)).toDF("id", "k"), path))
+      assert(manifestText(path, 2).startsWith("#delta"))
+      assert(VersionedTable.readVersion(spark, path, 3).count() == 603)
+      // DVs + extra columns + blooms survive the sidecar form: force a
+      // checkpoint by bumping to the interval boundary
+      VersionedTable.deleteWhereDV(spark, path, col("id") === 5L)
+      VersionedTable.addColumn(spark, path, "note",
+        org.apache.spark.sql.types.StringType)
+      VersionedTable.buildBloomIndex(spark, path, "k")
+      (7 to 10).foreach(i => VersionedTable.append(
+        Seq((20000L + i, 2L)).toDF("id", "k"), path))
+      val v = VersionedTable.latestVersion(path)
+      assert(v >= 10)
+      assert(manifestText(path, 10).linesIterator
+        .exists(_.startsWith("#ckpt=")), "interval checkpoint not parquet")
+      val m10 = VersionedTable.readManifest(path, 10)
+      assert(m10.dvs.nonEmpty, "DV refs lost")
+      assert(m10.blooms.nonEmpty, "bloom refs lost")
+      assert(m10.extraCols.map(_._1) == Seq("note"), "extraCols lost")
+      assert(VersionedTable.read(spark, path).count() == 606)
+      // orphan sidecar (crashed commit) + pre-horizon sidecars reclaim
+      graft.io.TableFs.writeUtf8Overwrite(
+        s"$path/_manifests/v00010.deadbeef.checkpoint.parquet", "junk")
+      val (_, reclaimed) = VersionedTable.vacuum(path, 2)
+      assert(reclaimed > 0)
+      val left = graft.io.TableFs.listNames(s"$path/_manifests")
+        .filter(_.endsWith(".checkpoint.parquet"))
+      assert(!left.contains("v00010.deadbeef.checkpoint.parquet"),
+        "orphan sidecar survived vacuum")
+      assert(left.forall(_.slice(1, 6).toInt >= v - 1),
+        s"pre-horizon sidecars survived: $left")
+      assert(VersionedTable.read(spark, path).count() == 606)
+    } finally VersionedTable.parquetCheckpointMinEntries = saved
+  }
+
   test("writeUtf8Replace: atomically replaces existing content and " +
     "creates fresh files; target is never observed torn") {
     val dir = tmp("graft_replace_spec")
