@@ -25,6 +25,13 @@ import graft.ops.VersionedTable
   *    line, so a regression in either leg is visible instead of
   *    buried.
   *
+  *  - q521 MERGE WITH SCHEMA EVOLUTION: the table advertises
+  *    `AUTOMATIC_SCHEMA_EVOLUTION`, so Spark's analyzer routes a
+  *    merge source's unmatched columns through the catalog's
+  *    metadata-only ADD COLUMN commit before the row-level write
+  *    resolves — the Delta mergeSchema shape, composed from q514's
+  *    evolution commit and the CoW rewrite.
+  *
   *  - q518 COLUMN MAPPING — SQL ALTER TABLE RENAME/DROP COLUMN: the
   *    manifest records an ordered logical→physical name map (`cm`
   *    lines), so a rename flips only the logical name and a drop
@@ -333,6 +340,100 @@ object ExtensionQueries95 {
              |SELECT 3, 'removed', 'error', CAST(count(*) AS BIGINT),
              |  CAST(sum(cents) AS BIGINT), 1
              |FROM ev WHERE event_type = 'error'
-             |ORDER BY commit_version, change, event_type""".stripMargin))
+             |ORDER BY commit_version, change, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q521: MERGE WITH SCHEMA EVOLUTION. Slice A inserts under
+    // (event_id, event_type, cents); the merge source carries a NEW
+    // `origin` column (updated purchases + brand-new rows). With the
+    // AUTOMATIC_SCHEMA_EVOLUTION capability, Spark's analyzer commits
+    // the ADD COLUMN as its own METADATA-ONLY version (evo_meta_only=1
+    // pins the file list unchanged across it) and the row-level
+    // rewrite then materializes `origin` for touched rows while
+    // untouched rows null-fill; the PRE-evolution snapshot keeps its
+    // 3-column schema (old_schema_ok). Oracle replays insert + merge.
+    Q(
+      "q521_merge_schema_evolution",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val cat = s"gsql95$tag"
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh95$tag"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val path = s"$wh/t521"
+        graft.io.FsUtil.deleteRecursively(path)
+        val src = s"graft_q521_src_$tag"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        ev.createOrReplaceTempView(src)
+        s.sql(s"CREATE TABLE $cat.t521 " +
+          "(event_id BIGINT, event_type STRING, cents BIGINT)")
+        s.sql(s"INSERT INTO $cat.t521 SELECT * FROM $src " +
+          "WHERE event_id % 2 = 0")
+        val vIns = VersionedTable.latestVersion(path)
+        val before = VersionedTable.manifestFiles(path, vIns)
+        // merge source: matched purchases get +5 cents and an origin;
+        // odd view events arrive as brand-new rows with an origin
+        val upd = s"graft_q521_upd_$tag"
+        s.sql(
+          s"""SELECT event_id, event_type, cents + 5 AS cents,
+             |  'crawl2' AS origin
+             |FROM $src WHERE event_type = 'purchase' AND event_id % 2 = 0
+             |UNION ALL
+             |SELECT event_id, event_type, cents, 'crawl3' AS origin
+             |FROM $src WHERE event_type = 'view' AND event_id % 2 = 1"""
+            .stripMargin).createOrReplaceTempView(upd)
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t521 t
+             |USING $upd u ON t.event_id = u.event_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val vAfter = VersionedTable.latestVersion(path)
+        // the evolution landed as its own metadata-only commit between
+        // the insert and the rewrite: same file list, 4-column schema
+        val evoMetaOnly =
+          if (vAfter == vIns + 2 &&
+            VersionedTable.manifestFiles(path, vIns + 1) == before &&
+            VersionedTable.readVersion(s, path, vIns + 1)
+              .columns.length == 4) 1L
+          else 0L
+        val oldSchemaOk =
+          if (s.sql(s"SELECT * FROM $cat.t521 VERSION AS OF $vIns")
+            .columns.toSeq ==
+            Seq("event_id", "event_type", "cents")) 1L
+          else 0L
+        s.sql(
+          s"""SELECT coalesce(origin, 'legacy') AS origin, event_type,
+             |  count(*) AS n, sum(cents) AS sum_cents
+             |FROM $cat.t521 GROUP BY 1, 2""".stripMargin)
+          .select(col("origin"), col("event_type"), col("n"),
+            col("sum_cents"),
+            lit(evoMetaOnly).as("evo_meta_only"),
+            lit(oldSchemaOk).as("old_schema_ok"))
+          .orderBy("origin", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |merged AS (
+             |  SELECT event_id, event_type, cents + 5 AS cents,
+             |    'crawl2' AS origin
+             |  FROM ev WHERE event_type = 'purchase' AND event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT event_id, event_type, cents, 'crawl3' AS origin
+             |  FROM ev WHERE event_type = 'view' AND event_id % 2 = 1
+             |  UNION ALL
+             |  SELECT event_id, event_type, cents, NULL AS origin
+             |  FROM ev WHERE event_id % 2 = 0
+             |    AND event_type <> 'purchase')
+             |SELECT coalesce(origin, 'legacy') AS origin, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS evo_meta_only,
+             |  CAST(1 AS BIGINT) AS old_schema_ok
+             |FROM merged GROUP BY 1, 2
+             |ORDER BY origin, event_type""".stripMargin))
   )
 }

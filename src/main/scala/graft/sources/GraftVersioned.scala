@@ -300,10 +300,18 @@ class GraftVersionedTable(tableSchema: StructType,
   // the write-side clustering requirement). MICRO_BATCH_READ routes
   // readStream through the DSv2 GraftVersionedMicroBatchStream (with
   // admission control) instead of the legacy V1 Source.
+  // AUTOMATIC_SCHEMA_EVOLUTION: opt into Spark's
+  // `MERGE ... WITH SCHEMA EVOLUTION` — the analyzer computes the
+  // unmatched source columns and routes them through this catalog's
+  // ALTER ADD COLUMN (a metadata-only manifest commit) BEFORE the
+  // row-level write resolves, so the merge rewrite materializes the
+  // new column and pre-evolution snapshots keep their schema. The
+  // capability gates nothing else (only MergeIntoTable consults it).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Catalog-resolved relations pass EMPTY scan options (the path
     * lives in the table's own options), path reads pass everything in

@@ -205,4 +205,51 @@ class Extension95Spec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(bucket) FROM $cat.t")
       .head().getLong(0) == 30L)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION under merge-on-read: the ADD " +
+    "COLUMN commit is metadata-only, the delta write leaves every " +
+    "pre-merge data file in place, and untouched rows null-fill") {
+    val cat = "gmse95"
+    val wh = tmp("graft_mse_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val path = s"$wh/t"
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, cents BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20), (3, 30)")
+    val vIns = VersionedTable.latestVersion(path)
+    val before = VersionedTable.manifestFiles(path, vIns)
+    import spark.implicits._
+    Seq((2L, 25L, "crawl"), (9L, 90L, "web"))
+      .toDF("id", "cents", "src").createOrReplaceTempView("mse_u")
+    val saved = spark.conf.getOption("spark.graft.rowLevel.mode")
+    spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+    try {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+           |USING mse_u u ON t.id = u.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.graft.rowLevel.mode", v)
+      case None => spark.conf.unset("spark.graft.rowLevel.mode")
+    }
+    val vAfter = VersionedTable.latestVersion(path)
+    // evolution commit: same files, wider schema
+    assert(VersionedTable.manifestFiles(path, vIns + 1) == before)
+    // merge-on-read delta: every pre-merge data file SURVIVES (the
+    // rewrite is tombstones + replacement rows, not file replacement)
+    assert(before.forall(
+      VersionedTable.manifestFiles(path, vAfter).contains),
+      "MoR merge rewrote pre-merge data files")
+    val got = spark.sql(
+      s"SELECT id, cents, src FROM $cat.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSeq
+    assert(got == Seq((1L, 10L, "-"), (2L, 25L, "crawl"),
+      (3L, 30L, "-"), (9L, 90L, "web")), got.toString)
+    // pre-evolution snapshot keeps its 2-column schema
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vIns")
+      .columns.toSeq == Seq("id", "cents"))
+  }
 }
