@@ -28,7 +28,9 @@ import graft.ops.VersionedTable
   * PER-COMMIT row diffs of (start, end] — the q498 batch-CDF algebra
   * driven as a stream, with the same admission-control pacing
   * (`maxVersionsPerTrigger` / `maxFilesPerTrigger`,
-  * Trigger.AvailableNow pinning).
+  * Trigger.AvailableNow pinning; both spec-pinned on this path) and
+  * the same bounded-replay upper bound (`endingVersion`, inclusive —
+  * batch `tableChanges(from, to)` parity for backfills).
   *
   * The crucial design constraint: a streaming batch must be LEAF SCANS
   * ONLY — re-running the batch CDF's `exceptAll` plans inside the

@@ -69,13 +69,26 @@ class GraftVersionedMicroBatchStream(
     "maxVersionsPerTrigger must be positive")
   require(maxFilesPerTrigger.forall(_ > 0),
     "maxFilesPerTrigger must be positive")
+  /** BOUNDED REPLAY (r13 verdict #7): an inclusive upper version.
+    * The stream never serves past it — batch `tableChanges(from, to)`
+    * parity for backfills: replay commits start..ending into a sink,
+    * terminate under AvailableNow, and later commits wait for a run
+    * with a later (or no) bound. Composes with pacing options.
+    */
+  private val endingVersion =
+    Option(options.get("endingVersion")).map(_.trim.toLong)
+  require(endingVersion.forall(_ >= startingVersion),
+    s"endingVersion must be >= startingVersion ($startingVersion)")
+
+  private def capEnd(v: Long): Long =
+    endingVersion.map(math.min(v, _)).getOrElse(v)
 
   /** Pinned catch-up target under Trigger.AvailableNow. */
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget =
-      Some(math.max(VersionedTable.latestVersion(path).toLong,
+      Some(math.max(capEnd(VersionedTable.latestVersion(path).toLong),
         startingVersion - 1L))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -89,8 +102,9 @@ class GraftVersionedMicroBatchStream(
     GraftVersionOffset(json.trim.toLong)
 
   override def reportLatestOffset(): Offset =
-    GraftVersionOffset(math.max(VersionedTable.latestVersion(path).toLong,
-      startingVersion - 1L))
+    GraftVersionOffset(
+      math.max(capEnd(VersionedTable.latestVersion(path).toLong),
+        startingVersion - 1L))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -99,7 +113,7 @@ class GraftVersionedMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftVersionOffset].v
     val latest = availableNowTarget.getOrElse(
-      math.max(VersionedTable.latestVersion(path).toLong,
+      math.max(capEnd(VersionedTable.latestVersion(path).toLong),
         startingVersion - 1L))
     if (latest <= s) return GraftVersionOffset(s)
     var end = latest

@@ -207,4 +207,69 @@ class GraftChangeFeedStreamSpec extends SparkSpec {
     assert(got == Set((3L, "added", 1L), (4L, "added", 3L)),
       s"skip served: $got")
   }
+
+  test("endingVersion bounds the change-feed replay: the stream " +
+    "serves exactly start..ending and terminates; a later run from " +
+    "the same checkpoint without the bound serves the rest") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_ending")
+    VersionedTable.init(
+      Seq((1L, 10L)).toDF("id", "v").repartition(1), path)
+    VersionedTable.append(Seq((2L, 20L)).toDF("id", "v"), path) // v1
+    VersionedTable.append(Seq((3L, 30L)).toDF("id", "v"), path) // v2
+    VersionedTable.deleteWhereDV(spark, path, col("id") === 1L) // v3
+    VersionedTable.append(Seq((4L, 40L)).toDF("id", "v"), path) // v4
+    val ckpt = Files.createTempDirectory("graft_cdf_end_ck").toString
+    val out = tmp("graft_cdf_ending_out")
+    val bounded = runFeed(path, ckpt, out,
+      Map("endingVersion" -> "2"))
+    assert(bounded == Set((2L, 20L, "added", 1L),
+      (3L, 30L, "added", 2L)),
+      s"bounded replay served past endingVersion: $bounded")
+    // same checkpoint, bound lifted: exactly the remaining commits
+    val rest = runFeed(path, ckpt, out)
+    assert(rest == bounded ++ Set((1L, 10L, "removed", 3L),
+      (4L, 40L, "added", 4L)),
+      s"unbounded continuation wrong: ${rest -- bounded}")
+    // a bound below the start refuses loudly
+    val ckpt2 = Files.createTempDirectory("graft_cdf_end_ck2").toString
+    val bad = intercept[Exception](
+      runFeed(path, ckpt2, tmp("graft_cdf_ending_bad_out"),
+        Map("startingVersion" -> "3", "endingVersion" -> "2")))
+    assert(bad.getMessage != null || bad.getCause != null)
+  }
+
+  test("maxVersionsPerTrigger paces the CHANGE-FEED stream: a " +
+    "3-commit backlog under AvailableNow lands as three one-version " +
+    "micro-batches, each serving its commit's exact diff") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_paced")
+    VersionedTable.init(
+      Seq((1L, 10L)).toDF("id", "v").repartition(1), path)
+    VersionedTable.append(Seq((2L, 20L)).toDF("id", "v"), path) // v1
+    VersionedTable.deleteWhereDV(spark, path, col("id") === 1L) // v2
+    VersionedTable.append(Seq((3L, 30L)).toDF("id", "v"), path) // v3
+    val ckpt = Files.createTempDirectory("graft_cdf_pace_ck").toString
+    val out = tmp("graft_cdf_paced_out")
+    val q = spark.readStream.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val servingBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(servingBatches == 3,
+      s"expected 3 paced one-version micro-batches, got " +
+        s"$servingBatches: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    val got = spark.read.parquet(out)
+      .select("id", "v", "change", "commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set((2L, 20L, "added", 1L), (1L, 10L, "removed", 2L),
+      (3L, 30L, "added", 3L)), s"paced feed served: $got")
+  }
 }
