@@ -1887,10 +1887,22 @@ object VersionedTable {
   /** Validate `df` against the table's CHECK constraints (fails loudly
     * on the first violating row). Exposed for external write paths
     * (the DSv2 row-level operations) that commit through
-    * [[commitReplace]] instead of the library verbs.
+    * [[commitReplace]] instead of the library verbs. `df` may carry
+    * PHYSICAL names (a staged-file read on a column-mapped table) —
+    * constraints name logical columns, so the current mapping projects
+    * first (identity on unmapped tables).
     */
-  def validateAgainstConstraints(path: String, df: DataFrame): Unit =
-    validateConstraints(path, df)
+  def validateAgainstConstraints(path: String, df: DataFrame): Unit = {
+    val cm = {
+      val v = latestVersion(path)
+      if (v >= 0) readManifest(path, v).colMap else Nil
+    }
+    validateConstraints(path,
+      if (!mappingNontrivial(cm)) df
+      else df.select(cm.collect {
+        case (l, p) if df.columns.contains(p) => col(p).as(l)
+      }: _*))
+  }
 
   // ---------------------------------------------------------------- //
   // MERGE (upsert)
@@ -2428,11 +2440,14 @@ object VersionedTable {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path — call init first")
     val m = readManifest(path, v)
+    // `keyCol` is LOGICAL; the raw file read and the stored ref speak
+    // PHYSICAL (bf sidecars describe file contents, like zs lines)
+    val physKey = toPhysicalName(m.colMap, keyCol)
     val sub = f"f${v + 1}%05d"
     spark.read.option("mergeSchema", "true")
       .parquet(m.data.map(r => absPath(path, r)): _*)
       .select(relExpr.as("file"),
-        explode(array(bloomPositions(col(keyCol), bits, hashes): _*))
+        explode(array(bloomPositions(col(physKey), bits, hashes): _*))
           .as("p"))
       .groupBy("file")
       .agg(sort_array(collect_set(col("p"))).as("positions"))
@@ -2441,8 +2456,8 @@ object VersionedTable {
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
     commitManifest(path, v + 1, m, m.copy(
       batch = None, ts = None, cdc = Nil, txn = None,
-      blooms = m.blooms.filterNot(_.keyCol == keyCol) ++
-        sidecars.map(r => BloomRef(keyCol, bits, hashes, r))))
+      blooms = m.blooms.filterNot(_.keyCol == physKey) ++
+        sidecars.map(r => BloomRef(physKey, bits, hashes, r))))
   }
 
   /** Bloom consultation for `keyCol = key` on version `v`: (files to
@@ -2456,7 +2471,11 @@ object VersionedTable {
   def keyLookupFiles(spark: SparkSession, path: String, v: Int,
                      keyCol: String, key: Column): (Seq[String], Int) = {
     val m = readManifest(path, v)
-    val refs = m.blooms.filter(_.keyCol == keyCol)
+    // accepts either name form: refs store physical, callers pass
+    // logical (library users) or already-physicalized (the DSv2
+    // consult) — identity on unmapped tables either way
+    val refs = m.blooms.filter(r => r.keyCol == keyCol ||
+      r.keyCol == toPhysicalName(m.colMap, keyCol))
     if (refs.isEmpty) (m.data, m.data.length)
     else {
       val bits = refs.head.bits

@@ -55,21 +55,24 @@ import graft.ops.VersionedTable
   */
 object GraftRowLevel {
 
-  /** Column-mapped tables refuse the row-level REWRITE machinery
-    * (both CoW and merge-on-read): it stages scans/writes against
-    * physical file schemas and is not mapping-aware — refuse loudly
-    * rather than corrupt. Checked at newScanBuilder time, i.e. at
-    * scan PUSHDOWN, so a translatable DELETE has already been
-    * converted to the mapping-aware deleteWhereDV metadata path.
+  /** Column-mapped tables refuse the MERGE-ON-READ delta machinery
+    * (position-identity scans + DV sidecars keyed by physical file
+    * contents are not mapping-aware) — the group COPY-ON-WRITE
+    * engine IS (the row-level scan/write translate like the SELECT
+    * path), so the refusal points there. Checked at newScanBuilder
+    * time, i.e. at scan PUSHDOWN, so a translatable DELETE has
+    * already been converted to the mapping-aware deleteWhereDV
+    * metadata path.
     */
   private[sources] def refuseColumnMapped(path: String): Unit =
     require(!VersionedTable.mappingNontrivial(
       VersionedTable.readManifest(path,
         VersionedTable.latestVersion(path)).colMap),
-      s"SQL row-level rewrite on $path: the table carries a " +
-        "non-trivial column mapping (RENAME COLUMN history) — use " +
-        "VersionedTable.merge/deleteWhereDV, or OPTIMIZE (compact) " +
-        "to materialize the logical schema first")
+      s"merge-on-read row-level rewrite on $path: the table carries " +
+        "a non-trivial column mapping (RENAME COLUMN history) — run " +
+        "the statement under the default copy-on-write mode (unset " +
+        "spark.graft.rowLevel.mode), or OPTIMIZE (compact) to " +
+        "materialize the logical schema first")
 
   /** V1 `Filter` → `Column`, total on the filter algebra the metadata
     * delete accepts; None = not translatable (the caller must refuse,
@@ -134,10 +137,8 @@ class GraftRowLevelOperation(val path: String,
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = {
-    GraftRowLevel.refuseColumnMapped(path)
+      : ScanBuilder =
     new GraftRowLevelScanBuilder(this, SparkSession.active)
-  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftRowLevelWriteBuilder(this, info)
@@ -169,20 +170,30 @@ class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
     val v = VersionedTable.latestVersion(path)
     require(v >= 0, s"no graft-versioned table at $path")
     val m = VersionedTable.readManifest(path, v)
+    // column-mapped tables: the command condition names LOGICAL
+    // columns, the manifest's stats/blooms physical — translate once;
+    // the inner scan reads physical names and reports the logical
+    // schema (the SELECT-scan discipline)
+    val mapped = VersionedTable.mappingNontrivial(m.colMap)
     val keep = GraftVersioned.consultManifest(spark, path, v, m,
-      groupFilters.toSeq)
+      (if (mapped)
+        GraftVersioned.physFilters(m.colMap, groupFilters)
+      else groupFilters).toSeq)
     op.scannedVersion = v
     op.scannedFiles = keep
     val schema = GraftVersioned.snapshotSchema(spark,
       new CaseInsensitiveStringMap(
         java.util.Collections.singletonMap("path", path)))
+    val phys =
+      if (mapped) GraftVersioned.physSchema(m.colMap, schema) else schema
+    val report = if (mapped) Some(schema) else None
     val index = new InMemoryFileIndex(spark,
       keep.map(r => new org.apache.hadoop.fs.Path(
         VersionedTable.absPath(path, r))),
-      Map.empty, Some(schema))
+      Map.empty, Some(phys))
     val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConf(),
-      index, schema, schema, new StructType(),
+      index, phys, phys, new StructType(),
       Array.empty, // NO row filters: unmodified rows must survive
       CaseInsensitiveStringMap.empty())
     if (m.dvs.isEmpty) {
@@ -190,7 +201,8 @@ class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
         if (keep.forall(m.rowCounts.contains))
           Some(keep.map(m.rowCounts).sum)
         else None
-      new GraftVersionedFileScan(parquet, exactRows)
+      new GraftVersionedFileScan(parquet, exactRows,
+        reportSchema = report)
     } else {
       // DV-carrying snapshot: the group rewrite must read files UNDER
       // their tombstones (a bare scan would resurrect deleted rows
@@ -204,7 +216,8 @@ class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
           Some(keep.map(m.rowCounts).sum -
             dvByFile.values.map(_.length.toLong).sum)
         else None
-      new GraftDvAwareScan(parquet, exactRows, dvByFile)
+      new GraftDvAwareScan(parquet, exactRows, dvByFile,
+        reportSchema = report)
     }
   }
 }
@@ -225,14 +238,17 @@ class GraftRowLevelWriteBuilder(op: GraftRowLevelOperation,
       val staging = s"${op.path}/$dir"
       // Spark's own DSv2 parquet write stack does the distributed file
       // writing (task commit protocol, speculation-safe); this wrapper
-      // only adds the manifest swap at job commit
+      // only adds the manifest swap at job commit. Column-mapped
+      // tables stage PHYSICALLY-named files (rows are positional)
+      val (writeSchema, physInfo) =
+        GraftVersionedWriteBuilder.physicalized(op.path, info)
       val delegate = new ParquetTable("graft_row_level_write",
         spark, CaseInsensitiveStringMap.empty(), Seq(staging),
-        Some(info.schema()),
+        Some(writeSchema),
         classOf[org.apache.spark.sql.execution.datasources.parquet
           .ParquetFileFormat])
-        .newWriteBuilder(info).build().toBatch
-      new GraftReplaceDataBatchWrite(delegate, op, dir, info.schema())
+        .newWriteBuilder(physInfo).build().toBatch
+      new GraftReplaceDataBatchWrite(delegate, op, dir, writeSchema)
     }
   }
 }

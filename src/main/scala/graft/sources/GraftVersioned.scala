@@ -125,6 +125,66 @@ object GraftVersioned {
     */
   private[sources] val dvServeCap = 4000000
 
+  // ---- column-mapping translation (shared by the SELECT scan, the
+  // row-level scan, and the write builders) ---- //
+
+  /** Logical → physical name; the metadata columns pass through. */
+  private[sources] def physName(colMap: Seq[(String, String)],
+                                n: String): String =
+    if (n == GraftDelta.FileCol || n == GraftDelta.PosCol) n
+    else VersionedTable.toPhysicalName(colMap, n)
+
+  /** Schema with every field name physicalized (order/types kept). */
+  private[sources] def physSchema(colMap: Seq[(String, String)],
+                                  st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(name = physName(colMap, f.name))))
+
+  /** Filters with attribute names physicalized; a filter whose shape
+    * is untranslated is simply DROPPED from the pushed set (all pushed
+    * filters are residuals anyway, so dropping one is conservative).
+    */
+  private[sources] def physFilters(colMap: Seq[(String, String)],
+                                   fs: Array[Filter]): Array[Filter] =
+    fs.flatMap(physFilter(colMap, _))
+
+  private def physFilter(colMap: Seq[(String, String)],
+                         f: Filter): Option[Filter] = {
+    def phys(n: String) = physName(colMap, n)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(phys(a), v))
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) =>
+        Some(org.apache.spark.sql.sources.EqualNullSafe(phys(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
+      case GreaterThanOrEqual(a, v) =>
+        Some(GreaterThanOrEqual(phys(a), v))
+      case LessThan(a, v) => Some(LessThan(phys(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
+      case org.apache.spark.sql.sources.In(a, vs) =>
+        Some(org.apache.spark.sql.sources.In(phys(a), vs))
+      case org.apache.spark.sql.sources.IsNull(a) =>
+        Some(org.apache.spark.sql.sources.IsNull(phys(a)))
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        Some(org.apache.spark.sql.sources.IsNotNull(phys(a)))
+      case org.apache.spark.sql.sources.StringStartsWith(a, v) =>
+        Some(org.apache.spark.sql.sources.StringStartsWith(phys(a), v))
+      case org.apache.spark.sql.sources.StringEndsWith(a, v) =>
+        Some(org.apache.spark.sql.sources.StringEndsWith(phys(a), v))
+      case org.apache.spark.sql.sources.StringContains(a, v) =>
+        Some(org.apache.spark.sql.sources.StringContains(phys(a), v))
+      case And(l, r) =>
+        for { lp <- physFilter(colMap, l); rp <- physFilter(colMap, r) }
+          yield And(lp, rp)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        for { lp <- physFilter(colMap, l); rp <- physFilter(colMap, r) }
+          yield org.apache.spark.sql.sources.Or(lp, rp)
+      case org.apache.spark.sql.sources.Not(c) =>
+        physFilter(colMap, c).map(org.apache.spark.sql.sources.Not)
+      case _: org.apache.spark.sql.sources.AlwaysTrue |
+           _: org.apache.spark.sql.sources.AlwaysFalse => Some(f)
+      case _ => None
+    }
+  }
+
   private[sources] def tablePath(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
@@ -498,9 +558,24 @@ object GraftVersionedWriteBuilder {
     val spark = SparkSession.active
     val dir = graft.ops.VersionedTable.newAppendDir()
     val staging = s"$path/$dir"
-    // COLUMN-MAPPED table: data files store PHYSICAL names; the
-    // incoming query speaks logical. Rename the write schema (rows are
-    // positional — only the parquet field names change)
+    val (writeSchema, physInfo) = physicalized(path, info)
+    val delegate = new org.apache.spark.sql.execution.datasources
+      .v2.parquet.ParquetTable("graft_versioned_write",
+      spark, CaseInsensitiveStringMap.empty(), Seq(staging),
+      Some(writeSchema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat])
+      .newWriteBuilder(physInfo).build().toBatch
+    (dir, delegate)
+  }
+
+  /** COLUMN-MAPPED table: data files store PHYSICAL names while the
+    * incoming query speaks logical — (physical write schema, a write
+    * info carrying it). Rows are positional, so only the parquet field
+    * names change. Identity when the table carries no mapping.
+    */
+  private[sources] def physicalized(path: String, info: LogicalWriteInfo)
+      : (StructType, LogicalWriteInfo) = {
     val cm = {
       val v = graft.ops.VersionedTable.latestVersion(path)
       if (v >= 0) graft.ops.VersionedTable.readManifest(path, v).colMap
@@ -508,8 +583,7 @@ object GraftVersionedWriteBuilder {
     }
     val writeSchema =
       if (!graft.ops.VersionedTable.mappingNontrivial(cm)) info.schema()
-      else StructType(info.schema().fields.map(f =>
-        f.copy(name = graft.ops.VersionedTable.toPhysicalName(cm, f.name))))
+      else GraftVersioned.physSchema(cm, info.schema())
     val physInfo: LogicalWriteInfo =
       if (writeSchema == info.schema()) info
       else new LogicalWriteInfo {
@@ -521,14 +595,7 @@ object GraftVersionedWriteBuilder {
         override def metadataSchema(): java.util.Optional[StructType] =
           info.metadataSchema()
       }
-    val delegate = new org.apache.spark.sql.execution.datasources
-      .v2.parquet.ParquetTable("graft_versioned_write",
-      spark, CaseInsensitiveStringMap.empty(), Seq(staging),
-      Some(writeSchema),
-      classOf[org.apache.spark.sql.execution.datasources.parquet
-        .ParquetFileFormat])
-      .newWriteBuilder(physInfo).build().toBatch
-    (dir, delegate)
+    (writeSchema, physInfo)
   }
 }
 
@@ -707,49 +774,11 @@ class GraftVersionedScanBuilder(spark: SparkSession,
   private lazy val colMap =
     VersionedTable.readManifest(path, version).colMap
   private lazy val mapped = VersionedTable.mappingNontrivial(colMap)
-  private def phys(n: String): String =
-    if (n == GraftDelta.FileCol || n == GraftDelta.PosCol) n
-    else VersionedTable.toPhysicalName(colMap, n)
+  private def phys(n: String): String = GraftVersioned.physName(colMap, n)
   private def physSchema(st: StructType): StructType =
-    if (!mapped) st
-    else StructType(st.fields.map(f => f.copy(name = phys(f.name))))
-  /** Filter with attribute names physicalized; None when the filter
-    * shape is untranslated — it is then simply NOT pushed (all pushed
-    * filters are residuals anyway, so dropping one is conservative).
-    */
-  private def physFilter(f: Filter): Option[Filter] = f match {
-    case EqualTo(a, v) => Some(EqualTo(phys(a), v))
-    case org.apache.spark.sql.sources.EqualNullSafe(a, v) =>
-      Some(org.apache.spark.sql.sources.EqualNullSafe(phys(a), v))
-    case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
-    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
-    case LessThan(a, v) => Some(LessThan(phys(a), v))
-    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
-    case org.apache.spark.sql.sources.In(a, vs) =>
-      Some(org.apache.spark.sql.sources.In(phys(a), vs))
-    case org.apache.spark.sql.sources.IsNull(a) =>
-      Some(org.apache.spark.sql.sources.IsNull(phys(a)))
-    case org.apache.spark.sql.sources.IsNotNull(a) =>
-      Some(org.apache.spark.sql.sources.IsNotNull(phys(a)))
-    case org.apache.spark.sql.sources.StringStartsWith(a, v) =>
-      Some(org.apache.spark.sql.sources.StringStartsWith(phys(a), v))
-    case org.apache.spark.sql.sources.StringEndsWith(a, v) =>
-      Some(org.apache.spark.sql.sources.StringEndsWith(phys(a), v))
-    case org.apache.spark.sql.sources.StringContains(a, v) =>
-      Some(org.apache.spark.sql.sources.StringContains(phys(a), v))
-    case And(l, r) =>
-      for { lp <- physFilter(l); rp <- physFilter(r) } yield And(lp, rp)
-    case org.apache.spark.sql.sources.Or(l, r) =>
-      for { lp <- physFilter(l); rp <- physFilter(r) } yield
-        org.apache.spark.sql.sources.Or(lp, rp)
-    case org.apache.spark.sql.sources.Not(c) =>
-      physFilter(c).map(org.apache.spark.sql.sources.Not)
-    case _: org.apache.spark.sql.sources.AlwaysTrue |
-         _: org.apache.spark.sql.sources.AlwaysFalse => Some(f)
-    case _ => None
-  }
+    if (!mapped) st else GraftVersioned.physSchema(colMap, st)
   private def physPushed: Array[Filter] =
-    if (!mapped) pushed else pushed.flatMap(physFilter(_))
+    if (!mapped) pushed else GraftVersioned.physFilters(colMap, pushed)
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = dataSchema

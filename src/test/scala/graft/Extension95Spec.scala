@@ -149,10 +149,11 @@ class Extension95Spec extends SparkSpec {
     assert(old.where(col("id") < 10).count() == 10)
   }
 
-  test("column mapping refusals: SQL row-level rewrite, streaming " +
-    "read, and streaming CDF refuse a mapped table loudly; batch CDF " +
-    "serves the logical view; translatable SQL DELETE still works " +
-    "via deletion vectors") {
+  test("column mapping DML: copy-on-write UPDATE/MERGE work on a " +
+    "mapped table (translated scan + physicalized staging); " +
+    "merge-on-read and streaming paths refuse loudly; batch CDF " +
+    "serves the logical view; translatable SQL DELETE uses deletion " +
+    "vectors") {
     val path = tmp("graft_cm_refusal_spec")
     VersionedTable.init(
       spark.range(50).select(col("id"), (col("id") % 5).as("grp")),
@@ -176,15 +177,30 @@ class Extension95Spec extends SparkSpec {
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, grp BIGINT)")
     spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20), (3, 30)")
     spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN grp TO bucket")
-    // UPDATE = row-level rewrite → refused with the actionable message
-    val e = intercept[Exception](
-      spark.sql(s"UPDATE $cat.t SET bucket = 0 WHERE id = 1"))
+    // copy-on-write UPDATE on the RENAMED column: the row-level scan
+    // physicalizes the condition, the write stages physical names
+    spark.sql(s"UPDATE $cat.t SET bucket = bucket + 1 WHERE id = 1")
+    assert(spark.sql(s"SELECT bucket FROM $cat.t WHERE id = 1")
+      .head().getLong(0) == 11L)
+    // the rewrite's staged files keep PHYSICAL names on disk
+    val latest = VersionedTable.latestVersion(s"$wh/t")
+    val rawCols = spark.read.option("mergeSchema", "true")
+      .parquet(VersionedTable.manifestFiles(s"$wh/t", latest)
+        .map(r => VersionedTable.absPath(s"$wh/t", r)): _*).columns.toSeq
+    assert(rawCols.contains("grp") && !rawCols.contains("bucket"),
+      s"CoW rewrite leaked logical names into files: $rawCols")
+    // MERGE-ON-READ refuses with the actionable message
+    spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+    val e =
+      try intercept[Exception](
+        spark.sql(s"UPDATE $cat.t SET bucket = 0 WHERE id = 1"))
+      finally spark.conf.unset("spark.graft.rowLevel.mode")
     assert(e.getMessage.contains("column mapping"), e.getMessage)
     // translatable DELETE routes through SupportsDeleteV2 →
     // deleteWhereDV, which IS mapping-aware
     spark.sql(s"DELETE FROM $cat.t WHERE id = 2")
     assert(spark.sql(s"SELECT sum(bucket) FROM $cat.t")
-      .head().getLong(0) == 40L)
+      .head().getLong(0) == 41L)
     // streaming read refused
     val se = intercept[Exception] {
       val q = spark.readStream.format("graft-versioned")
