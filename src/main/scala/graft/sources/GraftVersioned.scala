@@ -771,8 +771,12 @@ class GraftVersionedScanBuilder(spark: SparkSession,
   // is positional, so the physical-named inner scan's rows bind
   // unchanged). Identity — zero overhead, byte-identical plans — for
   // the common unmapped table.
-  private lazy val colMap =
-    VersionedTable.readManifest(path, version).colMap
+  /** The pinned version's manifest, read ONCE per builder (shared by
+    * the column-mapping translation, the aggregate pushdown answer,
+    * and the file-scan build — three reads otherwise).
+    */
+  private lazy val manifest = VersionedTable.readManifest(path, version)
+  private lazy val colMap = manifest.colMap
   private lazy val mapped = VersionedTable.mappingNontrivial(colMap)
   private def phys(n: String): String = GraftVersioned.physName(colMap, n)
   private def physSchema(st: StructType): StructType =
@@ -1020,7 +1024,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
   private def metadataAnswer(
       agg: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
     if (pushed.nonEmpty || agg.aggregateExpressions().isEmpty) return None
-    val m = VersionedTable.readManifest(path, version)
+    val m = manifest
     if (m.dvs.nonEmpty) return None
     if (agg.groupByExpressions().nonEmpty)
       return groupedMetadataAnswer(agg, m)
@@ -1106,7 +1110,7 @@ class GraftVersionedScanBuilder(spark: SparkSession,
     }
 
   private def buildFileScan(): Scan = {
-    val m = VersionedTable.readManifest(path, version)
+    val m = manifest
     // manifest consultation (stats bands + bloom sidecars) — shared
     // with the row-level scan; see GraftVersioned.consultManifest.
     // Filters physicalize first: zs/bf lines describe file contents
