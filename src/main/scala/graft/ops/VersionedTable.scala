@@ -162,8 +162,38 @@ object VersionedTable {
   private def isDelta(lines: Seq[String]): Boolean =
     lines.headOption.contains("#delta")
 
+  // ---- format-feature guard (the Delta reader-protocol shape) ---- //
+  // A manifest may carry `#requires=<feature>` tags naming the format
+  // features a reader MUST understand to interpret it correctly. An
+  // unknown tag refuses LOUDLY instead of misreading: the hazard class
+  // is real — a reader that did not know the `#ckpt=` pointer form
+  // would filter it as a comment and silently serve an EMPTY table.
+  // Writers tag exactly the features a manifest actually uses, so
+  // tables never opting into a feature stay readable by older code.
+
+  /** Format features this reader understands. */
+  private[graft] val supportedFeatures: Set[String] =
+    Set("ckpt-parquet", "column-mapping")
+
+  private def checkRequires(f: String, lines: Seq[String]): Unit = {
+    val unknown = lines.filter(_.startsWith("#requires="))
+      .map(_.stripPrefix("#requires=").trim)
+      .filterNot(supportedFeatures.contains)
+    require(unknown.isEmpty,
+      s"manifest $f requires unsupported format feature(s) " +
+        s"${unknown.mkString(", ")} — written by a newer engine; " +
+        "upgrade the reader (refusing rather than misreading)")
+  }
+
+  /** The `#requires=` tags a manifest body needs. */
+  private def requiresLines(usesCkptPtr: Boolean,
+                            colMap: Seq[(String, String)]): Seq[String] =
+    (if (usesCkptPtr) Seq("#requires=ckpt-parquet") else Nil) ++
+      (if (colMap.nonEmpty) Seq("#requires=column-mapping") else Nil)
+
   def readManifest(path: String, v: Int): Manifest = {
     val lines = rawManifest(path, v)
+    checkRequires(manifestFile(path, v), lines)
     if (isDelta(lines)) foldDelta(readManifest(path, v - 1), lines)
     else parseCheckpoint(manifestFile(path, v), lines)
   }
@@ -584,8 +614,9 @@ object VersionedTable {
   private def checkpointPayload(path: String, v: Int,
                                 m: Manifest): Seq[String] = {
     val entries = m.data.size + m.dvs.size + m.blooms.size
-    if (entries < parquetCheckpointMinEntries) checkpointLines(m)
-    else tagLines(m) :+
+    if (entries < parquetCheckpointMinEntries)
+      requiresLines(usesCkptPtr = false, m.colMap) ++ checkpointLines(m)
+    else requiresLines(usesCkptPtr = true, m.colMap) ++ tagLines(m) :+
       s"#ckpt=${writeCheckpointParquet(path, v, m)}"
   }
 
@@ -649,7 +680,13 @@ object VersionedTable {
       val nb = byCol(next.blooms)
       val bloomCols = (pb.keySet ++ nb.keySet)
         .filter(c => pb.get(c) != nb.get(c)).toSeq.sorted
-      next.ts.map(t => s"#ts=$t").toSeq ++
+      // a delta INTRODUCING a mapping (or changing one) tags the
+      // requirement; an already-mapped table's unchanged deltas need
+      // no tag — the checkpoint they fold over carries it
+      (if (next.colMap != prev.colMap && next.colMap.nonEmpty)
+        Seq("#requires=column-mapping")
+      else Nil) ++
+        next.ts.map(t => s"#ts=$t").toSeq ++
         next.batch.map(b => s"#batch=$b").toSeq ++
         next.txn.map(t => s"#txn=$t").toSeq ++
         next.cdc.map(r => s"#cdc=$r") ++

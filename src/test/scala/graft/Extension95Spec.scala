@@ -222,6 +222,50 @@ class Extension95Spec extends SparkSpec {
       .head().getLong(0) == 30L)
   }
 
+  test("format-feature guard: manifests tag the features they use " +
+    "(#requires=) and a reader refuses an unknown tag loudly instead " +
+    "of misreading") {
+    import spark.implicits._
+    val path = tmp("graft_requires_spec")
+    VersionedTable.init(
+      spark.range(20).select(col("id"), (col("id") * 3).as("v")), path)
+    // introducing a mapping tags the delta that carries it
+    VersionedTable.renameColumn(spark, path, "v", "cents")
+    val renameRaw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_manifests/v00001.txt")), "UTF-8")
+    assert(renameRaw.contains("#requires=column-mapping"),
+      s"rename commit untagged:\n$renameRaw")
+    assert(VersionedTable.read(spark, path).columns.toSeq ==
+      Seq("id", "cents"))
+    // a parquet-checkpoint commit point tags its pointer form
+    val saved = VersionedTable.parquetCheckpointMinEntries
+    VersionedTable.parquetCheckpointMinEntries = 1
+    val path2 = tmp("graft_requires_pq_spec")
+    try {
+      VersionedTable.init(
+        spark.range(10).select(col("id"), col("id").as("k"))
+          .repartition(2), path2)
+      val raw0 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path2/_manifests/v00000.txt")),
+        "UTF-8")
+      assert(raw0.contains("#requires=ckpt-parquet") &&
+        raw0.contains("#ckpt="), s"pointer checkpoint untagged:\n$raw0")
+      assert(VersionedTable.read(spark, path2).count() == 10)
+    } finally VersionedTable.parquetCheckpointMinEntries = saved
+    // a FUTURE feature tag refuses loudly — the hazard class is a
+    // reader silently filtering an unknown form as a comment and
+    // serving an empty table
+    graft.io.TableFs.writeUtf8Exclusive(
+      s"$path/_manifests/v00002.txt",
+      "#delta\n#requires=frobnicated-manifests\n+c00002/part-0.parquet")
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.read(spark, path))
+    assert(e.getMessage.contains("frobnicated-manifests") &&
+      e.getMessage.contains("unsupported format feature"), e.getMessage)
+    // older versions stay readable (the guard is per-manifest)
+    assert(VersionedTable.readVersion(spark, path, 1).count() == 20)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION under merge-on-read: the ADD " +
     "COLUMN commit is metadata-only, the delta write leaves every " +
     "pre-merge data file in place, and untouched rows null-fill") {
