@@ -1026,15 +1026,30 @@ object VersionedTable {
     * manifest still exists ([[vacuum]] removes pre-horizon ones). Cost:
     * one manifest read per retained version, no data touched.
     */
-  def history(path: String): Seq[CommitInfo] =
-    TableFs.listNames(manifestDir(path))
+  def history(path: String): Seq[CommitInfo] =  {
+    // ONE forward fold over the whole log: readManifest(v) per version
+    // would re-fold each version's checkpoint+delta chain from scratch
+    // (O(versions × interval) manifest parses — at 1000 retained
+    // versions that is ~10x the log size in re-parses); carrying the
+    // previous version's folded state makes the log listing O(log)
+    val versions = TableFs.listNames(manifestDir(path))
       .filter(_.matches("v\\d{5}\\.txt"))
       .map(_.slice(1, 6).toInt)
       .sorted
-      .map { v =>
-        val m = readManifest(path, v)
-        CommitInfo(v, m.ts, m.data.length, m.dvs.length, m.batch)
-      }
+    var prev: Option[(Int, Manifest)] = None
+    versions.map { v =>
+      val lines = rawManifest(path, v)
+      checkRequires(manifestFile(path, v), lines)
+      val m =
+        if (!isDelta(lines)) parseCheckpoint(manifestFile(path, v), lines)
+        else prev match {
+          case Some((pv, pm)) if pv == v - 1 => foldDelta(pm, lines)
+          case _ => readManifest(path, v) // non-contiguous: full fold
+        }
+      prev = Some((v, m))
+      CommitInfo(v, m.ts, m.data.length, m.dvs.length, m.batch)
+    }
+  }
 
   /** The version current AS OF `tsMillis`: the greatest committed
     * version whose commit timestamp is <= the probe. Commit timestamps

@@ -41,15 +41,36 @@ object GraftChangeFeed {
     * Version 0 has no predecessor to diff against (its "change" is the
     * whole initial snapshot), hence start >= 1 — same stance as Delta,
     * where CDF begins at the first commit after table creation.
+    * Timestamp forms (epoch millis, Delta semantics): a version option
+    * wins over its timestamp sibling; `startingTimestamp` resolves to
+    * the first commit AT or AFTER the probe, `endingTimestamp` to the
+    * last commit AT or BEFORE it (the commit clock is strictly
+    * monotonic, so both are unambiguous).
     */
   private def range(path: String,
                     options: CaseInsensitiveStringMap): (Int, Int) = {
     val latest = VersionedTable.latestVersion(path)
     require(latest >= 0, s"no graft-versioned table at $path")
     val start = Option(options.get("startingVersion"))
-      .map(_.trim.toInt).getOrElse(1)
+      .map(_.trim.toInt)
+      .orElse(Option(options.get("startingTimestamp")).map { t =>
+        val probe = t.trim.toLong
+        val v = VersionedTable.history(path)
+          .find(_.tsMillis.exists(_ >= probe)).map(_.version)
+          .getOrElse(throw new IllegalArgumentException(
+            s"readChangeFeed startingTimestamp $probe is after the " +
+              s"last commit at $path — nothing to serve"))
+        // a probe at/before table creation clamps to the first
+        // DIFFable commit (v0's "change" is the whole initial
+        // snapshot — read the snapshot, not the feed)
+        math.max(v, 1)
+      })
+      .getOrElse(1)
     val end = Option(options.get("endingVersion"))
-      .map(_.trim.toInt).getOrElse(latest)
+      .map(_.trim.toInt)
+      .orElse(Option(options.get("endingTimestamp")).map(t =>
+        VersionedTable.versionAsOfTimestamp(path, t.trim.toLong)))
+      .getOrElse(latest)
     require(start >= 1,
       s"readChangeFeed startingVersion must be >= 1, got $start")
     require(end <= latest,

@@ -233,6 +233,36 @@ class GraftDmlSpec extends SparkSpec {
         .option("startingVersion", "0").load(path)
     }
     assert(e.getMessage.contains("startingVersion"))
+    // TIMESTAMP range forms (Delta semantics): startingTimestamp =
+    // first commit AT/AFTER the probe, endingTimestamp = last commit
+    // AT/BEFORE — resolved through the strictly-monotonic commit clock
+    val hist = VersionedTable.history(path)
+    val tsOfMerge = hist.find(_.version == latest).get.tsMillis.get
+    val fromTs = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", tsOfMerge.toString).load(path)
+    assert(fromTs.select("commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(latest.toLong),
+      "startingTimestamp did not resolve to the merge commit")
+    val untilAppend = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("endingTimestamp", (tsOfMerge - 1).toString).load(path)
+    assert(untilAppend.select("commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L),
+      "endingTimestamp served past the probe")
+    // a probe at/before creation clamps to the first diffable commit;
+    // a probe after the last commit refuses loudly
+    assert(spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "0").load(path)
+      .select("commit_version").distinct().count() == latest.toLong)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", (tsOfMerge + 100000).toString)
+        .load(path)
+    }
+    assert(e2.getMessage.contains("startingTimestamp"), e2.getMessage)
   }
 
   private def tmp2(name: String): String = {
