@@ -54,8 +54,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(q: graft.queries.Q, dir: String): Unit =
-      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // label every run's jobs (guide §1.5) so a UI/eventlog reading of a
+    // bench pass attributes stages to queries without guesswork
+    def runOnce(q: graft.queries.Q, dir: String): Unit = {
+      spark.sparkContext.setJobDescription(s"bench: ${q.name}")
+      try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.setJobDescription(null)
+    }
 
     def timeOnce(q: graft.queries.Q): (Double, Boolean) = {
       val t0 = System.nanoTime()

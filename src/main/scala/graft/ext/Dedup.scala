@@ -597,34 +597,67 @@ object Dedup {
     * a checkpoint dir). The convergence probe is `limit(1).count()` — an
     * any-change existence check, not a full scan.
     */
-  def canonicalize(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
-    val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
+  def canonicalize(pairs: DataFrame, maxIter: Int = 64): DataFrame =
+    canonicalizeGrouped(pairs, Nil, maxIter)
+
+  /** [[canonicalize]] with the components computed INDEPENDENTLY per
+    * group: every join/aggregation key gains `groupCols`, so one
+    * iterative loop labels all groups at once. This exists for sweep
+    * queries (q345: five Jaccard thresholds over nested edge subsets)
+    * — per-group loops pay the per-iteration job/shuffle/checkpoint
+    * overhead once PER GROUP, while the grouped loop pays it once
+    * total and converges in max-over-groups iterations (r14
+    * optimization, guide §2.4/§2.6: 5 iterative pipelines → 1).
+    * Per-group labels are identical to per-group [[canonicalize]]
+    * runs: min-label propagation never crosses a group boundary
+    * because every key includes the group columns.
+    *
+    * @param pairs edge list with columns (groupCols..., da, db)
+    * @return one row per (group, node): (groupCols..., id, label)
+    */
+  def canonicalizeGrouped(pairs: DataFrame, groupCols: Seq[String],
+                          maxIter: Int = 64): DataFrame = {
+    val g = groupCols.map(col)
+    val edges = pairs.select(g ++ Seq(
+      col("da").cast("long").as("src"), col("db").cast("long").as("dst")): _*)
     // materialize the edge list ONCE: `und` feeds every iteration's join,
     // and without this the upstream pair pipeline (LSH + verify when fed
     // from nearDupPairs) would be recomputed per round
-    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = edges.union(edges.select(g ++ Seq(
+      col("dst").as("src"), col("src").as("dst")): _*))
       .localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
+    var labels = und.select(g :+ col("src").as("id"): _*).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // a disambiguated copy of the group columns for non-equi-named joins
+    def gAlias(d: DataFrame, idAs: (String, String), valCol: String) =
+      d.select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(
+        col(idAs._1).as(idAs._2), col(valCol)): _*)
+    def gCond(left: Column): Column =
+      groupCols.foldLeft(left)((c, gc) => c && col(gc) === col(s"__g_$gc"))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val neighborMin = und
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .select(col("src").as("id"), col("label"))
-      val merged = neighborMin.union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .join(gAlias(labels, "id" -> "nid", "label"),
+          gCond(col("dst") === col("nid")))
+        .select(g ++ Seq(col("src").as("id"), col("label")): _*)
+      val merged = neighborMin.union(
+          labels.select(g ++ Seq(col("id"), col("label")): _*))
+        .groupBy(g :+ col("id"): _*).agg(min("label").as("label"))
       // pointer halving: also adopt the label of my label (labels are
       // node ids and every node has a row, so the self-join resolves)
-      val byLabel = merged
-        .select(col("id").as("lid"), col("label").as("llabel"))
+      val byLabel = gAlias(merged, "id" -> "lid", "label")
+        .withColumnRenamed("label", "llabel")
       val next = merged
-        .join(byLabel, col("label") === col("lid"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
+        .join(byLabel, gCond(col("label") === col("lid")), "left")
+        .select(g ++ Seq(col("id"),
+          least(col("label"), coalesce(col("llabel"), col("label")))
+            .as("label")): _*)
         .localCheckpoint()
       val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
+        .join(labels.withColumnRenamed("label", "old"),
+          groupCols :+ "id")
         .where(col("label") =!= col("old"))
         .limit(1).count()
       labels = next

@@ -66,4 +66,54 @@ object Tables {
       df.withColumn("ts", expr(epochLongToTsSql("ts")).cast("timestamp_ntz"))
     else df
   }
+
+  /** High-cardinality key columns per fixture, the HASH repartition key
+    * of [[loadParallel]]. Hash (not keyless round-robin) because a
+    * keyless `repartition(n)` first LOCALLY SORTS its whole input
+    * partition (sortBeforeRepartition, SPARK-23207 retry determinism) —
+    * measured 5x on the single-split 600k-row lineitem scan — while
+    * hash partitioning on a unique key is retry-deterministic with no
+    * sort and spreads evenly over any partition count (guide §2.5).
+    */
+  private val RepartitionKeys: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** [[load]] plus a conditional fan-out for COMPUTE-BOUND map sides
+    * (r14 optimization, guide §2.5 "input skew: one huge unsplittable
+    * file — repartition immediately after the read"): each fixture is
+    * ONE parquet file with ONE row group, so the scan plans as ONE
+    * split and the entire scan+map side of a query runs on a single
+    * core of the machine (StageCountProbe measured 9 stages / 9 TASKS
+    * for q270's whole pipeline). When the planned scan parallelism is
+    * below the session's cores, hash-repartition on the table's unique
+    * key right after the read so heavy per-row work (char-bigram
+    * explodes, n-gram hashing, distance evaluation) fans out.
+    * SCALE-ADAPTIVE by construction: a production table has >= cores
+    * splits and the condition never fires, so no shuffle is added
+    * where the scan is already parallel.
+    *
+    * Deliberately OPT-IN per pipeline, not the default in [[load]]: an
+    * r14 A/B over the registry measured the blanket form a net LOSS —
+    * scan-dominated and cheap-aggregation queries (the several-hundred
+    * query tail) pay a full extra exchange for map work they don't
+    * have (q02 filter+project 0.34s -> 1.76s, q12 0.37s -> 0.76s),
+    * while only compute-bound map sides gain (q270 3.35s -> 2.65s).
+    */
+  def loadParallel(spark: SparkSession, sfDir: String,
+                   name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val keys = RepartitionKeys.getOrElse(name, Nil)
+    if (keys.isEmpty) return df
+    val parts =
+      try spark.read.parquet(s"$sfDir/$name.parquet").rdd.getNumPartitions
+      catch { case _: Throwable => Int.MaxValue }
+    val target = spark.sparkContext.defaultParallelism
+    if (parts < target) df.repartition(target, keys.map(df.col): _*)
+    else df
+  }
 }

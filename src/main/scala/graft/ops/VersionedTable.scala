@@ -805,113 +805,104 @@ object VersionedTable {
       .map(n => s"$sub/$n")
   }
 
-  /** Per-file row counts from the parquet FOOTERS — metadata only, no
-    * data pages read; one cheap driver-side footer open per NEW file
-    * per commit. These feed the manifest's `rc` lines, which let a
-    * later `SELECT count(*)` answer from the manifest alone (see the
-    * DataSource V2 aggregate pushdown in graft.sources).
+  /** Everything a commit records from a new file's parquet FOOTER, in
+    * ONE footer open (r14 optimization, guide §6): row count (`rc`
+    * lines → metadata-only COUNT), per-column null counts (`nc` lines
+    * → metadata-only COUNT(col)), and, when a clustering column is
+    * declared, its [min, max] zone stats (`zs` lines → band pruning).
+    * The three dedicated helpers below used to each re-open the same
+    * footer — 2-3 metadata reads per new file per commit; locally that
+    * is just syscalls, on an object store it is 2-3 HEAD+GET round
+    * trips per file. Metadata only, no data pages read.
     */
-  private def footerCounts(path: String,
-                           rels: Seq[String]): Map[String, Long] = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()
-    rels.map { rel =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(absPath(path, rel)), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try rel -> r.getRecordCount
-      finally r.close()
-    }.toMap
-  }
+  private case class FooterMeta(
+      counts: Map[String, Long],
+      nulls: Map[String, Map[String, Long]],
+      zones: Map[String, Map[String, (Double, Double)]])
 
-  /** Per-file, per-column NULL counts — also straight from the parquet
-    * FOOTERS (column-chunk statistics), no data pages read. Columns
-    * whose chunks lack null statistics are omitted (a reader must then
-    * fall back). These feed the manifest's `nc` lines, which let a
-    * later `COUNT(col)` answer from the manifest alone (the DataSource
-    * V2 aggregate pushdown): count(col) = rows - nulls(col).
-    */
-  private def footerNullCounts(
-      path: String, rels: Seq[String]): Map[String, Map[String, Long]] = {
+  private def footerMeta(path: String, rels: Seq[String],
+                         zoneCol: Option[String] = None): FooterMeta = {
+    import org.apache.parquet.column.statistics._
+    import scala.jdk.CollectionConverters._
     val conf = org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()
-    rels.map { rel =>
+    val counts = Map.newBuilder[String, Long]
+    val nulls = Map.newBuilder[String, Map[String, Long]]
+    val zones = Map.newBuilder[String, Map[String, (Double, Double)]]
+    rels.foreach { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(absPath(path, rel)), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
-        import scala.jdk.CollectionConverters._
-        val perCol = r.getFooter.getBlocks.asScala
-          .flatMap(_.getColumns.asScala.map(c =>
-            c.getPath.toDotString ->
-              Option(c.getStatistics).filter(_.isNumNullsSet)
-                .map(_.getNumNulls)))
+        counts += rel -> r.getRecordCount
+        val chunks = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+        // per-column NULL counts; every chunk must report, else the
+        // column is uncovered (a reader must then fall back)
+        nulls += rel -> chunks
+          .map(c => c.getPath.toDotString ->
+            Option(c.getStatistics).filter(_.isNumNullsSet)
+              .map(_.getNumNulls))
           .groupBy(_._1).view
           .mapValues(vs => vs.map(_._2))
           .flatMap { case (c, ns) =>
-            // every chunk must report, else the column is uncovered
             if (ns.forall(_.isDefined) && !c.contains("."))
               Some(c -> ns.map(_.get).sum)
             else None
           }.toMap
-        rel -> perCol
+        // zone stats: files whose chunks lack stats or whose values are
+        // all null are omitted — they simply stay unpruned, the
+        // standing conservative contract. Doubles round exactly like
+        // compactClustered's `cast(col as double)`, so every consumer
+        // (band pruning, TOP-N capping, metadata MIN/MAX with its 2^53
+        // guard) reads them identically.
+        zoneCol.foreach { zc =>
+          def bound(s: Statistics[_], min: Boolean): Option[Double] =
+            s match {
+              case l: LongStatistics =>
+                Some(if (min) l.getMin.toDouble else l.getMax.toDouble)
+              case i: IntStatistics =>
+                Some(if (min) i.getMin.toDouble else i.getMax.toDouble)
+              case d: DoubleStatistics =>
+                Some(if (min) d.getMin else d.getMax)
+              case f: FloatStatistics =>
+                Some(if (min) f.getMin.toDouble else f.getMax.toDouble)
+              case _ => None
+            }
+          val zChunks = chunks.filter(_.getPath.toDotString == zc)
+          val perChunk = zChunks.map(c => Option(c.getStatistics)
+            .filter(s => !s.isEmpty && s.hasNonNullValue)
+            .flatMap(s => for {
+              lo <- bound(s, min = true)
+              hi <- bound(s, min = false)
+            } yield (lo, hi)))
+          if (perChunk.nonEmpty && perChunk.forall(_.isDefined)) {
+            val bounds = perChunk.flatten
+            zones += rel -> Map(zc ->
+              (bounds.map(_._1).min, bounds.map(_._2).max))
+          }
+        }
       } finally r.close()
-    }.toMap
+    }
+    FooterMeta(counts.result(), nulls.result(), zones.result())
   }
 
-  /** Per-file [min, max] of `col` straight from the parquet FOOTERS'
-    * column-chunk statistics — the zero-extra-scan way to record zone
-    * stats at WRITE time (compactClustered's re-read pass exists only
-    * because Spark surfaces no footer hook inside its write path; an
-    * external footer open after the write does the same job for one
-    * metadata read per new file). Files whose chunks lack stats or
-    * whose values are all null are omitted — they simply stay
-    * unpruned, the standing conservative contract. Doubles here round
-    * exactly like compactClustered's `cast(col as double)`, so every
-    * consumer (band pruning, TOP-N capping, metadata MIN/MAX with its
-    * 2^53 guard) reads them identically.
+  /** Per-file row counts from the parquet FOOTERS (see [[footerMeta]]).
     */
+  private def footerCounts(path: String,
+                           rels: Seq[String]): Map[String, Long] =
+    footerMeta(path, rels).counts
+
+  /** Per-file, per-column NULL counts (see [[footerMeta]]). */
+  private def footerNullCounts(
+      path: String, rels: Seq[String]): Map[String, Map[String, Long]] =
+    footerMeta(path, rels).nulls
+
+  /** Per-file [min, max] of `zoneCol` (see [[footerMeta]]). */
   private def footerZoneStats(path: String, rels: Seq[String],
                               zoneCol: String)
-      : Map[String, Map[String, (Double, Double)]] = {
-    import org.apache.parquet.column.statistics._
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()
-    rels.flatMap { rel =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(absPath(path, rel)), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        val chunks = r.getFooter.getBlocks.asScala
-          .flatMap(_.getColumns.asScala)
-          .filter(_.getPath.toDotString == zoneCol)
-        def bound(s: Statistics[_], min: Boolean): Option[Double] =
-          s match {
-            case l: LongStatistics =>
-              Some(if (min) l.getMin.toDouble else l.getMax.toDouble)
-            case i: IntStatistics =>
-              Some(if (min) i.getMin.toDouble else i.getMax.toDouble)
-            case d: DoubleStatistics =>
-              Some(if (min) d.getMin else d.getMax)
-            case f: FloatStatistics =>
-              Some(if (min) f.getMin.toDouble else f.getMax.toDouble)
-            case _ => None
-          }
-        val perChunk = chunks.map(c => Option(c.getStatistics)
-          .filter(s => !s.isEmpty && s.hasNonNullValue)
-          .flatMap(s => for {
-            lo <- bound(s, min = true)
-            hi <- bound(s, min = false)
-          } yield (lo, hi)))
-        if (perChunk.nonEmpty && perChunk.forall(_.isDefined)) {
-          val bounds = perChunk.flatten
-          Some(rel -> Map(zoneCol ->
-            (bounds.map(_._1).min, bounds.map(_._2).max)))
-        } else None
-      } finally r.close()
-    }.toMap
-  }
+      : Map[String, Map[String, (Double, Double)]] =
+    footerMeta(path, rels, Some(zoneCol)).zones
 
   // ---------------------------------------------------------------- //
   // read path (deletion-vector-aware)
@@ -1383,12 +1374,12 @@ object VersionedTable {
     }
     TableFs.deleteRecursive(path)
     val files = writeCommitData(df, path, 0)
+    val fm = footerMeta(path, files, clusterBy)
     writeManifest(path, 0, Manifest(files, Nil,
-      clusterBy.map(c => footerZoneStats(path, files, c))
-        .getOrElse(Map.empty),
+      if (clusterBy.isDefined) fm.zones else Map.empty,
       None, Nil,
-      footerCounts(path, files),
-      nullCounts = footerNullCounts(path, files)))
+      fm.counts,
+      nullCounts = fm.nulls))
     if (cs.nonEmpty) writeConstraints(path, cs)
   }
 
@@ -1400,15 +1391,16 @@ object VersionedTable {
     validateConstraints(path, df)
     val prev = readManifest(path, v)
     val newFiles = writeCommitData(df, path, v + 1, prev.colMap)
+    val fm = footerMeta(path, newFiles,
+      clusterBy.map(c => toPhysicalName(prev.colMap, c)))
     commitManifest(path, v + 1, prev, Manifest(
       prev.data ++ newFiles,
       prev.dvs,
-      prev.stats ++ clusterBy.map(c => footerZoneStats(path, newFiles,
-        toPhysicalName(prev.colMap, c))).getOrElse(Map.empty),
+      prev.stats ++ (if (clusterBy.isDefined) fm.zones else Map.empty),
       batch, prev.blooms,
-      prev.rowCounts ++ footerCounts(path, newFiles),
+      prev.rowCounts ++ fm.counts,
       None, prev.partCol, prev.partValues,
-      prev.nullCounts ++ footerNullCounts(path, newFiles),
+      prev.nullCounts ++ fm.nulls,
       prev.extraCols, colMap = prev.colMap))
   }
 
@@ -1482,11 +1474,13 @@ object VersionedTable {
           case (l, p) if raw.columns.contains(p) => col(p).as(l)
         }: _*))
     }
-    val zone = clusterBy.map(c => footerZoneStats(path, staged,
-      toPhysicalName(cm0, c)))
-      .getOrElse(Map.empty[String, Map[String, (Double, Double)]])
-    val rc = footerCounts(path, staged)
-    val nc = footerNullCounts(path, staged)
+    val fm = footerMeta(path, staged,
+      clusterBy.map(c => toPhysicalName(cm0, c)))
+    val zone =
+      if (clusterBy.isDefined) fm.zones
+      else Map.empty[String, Map[String, (Double, Double)]]
+    val rc = fm.counts
+    val nc = fm.nulls
     var attempt = 0
     while (true) {
       val v = latestVersion(path)
@@ -1547,12 +1541,12 @@ object VersionedTable {
           case (l, p) if raw.columns.contains(p) => col(p).as(l)
         }: _*))
     }
+    val fmO = footerMeta(path, staged,
+      clusterBy.map(c => toPhysicalName(cm0, c)))
     val next = Manifest(staged, Nil,
-      clusterBy.map(c => footerZoneStats(path, staged,
-        toPhysicalName(cm0, c)))
-        .getOrElse(Map.empty),
-      None, Nil, footerCounts(path, staged),
-      nullCounts = footerNullCounts(path, staged),
+      if (clusterBy.isDefined) fmO.zones else Map.empty,
+      None, Nil, fmO.counts,
+      nullCounts = fmO.nulls,
       txn = txn)
     var attempt = 0
     while (true) {
@@ -1784,15 +1778,16 @@ object VersionedTable {
     // DV refs carry over: entries naming rewritten files dangle
     // harmlessly (the new file names never match); entries naming
     // carried files still apply. Stats for rewritten files drop.
+    val fmRw = footerMeta(path, rewritten)
     commitManifest(path, v + 1, m, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
-        footerCounts(path, rewritten),
+        fmRw.counts,
       None, m.partCol,
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
-        footerNullCounts(path, rewritten),
+        fmRw.nulls,
       m.extraCols, cdcFiles, colMap = m.colMap))
   }
 
@@ -1895,15 +1890,16 @@ object VersionedTable {
         }
         if (diff == null) Nil else writeCdcData(diff, path)
       }
+    val fmSt = footerMeta(path, staged)
     commitManifest(path, v + 1, m, Manifest(
       carried ++ staged, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
-        footerCounts(path, staged),
+        fmSt.counts,
       None, m.partCol,
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
-        footerNullCounts(path, staged),
+        fmSt.nulls,
       m.extraCols, cdcFiles, colMap = m.colMap))
   }
 
@@ -1924,11 +1920,12 @@ object VersionedTable {
         s"read version $baseVersion but the table is now at v$v — " +
         "aborting the commit (re-run the statement)")
     val m = readManifest(path, v)
+    val fmSd = footerMeta(path, stagedData)
     commitManifest(path, v + 1, m, Manifest(
       m.data ++ stagedData, m.dvs ++ stagedDvs, m.stats, None, m.blooms,
-      m.rowCounts ++ footerCounts(path, stagedData),
+      m.rowCounts ++ fmSd.counts,
       None, m.partCol, m.partValues,
-      m.nullCounts ++ footerNullCounts(path, stagedData),
+      m.nullCounts ++ fmSd.nulls,
       m.extraCols, colMap = m.colMap))
   }
 
@@ -2013,15 +2010,16 @@ object VersionedTable {
     val rewritten = writeCommitDataUnique(
       survivors.unionByName(updates, allowMissingColumns = true),
       path, m.colMap)
+    val fmRw = footerMeta(path, rewritten)
     commitManifest(path, v + 1, m, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, None, m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
-        footerCounts(path, rewritten),
+        fmRw.counts,
       None, m.partCol,
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
-        footerNullCounts(path, rewritten),
+        fmRw.nulls,
       m.extraCols, cdcFiles, colMap = m.colMap))
   }
 
@@ -2099,16 +2097,17 @@ object VersionedTable {
     val rewritten = writeCommitDataUnique(
       survivors.unionByName(upserts, allowMissingColumns = true),
       path, m.colMap)
+    val fmUp = footerMeta(path, rewritten)
     commitManifest(path, v + 1, m, Manifest(
       carried ++ rewritten, m.dvs,
       m.stats.view.filterKeys(carried.contains).toMap, batchId,
       m.blooms,
       m.rowCounts.view.filterKeys(carried.contains).toMap ++
-        footerCounts(path, rewritten),
+        fmUp.counts,
       None, m.partCol,
       m.partValues.view.filterKeys(carried.contains).toMap,
       m.nullCounts.view.filterKeys(carried.contains).toMap ++
-        footerNullCounts(path, rewritten),
+        fmUp.nulls,
       m.extraCols, cdcFiles, colMap = m.colMap))
   }
 
@@ -2131,9 +2130,10 @@ object VersionedTable {
     require(v >= 0, s"no table at $path — call init first")
     val files = writeCommitData(
       readVersion(spark, path, v).repartition(targetFiles), path, v + 1)
+    val fm = footerMeta(path, files)
     writeManifest(path, v + 1, Manifest(files, Nil, Map.empty, None, Nil,
-      footerCounts(path, files),
-      nullCounts = footerNullCounts(path, files)))
+      fm.counts,
+      nullCounts = fm.nulls))
   }
 
   /** CLUSTERING-PRESERVING OPTIMIZE: compaction that range-clusters on
@@ -2177,9 +2177,10 @@ object VersionedTable {
       .map(r => r.getString(0) ->
         Map(zoneCol -> (r.getDouble(1), r.getDouble(2))))
       .toMap
+    val fm = footerMeta(path, files)
     writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
-      footerCounts(path, files),
-      nullCounts = footerNullCounts(path, files)))
+      fm.counts,
+      nullCounts = fm.nulls))
   }
 
   /** Z-ORDER clustering-preserving OPTIMIZE (the Delta `OPTIMIZE
@@ -2234,9 +2235,10 @@ object VersionedTable {
            else Map(colY -> (r.getDouble(3), r.getDouble(4))))
       r.getString(0) -> byCol
     }.filter(_._2.nonEmpty).toMap
+    val fm = footerMeta(path, files)
     writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
-      footerCounts(path, files),
-      nullCounts = footerNullCounts(path, files)))
+      fm.counts,
+      nullCounts = fm.nulls))
   }
 
   /** KEY-GROUPED OPTIMIZE: rewrite the current snapshot so every data
@@ -2277,10 +2279,11 @@ object VersionedTable {
         val d = raw.toDouble
         rel -> Map(partCol -> (d, d))
       }.toMap
+    val fm = footerMeta(path, files)
     writeManifest(path, v + 1, Manifest(files, Nil, stats, None, Nil,
-      footerCounts(path, files), None, Some(partCol),
+      fm.counts, None, Some(partCol),
       filesAndValues.toMap,
-      footerNullCounts(path, files)))
+      fm.nulls))
   }
 
   /** Manifest consultation for a BOX probe over a z-ordered version:

@@ -607,12 +607,19 @@ object ExtensionQueries26 {
           .withColumn("ws",
             graft.ops.Text.words(graft.ops.Text.clean(col("text"))))
           .where(size(col("ws")) >= 2)
+        // r14 opt (guide §2.4/§5): the exploded bigram frame feeds the
+        // count-model subtree AND the per-doc scoring join —
+        // un-materialized the corpus scan + tokenize + explode ran
+        // twice. localCheckpoint pins it once; the aggregation tree on
+        // top is UNCHANGED (same avg over the same instance rows), so
+        // every nll6 is bit-identical.
         val bi = docs.select(col("doc_id"), col("lang"), expr(
             "explode(transform(sequence(1, size(ws) - 1), " +
               "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))")
             .as("b"))
           .select(col("doc_id"), col("lang"),
             col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .localCheckpoint()
         val cnt = bi.groupBy("w1", "w2")
           .agg(count(lit(1)).cast("double").as("c12"))
           .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))

@@ -493,20 +493,31 @@ object ExtensionQueries28 {
     Q(
       "q270_char_entropy_rate",
       (s, dir) => {
-        val chars = Tables.load(s, dir, "documents")
+        val chars = Tables.loadParallel(s, dir, "documents")
           .select(col("lang"), col("doc_id"), expr(
             "filter(transform(sequence(1, length(text) - 1), " +
               "i -> substring(text, i, 2)), p -> length(p) = 2)")
             .as("ps"))
           .select(col("lang"), explode(col("ps")).as("pair"))
+        // r14 opt (guide §2.4): ONE explode pass. The first-char counts
+        // are EXACTLY the pair counts re-grouped by the pair's first
+        // char (Σ over pairs starting with c1 of n = occurrences of c1
+        // as a bigram head), so deriving them from the alphabet²-bounded
+        // pairCnt frame removes the second full scan+explode+shuffle of
+        // the corpus the old firstCnt paid — both consumers now sit on
+        // the SAME (lang, pair) exchange, which ReuseExchange dedupes
+        // (one scan+explode map side; measured: a localCheckpoint here
+        // was SLOWER than the reused exchange — RDD-block rescans lose
+        // codegen). Integer counts are identical, so every downstream
+        // double (t9, entropies) is bit-identical.
         val pairCnt = chars.groupBy("lang", "pair")
           .agg(count(lit(1)).as("n"))
           .withColumn("t9", floor(col("n").cast("double") *
             log(col("n").cast("double")) * lit(1000000000.0) + lit(0.5))
             .cast("long"))
-        val firstCnt = chars
-          .select(col("lang"), substring(col("pair"), 1, 1).as("c1"))
-          .groupBy("lang", "c1").agg(count(lit(1)).as("n"))
+        val firstCnt = pairCnt
+          .groupBy(col("lang"), substring(col("pair"), 1, 1).as("c1"))
+          .agg(sum("n").as("n"))
           .withColumn("t9", floor(col("n").cast("double") *
             log(col("n").cast("double")) * lit(1000000000.0) + lit(0.5))
             .cast("long"))

@@ -41,12 +41,20 @@ object ExtensionQueries30 {
               "filter(split(lower(text), ' '), t -> length(t) >= 4)"))
               .as(Seq("pos", "w")))
         val wNext = Window.partitionBy("doc_id").orderBy("pos")
+        // r14 opt (guide §2.4/§5): this distinct pair frame feeds the
+        // vocab rank (whose two-pass rank executes its input EAGERLY,
+        // twice), the id-resolution join, and the final word join —
+        // un-materialized, the posexplode + per-doc window pipeline
+        // over the whole corpus re-ran ~5x. localCheckpoint pins the
+        // vocabulary-pair-sized result once (the q302/q345 profile:
+        // small aggregated frame, heavy upstream); row set unchanged.
         val edges = toks
           .withColumn("w2", lead("w", 1).over(wNext))
           .where(col("w2").isNotNull && col("w") =!= col("w2"))
           .select(least(col("w"), col("w2")).as("wa"),
             greatest(col("w"), col("w2")).as("wb"))
           .distinct()
+          .localCheckpoint()
         // dense LONG ids via the distributed two-pass global rank
         // (r9: Window.orderBy with no partition key serialized the
         // whole vocab through ONE task — fixture-fine, but a web-scale

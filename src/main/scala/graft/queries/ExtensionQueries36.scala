@@ -132,7 +132,14 @@ object ExtensionQueries36 {
             "i -> struct(element_at(ws, i) AS w1, " +
             "element_at(ws, i + 1) AS w2)))").as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // r14 opt (guide §2.4/§5): the bigram-count frame feeds FOUR
+        // consumers (c1, n1b, the scalar total, and the final join) —
+        // un-materialized, each re-ran the corpus scan + explode +
+        // (w1,w2) shuffle (plan audit: 8 parquet scans before, 1 after).
+        // localCheckpoint pins the vocabulary-sized aggregate once;
+        // counts are unchanged integers so p_kn is bit-identical.
         val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .localCheckpoint()
         val c1 = cnt.groupBy("w1")
           .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
         val n1b = cnt.groupBy("w2").agg(count(lit(1)).as("n1b"))

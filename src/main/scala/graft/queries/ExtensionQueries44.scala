@@ -182,6 +182,11 @@ object ExtensionQueries44 {
     Q(
       "q325_ppr_seed_expansion",
       (s, dir) => {
+        // r14 note (guide §1.2 "measure first"): a localCheckpoint here
+        // was MEASURED SLOWER (4.07s → 4.8s at sf0.1) — the self-join's
+        // two sides already share one exchange via ReuseExchange, and
+        // RDD-block rescans of a checkpoint lose the codegen'd parquet
+        // scan. Left recomputed on purpose.
         val li = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val l2 = li.toDF("l_orderkey", "p2")

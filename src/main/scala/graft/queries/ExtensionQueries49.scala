@@ -182,36 +182,61 @@ object ExtensionQueries49 {
       "q345_dedup_threshold_sweep",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+        // r14 opt (guide §2.4/§2.6): the five sweep points used to run
+        // FIVE independent iterative component loops (each paying the
+        // per-iteration join/agg/checkpoint jobs) plus five re-scans of
+        // the token-count frame. Now: the checkpointed pair set is
+        // replicated per qualifying threshold (≤5×, pair-set-sized) and
+        // ONE grouped min-label loop (canonicalizeGrouped, keyed on the
+        // threshold) labels all five subsets in max-over-thresholds
+        // iterations; toks is checkpointed so the corpus tokenize runs
+        // once. Per-threshold labels are identical — propagation never
+        // crosses a threshold group — so every output number matches
+        // the oracle's per-threshold replay unchanged.
         val toks = docs.select(col("doc_id"),
           size(expr("filter(split(text, ' '), w -> w <> '')"))
             .cast("long").as("ntok"))
+          .localCheckpoint()
         val totalToks = toks.agg(sum("ntok").as("total_tokens"))
         val allJac = graft.ext.Dedup
           .nearDupPairs(docs, "text", "doc_id", 0.5)
           .localCheckpoint()
-        Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { t =>
-          val pairs = allJac.where(col("jaccard") >= t)
-            .select("da", "db")
-          val labels = graft.ext.Dedup.canonicalize(pairs)
-          val removed = labels.where(col("id") =!= col("label"))
-          val nPairs = pairs.select(count(lit(1)).as("n_pairs"))
-          val nClusters = labels.select(col("label")).distinct()
-            .select(count(lit(1)).as("n_clusters"))
-          removed.join(toks, col("id") === col("doc_id"), "left")
-            .agg(count(lit(1)).as("docs_removed"),
-              coalesce(sum("ntok"), lit(0L)).as("tokens_removed"))
-            .crossJoin(broadcast(nPairs))
-            .crossJoin(broadcast(nClusters))
-            .crossJoin(broadcast(totalToks))
-            .select(lit(t).as("threshold"),
-              col("n_pairs").cast("long").as("n_pairs"),
-              col("n_clusters").cast("long").as("n_clusters"),
-              col("docs_removed").cast("long").as("docs_removed"),
-              Rounding.stableRound6(
-                col("tokens_removed").cast("double") /
-                  col("total_tokens").cast("double"))
-                .as("token_share_removed"))
-        }.reduce(_ unionAll _)
+        val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        val tArr = array(thresholds.map(lit): _*)
+        val rep = allJac.select(col("da"), col("db"),
+          explode(filter(tArr, t => col("jaccard") >= t)).as("threshold"))
+        val labels = graft.ext.Dedup
+          .canonicalizeGrouped(rep, Seq("threshold"))
+        val nPairs = rep.groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"))
+        val nClusters = labels.groupBy("threshold")
+          .agg(countDistinct("label").as("n_clusters"))
+        val removedStats = labels.where(col("id") =!= col("label"))
+          .join(toks, col("id") === col("doc_id"), "left")
+          .groupBy("threshold")
+          .agg(count(lit(1)).as("docs_removed"),
+            coalesce(sum("ntok"), lit(0L)).as("tokens_removed"))
+        // a threshold with no surviving pairs must still emit its row
+        // (zero counts), exactly as the old per-threshold aggregates did
+        val tf = thresholds.foldLeft(
+            Option.empty[org.apache.spark.sql.DataFrame]) { (acc, t) =>
+            val one = s.range(1).select(lit(t).as("threshold"))
+            Some(acc.map(_.unionAll(one)).getOrElse(one))
+          }.get
+        tf.join(nPairs, Seq("threshold"), "left")
+          .join(nClusters, Seq("threshold"), "left")
+          .join(removedStats, Seq("threshold"), "left")
+          .crossJoin(broadcast(totalToks))
+          .select(col("threshold"),
+            coalesce(col("n_pairs"), lit(0L)).cast("long").as("n_pairs"),
+            coalesce(col("n_clusters"), lit(0L)).cast("long")
+              .as("n_clusters"),
+            coalesce(col("docs_removed"), lit(0L)).cast("long")
+              .as("docs_removed"),
+            Rounding.stableRound6(
+              coalesce(col("tokens_removed"), lit(0L)).cast("double") /
+                col("total_tokens").cast("double"))
+              .as("token_share_removed"))
           .orderBy("threshold")
       },
       Some {

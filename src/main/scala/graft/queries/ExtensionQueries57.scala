@@ -30,6 +30,12 @@ object ExtensionQueries57 {
     Q(
       "q367_rank_concordance",
       (s, dir) => {
+        // r14 note (guide §1.2 "measure first"): materializing this
+        // supplier aggregate with localCheckpoint was MEASURED SLOWER
+        // (2.70s → 3.0-3.7s at sf0.1) than letting the three ranking
+        // passes recompute it — the parquet scans are codegen'd and
+        // parallel while RDD-block rescans of the checkpoint are not,
+        // and the supplier frame is small. Left recomputed on purpose.
         val f = Tables.load(s, dir, "lineitem")
           .groupBy(col("l_suppkey").as("sk"))
           .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))

@@ -27,8 +27,14 @@ object ExtensionQueries61 {
     Q(
       "q382_bipartite_cosine",
       (s, dir) => {
+        // r14 opt (guide §2.4/§5): the distinct (part, supplier) frame
+        // feeds the degree aggregate AND both self-join sides —
+        // un-materialized each consumer re-ran the lineitem scan +
+        // distinct shuffle (plan audit: 8 parquet scans before, 1
+        // after). localCheckpoint pins it once; row set unchanged.
         val ps = Tables.load(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .localCheckpoint()
         val deg = ps.groupBy("l_suppkey").agg(count(lit(1)).as("np"))
         val pairs = ps.toDF("p", "sa")
           .join(ps.toDF("p", "sb"), "p")

@@ -43,6 +43,17 @@ object ExtensionQueries69 {
             "filter(transform(sequence(1, length(text) - 1), " +
               "i -> substring(text, i, 2)), p -> length(p) = 2)"))
             .as("pair"))
+        // r14 note (guide §1.2 "measure first"): three rewrites of this
+        // pipeline were measured and REJECTED — (a) a shared
+        // per-(doc, pair) count frame feeding both the train and test
+        // subtrees (flat: AQE never reuses the shared exchange here, so
+        // it only added a shuffle per pass), (b) the same with a
+        // localCheckpoint (SLOWER: 25 stages/60 tasks and the RDD-block
+        // rescans + re-shuffles of the 250k-row frame cost more than
+        // the codegen'd explode re-runs), (c) a parallelizing
+        // repartition after the read (SLOWER: 274 tasks of scheduling
+        // for sub-second map work). Left in its original two-branch
+        // shape on purpose.
         val trainCnt = pairs.where(!col("is_test"))
           .groupBy(col("lang").as("cls"), col("pair"))
           .agg(count(lit(1)).as("cnt"))

@@ -201,6 +201,44 @@ class ExtensionSpec extends SparkSpec {
     (100L to 199L).foreach(i => assert(chainLabels(i) == 100L, s"chain $i → ${chainLabels(i)}"))
   }
 
+  test("canonicalizeGrouped: per-group labels identical to per-group canonicalize runs") {
+    // r14 optimization coverage: the grouped loop (one iterative pass
+    // for all groups, keys widened by the group columns) must label
+    // each group EXACTLY as an independent canonicalize over that
+    // group's edges — including a group whose edge set is a strict
+    // subset of another's (the q345 threshold-sweep shape) and a
+    // group key that isolates an otherwise-shared component.
+    val grouped = Seq(
+      // group 0.5: chain 1-2-3-4 + pair {10,11}
+      (0.5, 1L, 2L), (0.5, 2L, 3L), (0.5, 3L, 4L), (0.5, 10L, 11L),
+      // group 0.7: subset — only the chain's tail survives
+      (0.7, 3L, 4L),
+      // group 0.9: disjoint pair that shares NODE IDS with group 0.5's
+      // chain — propagation must not cross the group boundary
+      (0.9, 1L, 4L)
+    ).toDF("threshold", "da", "db")
+    val got = Dedup.canonicalizeGrouped(grouped, Seq("threshold"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      val expect = Dedup.canonicalize(
+          grouped.where(col("threshold") === t).select("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      expect.foreach { case (id, lab) =>
+        assert(got((t, id)) == lab,
+          s"group $t node $id: grouped ${got((t, id))} vs solo $lab")
+      }
+      // no extra nodes invented for the group
+      assert(got.keys.count(_._1 == t) == expect.size, s"group $t size")
+    }
+    // group isolation explicitly: 1 and 4 are connected in group 0.5
+    // and in group 0.9, but group 0.7 must NOT link them
+    assert(got((0.5, 1L)) == got((0.5, 4L)))
+    assert(got((0.9, 1L)) == got((0.9, 4L)))
+    assert(got((0.7, 4L)) == 3L) // only {3,4} exists at 0.7
+    assert(!got.contains((0.7, 1L)))
+  }
+
   test("hashSplit: stable under corpus growth, fractions hold, sampling deterministic") {
     val docs = Tables.load(spark, sf0001, "documents")
     val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
