@@ -633,8 +633,15 @@ object Dedup {
     def gAlias(d: DataFrame, idAs: (String, String), valCol: String) =
       d.select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(
         col(idAs._1).as(idAs._2), col(valCol)): _*)
+    // null-safe equality (r14 advice): with plain `===`, edges whose
+    // group value is NULL would silently drop from every join (and
+    // their nodes from the labeling). q345's thresholds are non-null,
+    // but a future caller with a nullable group column must not get
+    // silently wrong components. `<=>` plans the same BroadcastHash/
+    // SortMergeJoin keys as `===` (EqualNullSafe is a valid equi-join
+    // key), so no plan regression.
     def gCond(left: Column): Column =
-      groupCols.foldLeft(left)((c, gc) => c && col(gc) === col(s"__g_$gc"))
+      groupCols.foldLeft(left)((c, gc) => c && col(gc) <=> col(s"__g_$gc"))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {

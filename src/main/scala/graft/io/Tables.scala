@@ -109,9 +109,14 @@ object Tables {
     val df = load(spark, sfDir, name)
     val keys = RepartitionKeys.getOrElse(name, Nil)
     if (keys.isEmpty) return df
+    // probe planned scan parallelism from the ALREADY-loaded df (r14
+    // advice: a second spark.read re-planned the scan and re-opened the
+    // footer per call), and let fatal errors (OOM, interrupts)
+    // propagate — only recoverable planning failures mean "don't know,
+    // don't repartition"
     val parts =
-      try spark.read.parquet(s"$sfDir/$name.parquet").rdd.getNumPartitions
-      catch { case _: Throwable => Int.MaxValue }
+      try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
     val target = spark.sparkContext.defaultParallelism
     if (parts < target) df.repartition(target, keys.map(df.col): _*)
     else df

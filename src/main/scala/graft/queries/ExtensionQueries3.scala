@@ -609,6 +609,12 @@ object ExtensionQueries3 {
               "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))")
             .as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // r15 note (measured and REJECTED): pinning this aggregated
+        // count frame with localCheckpoint read 1.69s -> 1.97s at 32c —
+        // the vv scalar's rebuild it saves is cheaper than the eager
+        // checkpoint job + RDD-block rescans (the q367 profile, not
+        // the q302 one: only TWO consumers and a fast window rebuild).
+        // Left in its r14 shape.
         val cnt = bi.groupBy("w1", "w2")
           .agg(count(lit(1)).cast("double").as("c12"))
           .withColumn("c1",

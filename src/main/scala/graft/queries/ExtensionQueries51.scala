@@ -45,10 +45,9 @@ object ExtensionQueries51 {
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_rec2_ckpt")
         val sentinelDir =
           java.nio.file.Files.createTempDirectory("graft_rec2_sentinel")
-        Seq((-1L, graft.streaming.EventStreams.FlushSentinelNanos, -1L,
-            "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row; see graft.streaming.SentinelFiles)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val q = graft.streaming.EventStreams.hourlyCounts(
             graft.streaming.EventStreams
               .readStream(s, dir, globFilter = Some("events.parquet"))

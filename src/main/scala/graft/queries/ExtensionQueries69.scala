@@ -54,9 +54,18 @@ object ExtensionQueries69 {
         // repartition after the read (SLOWER: 274 tasks of scheduling
         // for sub-second map work). Left in its original two-branch
         // shape on purpose.
+        // r15: what r14 never tried is pinning trainCnt ITSELF — the
+        // (cls, pair) aggregate is alphabet²·k bounded (the "small
+        // aggregated frame over heavy upstream" profile that won on
+        // q302/q345), and five consumers re-ran its explode+groupBy
+        // subtree (vocab, vSize, classes, classTot, the grid join).
+        // Isolated min-of-5 at 32 cores: 3.30-3.40s → 2.78s; explode
+        // passes 5 → 2 (train + test). Unlike r14's (b), the wide
+        // per-doc frame is never materialized.
         val trainCnt = pairs.where(!col("is_test"))
           .groupBy(col("lang").as("cls"), col("pair"))
           .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         val vocab = trainCnt.select("pair").distinct()
         val vSize = vocab.agg(count(lit(1)).as("v"))
         val classes = trainCnt.select("cls").distinct()

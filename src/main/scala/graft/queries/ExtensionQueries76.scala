@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PolyHash, Rounding}
@@ -267,13 +266,21 @@ object ExtensionQueries76 {
     Q(
       "q444_learned_index_audit",
       (s, dir) => {
-        val keys = Tables.load(s, dir, "part")
-          .select(PolyHash(concat(lit("li#"),
-            col("p_partkey").cast("string"))).as("k")).distinct()
-          .withColumn("pos",
-            (row_number().over(Window.orderBy("k")) - 1).cast("long"))
+        // r15 window census: this was the one remaining DATA-SIZED
+        // partition-less window (row_number over every distinct part
+        // key — the whole key domain through one task). Positions now
+        // come from ext.Ranking's two-pass range-partitioned global
+        // rank (the q115/q142 machinery); same (k, pos) rows, and nK
+        // falls out of pass 1 for free.
+        val (rankedK, nK) = graft.ext.Ranking.withGlobalRankAndCount(
+          Tables.load(s, dir, "part")
+            .select(PolyHash(concat(lit("li#"),
+              col("p_partkey").cast("string"))).as("k")).distinct(),
+          Seq(col("k")))
+        val keys = rankedK
+          .withColumn("pos", (col("global_rank") - 1L).cast("long"))
+          .drop("global_rank")
           .localCheckpoint()
-        val nK = keys.count()
         val seg = keys.withColumn("segment",
           least(lit(3L), expr(s"(pos * 4) div $nK")))
         def fitErr(df: org.apache.spark.sql.DataFrame,

@@ -186,9 +186,9 @@ object ExtensionQueries82 {
           java.nio.file.Files.createTempDirectory("graft_fs_ckpt")
         val sentinelDir =
           java.nio.file.Files.createTempDirectory("graft_fs_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row; see graft.streaming.SentinelFiles)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,

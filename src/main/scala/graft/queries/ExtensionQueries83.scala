@@ -103,9 +103,9 @@ object ExtensionQueries83 {
           java.nio.file.Files.createTempDirectory("graft_ws_ckpt")
         val sentinelDir =
           java.nio.file.Files.createTempDirectory("graft_ws_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row; see graft.streaming.SentinelFiles)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val ev = Tables.load(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("ts"),
             floor(col("value") * 100 + 0.5).cast("long").as("cents"))

@@ -198,9 +198,9 @@ object StreamingQueries {
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sess_sentinel")
         // raw-schema sentinel parquet: ts in NANOS like the fixture
         // (2100-01-01 — far past any fixture event + watermark delay)
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -260,11 +260,17 @@ object StreamingQueries {
         if (id > 1) s.catalog.dropTempView(s"graft_stream_join_${id - 1}")
         val name = s"graft_stream_join_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt")
-        val clicks = EventStreams.readStream(s, dir, globFilter = Some("events.parquet"))
+        // r15: both join sides derive from ONE source stream (a
+        // stream-stream SELF-join) instead of two independent
+        // readStream instances — one FileStreamSource in the offset
+        // log, one directory listing per micro-batch instead of two
+        val ev = EventStreams.readStream(s, dir,
+          globFilter = Some("events.parquet"))
+        val clicks = ev
           .where(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
           .withWatermark("c_ts", "2 hours")
-        val purchases = EventStreams.readStream(s, dir, globFilter = Some("events.parquet"))
+        val purchases = ev
           .where(col("event_type") === "purchase")
           .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
             col("ts").as("p_ts"))
@@ -325,16 +331,23 @@ object StreamingQueries {
         val name = s"graft_stream_outer_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_sso_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sso_sentinel")
-        Seq(
+        // r15: driver-side constant-row write (see SentinelFiles)
+        graft.streaming.SentinelFiles.writeEvents(sentinelDir, Seq(
           (-1L, EventStreams.FlushSentinelNanos, -1L, "click", 0.0, "{}"),
-          (-2L, EventStreams.FlushSentinelNanos, -2L, "purchase", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-        def side(eventType: String) = EventStreams
+          (-2L, EventStreams.FlushSentinelNanos, -2L, "purchase", 0.0, "{}")))
+        // r15: ONE events source + ONE sentinel source shared by both
+        // sides (a self-join over the union) instead of four
+        // FileStreamSource instances — half the offset-log entries and
+        // per-batch directory listings; watermark semantics unchanged
+        // (each side still carries its own watermark node, global
+        // watermark = min, and each side's typed sentinel survives the
+        // event_type filter exactly as before)
+        val base = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
             globFilter = Some("*.parquet")))
-          .where(col("event_type") === eventType)
+        def side(eventType: String) =
+          base.where(col("event_type") === eventType)
         val clicks = side("click")
           .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
           .withWatermark("c_ts", "2 hours")
@@ -400,9 +413,9 @@ object StreamingQueries {
         val name = s"graft_stream_sw_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_sw_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sw_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -569,9 +582,9 @@ object StreamingQueries {
         val name = s"graft_stream_conv_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_conv_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_conv_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -633,9 +646,9 @@ object StreamingQueries {
         val name = s"graft_stream_dau_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_dau_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_dau_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val q = withRocksDbState(s) {
           EventStreams
             .readStream(s, dir, globFilter = Some("events.parquet"))
@@ -691,9 +704,9 @@ object StreamingQueries {
         val name = s"graft_stream_rate_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_rate_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_rate_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -763,9 +776,9 @@ object StreamingQueries {
         val name = s"graft_stream_anom_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_anom_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_anom_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -832,9 +845,9 @@ object StreamingQueries {
         import s.implicits._
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_topk_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_topk_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val acc = new scala.collection.mutable.ArrayBuffer[
           (java.sql.Date, Long, Long, Long)]()
         val q = withRocksDbState(s) {
@@ -912,16 +925,23 @@ object StreamingQueries {
         val name = s"graft_stream_convrate_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_cvr_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_cvr_sentinel")
-        Seq(
+        // r15: driver-side constant-row write (see SentinelFiles)
+        graft.streaming.SentinelFiles.writeEvents(sentinelDir, Seq(
           (-1L, EventStreams.FlushSentinelNanos, -1L, "click", 0.0, "{}"),
-          (-2L, EventStreams.FlushSentinelNanos, -2L, "purchase", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-        def side(eventType: String) = EventStreams
+          (-2L, EventStreams.FlushSentinelNanos, -2L, "purchase", 0.0, "{}")))
+        // r15: ONE events source + ONE sentinel source shared by both
+        // sides (a self-join over the union) instead of four
+        // FileStreamSource instances — half the offset-log entries and
+        // per-batch directory listings; watermark semantics unchanged
+        // (each side still carries its own watermark node, global
+        // watermark = min, and each side's typed sentinel survives the
+        // event_type filter exactly as before)
+        val base = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
             globFilter = Some("*.parquet")))
-          .where(col("event_type") === eventType)
+        def side(eventType: String) =
+          base.where(col("event_type") === eventType)
         val clicks = side("click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("ts").as("c_ts"))
@@ -993,9 +1013,9 @@ object StreamingQueries {
         val exName = s"graft_stream_hlldau_ex_$id"
         val esName = s"graft_stream_hlldau_es_$id"
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_hlldau_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         def source() = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -1191,9 +1211,9 @@ object StreamingQueries {
         import s.implicits._
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_hist_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_hist_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         // quantiles land here as (win_start, type, q, bin, est), appended
         // by the foreachBatch walk each time windows close; tiny by
         // construction (2 rows per closed (window, type))
@@ -1292,9 +1312,9 @@ object StreamingQueries {
         val name = s"graft_stream_funnel_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_funnel_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -1419,9 +1439,9 @@ object StreamingQueries {
         val name = s"graft_stream_mom_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_mom_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_mom_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -1623,9 +1643,9 @@ object StreamingQueries {
         val P = graft.functions.PolyHash.Mod
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_scm_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_scm_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         def cellOf(j: Int, uid: Long): Long = {
           val h = graft.functions.PolyHash.hash(s"cm$j#$uid")
           h * h % P % 256
@@ -1739,9 +1759,9 @@ object StreamingQueries {
         val name = s"graft_stream_sprt_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_sprt_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sprt_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         // the same grid constants the batch twin derives in-plan
         val a9 = math.floor(math.log(0.20 / 0.10) * 1e9 + 0.5).toLong
         val b9 = math.floor(math.log(0.80 / 0.90) * 1e9 + 0.5).toLong
@@ -1848,9 +1868,9 @@ object StreamingQueries {
         import s.implicits._
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_psi_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_psi_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         // frozen reference profile: global value-bucket counts ordered
         // by bin (bounded: value domain / 50)
         val ref = graft.io.Tables.load(s, dir, "events")
@@ -1971,9 +1991,9 @@ object StreamingQueries {
         val name = s"graft_stream_late_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_late_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_late_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -2053,9 +2073,9 @@ object StreamingQueries {
         val name = s"graft_stream_cad_$id"
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_cad_ckpt")
         val sentinelDir = java.nio.file.Files.createTempDirectory("graft_cad_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,
@@ -2138,9 +2158,9 @@ object StreamingQueries {
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_srm_ckpt")
         val sentinelDir =
           java.nio.file.Files.createTempDirectory("graft_srm_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val q = withRocksDbState(s) {
           EventStreams
             .readStream(s, dir, globFilter = Some("events.parquet"))
@@ -2233,9 +2253,9 @@ object StreamingQueries {
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_bal_ckpt")
         val sentinelDir =
           java.nio.file.Files.createTempDirectory("graft_bal_sentinel")
-        Seq((-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        // r15: driver-side constant-row write (no Spark job + commit
+        // protocol for one sentinel row — measured 0.31s → 0.03s/gate)
+        graft.streaming.SentinelFiles.writeFlushSentinel(sentinelDir)
         val stream = EventStreams
           .readStream(s, dir, globFilter = Some("events.parquet"))
           .unionByName(EventStreams.readStream(s, sentinelDir.toString,

@@ -32,12 +32,17 @@ object StageCountProbe {
     names.foreach { n =>
       val q = byName.getOrElse(n, sys.error(s"unknown query: $n"))
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Thread.sleep(300)
+      // listener events are delivered asynchronously — drain the bus
+      // deterministically before resetting and before reading (r14
+      // advice: a fixed sleep could still miscount under load)
+      org.apache.spark.sql.graftbridge.Bridge
+        .waitListenerBusEmpty(spark.sparkContext)
       stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      org.apache.spark.sql.graftbridge.Bridge
+        .waitListenerBusEmpty(spark.sparkContext)
       println(f"STAGE_COUNT $n%-28s stages=${stages.get} tasks=${tasks.get} time=$dt%.2fs")
     }
     spark.stop()

@@ -48,4 +48,11 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Drain the listener bus (`SparkContext.listenerBus` is
+    * private[spark]) so diagnostic listeners (tools.StageCountProbe)
+    * read deterministic counts instead of racing async delivery.
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

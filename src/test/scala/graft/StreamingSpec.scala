@@ -510,4 +510,44 @@ class StreamingSpec extends SparkSpec {
       s"got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)}, " +
         s"${r.getLong(4)})")
   }
+
+  test("SentinelFiles direct writer == the Spark-job sentinel write " +
+    "(r15: gates plant sentinels without a Spark job)") {
+    // the r15 optimization swaps every gate's Seq(..).toDF.write.parquet
+    // sentinel job for a driver-side ParquetWriter; both paths must read
+    // back identically under the stream reader's explicit raw schema —
+    // including the ts NANOS unit the shared guard keys on
+    val rows = Seq(
+      (-1L, EventStreams.FlushSentinelNanos, -1L, "__flush", 0.0, "{}"),
+      (-2L, EventStreams.FlushSentinelNanos, -2L, "purchase", 0.5, "{}"))
+    val sparkDir = Files.createTempDirectory("graft_sent_spark")
+    val directDir = Files.createTempDirectory("graft_sent_direct")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sparkDir.toString)
+      graft.streaming.SentinelFiles.writeEvents(directDir, rows)
+      def readBack(d: java.nio.file.Path) =
+        spark.read.schema(EventStreams.rawSchema).parquet(d.toString)
+          .orderBy("event_id").collect().toSeq
+      assert(readBack(directDir) == readBack(sparkDir))
+      // and through the STREAMING reader (unit guard: the 2100 sentinel
+      // must surface as the 2100 instant, not 1970)
+      val ckpt = Files.createTempDirectory("graft_sent_ckpt")
+      val name = "graft_sentinel_files_spec"
+      val q = EventStreams.readStream(spark, directDir.toString,
+          globFilter = Some("*.parquet"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val yrs = spark.table(name).select(year(col("ts"))).collect()
+        .map(_.getInt(0)).toSeq
+      assert(yrs == Seq(2100, 2100), s"sentinel ts years: $yrs")
+      graft.io.FsUtil.deleteRecursively(ckpt)
+    } finally {
+      graft.io.FsUtil.deleteRecursively(sparkDir)
+      graft.io.FsUtil.deleteRecursively(directDir)
+    }
+  }
 }
