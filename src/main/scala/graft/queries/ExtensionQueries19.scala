@@ -34,16 +34,20 @@ object ExtensionQueries19 {
         val toks = Tables.load(s, dir, "documents")
           .select((col("doc_id") % 2 === 1).as("h1"),
             explode(Text.words(Text.clean(col("text")))).as("w"))
-        val vocab = toks.groupBy("w")
-          .agg(sum(when(col("h1"), 0L).otherwise(1L)).as("c0"),
-            sum(when(col("h1"), 1L).otherwise(0L)).as("c1"))
         // r15 window census: the vocab totals ran as THREE global
         // windows and the top-15 as row_number over the whole filtered
         // vocab — four single-partition passes of a vocabulary-sized
-        // frame (1e8-1e9 rows web-scale). Totals are now one 1-row agg
-        // broadcast back; the top-15 is orderBy+limit (per-partition
+        // frame (1e8-1e9 rows web-scale). The vocab aggregate is pinned
+        // once (small aggregated frame over the heavy corpus explode —
+        // the q302 profile, so the totals agg and the top-k don't
+        // re-scan the corpus); totals are one 1-row agg broadcast back;
+        // the top-15 is orderBy+limit (per-partition
         // TakeOrderedAndProject), with row_number only over the 15
         // survivors. Same total order (lift desc, w), same rows.
+        val vocab = toks.groupBy("w")
+          .agg(sum(when(col("h1"), 0L).otherwise(1L)).as("c0"),
+            sum(when(col("h1"), 1L).otherwise(0L)).as("c1"))
+          .localCheckpoint()
         val tot = vocab.agg(sum("c0").as("t0"), sum("c1").as("t1"),
           count(lit(1)).as("v"))
         val enriched = vocab

@@ -30,7 +30,7 @@ object ExtensionQueries69 {
     Q(
       "q414_naive_bayes_langid",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text"))
           .withColumn("h",
             PolyHash(concat(lit("nb#"), col("doc_id").cast("string"))))
@@ -54,6 +54,13 @@ object ExtensionQueries69 {
         // repartition after the read (SLOWER: 274 tasks of scheduling
         // for sub-second map work). Left in its original two-branch
         // shape on purpose.
+        // r15 re-measured (c) AFTER the trainCnt pin below: with the
+        // explode running 2x instead of 5x, fanning the single-split
+        // scan out (loadParallel above) now WINS — 2.78s -> 2.36s at
+        // 32c (the r14 rejection was sound for the 5x shape; the pin
+        // changed the calculus). The same sweep kept loadParallel OFF
+        // q110/q162/q235/q243/q269 (all 0.07-0.62s slower — map sides
+        // too cheap to pay the exchange).
         // r15: what r14 never tried is pinning trainCnt ITSELF — the
         // (cls, pair) aggregate is alphabet²·k bounded (the "small
         // aggregated frame over heavy upstream" profile that won on
